@@ -1,0 +1,64 @@
+"""Benchmark harness: runs the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall-clock seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from irstats2_spark import catalog
+from irstats2_spark.session import get_spark
+
+HEADLINE = [
+    "a1_grouped_sum",
+    "a3_daily_preagg",
+    "j1_fact_join_dim",
+    "j2_grouping_join",
+    "p7_semi_join",
+    "t2_densify",
+    "o3_topn",
+    "a6_a7_cumulative_running_avg",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("irstats2_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    all_queries = catalog.queries()
+    names = [n for n in HEADLINE if n in all_queries]
+    # warm the JVM + parquet footers once so per-query numbers measure the
+    # plans, not session startup
+    all_queries[names[0]](spark, sf_dir).count()
+
+    per_query: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = all_queries[name](spark, sf_dir)
+        df.collect()
+        per_query[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(per_query.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,57 @@
+"""Loaders for the driver's deterministic parquet test tables (TESTDATA.md).
+
+All reads are bare ``spark.read.parquet`` so Catalyst owns predicate
+pushdown and column pruning; callers select/filter lazily.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet; read as long
+# (spark.sql.legacy.parquet.nanosAsLong) and converted to micros here.
+# Truncating division matches DuckDB's internal ns->us truncation.
+_NANO_TS_COLS = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
+    sf_dir = sf_dir or DEFAULT_SF_DIR
+    if name in _NANO_TS_COLS:
+        # Force the legacy nanos-as-long read even on sessions not built by
+        # get_spark(); the conf is read at scan planning time, so setting it
+        # on the running session is sufficient.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
+    return {t: load_table(spark, t, sf_dir) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str | None = None) -> None:
+    """Register every test table as a temp view for ``spark.sql`` use."""
+    for name, df in load_all(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

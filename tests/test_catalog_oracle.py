@@ -1,0 +1,40 @@
+"""Run every catalog query against the DuckDB oracle at sf0.01 — the local
+mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from irstats2_spark import catalog
+from tests.oracle_utils import SF_ORACLE, assert_matches_oracle
+
+
+def _names():
+    catalog._ensure_loaded()
+    return sorted(catalog._REGISTRY)
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, name):
+    spec = catalog._REGISTRY[name]
+    df = spec.spark(spark, SF_ORACLE)
+    if spec.oracle is None:
+        assert df.count() >= 0  # rows-only check, mirrors the driver
+    else:
+        assert_matches_oracle(df, spec.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0
+
+
+def test_oracle_keys_subset():
+    import __spark_entry__ as e
+
+    q = e.queries()
+    o = e.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) > 0
