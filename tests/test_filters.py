@@ -1,0 +1,118 @@
+"""Tests for Robots (P8) and Repeat (P9) filters — including the
+first-anchor property that distinguishes the exact operator from the
+lag-window approximation (SURVEY §7.3)."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import functions as F
+
+from irstats2_spark.operators.filters import (
+    repeat_filter,
+    repeat_filter_window_approx,
+    robots_filter,
+)
+
+
+def _events(spark, rows):
+    """rows: (epoch, epid, docid, ip)"""
+    return spark.createDataFrame(
+        [(float(e), i, d, ip) for e, i, d, ip in rows],
+        "epoch double, referent_id int, referent_docid int, requester_id string",
+    )
+
+
+def python_repeat_oracle(rows, timeout):
+    """Sequential reimplementation of Repeat.pm:63-102 for verification."""
+    cache = {}
+    kept = []
+    for e, epid, docid, ip in sorted(rows, key=lambda r: r[0]):
+        key = f"{epid}-{docid if docid is not None else 'X'}-{ip}"
+        t = cache.get(key)
+        if t is not None and abs(e - t) <= timeout:
+            continue
+        cache[key] = e
+        kept.append((e, epid, docid, ip))
+    return sorted(kept)
+
+
+def test_repeat_anchor_not_refreshed(spark):
+    # e1 kept (anchor), e2 +3000s dropped, e3 +6000s: within timeout of e2
+    # but beyond e1's anchor => KEPT (anchor semantics), while the window
+    # approximation drops it (gap from e2 is 3000 <= 3600).
+    rows = [(0, 1, 10, "a"), (3000, 1, 10, "a"), (6000, 1, 10, "a")]
+    df = _events(spark, rows)
+    exact = sorted(r.epoch for r in repeat_filter(df, timeout=3600).collect())
+    assert exact == [0.0, 6000.0]
+    approx = sorted(
+        r.epoch for r in repeat_filter_window_approx(df, timeout=3600).collect()
+    )
+    assert approx == [0.0]  # documented divergence
+
+
+def test_repeat_distinct_keys_independent(spark):
+    rows = [
+        (0, 1, 10, "a"),
+        (10, 1, 11, "a"),  # different docid => different key
+        (20, 1, None, "a"),  # abstract view => 'X' key
+        (30, 2, 10, "a"),  # different eprint
+        (40, 1, 10, "b"),  # different ip
+    ]
+    df = _events(spark, rows)
+    assert repeat_filter(df, timeout=3600).count() == 5
+
+
+def test_repeat_matches_python_oracle_random(spark):
+    rng = random.Random(7)
+    rows = [
+        (
+            rng.randint(0, 200_000),
+            rng.randint(1, 3),
+            rng.choice([None, 1, 2]),
+            rng.choice(["a", "b"]),
+        )
+        for _ in range(400)
+    ]
+    # de-dup identical epochs per key to keep ordering deterministic
+    seen, uniq = set(), []
+    for r in rows:
+        k = (r[0], r[1], r[2], r[3])
+        if k not in seen:
+            seen.add(k)
+            uniq.append(r)
+    df = _events(spark, uniq)
+    got = sorted(
+        (r.epoch, r.referent_id, r.referent_docid, r.requester_id)
+        for r in repeat_filter(df, timeout=3600).collect()
+    )
+    expected = python_repeat_oracle(uniq, 3600)
+    assert got == expected
+
+
+def test_robots_filter_ua_and_ip(spark):
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (real browser)", "1.2.3.4"),
+            ("Googlebot/2.1 (+http://www.google.com/bot.html)", "5.6.7.8"),
+            ("msnbot/1.0", "9.9.9.9"),
+            ("Mozilla/5.0", "180.76.15.99"),  # bad IP prefix
+            (None, "2.3.4.5"),
+        ],
+        "requester_user_agent string, requester_id string",
+    )
+    out = robots_filter(df, ip_prefixes=["180.76.15"]).collect()
+    uas = {r.requester_user_agent for r in out}
+    assert uas == {"Mozilla/5.0 (real browser)", None}
+
+
+def test_robots_pattern_file(tmp_path, spark):
+    f = tmp_path / "ua.txt"
+    f.write_text("# comment\n\nbadbot\nevil\\-crawler\n")
+    df = spark.createDataFrame(
+        [("BadBot/1.0",), ("GoodGuy/2.0",), ("EVIL-CRAWLER v3",)],
+        "requester_user_agent string",
+    )
+    df = df.withColumn("requester_id", F.lit(None).cast("string"))
+    out = robots_filter(df, ua_file=str(f)).collect()
+    assert [r.requester_user_agent for r in out] == ["GoodGuy/2.0"]
