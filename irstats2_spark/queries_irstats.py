@@ -1,4 +1,405 @@
-"""IRStats2-semantics queries over the driver tables (filled in as the
-engine's ETL + Context layers land). See queries_core for primitives."""
+"""IRStats2-semantics catalog queries over the driver's test tables.
+
+These run the engine's REAL operator implementations (processors, filters,
+classifiers, Context compilation) on the driver's `events` table via the
+access-log adapter (sources.access_log.events_from_driver_table), with
+DuckDB oracles that replicate the adapter mapping in plain SQL. This makes
+the correctness gate exercise the actual engine code paths, not ad-hoc
+per-query DataFrame code.
+
+Adapter mapping (kept in sync with events_from_driver_table):
+  eprintid = user_id % 100, download <=> event_type = 'click',
+  docid = event_id % 500, date_key = int yyyyMMdd of ts.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irstats2_spark.catalog import register
+from irstats2_spark.etl import processors as P
+from irstats2_spark.operators.filters import repeat_filter, robots_filter
+from irstats2_spark.plans.builder import StatsStore, compile_context
+from irstats2_spark.plans.context import Context, QueryOptions
+from irstats2_spark.sources.access_log import events_from_driver_table
+from irstats2_spark.sources.testdata import load_table
+
+
+def _adapted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return events_from_driver_table(load_table(spark, "events", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# A3/S5 — the downloads/views/doc_downloads fact builders (ETL core).
+# ---------------------------------------------------------------------------
+@register(
+    "etl_downloads_fact",
+    """
+    SELECT CAST(user_id % 100 AS INT) AS eprintid,
+           CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp,
+           'downloads' AS value,
+           COUNT(*) AS count
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+    doc="A3 Downloads.pm:44-51 via the real processor on adapted events",
+)
+def etl_downloads_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.downloads(_adapted(spark, sf_dir))
+
+
+@register(
+    "etl_views_fact",
+    """
+    SELECT CAST(user_id % 100 AS INT) AS eprintid,
+           CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp,
+           'views' AS value,
+           COUNT(*) AS count
+    FROM events WHERE event_type <> 'click'
+    GROUP BY 1, 2
+    """,
+    doc="A3 Downloads.pm:44-51 (views side)",
+)
+def etl_views_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.views(_adapted(spark, sf_dir))
+
+
+@register(
+    "etl_doc_downloads_fact",
+    """
+    SELECT CAST(event_id % 500 AS INT) AS eprintid,
+           CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp,
+           'downloads' AS value,
+           COUNT(*) AS count
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+    doc="DocDownloads.pm:34-49 — docid-keyed fact (reference quirk)",
+)
+def etl_doc_downloads_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.doc_downloads(_adapted(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Context compilation paths (Handler.pm extract_eprint_data).
+# ---------------------------------------------------------------------------
+def _store(spark: SparkSession, sf_dir: str) -> StatsStore:
+    ev = _adapted(spark, sf_dir)
+    facts = {"downloads": P.downloads(ev), "views": P.views(ev)}
+    facts["cache_downloads"] = P.lifetime_cache(facts["downloads"], "downloads")
+    facts["cache_views"] = P.lifetime_cache(facts["views"], "views")
+    return StatsStore(facts=facts)
+
+
+@register(
+    "ctx_daily_series",
+    """
+    SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp,
+           COUNT(*) AS count
+    FROM events
+    WHERE event_type = 'click'
+      AND CAST(strftime(ts, '%Y%m%d') AS INT) BETWEEN 20240105 AND 20240125
+    GROUP BY 1
+    """,
+    doc="full Context path: date-range predicate + datestamp grouping (P3+A1)",
+)
+def ctx_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(datatype="downloads", from_date="20240105", to_date="20240125"),
+        QueryOptions(fields=("datestamp",)),
+    )
+
+
+@register(
+    "ctx_lifetime_total",
+    """
+    SELECT COUNT(*) AS count FROM events WHERE event_type = 'click'
+    """,
+    doc="cache-table rewrite (Data.pm:128-139): undated total hits cache_downloads",
+)
+def ctx_lifetime_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark, sf_dir)
+    return compile_context(store, Context(datatype="downloads", range="_ALL_"))
+
+
+@register(
+    "ctx_top_eprints",
+    """
+    SELECT CAST(user_id % 100 AS INT) AS eprintid, COUNT(*) AS count
+    FROM events WHERE event_type <> 'click'
+    GROUP BY 1
+    ORDER BY count DESC, eprintid ASC
+    LIMIT 10
+    """,
+    doc="O3 top-N routing: grouping='eprint' + order/limit (Table.pm:37-89)",
+)
+def ctx_top_eprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(datatype="views", grouping="eprint", range="_ALL_"),
+        QueryOptions(limit=10),
+    )
+
+
+@register(
+    "ctx_single_eprint",
+    """
+    SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp, COUNT(*) AS count
+    FROM events
+    WHERE event_type = 'click' AND user_id % 100 = 7
+    GROUP BY 1
+    """,
+    doc="eprint fast path (Data.pm:142-152): set_name='eprint' => plain filter",
+)
+def ctx_single_eprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(datatype="downloads", set_name="eprint", set_value="7", range="_ALL_"),
+        QueryOptions(fields=("datestamp",)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P8 robots filter — UA synthesized deterministically from event_type so the
+# oracle can replicate the outcome of the real rlike alternation.
+# ---------------------------------------------------------------------------
+@register(
+    "robots_filter_outcome",
+    """
+    SELECT event_type, COUNT(*) AS count
+    FROM events
+    WHERE event_type NOT IN ('error', 'signup')   -- robot UAs assigned to these
+    GROUP BY event_type
+    """,
+    doc="P8 Robots.pm:139-147 — synthetic UA per event_type, robot rows dropped",
+)
+def robots_filter_outcome(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "requester_user_agent",
+        F.when(F.col("event_type") == "error", "Googlebot/2.1 (+http://google.com/bot)")
+        .when(F.col("event_type") == "signup", "msnbot/1.1")
+        .otherwise("Mozilla/5.0 (Windows NT 10.0) Chrome/120"),
+    ).withColumn("requester_id", F.lit("203.0.113.7"))
+    kept = robots_filter(ev)
+    return kept.groupBy("event_type").agg(F.count(F.lit(1)).alias("count"))
+
+
+# ---------------------------------------------------------------------------
+# F5 browser classification through the real when-chain.
+# ---------------------------------------------------------------------------
+@register(
+    "browser_classification",
+    """
+    SELECT CASE user_id % 5
+             WHEN 0 THEN 'Google Chrome'
+             WHEN 1 THEN 'Android'
+             WHEN 2 THEN 'Firefox'
+             WHEN 3 THEN 'Microsoft Internet Explorer'
+             ELSE 'Other'
+           END AS value,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F5 Browsers.pm:12-71 — signature chain incl. Android-before-Chrome order",
+)
+def browser_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.functions.classify import classify_browser
+
+    ua = (
+        F.when(F.col("user_id") % 5 == 0, "Mozilla/5.0 AppleWebKit Chrome/120.0 Safari/537.36")
+        .when(F.col("user_id") % 5 == 1, "Mozilla/5.0 (Linux; Android 13; Pixel) Chrome/120 Safari/537")
+        .when(F.col("user_id") % 5 == 2, "Mozilla/5.0 (X11; Linux) Gecko Firefox/115.0")
+        .when(F.col("user_id") % 5 == 3, "Mozilla/4.0 (compatible; MSIE 8.0; Windows NT)")
+        .otherwise("UnknownAgent/1.0")
+    )
+    ev = load_table(spark, "events", sf_dir).withColumn("ua", ua)
+    return (
+        ev.select(classify_browser(F.col("ua")).alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4 referrer classification through the real chain (incl. parse_url).
+# ---------------------------------------------------------------------------
+@register(
+    "referrer_classification",
+    """
+    SELECT CASE user_id % 7
+             WHEN 0 THEN 'Google'
+             WHEN 1 THEN 'Yahoo'
+             WHEN 2 THEN 'MSN/Bing'
+             WHEN 3 THEN 'Internal (Abstract page)'
+             WHEN 4 THEN 'Internal (Search)'
+             WHEN 5 THEN 'Facebook'
+             ELSE 'some-random-host.net'
+           END AS value,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F4 Referrer.pm:61-116 — full classification incl. bare-number and own-host URIs",
+)
+def referrer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.functions.classify import classify_referrer
+
+    ref = (
+        F.when(F.col("user_id") % 7 == 0, "http://www.google.co.uk/search?q=x")
+        .when(F.col("user_id") % 7 == 1, "http://search.yahoo.com/search?p=x")
+        .when(F.col("user_id") % 7 == 2, "http://www.bing.com/search?q=x")
+        .when(F.col("user_id") % 7 == 3, "1234")  # bare eprintid => localhost
+        .when(F.col("user_id") % 7 == 4, "http://myrepo.org/cgi/search/simple?q=x")
+        .when(F.col("user_id") % 7 == 5, "http://m.facebook.com/share")
+        .otherwise("http://some-random-host.net/page")
+    )
+    ev = load_table(spark, "events", sf_dir).withColumn("ref", ref)
+    return (
+        ev.select(classify_referrer(F.col("ref"), host="myrepo.org").alias("value"))
+        .groupBy("value")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# F6 search-term extraction through the real explode/normalize path.
+# ---------------------------------------------------------------------------
+@register(
+    "search_term_extraction",
+    """
+    WITH src AS (
+        SELECT CASE user_id % 3
+                 WHEN 0 THEN 'http://www.google.com/search?q=Spark+engine+the+x'
+                 WHEN 1 THEN 'http://search.yahoo.com/search?p=Analytics+"quoted"'
+                 ELSE 'http://myrepo.org/cgi/search/simple?q=scale+测试'
+               END AS ref
+        FROM events WHERE event_type = 'click'
+    ),
+    words AS (
+        SELECT unnest(string_split(
+          CASE WHEN ref LIKE '%yahoo%'
+               THEN regexp_extract(ref, 'p=([^&.]*)', 1)
+               ELSE regexp_extract(ref, 'q=([^&.]*)', 1) END, '+')) AS raw
+        FROM src
+    ),
+    norm AS (
+        SELECT lower(trim(regexp_replace(raw, '["'',;.]', '', 'g'))) AS word
+        FROM words
+    )
+    SELECT word, COUNT(*) AS count
+    FROM norm
+    WHERE length(word) >= 2
+      AND word NOT IN ('or','of','at','and','in','to','the','a','an','for','how',
+                       'what','why','whom','which','into','on','is','are','have',
+                       'has','do','does','go','goes','with','com','by','up')
+    GROUP BY word
+    """,
+    doc="F6 SearchTerms.pm:76-198 — engine param routing + normalization",
+)
+def search_term_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.functions.text import extract_search_terms
+
+    ref = (
+        F.when(F.col("user_id") % 3 == 0, "http://www.google.com/search?q=Spark+engine+the+x")
+        .when(F.col("user_id") % 3 == 1, 'http://search.yahoo.com/search?p=Analytics+"quoted"')
+        .otherwise("http://myrepo.org/cgi/search/simple?q=scale+测试")
+    )
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withColumn("ref", ref)
+    )
+    words = extract_search_terms(ev, "ref", base_url="myrepo.org")
+    return words.groupBy(F.col("word")).agg(F.count(F.lit(1)).alias("count"))
+
+
+# ---------------------------------------------------------------------------
+# F7 GeoIP range join with an inline ranges table.
+# ---------------------------------------------------------------------------
+@register(
+    "geoip_range_join",
+    """
+    WITH ranges(ip_start_long, ip_end_long, country_iso2) AS (
+        VALUES (167772160, 167772415, 'US'),     -- 10.0.0.0   - 10.0.0.255
+               (167772416, 167772671, 'DE'),     -- 10.0.1.0   - 10.0.1.255
+               (167837696, 184549375, 'JP')      -- 10.1.0.0   - 10.255.255.255
+    ),
+    ips AS (
+        SELECT 167772160 + (user_id % 1024) AS ipl FROM events WHERE event_type = 'click'
+    )
+    SELECT r.country_iso2 AS value, COUNT(*) AS count
+    FROM ips i JOIN ranges r ON i.ipl BETWEEN r.ip_start_long AND r.ip_end_long
+    GROUP BY 1
+    """,
+    doc="F7 Country.pm:75-105 — broadcast IP-range join (10.0.x.x synthetic IPs)",
+)
+def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.functions.geo import with_country
+
+    ranges = spark.createDataFrame(
+        [
+            (167772160, 167772415, "US"),
+            (167772416, 167772671, "DE"),
+            (167837696, 184549375, "JP"),
+        ],
+        "ip_start_long long, ip_end_long long, country_iso2 string",
+    )
+    ev = (
+        load_table(spark, "events", sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withColumn(
+            "requester_id",
+            F.concat(
+                F.lit("10.0."),
+                ((F.col("user_id") % 1024) / 256).cast("long").cast("string"),
+                F.lit("."),
+                (F.col("user_id") % 256).cast("string"),
+            ),
+        )
+    )
+    located = with_country(ev, ranges).filter(F.col("country_iso2").isNotNull())
+    return located.groupBy(F.col("country_iso2").alias("value")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P9 repeat filter — exact semantics are a sequential fold, not plain SQL;
+# driver records the weaker rows-only check. Full parity is covered by the
+# pytest property test against a Python oracle (tests/test_filters.py).
+# ---------------------------------------------------------------------------
+@register(
+    "repeat_filter_exact",
+    None,
+    doc="P9 Repeat.pm:63-102 — first-kept-anchor dedup via applyInPandas (non-SQL)",
+)
+def repeat_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _adapted(spark, sf_dir)
+    kept = repeat_filter(ev, timeout=3600)
+    return kept.groupBy(F.col("referent_id").alias("eprintid")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 value anonymization.
+# ---------------------------------------------------------------------------
+@register(
+    "anon_md5_values",
+    """
+    SELECT md5(event_type) AS value, COUNT(*) AS count
+    FROM events GROUP BY 1
+    """,
+    doc="F10 Sets.pm:341-360 — md5 anonymization of set values",
+)
+def anon_md5_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.md5(F.col("event_type")).alias("value")).agg(
+        F.count(F.lit(1)).alias("count")
+    )
