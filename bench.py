@@ -15,6 +15,7 @@ from irstats2_spark import catalog
 from irstats2_spark.session import get_spark
 
 HEADLINE = [
+    # core star-schema operator shapes
     "a1_grouped_sum",
     "a3_daily_preagg",
     "j1_fact_join_dim",
@@ -23,6 +24,20 @@ HEADLINE = [
     "t2_densify",
     "o3_topn",
     "a6_a7_cumulative_running_avg",
+    # irstats2 engine paths (ETL + Context compilation)
+    "etl_downloads_fact",
+    "ctx_daily_series",
+    "ctx_top_eprints",
+    "repeat_filter_exact",
+    "robots_filter_outcome",
+    "search_term_extraction",
+    "geoip_range_join",
+    # training-data pipeline
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_bruteforce_topk",
+    "text_quality_features",
 ]
 
 

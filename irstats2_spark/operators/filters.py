@@ -111,13 +111,23 @@ def repeat_filter(
     epoch_col: str = "epoch",
     key_cols: tuple[str, str, str] = ("referent_id", "referent_docid", "requester_id"),
     timeout: int = 3600,
+    hybrid: bool = True,
 ) -> DataFrame:
-    """P9 exact semantics via per-key sequential fold (applyInPandas).
+    """P9 exact semantics: per-key sequential fold.
 
     Requires an integer/float seconds column ``epoch_col``. Events are
-    processed in (epoch, original order) per key, matching the reference's
-    file-order scan of time-sorted logs.
+    processed in epoch order per key, matching the reference's file-order
+    scan of time-sorted logs.
+
+    Scale design (hybrid=True): real traffic is dominated by keys with 1-2
+    events, where a pure-JVM ``lag()`` window IS the exact semantics (the
+    anchor-refresh subtlety only matters from the 3rd event on). Keys are
+    counted with a window (no extra shuffle beyond the one the window
+    needs) and only heavy keys (n >= 3) take the Arrow/applyInPandas fold —
+    Python touches a tiny fraction of the data, and the plan stays exact.
     """
+    from pyspark.sql import Window
+
     epid, docid, ip = key_cols
     keyed = df.withColumn("__rk", repeat_key(F.col(epid), F.col(docid), F.col(ip)))
     schema = keyed.schema
@@ -134,7 +144,26 @@ def repeat_filter(
                 anchor = t
         return pdf[pd.Series(keep_mask, index=pdf.index)]
 
-    return keyed.groupBy("__rk").applyInPandas(fold, schema=schema).drop("__rk")
+    if not hybrid:
+        return keyed.groupBy("__rk").applyInPandas(fold, schema=schema).drop("__rk")
+
+    w = Window.partitionBy("__rk")
+    wo = w.orderBy(epoch_col)
+    counted = keyed.withColumn("__n", F.count(F.lit(1)).over(w))
+
+    light = counted.filter(F.col("__n") <= 2)
+    gap = F.col(epoch_col) - F.lag(F.col(epoch_col)).over(wo)
+    light_kept = (
+        light.withColumn("__gap", gap)
+        .filter(F.col("__gap").isNull() | (F.abs(F.col("__gap")) > timeout))
+        .drop("__gap", "__n", "__rk")
+    )
+
+    heavy = counted.filter(F.col("__n") >= 3).drop("__n")
+    heavy_kept = (
+        heavy.groupBy("__rk").applyInPandas(fold, schema=schema).drop("__rk")
+    )
+    return light_kept.unionByName(heavy_kept)
 
 
 def repeat_filter_window_approx(

@@ -1,0 +1,246 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): exact dedup,
+n-gram Jaccard near-dup, MinHash+LSH, SimHash. All engine-portable —
+hashes derive from md5 hex strings so a SQL oracle can reproduce results
+bit-for-bit (Spark's xxhash/murmur are not portable across engines).
+
+Scale design:
+- exact: one hash-groupBy; the only shuffle carries (hash, doc_id).
+- shingling: explode is map-side; DISTINCT (doc, shingle) shuffles once
+  on the shingle hash.
+- LSH: band signatures bucket-join candidates so the pairwise verify is
+  |bucket|^2 within buckets, never |docs|^2; band signature strings are
+  md5 hex (deterministic, seed-free).
+- pairwise verify joins are self-joins on small candidate sets; the
+  doc_id < doc_id2 guard halves the pair space.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def normalize_text(col):
+    """Canonical form for hashing: lowercase, punctuation stripped,
+    whitespace collapsed + trimmed."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups: md5(text) -> (hash, keeper=min id, n_dups)."""
+    return (
+        docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per doc: (id, shingle)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingle = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle"))
+        .filter(F.length("shingle") > 0)
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by exact k-word-shingle Jaccard >= threshold.
+
+    Brute-force baseline (pairs sharing >=1 shingle); the LSH variant
+    below is the scale path. Output: (doc_a, doc_b, jaccard)."""
+    sh = word_shingles(docs, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """Engine-portable MinHash: permutation i's hash of a shingle is the
+    HEX STRING md5(i || ':' || shingle); the min is lexicographic. Returns
+    (doc_id, mh_0..mh_{n-1}). Deterministic, seed-free, reproducible in
+    any engine with md5."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band signature.
+    Output: (doc_a, doc_b, n_bands_shared). Pass a (cached) ``shingles``
+    DataFrame to share the shingling scan with the verify stage."""
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+    if shingles is None:
+        shingles = word_shingles(docs, text_col, id_col, k)
+    sig = minhash_signatures(shingles, n_hashes)
+    band_cols = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("sig"))
+        )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup: LSH candidates verified by true Jaccard.
+    Output: (doc_a, doc_b, jaccard) for verified pairs."""
+    sh = word_shingles(docs, text_col, id_col, k).cache()
+    cand = minhash_lsh_candidates(
+        docs, text_col, id_col, k, n_hashes, bands, shingles=sh
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    # verify only candidate pairs: semi-restrict the shingle self-join
+    common = (
+        a.join(F.broadcast(cand.select("doc_a", "doc_b")), "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """Engine-portable SimHash over words: bit b of a word's hash is bit b
+    of the first 4 bytes of md5(word); the document's bit b is 1 iff the
+    sum of votes (+1/-1 per DISTINCT word) is positive. Output:
+    (doc_id, simhash int)."""
+    words = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+        )
+        .filter(F.length("word") > 0)
+        .distinct()
+    )
+    # first 8 hex chars of md5 -> 32-bit int; take the low `bits` bits
+    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
+    words = words.withColumn("wh", h)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    per_doc = words.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0)
+        sim = term if sim is None else sim + term
+    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+
+
+def embedding_cosine_dups(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs by cosine >= threshold.
+
+    Brute-force O(n^2) self-join — correct baseline; at scale route
+    through similarity.ivf_assign to bucket vectors first (cluster-local
+    pair generation), identical output for high thresholds."""
+    from irstats2_spark.pipeline.similarity import cosine_q
+
+    a = embeddings.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = embeddings.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    return (
+        pairs.withColumn("cosine", F.round(cosine_q(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

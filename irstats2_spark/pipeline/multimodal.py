@@ -1,0 +1,107 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched mapInPandas.
+
+The Spark-side contract is real and tested — schema, partition-preserving
+batch iteration, UDF signatures. The actual media decode is STUBBED
+(`decode_image_stub`) because no image/audio libraries ship in this
+container: it derives deterministic fake features from the bytes. Swap
+`_fake_decode` for PIL/torchvision/ffmpeg calls in production; nothing
+else changes.
+
+Scale notes: mapInPandas streams Arrow batches — memory is bounded by
+`spark.sql.execution.arrow.maxRecordsPerBatch` regardless of partition
+size; binary columns never pass through Python row-at-a-time; decode
+parallelism == partition count, so repartition by size before heavy
+decodes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("content", T.BinaryType()),
+        T.StructField("meta_format", T.StringType()),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def _fake_decode(content: bytes) -> tuple[int, int, float]:
+    """Deterministic stand-in for an image decoder. REPLACE with a real
+    decoder (PIL.Image.open etc.) in production."""
+    n = len(content)
+    width = (n * 7) % 1024 + 1
+    height = (n * 13) % 1024 + 1
+    mean_intensity = round((sum(content[:64]) / max(1, min(n, 64))) / 255.0, 6)
+    return width, height, mean_intensity
+
+
+def decode_image_stub(media: DataFrame) -> DataFrame:
+    """Extract image features via mapInPandas (Arrow batches).
+
+    Input: MEDIA_SCHEMA-shaped DataFrame. Output: IMAGE_FEATURES_SCHEMA.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [_fake_decode(c if c is not None else b"") for c in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": [len(c) if c is not None else 0 for c in pdf["content"]],
+                    "width": [f[0] for f in feats],
+                    "height": [f[1] for f in feats],
+                    "mean_intensity": [f[2] for f in feats],
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Adapter for tests/benchmarks: treat each document's utf-8 bytes as
+    an opaque media payload (MEDIA_SCHEMA)."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.lit("fake/raw").alias("meta_format"),
+    )
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
+    """'Frame sampling' plumbing demo: slice the binary payload into
+    fixed-size chunks with explode — the same pattern a video
+    frame-sampler uses (one row per sampled frame), all JVM-side."""
+    n = F.length("content")
+    idx = F.sequence(F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("int"))
+    return media.select(
+        "media_id",
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.col("content").cast("string"), i * every_n_bytes + 1, every_n_bytes
+                ),
+            )
+        ).alias("frame_no", "frame_payload"),
+    )

@@ -1,0 +1,163 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the correctness baseline; IVF (inverted file)
+partitioning as the scale path: assign every vector to its nearest
+centroid once (map-side against broadcast centroids), then restrict query
+probes to matching clusters — the candidate set shrinks by ~n_clusters
+while recall stays high for near-duplicates.
+
+All vector math uses Spark higher-order functions (zip_with/aggregate) —
+JVM-side, no Python serialization in the scoring loop.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def quantize(v: Column, scale: int = 1000) -> Column:
+    """Quantize a float vector to integers: floor(x*scale + 0.5).
+
+    Used for engine-portable scoring: integer dot products are EXACT, so a
+    SQL oracle in another engine reproduces scores bit-for-bit (float
+    summation order differs between engines and flips rounded values)."""
+    return F.transform(
+        v, lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long")
+    )
+
+
+def cosine_pre_quantized(qa: Column, qb: Column) -> Column:
+    """Cosine over ALREADY-quantized (long-array) vectors — use with
+    ``quantize`` applied once per side before a join, so the per-pair work
+    is just the integer fold, not 2x re-quantization."""
+    d = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(qa, F.lit(0).cast("long"), lambda acc, x: acc + x * x).cast("double")
+    )
+    nb = F.sqrt(
+        F.aggregate(qb, F.lit(0).cast("long"), lambda acc, x: acc + x * x).cast("double")
+    )
+    return d.cast("double") / (na * nb)
+
+
+def cosine_q(a: Column, b: Column, scale: int = 1000) -> Column:
+    """Cosine over quantized vectors: exact integer dot/norms, one
+    deterministic double division at the end."""
+    return cosine_pre_quantized(quantize(a, scale), quantize(b, scale))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact top-k by cosine for every query vector.
+
+    queries is expected to be small (broadcast side); the corpus streams
+    through a map-side crossJoin + per-query window rank. Output:
+    (query_id, vec_id, cosine, rank)."""
+    corpus_q = embeddings.withColumn("__qv", quantize(F.col(vec_col)))
+    queries_q = queries.withColumn("__qq", quantize(F.col(q_vec_col)))
+    pairs = corpus_q.crossJoin(F.broadcast(queries_q))
+    scored = pairs.select(
+        F.col(q_id_col).alias("query_id"),
+        F.col(id_col).alias("vec_id"),
+        F.round(cosine_pre_quantized(F.col("__qv"), F.col("__qq")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "centroid_id",
+    c_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, tie-break
+    by centroid id). Centroids broadcast; one map-side pass over the
+    corpus. Output: original columns + centroid_id + centroid_cosine."""
+    emb_q = embeddings.withColumn("__qv", quantize(F.col(vec_col)))
+    cents_q = centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
+    pairs = emb_q.crossJoin(F.broadcast(cents_q))
+    scored = pairs.withColumn(
+        "centroid_cosine",
+        F.round(cosine_pre_quantized(F.col("__qv"), F.col("__qc")), 6),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("centroid_cosine").desc(), F.col(c_id_col).asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", c_vec_col, "__qv", "__qc")
+    )
+
+
+def ivf_topk(
+    embeddings_assigned: DataFrame,
+    queries_assigned: DataFrame,
+    k: int = 5,
+    n_probe_clusters: int = 1,
+) -> DataFrame:
+    """ANN top-k restricted to the query's cluster(s). Inputs are the
+    outputs of ivf_assign for the corpus and for the queries (with
+    query columns named query_id/query_vec). Output like brute_force_topk
+    (approximate: recall < 1 when the true neighbor lives in another
+    cluster)."""
+    corpus = embeddings_assigned.select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("__qv"),
+        F.col("centroid_id").alias("c_corpus"),
+    )
+    qs = queries_assigned.select(
+        "query_id",
+        quantize(F.col("query_vec")).alias("__qq"),
+        F.col("centroid_id").alias("c_query"),
+    )
+    joined = corpus.join(
+        F.broadcast(qs), F.col("c_corpus") == F.col("c_query"), "inner"
+    )
+    scored = joined.select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_pre_quantized(F.col("__qv"), F.col("__qq")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    )

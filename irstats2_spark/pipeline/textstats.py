@@ -1,0 +1,112 @@
+"""Text analysis operators: language-ID, quality scoring, token counting,
+document fingerprinting. All pure column expressions (portable to a SQL
+oracle, JVM-side at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from irstats2_spark.pipeline.dedup import normalize_text
+
+# Tiny per-language marker lists for the n-gram/stopword heuristic.
+# (Real deployments plug in fasttext/cld3 via a pandas UDF — the operator
+# contract is the same.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "a"],
+    "es": ["el", "la", "de", "que", "los", "una"],
+    "de": ["der", "die", "das", "und", "nicht", "ist"],
+    "fr": ["le", "la", "les", "des", "est", "une"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of the normalized text."""
+    return F.filter(F.split(normalize_text(text), " "), lambda w: F.length(w) > 0)
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish sub-word proxy: count of word/number/punctuation runs —
+    `\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]` matches, via regexp_count."""
+    return F.regexp_count(text, F.lit(r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"))
+
+
+def lang_scores(text: Column) -> Column:
+    """Map of language -> marker-hit count over distinct tokens."""
+    toks = F.array_distinct(tokens(text))
+    entries = [
+        F.struct(
+            F.lit(lang).alias("lang"),
+            F.size(
+                F.filter(toks, lambda w: w.isin(markers))  # noqa: B023
+            ).alias("hits"),
+        )
+        for lang, markers in LANG_MARKERS.items()
+    ]
+    return F.array(*entries)
+
+
+def lang_id(text: Column) -> Column:
+    """Best-scoring language, ties broken alphabetically; 'und' when no
+    marker hits at all."""
+    exprs = []
+    for lang in sorted(LANG_MARKERS):
+        hits = F.size(
+            F.filter(
+                F.array_distinct(tokens(text)),
+                lambda w: w.isin(LANG_MARKERS[lang]),  # noqa: B023
+            )
+        )
+        exprs.append((lang, hits))
+    # deterministic argmax: fold over (lang, hits) in alphabetical order,
+    # strictly-greater wins => first language wins ties
+    best_lang, best_hits = None, None
+    for lang, hits in exprs:
+        if best_lang is None:
+            best_lang, best_hits = F.lit(lang), hits
+        else:
+            cond = hits > best_hits
+            best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+            best_hits = F.when(cond, hits).otherwise(best_hits)
+    return F.when(best_hits > 0, best_lang).otherwise(F.lit("und"))
+
+
+def quality_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-doc quality features: length, token count, mean token length,
+    punctuation ratio, stopword ratio, all-caps flag."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    punct = n_chars - F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))
+    stop = F.size(F.filter(toks, lambda w: w.isin(LANG_MARKERS["en"])))
+    return docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.round(
+            F.when(n_toks > 0, (F.length(F.concat_ws("", toks)) / n_toks)).otherwise(0.0),
+            6,
+        ).alias("mean_token_len"),
+        F.round(F.when(n_chars > 0, punct / n_chars).otherwise(0.0), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(F.when(n_toks > 0, stop / n_toks).otherwise(0.0), 6).alias(
+            "stopword_ratio"
+        ),
+        (text == F.upper(text)).alias("all_caps"),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the sorted distinct normalized tokens
+    (word-order-insensitive content hash — catches shuffled near-dups)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))

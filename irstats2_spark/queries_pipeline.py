@@ -1,4 +1,380 @@
-"""Training-data-pipeline queries (dedup / similarity / text analysis)
-over documents + embeddings. Filled in as pipeline operators land."""
+"""Training-data-pipeline catalog queries over documents + embeddings.
+
+Oracles reproduce the engine-portable hashing (md5 hex strings) in DuckDB
+SQL, so exact/LSH dedup and text analysis are value-verified end to end.
+Cosine scores are rounded to 6dp on both sides before ranking/compare.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irstats2_spark.catalog import register
+from irstats2_spark.sources.testdata import load_table
+
+# Shared SQL fragment: normalized text (matches pipeline.dedup.normalize_text)
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+# documents.text is lowercase ascii word soup, so [^a-z0-9\s] == Spark's
+# [^\p{L}\p{N}\s] on this data; the pytest suite covers unicode parity.
+
+_SHINGLES_SQL = f"""
+    shingled AS (
+        SELECT doc_id, words, generate_subscripts(words, 1) AS i
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents) t
+    ),
+    shingles AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM shingled
+        WHERE i + 2 <= len(words)
+    )
+"""
+
+
+
+# Quantized-cosine SQL fragments (mirror pipeline.similarity.cosine_q):
+# integer dot/norms are exact in any engine; one double division at the end.
+_Q = "list_transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE)*1000 + 0.5) AS BIGINT))"
+
+
+def _qcos(a: str, b: str) -> str:
+    qa, qb = _Q.format(v=a), _Q.format(v=b)
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({qa}, {qb}), p -> p[1]*p[2])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform({qa}, x -> x*x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({qb}, x -> x*x)) AS DOUBLE))))"
+    )
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: hash-groupBy, keeper = min doc_id",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.6
+    """,
+    doc="n-gram Jaccard near-dup: 3-word shingles, threshold 0.6",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.6
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    f"""
+    WITH {_SHINGLES_SQL}
+    SELECT doc_id,
+           MIN(md5('0:' || shingle)) AS mh_0,
+           MIN(md5('1:' || shingle)) AS mh_1,
+           MIN(md5('2:' || shingle)) AS mh_2,
+           MIN(md5('3:' || shingle)) AS mh_3,
+           MIN(md5('4:' || shingle)) AS mh_4,
+           MIN(md5('5:' || shingle)) AS mh_5,
+           MIN(md5('6:' || shingle)) AS mh_6,
+           MIN(md5('7:' || shingle)) AS mh_7
+    FROM shingles GROUP BY doc_id
+    """,
+    doc="MinHash signatures: md5-hex lexicographic minima (engine-portable)",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import minhash_signatures, word_shingles
+
+    docs = load_table(spark, "documents", sf_dir)
+    return minhash_signatures(word_shingles(docs, "text", "doc_id", 3), 8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               MIN(md5('0:' || shingle)) AS mh_0, MIN(md5('1:' || shingle)) AS mh_1,
+               MIN(md5('2:' || shingle)) AS mh_2, MIN(md5('3:' || shingle)) AS mh_3,
+               MIN(md5('4:' || shingle)) AS mh_4, MIN(md5('5:' || shingle)) AS mh_5,
+               MIN(md5('6:' || shingle)) AS mh_6, MIN(md5('7:' || shingle)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    """,
+    doc="MinHash+LSH near-dup: 8 hashes, 4 bands, Jaccard-verified >= 0.5",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )
+
+
+@register(
+    "dedup_simhash",
+    None,  # 16 conditional-sum columns are SQL-expressible but the oracle
+    # would be machine-generated noise; covered by pytest vs a Python oracle.
+    doc="SimHash 16-bit signatures from md5 word hashes (rows-only check)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import simhash
+
+    return simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND({_qcos('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.99
+    """,
+    doc="embedding near-dup: brute-force cosine pairs >= 0.99",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import embedding_cosine_dups
+
+    return embedding_cosine_dups(
+        load_table(spark, "embeddings", sf_dir), threshold=0.99
+    )
+
+
+@register(
+    "similarity_bruteforce_topk",
+    f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_qcos('e.embedding', 'q.qv')}, 6) AS cosine
+        FROM embeddings e CROSS JOIN queries q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="ANN baseline: exact cosine top-5 for 3 query vectors",
+)
+def similarity_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import brute_force_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "similarity_ivf_assign",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND({_qcos('e.embedding', 'c.cv')}, 6) AS centroid_cosine
+        FROM embeddings e CROSS JOIN cents c
+    )
+    SELECT vec_id, centroid_id, centroid_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY centroid_cosine DESC, centroid_id ASC) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="IVF scale path: nearest-centroid assignment (broadcast centroids)",
+)
+def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import ivf_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    return ivf_assign(emb, cents).select("vec_id", "centroid_id", "centroid_cosine")
+
+
+@register(
+    "text_token_counts",
+    f"""
+    SELECT doc_id,
+           len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
+           length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS n_ws_tokens
+    FROM documents
+    """,
+    doc="token counting: normalized whitespace tokens + raw whitespace runs",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^ ]", "")) + 1
+        ).alias("n_ws_tokens"),
+    )
+
+
+@register(
+    "text_quality_features",
+    f"""
+    WITH t AS (
+        SELECT doc_id, text, string_split({_NORM_SQL}, ' ') AS toks,
+               length(text) AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+           ROUND(CASE WHEN len(toks) > 0
+                 THEN length(list_aggregate(toks, 'string_agg', '')) / len(toks)
+                 ELSE 0 END, 6) AS mean_token_len,
+           ROUND((n_chars - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))
+                 / n_chars, 6) AS punct_ratio,
+           ROUND(len(list_filter(toks, w -> w IN ('the','and','of','to','in','is','a')))
+                 / len(toks), 6) AS stopword_ratio,
+           text = upper(text) AS all_caps
+    FROM t
+    """,
+    doc="quality scoring: length/punct/stopword features per doc",
+)
+def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import quality_features
+
+    return quality_features(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_lang_id",
+    """
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS toks
+        FROM documents
+    ),
+    hits AS (
+        SELECT doc_id, lang,
+          len(list_filter(toks, w -> w IN ('the','and','of','to','in','is','a'))) AS h_en,
+          len(list_filter(toks, w -> w IN ('der','die','das','und','nicht','ist'))) AS h_de,
+          len(list_filter(toks, w -> w IN ('el','la','de','que','los','una'))) AS h_es,
+          len(list_filter(toks, w -> w IN ('le','la','les','des','est','une'))) AS h_fr
+        FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de > h_en AND h_de > h_es AND h_de > h_fr THEN 'de'
+                WHEN h_es > h_en AND h_es > h_fr AND h_es >= h_de THEN 'es'
+                WHEN h_fr > h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                ELSE 'en' END AS detected_lang
+    FROM hits
+    """,
+    doc="language-ID heuristic: marker-token votes, alphabetical tie-break",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import lang_id
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_id(F.col("text")).alias("detected_lang"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    SELECT doc_id,
+           md5(list_aggregate(list_sort(list_distinct(
+               string_split({_NORM_SQL}, ' '))), 'string_agg', ' ')) AS fp
+    FROM documents
+    """,
+    doc="document fingerprint: md5 of sorted distinct tokens",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import fingerprint
+
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "multimodal_decode_stub",
+    """
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((octet_length(encode(text)) * 7) % 1024 + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) * 13) % 1024 + 1 AS INT) AS height
+    FROM documents
+    """,
+    doc="multimodal plumbing: binary columns + mapInPandas decode (stubbed)",
+)
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.multimodal import decode_image_stub, media_from_documents
+
+    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    # mean_intensity depends on byte content (decoder-internal detail);
+    # the oracle checks the metadata contract columns
+    return decode_image_stub(media).select("media_id", "n_bytes", "width", "height")

@@ -1,0 +1,186 @@
+"""Unit tests for the training-data pipeline operators."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from irstats2_spark.pipeline.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash,
+    word_shingles,
+)
+from irstats2_spark.pipeline.multimodal import (
+    decode_image_stub,
+    frame_sample,
+    media_from_documents,
+)
+from irstats2_spark.pipeline.similarity import brute_force_topk, ivf_assign, ivf_topk
+from irstats2_spark.pipeline.textstats import lang_id, quality_features, fingerprint
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat", "en"),  # near dup
+        (4, "der hund und die katze und der vogel sind nicht da", "de"),
+        (5, "completely different words about spark engines here now", "en"),
+        (6, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG", "en"),  # case dup
+    ]
+    return spark.createDataFrame(rows, "doc_id int, text string, lang string")
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs).collect()
+    groups = {r.text_hash: (r.keeper_id, r.n_docs) for r in out}
+    # doc1 == doc2 exactly; doc6 differs in case (different md5)
+    assert (1, 2) in groups.values()
+    assert len(groups) == 5
+
+
+def test_ngram_jaccard_near_dup(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    # normalized text makes 1,2,6 identical (jaccard 1.0); 1-3 near dup
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(1, 6)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert (1, 5) not in pairs
+
+
+def test_minhash_lsh_finds_identical(spark, docs):
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in minhash_lsh_dedup(docs, threshold=0.5).collect()
+    }
+    # identical docs always share all bands
+    assert pairs[(1, 2)] == 1.0
+    assert pairs[(2, 6)] == 1.0
+
+
+def python_simhash(text: str, bits: int = 16) -> int:
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    words = {w for w in norm.split(" ") if w}
+    votes = [0] * bits
+    for w in words:
+        h = int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+        for b in range(bits):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    return sum(2**b for b in range(bits) if votes[b] > 0)
+
+
+def test_simhash_matches_python_oracle(spark, docs):
+    got = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    for row in docs.collect():
+        assert got[row.doc_id] == python_simhash(row.text), row.doc_id
+    # identical normalized docs share the signature
+    assert got[1] == got[2] == got[6]
+
+
+def test_word_shingles(spark, docs):
+    sh = word_shingles(docs.filter(F.col("doc_id") == 1), "text", "doc_id", 3)
+    shingles = {r.shingle for r in sh.collect()}
+    assert "the quick brown" in shingles
+    assert len(shingles) == 7  # 9 words -> 7 trigrams
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),  # near vec 0
+        (3, [0.0, 0.98, 0.2, 0.0]),  # near vec 1
+        (4, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(spark, emb):
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = brute_force_topk(emb, queries, k=3).orderBy("rank").collect()
+    assert [r.vec_id for r in out] == [0, 2, 4]
+    assert out[0].cosine == 1.0
+
+
+def test_ivf_assign_and_topk(spark, emb):
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    assigned = ivf_assign(emb, cents)
+    m = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert m[0] == 0 and m[2] == 0
+    assert m[1] == 1 and m[3] == 1
+
+    queries = spark.createDataFrame(
+        [(100, [0.99, 0.01, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    q_assigned = ivf_assign(
+        queries, cents, id_col="query_id", vec_col="query_vec"
+    )
+    out = ivf_topk(assigned, q_assigned, k=2).orderBy("rank").collect()
+    # only cluster-0 members are candidates
+    assert [r.vec_id for r in out] == [0, 2]
+
+
+def test_lang_id(spark, docs):
+    out = {r.doc_id: r.detected for r in docs.select(
+        "doc_id", lang_id(F.col("text")).alias("detected")
+    ).collect()}
+    assert out[1] == "en"
+    assert out[4] == "de"
+
+
+def test_quality_features(spark, docs):
+    row = quality_features(docs).filter(F.col("doc_id") == 1).head()
+    assert row.n_tokens == 9
+    assert row.stopword_ratio > 0
+    caps = quality_features(docs).filter(F.col("doc_id") == 6).head()
+    assert caps.all_caps
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha beta"), (3, "alpha beta delta")],
+        "doc_id int, text string",
+    )
+    fps = {r.doc_id: r.fp for r in df.select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    ).collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_decode(spark, docs):
+    media = media_from_documents(docs)
+    feats = decode_image_stub(media)
+    rows = {r.media_id: r for r in feats.collect()}
+    assert len(rows) == 6
+    r1 = rows[1]
+    n = len("the quick brown fox jumps over the lazy dog")
+    assert r1.n_bytes == n
+    assert r1.width == (n * 7) % 1024 + 1
+    assert 0.0 <= r1.mean_intensity <= 1.0
+
+
+def test_frame_sample(spark, docs):
+    media = media_from_documents(docs)
+    frames = frame_sample(media, every_n_bytes=10)
+    per_doc = (
+        frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    n_expected = {r.media_id: (r.n) for r in per_doc}
+    assert n_expected[1] == 5  # 43 bytes -> ceil-ish chunks of 10
