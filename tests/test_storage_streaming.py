@@ -1,0 +1,131 @@
+"""Tests for exports, gold storage (partitioned write + replay repair),
+and streaming ingestion (availableNow micro-batch)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from irstats2_spark.sources.export import to_csv, to_json, to_xml
+from irstats2_spark.sources.storage import read_fact, replay_from_date, write_fact
+
+
+def _fact(spark, rows):
+    return spark.createDataFrame(
+        rows, "eprintid int, datestamp int, value string, count long"
+    )
+
+
+def test_export_formats(spark):
+    df = _fact(spark, [(1, 20240101, "downloads", 5), (2, 20240102, "x,y\"z", 7)])
+    csv = to_csv(df)
+    assert csv.splitlines()[0] == "eprintid,datestamp,value,count"
+    assert '="5"' in csv  # Excel-proofed number
+    assert '"x,yz"' in csv  # quotes stripped inside values, comma kept
+
+    doc = json.loads(to_json(df, origin={"datatype": "downloads"}))
+    assert doc["origin"]["datatype"] == "downloads"
+    assert len(doc["records"]) == 2
+
+    xml = to_xml(df)
+    assert xml.startswith("<?xml")
+    assert "<eprintid>1</eprintid>" in xml
+    assert "x,y&quot;z" not in xml  # escaped, not raw
+    assert "xml version" in xml
+
+
+def test_write_and_replay(spark, tmp_path):
+    root = str(tmp_path)
+    v1 = _fact(
+        spark,
+        [
+            (1, 20240101, "downloads", 5),
+            (1, 20240102, "downloads", 3),
+            (2, 20240103, "downloads", 9),
+        ],
+    )
+    write_fact(v1, root, "downloads")
+    got = read_fact(spark, root, "downloads")
+    assert got.count() == 3
+    # partition pruning visible in the plan for a date filter
+    plan = got.filter(F.col("datestamp") == 20240102)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or got.filter(F.col("datestamp") == 20240102).count() == 1
+
+    # replay from 0102: day 0102 changes, day 0103 replaced, 0101 untouched
+    updates = _fact(
+        spark,
+        [
+            (1, 20240102, "downloads", 4),
+            (2, 20240103, "downloads", 1),
+        ],
+    )
+    replay_from_date(spark, updates, root, "downloads", 20240102)
+    rows = {
+        (r.eprintid, r.datestamp): r["count"]
+        for r in read_fact(spark, root, "downloads").collect()
+    }
+    assert rows[(1, 20240101)] == 5
+    assert rows[(1, 20240102)] == 4
+    assert rows[(2, 20240103)] == 1
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from irstats2_spark.streaming.ingest import read_access_stream, start_fact_stream
+
+    logs = tmp_path / "current"
+    logs.mkdir()
+    lines = []
+    for i in range(50):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i * 30)
+        is_dl = i % 2 == 0
+        lines.append(
+            "\t".join(
+                [
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    f"10.0.0.{i % 5}",
+                    "Mozilla/5.0 Chrome/1",
+                    "",
+                    "?fulltext=yes" if is_dl else "?abstract=yes",
+                    str(i % 3 + 1),
+                    str(100 + i) if is_dl else "",
+                ]
+            )
+        )
+    (logs / "2024-01-01.log").write_text("\n".join(lines) + "\n")
+
+    out = tmp_path / "gold"
+    ckpt = tmp_path / "ckpt"
+    stream = read_access_stream(spark, str(logs))
+    q = start_fact_stream(stream, str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    downloads = read_fact(spark, str(out), "downloads")
+    total = downloads.agg(F.sum("count")).head()[0]
+    assert total == 25
+
+    # late-arriving second file: incremental batch picks up ONLY new lines
+    more = []
+    for i in range(10):
+        ts = dt.datetime(2024, 1, 2) + dt.timedelta(minutes=i)
+        more.append(
+            "\t".join(
+                [
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "10.0.0.9",
+                    "Mozilla/5.0 Chrome/1",
+                    "",
+                    "?fulltext=yes",
+                    "7",
+                    str(200 + i),
+                ]
+            )
+        )
+    (logs / "2024-01-02.log").write_text("\n".join(more) + "\n")
+    q2 = start_fact_stream(read_access_stream(spark, str(logs)), str(out), str(ckpt))
+    q2.awaitTermination(120)
+    total2 = read_fact(spark, str(out), "downloads").agg(F.sum("count")).head()[0]
+    assert total2 == 35
