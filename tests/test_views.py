@@ -1,0 +1,133 @@
+"""Tests for the view layer (graph/sparkline/compare/key-figures/listing)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from irstats2_spark.plans.builder import StatsStore
+from irstats2_spark.plans.context import Context
+from irstats2_spark.plans.views import (
+    compare_years,
+    graph_series,
+    key_figures,
+    set_listing,
+    sparkline_series,
+    valid_set_value,
+)
+
+TODAY = dt.date(2024, 4, 1)
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    fact = spark.createDataFrame(
+        [
+            (1, 20240101, "downloads", 10),
+            (1, 20240103, "downloads", 5),
+            (2, 20240215, "downloads", 7),
+            (1, 20230601, "downloads", 3),
+        ],
+        "eprintid int, datestamp int, value string, count long",
+    )
+    sets = spark.createDataFrame(
+        [("divisions", "div1", 1), ("divisions", "div2", 2)],
+        "set_name string, set_value string, eprintid int",
+    )
+    rendered = spark.createDataFrame(
+        [
+            ("divisions", "div1", "School of Alpha"),
+            ("divisions", "div2", "School of Beta"),
+        ],
+        "set_name string, set_value string, rendered_set_value string",
+    )
+    return StatsStore(facts={"downloads": fact}, sets=sets, rendered=rendered)
+
+
+def test_graph_series_densified(spark, store):
+    out = graph_series(
+        spark,
+        store,
+        Context(datatype="downloads", from_date="20240101", to_date="20240107"),
+        today=TODAY,
+    ).orderBy("datestamp").collect()
+    assert len(out) == 7  # all 7 days present
+    vals = {r.datestamp: r["count"] for r in out}
+    assert vals[20240101] == 10 and vals[20240102] == 0 and vals[20240103] == 5
+
+
+def test_graph_series_month_resolution_all_time(spark, store):
+    out = graph_series(
+        spark, store, Context(datatype="downloads", range="_ALL_"),
+        resolution="month", today=TODAY,
+    ).orderBy("datestamp").collect()
+    months = [r.datestamp for r in out]
+    # densified from 202306 to 202402 inclusive = 9 months
+    assert months[0] == 202306 and months[-1] == 202402
+    assert len(months) == 9
+    vals = {r.datestamp: r["count"] for r in out}
+    assert vals[202401] == 15 and vals[202307] == 0
+
+
+def test_graph_series_cumulative(spark, store):
+    out = graph_series(
+        spark,
+        store,
+        Context(datatype="downloads", from_date="20240101", to_date="20240103"),
+        cumulative=True,
+        show_average=True,
+        today=TODAY,
+    ).orderBy("datestamp").collect()
+    assert [r.cumulative for r in out] == [10, 10, 15]
+    assert [r.running_avg for r in out] == [10, 5, 5]
+
+
+def test_sparkline_trims_and_descends(spark, store):
+    out = sparkline_series(
+        spark, store, Context(datatype="downloads"), today=dt.date(2024, 3, 1)
+    ).collect()
+    # 6m window back from 2024-02-29; leading zeros before 2024-01-01 trimmed
+    assert out[-1].datestamp == 20240101
+    assert out[0].datestamp == 20240229
+    assert out[0]["count"] == 0
+
+
+def test_compare_years(spark, store):
+    out = {
+        (r.year, r.month): r["count"]
+        for r in compare_years(spark, store, Context(datatype="downloads"), today=TODAY).collect()
+    }
+    assert out[(2024, 1)] == 15
+    assert out[(2024, 2)] == 7
+    assert out[(2023, 6)] == 3
+
+
+def test_key_figures_with_ratio(spark, store):
+    vals = key_figures(
+        store,
+        {"dl": Context(datatype="downloads", range="_ALL_")},
+        ratios={"dl_ratio": ("dl", "dl")},
+        today=TODAY,
+    )
+    assert vals["dl"] == 25
+    assert vals["dl_ratio"] == 100
+
+
+def test_set_listing_and_validation(spark, store):
+    out = set_listing(store, "divisions").collect()
+    assert [r.rendered_set_value for r in out] == ["School of Alpha", "School of Beta"]
+    filtered = set_listing(store, "divisions", q="beta").collect()
+    assert len(filtered) == 1
+    assert valid_set_value(store, "divisions", "div1")
+    assert not valid_set_value(store, "divisions", "nope")
+
+
+def test_registry_defaults():
+    from irstats2_spark.plans.registry import default_registry
+
+    reg = default_registry()
+    assert "downloads" in reg.datatypes()
+    assert [f.name for f in reg.filters] == ["robots", "repeat"]
+    assert "main" in reg.reports
