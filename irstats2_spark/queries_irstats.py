@@ -403,3 +403,66 @@ def anon_md5_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy(F.md5(F.col("event_type")).alias("value")).agg(
         F.count(F.lit(1)).alias("count")
     )
+
+
+# ---------------------------------------------------------------------------
+# The flagship view (SURVEY §7.2): monthly downloads, whole repository,
+# all time, densified — the reference's default `main` report headline,
+# through the FULL engine path (adapter -> processor -> Context -> view).
+# ---------------------------------------------------------------------------
+@register(
+    "view_monthly_graph",
+    """
+    WITH daily AS (
+        SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS d, COUNT(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    bounds AS (
+        SELECT CAST(MIN(d) // 100 AS INT) AS lo, CAST(MAX(d) // 100 AS INT) AS hi
+        FROM daily
+    ),
+    months AS (
+        SELECT (2000 + m // 12) * 100 + (m % 12) + 1 AS datestamp
+        FROM generate_series(0, 1199) t(m), bounds
+        WHERE (2000 + m // 12) * 100 + (m % 12) + 1 BETWEEN lo AND hi
+    ),
+    monthly AS (
+        SELECT CAST(d // 100 AS INT) AS datestamp, SUM(c) AS c
+        FROM daily GROUP BY 1
+    )
+    SELECT m.datestamp, COALESCE(mo.c, 0) AS count
+    FROM months m LEFT JOIN monthly mo ON m.datestamp = mo.datestamp
+    """,
+    doc="SURVEY 7.2 minimum slice: Graph view, month resolution, _ALL_ range",
+)
+def view_monthly_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.plans.views import graph_series
+
+    store = _store(spark, sf_dir)
+    return graph_series(
+        spark,
+        store,
+        Context(datatype="downloads", range="_ALL_"),
+        resolution="month",
+    )
+
+
+# ---------------------------------------------------------------------------
+# T5 Compare view through the engine.
+# ---------------------------------------------------------------------------
+@register(
+    "view_compare_years",
+    """
+    SELECT CAST(EXTRACT(year FROM ts) AS INT) AS year,
+           CAST(EXTRACT(month FROM ts) AS INT) AS month,
+           COUNT(*) AS count
+    FROM events WHERE event_type = 'click'
+    GROUP BY 1, 2
+    """,
+    doc="T5 Compare.pm:21-93 — per-year monthly matrix in one grouped scan",
+)
+def view_compare_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.plans.views import compare_years
+
+    store = _store(spark, sf_dir)
+    return compare_years(spark, store, Context(datatype="downloads"))

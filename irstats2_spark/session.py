@@ -31,6 +31,14 @@ def get_spark(
     """
     cpus = cpus or DEFAULT_CPUS
     shuffle = shuffle_partitions or cpus
+    # Python workers unpickle UDFs by module reference; make this package
+    # importable on workers regardless of the driver process's cwd.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker_pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in worker_pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo_root}{os.pathsep}{worker_pp}" if worker_pp else repo_root
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
