@@ -466,3 +466,365 @@ def view_compare_years(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     store = _store(spark, sf_dir)
     return compare_years(spark, store, Context(datatype="downloads"))
+
+
+# ---------------------------------------------------------------------------
+# Set / grouping dimensions derived from the driver's customer/nation tables
+# so the engine's J1/J2 Context join shapes run at the correctness gate.
+# Mapping (mirrored verbatim in every oracle below):
+#   eprintid   = c_custkey % 100        (collides on purpose: many-to-many)
+#   'segment'  set: set_value = c_mktsegment
+#   grouping 'nation': grouping_value = n_name
+#   eprint live date = 2024-01-(eprintid % 20 + 1)   (P4 clamp fixture)
+# ---------------------------------------------------------------------------
+import datetime as _dt
+
+_TODAY = _dt.date(2024, 2, 15)  # fixed "today" so T3/T4 defaults are stable
+
+
+def _dims_store(spark: SparkSession, sf_dir: str) -> StatsStore:
+    store = _store(spark, sf_dir)
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    epid = (F.col("c_custkey") % 100).cast("int").alias("eprintid")
+    cn = cust.join(nat, cust.c_nationkey == nat.n_nationkey, "inner")
+    sets = cust.select(
+        F.lit("segment").alias("set_name"),
+        F.col("c_mktsegment").alias("set_value"),
+        epid,
+    ).distinct()
+    groupings = cn.select(
+        F.lit("segment").alias("set_name"),
+        F.col("c_mktsegment").alias("set_value"),
+        epid,
+        F.lit("nation").alias("grouping_name"),
+        F.col("n_name").alias("grouping_value"),
+    ).distinct()
+    eprints = (
+        cust.select(epid)
+        .distinct()
+        .withColumn(
+            "datestamp",
+            F.make_date(F.lit(2024), F.lit(1), (F.col("eprintid") % 20) + 1),
+        )
+    )
+    return StatsStore(
+        facts=store.facts, sets=sets, groupings=groupings, eprints=eprints
+    )
+
+
+@register(
+    "ctx_set_series",
+    """
+    WITH dim AS (
+        SELECT DISTINCT CAST(c_custkey % 100 AS INT) AS eprintid
+        FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    fact AS (
+        SELECT CAST(user_id % 100 AS INT) AS eprintid,
+               CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp,
+               COUNT(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT datestamp, SUM(c) AS count
+    FROM fact JOIN dim USING (eprintid)
+    WHERE datestamp BETWEEN 20240101 AND 20240131
+    GROUP BY 1
+    """,
+    doc="J1 set shape via engine (Handler.pm:415-573): member series",
+)
+def ctx_set_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _dims_store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(
+            datatype="downloads",
+            set_name="segment",
+            set_value="BUILDING",
+            from_date="20240101",
+            to_date="20240131",
+        ),
+        QueryOptions(fields=("datestamp",)),
+    )
+
+
+@register(
+    "ctx_top_sets",
+    """
+    WITH dim AS (
+        SELECT DISTINCT c_mktsegment AS set_value,
+               CAST(c_custkey % 100 AS INT) AS eprintid
+        FROM customer
+    ),
+    fact AS (
+        SELECT CAST(user_id % 100 AS INT) AS eprintid, COUNT(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT set_value, SUM(c) AS count
+    FROM fact JOIN dim USING (eprintid)
+    GROUP BY 1
+    """,
+    doc="J1 set shape, no member filter: group by set_value; undated so the "
+    "cache-table rewrite (Data.pm:128-139) kicks in underneath",
+)
+def ctx_top_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _dims_store(spark, sf_dir)
+    return compile_context(
+        store, Context(datatype="downloads", set_name="segment", range="_ALL_")
+    )
+
+
+@register(
+    "ctx_grouping_top",
+    """
+    WITH dim AS (
+        SELECT DISTINCT n_name AS grouping_value,
+               CAST(c_custkey % 100 AS INT) AS eprintid
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_mktsegment = 'BUILDING'
+    ),
+    fact AS (
+        SELECT CAST(user_id % 100 AS INT) AS eprintid, COUNT(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    SELECT grouping_value, SUM(c) AS count
+    FROM fact JOIN dim USING (eprintid)
+    GROUP BY 1
+    ORDER BY count DESC, grouping_value ASC
+    LIMIT 5
+    """,
+    doc="J2 grouping shape via engine (Handler.pm:575-649): top nations "
+    "within segment BUILDING, with O1/O2 order+limit",
+)
+def ctx_grouping_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _dims_store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(
+            datatype="downloads",
+            set_name="segment",
+            set_value="BUILDING",
+            grouping="nation",
+            range="_ALL_",
+        ),
+        QueryOptions(limit=5),
+    )
+
+
+@register(
+    "ctx_prelive_clamp",
+    """
+    SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp, COUNT(*) AS count
+    FROM events
+    WHERE event_type = 'click' AND user_id % 100 = 7
+      AND CAST(strftime(ts, '%Y%m%d') AS INT)
+          BETWEEN GREATEST(20240101, 20240108) AND 20240131
+    GROUP BY 1
+    """,
+    doc="P4 (Handler.pm:233-263): from raised to the eprint's go-live date "
+    "(eprint 7 lives 2024-01-08 in the fixture dims)",
+)
+def ctx_prelive_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _dims_store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(
+            datatype="downloads",
+            set_name="eprint",
+            set_value="7",
+            from_date="20240101",
+            to_date="20240131",
+        ),
+        QueryOptions(fields=("datestamp",)),
+        today=_TODAY,
+    )
+
+
+@register(
+    "ctx_data_min",
+    """
+    SELECT CAST(user_id % 100 AS INT) AS eprintid, COUNT(*) AS count
+    FROM events WHERE event_type <> 'click'
+    GROUP BY 1
+    HAVING COUNT(*) >= 80
+    """,
+    doc="P11 (View/Table.pm:134-135): data_min post-filter on the grouped sum",
+)
+def ctx_data_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = _store(spark, sf_dir)
+    return compile_context(
+        store,
+        Context(datatype="views", grouping="eprint", range="_ALL_"),
+        QueryOptions(data_min=80),
+    )
+
+
+@register(
+    "view_sparkline",
+    """
+    WITH daily AS (
+        SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS d, COUNT(*) AS c
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    ),
+    cal AS (
+        SELECT CAST(strftime(dd, '%Y%m%d') AS INT) AS datestamp
+        FROM generate_series(
+            DATE '2023-08-14', DATE '2024-02-14', INTERVAL 1 DAY) t(dd)
+    ),
+    merged AS (
+        SELECT datestamp, COALESCE(c, 0) AS count
+        FROM cal LEFT JOIN daily ON datestamp = d
+    )
+    SELECT datestamp, count FROM merged
+    WHERE datestamp >= (SELECT MIN(datestamp) FROM merged WHERE count > 0)
+    """,
+    doc="T4 Spark.pm:16-83: last-6-months daily series (today fixed "
+    "2024-02-15 => window to 2024-02-14), leading zero rows trimmed",
+)
+def view_sparkline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.plans.views import sparkline_series
+
+    store = _store(spark, sf_dir)
+    return sparkline_series(
+        spark, store, Context(datatype="downloads"), today=_TODAY
+    )
+
+
+# ---------------------------------------------------------------------------
+# S7 dimension build through the real build_dimensions path, on an eprints
+# table synthesized from customer/nation (scalar "simple" sets).
+# ---------------------------------------------------------------------------
+def _synth_eprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nat = load_table(spark, "nation", sf_dir)
+    return cust.join(nat, cust.c_nationkey == nat.n_nationkey, "inner").select(
+        F.col("c_custkey").alias("eprintid"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+    )
+
+
+@register(
+    "s7_sets_build",
+    """
+    SELECT 'segment' AS set_name, c_mktsegment AS set_value,
+           c_custkey AS eprintid
+    FROM customer
+    UNION
+    SELECT 'nation', n_name, c_custkey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="S7 (Handler.pm:876-1009, Sets.pm:222-288) via build_dimensions: "
+    "unified sets dim over two simple sets",
+)
+def s7_sets_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.etl.sets import SetConfig, build_dimensions
+
+    dims = build_dimensions(
+        _synth_eprints(spark, sf_dir),
+        sets=(
+            SetConfig(field_name="segment", groupings=("nation",)),
+            SetConfig(field_name="nation"),
+        ),
+    )
+    return dims["sets"]
+
+
+@register(
+    "s7_groupings_build",
+    """
+    SELECT DISTINCT 'segment' AS set_name, c_mktsegment AS set_value,
+           c_custkey AS eprintid, 'nation' AS grouping_name,
+           n_name AS grouping_value
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="S7 grouping pair table (Handler.pm:942-977): eprint-in-set-X also-"
+    "has-grouping-Y pairs",
+)
+def s7_groupings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.etl.sets import SetConfig, build_dimensions
+
+    dims = build_dimensions(
+        _synth_eprints(spark, sf_dir),
+        sets=(
+            SetConfig(field_name="segment", groupings=("nation",)),
+            SetConfig(field_name="nation"),
+        ),
+    )
+    return dims["groupings"]
+
+
+@register(
+    "f9_subject_closure",
+    """
+    SELECT 'n' || n_nationkey AS subjectid, 'n' || n_nationkey AS ancestor
+    FROM nation
+    UNION ALL
+    SELECT 'n' || n_nationkey, 'r' || n_regionkey FROM nation
+    UNION ALL
+    SELECT 'r' || r_regionkey, 'r' || r_regionkey FROM region
+    """,
+    doc="F9 (Sets.pm:404-424): ancestor closure incl. self over a 2-level "
+    "hierarchy synthesized from nation->region",
+)
+def f9_subject_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.etl.sets import subject_closure
+
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir)
+    subjects = nat.select(
+        F.concat(F.lit("n"), F.col("n_nationkey")).alias("subjectid"),
+        F.concat(F.lit("r"), F.col("n_regionkey")).alias("parent"),
+    ).unionByName(
+        reg.select(
+            F.concat(F.lit("r"), F.col("r_regionkey")).alias("subjectid"),
+            F.lit(None).cast("string").alias("parent"),
+        )
+    )
+    return subject_closure(subjects)
+
+
+@register(
+    "f1_f3_url_parse",
+    """
+    SELECT CASE user_id % 4
+             WHEN 0 THEN 'http' WHEN 1 THEN 'http'
+             WHEN 2 THEN 'info:oai' ELSE 'http' END AS protocol,
+           CASE user_id % 4
+             WHEN 0 THEN 'localhost' WHEN 1 THEN 'www.example.org'
+             WHEN 2 THEN 'x' ELSE 'www.host.net' END AS hostname,
+           CASE user_id % 4
+             WHEN 0 THEN '/1234' WHEN 1 THEN '/path?p=hello.world&x=1'
+             WHEN 2 THEN '' ELSE '/page?p=q+r' END AS uri,
+           CASE user_id % 4
+             WHEN 1 THEN 'hello' WHEN 3 THEN 'q+r' END AS p_param,
+           COUNT(*) AS count
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="F1+F3 (Utils.pm:489-522): parse_url incl. bare-number and info:oai "
+    "forms; get_param's stop-at-'&'-or-'.' quirk",
+)
+def f1_f3_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.functions.urls import (
+        get_param,
+        url_hostname,
+        url_protocol,
+        url_uri,
+    )
+
+    url = (
+        F.when(F.col("user_id") % 4 == 0, "1234")
+        .when(F.col("user_id") % 4 == 1, "http://www.example.org/path?p=hello.world&x=1")
+        .when(F.col("user_id") % 4 == 2, "info:oai:x")
+        .otherwise("www.host.net/page?p=q+r")
+    )
+    ev = load_table(spark, "events", sf_dir).withColumn("url", url)
+    return ev.select(
+        url_protocol(F.col("url")).alias("protocol"),
+        url_hostname(F.col("url")).alias("hostname"),
+        url_uri(F.col("url")).alias("uri"),
+        get_param(url_uri(F.col("url")), "p").alias("p_param"),
+    ).groupBy("protocol", "hostname", "uri", "p_param").agg(
+        F.count(F.lit(1)).alias("count")
+    )
