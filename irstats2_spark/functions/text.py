@@ -49,6 +49,9 @@ def extract_search_terms(
     Input: a DataFrame of download events (caller applies the is_download
     restriction). Output: input columns + ``word``.
     """
+    from irstats2_spark.parallel import ensure_parallelism
+
+    df = ensure_parallelism(df)
     ref = F.col(referrer_col)
     host = url_hostname(ref)
     uri = url_uri(ref)

@@ -119,51 +119,53 @@ def repeat_filter(
     processed in epoch order per key, matching the reference's file-order
     scan of time-sorted logs.
 
-    Scale design (hybrid=True): real traffic is dominated by keys with 1-2
-    events, where a pure-JVM ``lag()`` window IS the exact semantics (the
-    anchor-refresh subtlety only matters from the 3rd event on). Keys are
-    counted with a window (no extra shuffle beyond the one the window
-    needs) and only heavy keys (n >= 3) take the Arrow/applyInPandas fold —
-    Python touches a tiny fraction of the data, and the plan stays exact.
-    """
-    from pyspark.sql import Window
+    Scale design: ONE hash-shuffle on the dedup key, then a sort within
+    each partition and a single sequential pass via ``mapInPandas`` —
+    anchor state is carried across Arrow batches inside a partition, so a
+    key's run never needs to fit in one batch. Per-key state never leaves
+    a partition, keys are high-cardinality (they embed the client IP), and
+    Python sees each row exactly once: this is the same shuffle count as
+    the lag()-window approximation, with exact reference semantics.
 
+    ``hybrid`` is retained for API compatibility and ignored (the
+    single-pass plan beats the old light/heavy split in all regimes).
+    """
     epid, docid, ip = key_cols
     keyed = df.withColumn("__rk", repeat_key(F.col(epid), F.col(docid), F.col(ip)))
     schema = keyed.schema
+    n_out = len(schema) - 1  # __rk dropped on output
 
-    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(epoch_col, kind="stable")
-        anchor = None
-        keep_mask = []
-        for t in pdf[epoch_col]:
-            if anchor is not None and abs(t - anchor) <= timeout:
-                keep_mask.append(False)  # dropped; anchor NOT refreshed
-            else:
-                keep_mask.append(True)
+    parts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")),
+    )
+    arranged = keyed.repartition(parts, "__rk").sortWithinPartitions(
+        "__rk", epoch_col
+    )
+
+    def scan(batches):
+        # one partition = many whole keys, (key, epoch)-sorted; a key may
+        # span batches, so (last key, anchor) persists across iterations
+        prev_key, anchor = None, None
+        for pdf in batches:
+            keys = pdf["__rk"].to_numpy()
+            times = pdf[epoch_col].to_numpy()
+            keep = [False] * len(pdf)
+            for i in range(len(pdf)):
+                if keys[i] != prev_key:
+                    prev_key, anchor = keys[i], None
+                t = times[i]
+                if anchor is not None and abs(t - anchor) <= timeout:
+                    continue  # dropped; anchor NOT refreshed
+                keep[i] = True
                 anchor = t
-        return pdf[pd.Series(keep_mask, index=pdf.index)]
+            out = pdf.iloc[:, :n_out]
+            yield out[pd.Series(keep, index=pdf.index)]
 
-    if not hybrid:
-        return keyed.groupBy("__rk").applyInPandas(fold, schema=schema).drop("__rk")
-
-    w = Window.partitionBy("__rk")
-    wo = w.orderBy(epoch_col)
-    counted = keyed.withColumn("__n", F.count(F.lit(1)).over(w))
-
-    light = counted.filter(F.col("__n") <= 2)
-    gap = F.col(epoch_col) - F.lag(F.col(epoch_col)).over(wo)
-    light_kept = (
-        light.withColumn("__gap", gap)
-        .filter(F.col("__gap").isNull() | (F.abs(F.col("__gap")) > timeout))
-        .drop("__gap", "__n", "__rk")
+    kept_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields[:-1]
     )
-
-    heavy = counted.filter(F.col("__n") >= 3).drop("__n")
-    heavy_kept = (
-        heavy.groupBy("__rk").applyInPandas(fold, schema=schema).drop("__rk")
-    )
-    return light_kept.unionByName(heavy_kept)
+    return arranged.mapInPandas(scan, schema=kept_schema)
 
 
 def repeat_filter_window_approx(

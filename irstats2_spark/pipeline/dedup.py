@@ -46,7 +46,13 @@ def exact_dedup(
 
 
 def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per doc: (id, shingle)."""
+    """Distinct k-word shingles per doc: (id, shingle).
+
+    Normalization + shingling is the CPU-heavy map stage of every dedup
+    path — spread a narrow input across cores first (no-op at scale)."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
@@ -198,6 +204,9 @@ def simhash(
     of the first 4 bytes of md5(word); the document's bit b is 1 iff the
     sum of votes (+1/-1 per DISTINCT word) is positive. Output:
     (doc_id, simhash int)."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = (
         docs.select(
             F.col(id_col).alias("doc_id"),

@@ -340,7 +340,7 @@ def search_term_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="F7 Country.pm:75-105 — broadcast IP-range join (10.0.x.x synthetic IPs)",
 )
 def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from irstats2_spark.functions.geo import with_country
+    from irstats2_spark.functions.geo import with_country_prefix_bucketed
 
     ranges = spark.createDataFrame(
         [
@@ -363,7 +363,9 @@ def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    located = with_country(ev, ranges).filter(F.col("country_iso2").isNotNull())
+    located = with_country_prefix_bucketed(ev, ranges).filter(
+        F.col("country_iso2").isNotNull()
+    )
     return located.groupBy(F.col("country_iso2").alias("value")).agg(
         F.count(F.lit(1)).alias("count")
     )
