@@ -34,7 +34,9 @@ def python_repeat_oracle(rows, timeout):
             continue
         cache[key] = e
         kept.append((e, epid, docid, ip))
-    return sorted(kept)
+    return sorted(
+        kept, key=lambda t: (t[0], t[1], -1 if t[2] is None else t[2], t[3])
+    )
 
 
 def test_repeat_anchor_not_refreshed(spark):
@@ -116,3 +118,57 @@ def test_robots_pattern_file(tmp_path, spark):
     df = df.withColumn("requester_id", F.lit(None).cast("string"))
     out = robots_filter(df, ua_file=str(f)).collect()
     assert [r.requester_user_agent for r in out] == ["GoodGuy/2.0"]
+
+
+def test_repeat_state_carries_across_arrow_batches(spark):
+    """A key's run may span Arrow batches inside a partition; the anchor
+    must survive the batch boundary (the mapInPandas scan is a generator
+    with cross-batch state)."""
+    # one key, 50 events 100s apart: greedy keeps epochs 0, 3700, 7400, ...
+    rows = [(100 * i, 1, 10, "a") for i in range(50)]
+    df = _events(spark, rows).coalesce(1)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        exact = sorted(r.epoch for r in repeat_filter(df, timeout=3600).collect())
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    expected = [e for e, *_ in python_repeat_oracle(rows, 3600)]
+    assert exact == expected == [0.0, 3700.0]
+
+
+def test_repeat_randomized_vs_oracle_multibatch(spark):
+    rnd = random.Random(7)
+    rows = []
+    for _ in range(400):
+        rows.append(
+            (
+                rnd.randrange(0, 20000),
+                rnd.randrange(1, 4),
+                rnd.choice([10, 11, None]),
+                rnd.choice(["a", "b"]),
+            )
+        )
+    # dedupe identical epochs per key to keep the oracle order-stable
+    seen, uniq = set(), []
+    for r in rows:
+        k = (r[0], r[1], r[2], r[3])
+        if k not in seen:
+            seen.add(k)
+            uniq.append(k)
+    df = _events(spark, uniq)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    key = lambda t: (t[0], t[1], -1 if t[2] is None else t[2], t[3])  # noqa: E731
+    try:
+        got = sorted(
+            (
+                (r.epoch, r.referent_id, r.referent_docid, r.requester_id)
+                for r in repeat_filter(df, timeout=1800).collect()
+            ),
+            key=key,
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    expected = sorted(python_repeat_oracle(uniq, 1800), key=key)
+    assert got == expected
