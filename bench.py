@@ -24,10 +24,14 @@ HEADLINE = [
     "t2_densify",
     "o3_topn",
     "a6_a7_cumulative_running_avg",
-    # irstats2 engine paths (ETL + Context compilation)
+    # irstats2 engine paths (ETL + Context compilation + views)
     "etl_downloads_fact",
     "ctx_daily_series",
     "ctx_top_eprints",
+    "ctx_set_series",
+    "ctx_grouping_top",
+    "view_monthly_graph",
+    "view_sparkline",
     "repeat_filter_exact",
     "robots_filter_outcome",
     "search_term_extraction",
@@ -35,9 +39,13 @@ HEADLINE = [
     # training-data pipeline
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
+    "similarity_ivf_assign",
     "text_quality_features",
+    "text_lang_id",
 ]
 
 

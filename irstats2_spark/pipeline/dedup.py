@@ -237,19 +237,60 @@ def embedding_cosine_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    scale: int = 1000,
 ) -> DataFrame:
-    """Embedding near-dup pairs by cosine >= threshold.
+    """Embedding near-dup pairs by quantized cosine >= threshold.
 
-    Brute-force O(n^2) self-join — correct baseline; at scale route
-    through similarity.ivf_assign to bucket vectors first (cluster-local
-    pair generation), identical output for high thresholds."""
-    from irstats2_spark.pipeline.similarity import cosine_q
+    All-pairs scoring as a blocked matrix multiply: the corpus (the
+    "small side", like a broadcast-join build side) ships to every task
+    once, and each task scores its row block against it with one numpy
+    GEMM — a ~100x win over per-pair array folds, with bit-identical
+    results: vectors are quantized to ints (floor(x*scale+0.5), see
+    similarity.quantize), so every product/sum is an integer < 2^53 and
+    float64 GEMM is EXACT regardless of summation order; the final
+    round is half-up to match SQL ROUND.
 
-    a = embeddings.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
-    b = embeddings.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
-    pairs = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
-    return (
-        pairs.withColumn("cosine", F.round(cosine_q(F.col("va"), F.col("vb")), 6))
-        .filter(F.col("cosine") >= threshold)
-        .select("doc_a", "doc_b", "cosine")
+    At corpus sizes past broadcast limits, pre-bucket with
+    similarity.ivf_assign and run this per bucket (cluster-local pairs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from irstats2_spark.parallel import ensure_parallelism
+
+    spark = embeddings.sparkSession
+    src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    corpus_pdf = src.toPandas()
+    corpus_ids = corpus_pdf["id"].to_numpy()
+    cq = np.floor(
+        np.stack(corpus_pdf["v"].to_numpy()).astype(np.float64) * scale + 0.5
+    )
+    c_norm = np.sqrt((cq * cq).sum(axis=1))
+    bc = spark.sparkContext.broadcast((corpus_ids, cq, c_norm))
+
+    def score(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            a_ids = pdf["id"].to_numpy()
+            aq = np.floor(
+                np.stack(pdf["v"].to_numpy()).astype(np.float64) * scale + 0.5
+            )
+            a_norm = np.sqrt((aq * aq).sum(axis=1))
+            cos = (aq @ mat_b.T) / np.outer(a_norm, norm_b)
+            # SQL ROUND is half-up; cosines passing the threshold are
+            # positive, where floor(x*1e6+0.5)/1e6 IS half-up
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6
+            keep = (cos >= threshold) & (a_ids[:, None] < ids_b[None, :])
+            ai, bi = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "doc_a": a_ids[ai],
+                    "doc_b": ids_b[bi],
+                    "cosine": cos[ai, bi],
+                }
+            )
+
+    arranged = ensure_parallelism(src)
+    return arranged.mapInPandas(
+        score, schema="doc_a long, doc_b long, cosine double"
     )

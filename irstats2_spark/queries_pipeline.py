@@ -183,15 +183,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND({_qcos('a.embedding', 'b.embedding')}, 6) AS cosine
         FROM embeddings a, embeddings b
         WHERE a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.99
+    ) WHERE cosine >= 0.45
     """,
-    doc="embedding near-dup: brute-force cosine pairs >= 0.99",
+    doc="embedding near-dup: all-pairs quantized cosine >= 0.45 (the synthetic embeddings are near-orthogonal, so the threshold sits where real pairs exist)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import embedding_cosine_dups
 
     return embedding_cosine_dups(
-        load_table(spark, "embeddings", sf_dir), threshold=0.99
+        load_table(spark, "embeddings", sf_dir), threshold=0.45
     )
 
 
@@ -333,9 +333,10 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="language-ID heuristic: marker-token votes, alphabetical tie-break",
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.parallel import ensure_parallelism
     from irstats2_spark.pipeline.textstats import lang_id
 
-    docs = load_table(spark, "documents", sf_dir)
+    docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
