@@ -105,3 +105,44 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
         ).alias("frame_no", "frame_payload"),
     )
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("content", T.BinaryType()),
+    ]
+)
+
+
+def resize_stub(
+    media: DataFrame, width: int = 64, height: int = 64
+) -> DataFrame:
+    """Resize plumbing via mapInPandas: same Arrow-batched shape a real
+    resampler (PIL/torchvision) would use. The stub 'resizes' by
+    deterministic byte truncation/tiling to width*height bytes — REPLACE
+    the inner transform with a real decoder+resampler in production;
+    schema, batching, and partitioning stay as-is."""
+    target = width * height
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_bytes = []
+            for content in pdf["content"]:
+                b = bytes(content or b"")
+                if not b:
+                    b = b"\x00"
+                reps = (target + len(b) - 1) // len(b)
+                out_bytes.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "content": out_bytes,
+                }
+            )
+
+    return media.mapInPandas(work, schema=RESIZED_SCHEMA)

@@ -379,3 +379,71 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mean_intensity depends on byte content (decoder-internal detail);
     # the oracle checks the metadata contract columns
     return decode_image_stub(media).select("media_id", "n_bytes", "width", "height")
+
+
+@register(
+    "similarity_ivf_topk",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    qassign AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('q.qv', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM queries q CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    scored AS (
+        SELECT qa.query_id, e.vec_id,
+               ROUND({_qcos('e.embedding', 'q.qv')}, 6) AS cosine
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN qassign qa ON a.centroid_id = qa.centroid_id
+        JOIN queries q ON q.query_id = qa.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="IVF ANN scale path: corpus + queries assigned to broadcast "
+    "centroids, top-5 restricted to the query's cluster",
+)
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import ivf_assign, ivf_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    qassigned = ivf_assign(
+        queries, cents, id_col="query_id", vec_col="query_vec"
+    )
+    return ivf_topk(assigned, qassigned, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )

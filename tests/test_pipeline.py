@@ -184,3 +184,22 @@ def test_frame_sample(spark, docs):
     )
     n_expected = {r.media_id: (r.n) for r in per_doc}
     assert n_expected[1] == 5  # 43 bytes -> ceil-ish chunks of 10
+
+
+def test_multimodal_resize_stub(spark):
+    from irstats2_spark.pipeline.multimodal import (
+        media_from_documents,
+        resize_stub,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "abc"), (2, ""), (3, "a longer payload " * 10)],
+        "doc_id long, text string",
+    )
+    out = resize_stub(media_from_documents(docs), width=8, height=4).collect()
+    assert len(out) == 3
+    for r in out:
+        assert (r.width, r.height) == (8, 4)
+        assert len(r.content) == 32
+    by_id = {r.media_id: bytes(r.content) for r in out}
+    assert by_id[1] == (b"abc" * 11)[:32]  # deterministic tiling

@@ -129,3 +129,46 @@ def test_streaming_ingest(spark, tmp_path):
     q2.awaitTermination(120)
     total2 = read_fact(spark, str(out), "downloads").agg(F.sum("count")).head()[0]
     assert total2 == 35
+
+
+def test_streaming_repeat_key_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keyed like the Repeat filter: the
+    stream keeps one event per key within the horizon (P9 streaming
+    approximation, SURVEY §2.9)."""
+    from irstats2_spark.streaming.ingest import read_access_stream
+
+    logs = tmp_path / "cur"
+    logs.mkdir()
+    rows = []
+    for i in range(6):  # same eprint/doc/ip, 10 min apart => one survivor
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(minutes=10 * i)
+        rows.append(
+            "\t".join(
+                [
+                    ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    "10.0.0.1",
+                    "Mozilla/5.0 Chrome/1",
+                    "",
+                    "?fulltext=yes",
+                    "1",
+                    "100",
+                ]
+            )
+        )
+    # a different ip => its own key => second survivor
+    rows.append("2024-01-01T00:05:00Z\t10.0.0.2\tMozilla/5.0 Chrome/1\t\t?fulltext=yes\t1\t100")
+    (logs / "2024-01-01.log").write_text("\n".join(rows) + "\n")
+
+    stream = read_access_stream(
+        spark, str(logs), dedup_lines=False, repeat_key_dedup=True
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("repeat_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM repeat_dedup_out").collect()
+    assert len(got) == 2
