@@ -1,0 +1,83 @@
+"""Physical-plan regression tests: the properties that make these plans
+survive a 100x scale-up, asserted on the actual Catalyst output.
+
+If one of these breaks, the query still returns correct rows — but the
+plan stopped being the plan we'd want on a 1000-executor cluster
+(broadcast flipped to sort-merge, a pushdown was lost, a top-k started
+materializing the full sort), so fail loudly here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from irstats2_spark import catalog
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return catalog.queries()
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+
+
+def test_set_join_broadcasts_dimension(spark, queries):
+    plan = plan_of(queries["ctx_set_series"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_grouping_join_broadcasts_dimension(spark, queries):
+    plan = plan_of(queries["ctx_grouping_top"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_dimension_filter_pushed_to_scan(spark, queries):
+    plan = plan_of(queries["ctx_set_series"](spark, SF))
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, queries):
+    # A1 projects 5 lineitem columns; the scan must not read the rest
+    plan = plan_of(queries["a1_grouped_sum"](spark, SF))
+    read = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_shipmode" not in read
+
+
+def test_topn_compiles_to_take_ordered(spark, queries):
+    plan = plan_of(queries["o3_topn"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_join_stays_semi(spark, queries):
+    plan = plan_of(queries["p7_semi_join"](spark, SF))
+    assert "LeftSemi" in plan
+
+
+def test_repeat_filter_single_shuffle(spark, queries):
+    # exact repeat semantics: one exchange hash-partitions the dedup key,
+    # one belongs to the final groupBy — nothing else; and the key sort
+    # stays partition-local (global=false), never a global sort
+    plan = plan_of(queries["repeat_filter_exact"](spark, SF))
+    tree = plan.split("\n\n")[0]  # the indented operator tree
+    assert tree.count("Exchange") == 2
+    sort_detail = plan.split(") Sort")[1].split("\n\n")[0]
+    assert "false, 0" in sort_detail  # partition-local sort, never global
+
+
+def test_geoip_is_hash_join_not_nested_loop(spark, queries):
+    plan = plan_of(queries["geoip_range_join"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
