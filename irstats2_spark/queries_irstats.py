@@ -830,3 +830,61 @@ def f1_f3_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("protocol", "hostname", "uri", "p_param").agg(
         F.count(F.lit(1)).alias("count")
     )
+
+
+@register(
+    "o4_listing_engine",
+    """
+    SELECT set_value, rendered_set_value FROM (
+        SELECT DISTINCT c_mktsegment AS set_value,
+               c_mktsegment AS rendered_set_value
+        FROM customer
+    ) WHERE lower(rendered_set_value) LIKE '%u%'
+    """,
+    doc="O4 (Handler.pm:778-821) via set_listing on the rendered dim built "
+    "by build_dimensions, with the contains filter",
+)
+def o4_listing_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.etl.sets import SetConfig, build_dimensions
+    from irstats2_spark.plans.views import set_listing
+
+    dims = build_dimensions(
+        _synth_eprints(spark, sf_dir), sets=(SetConfig(field_name="segment"),)
+    )
+    store = StatsStore(facts={}, rendered=dims["rendered"])
+    return set_listing(store, "segment", q="u")
+
+
+@register(
+    "t6_f12_formatting",
+    """
+    SELECT datestamp,
+           strftime(make_date(datestamp // 10000, (datestamp // 100) % 100,
+                              datestamp % 100), '%-d %b %Y') AS label,
+           format('{:,}', total) AS display_total
+    FROM (
+        SELECT CAST(strftime(ts, '%Y%m%d') AS INT) AS datestamp,
+               COUNT(*) * 1234 AS total
+        FROM events WHERE event_type = 'click' GROUP BY 1
+    )
+    """,
+    doc="T6 (Graph.pm:133-150) date labels 'D Mon YYYY' + F12 "
+    "(Utils.pm:340-369) thousands-separator display",
+)
+def t6_f12_formatting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        _adapted(spark, sf_dir)
+        .filter(F.col("is_download"))
+        .groupBy(F.col("date_key").alias("datestamp"))
+        .agg((F.count(F.lit(1)) * 1234).alias("total"))
+    )
+    d = F.to_date(F.col("datestamp").cast("string"), "yyyyMMdd")
+    return daily.select(
+        "datestamp",
+        F.concat(
+            F.dayofmonth(d).cast("string"),
+            F.lit(" "),
+            F.date_format(d, "MMM yyyy"),
+        ).alias("label"),
+        F.format_number(F.col("total"), 0).alias("display_total"),
+    )
