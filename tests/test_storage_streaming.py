@@ -172,3 +172,45 @@ def test_streaming_repeat_key_dedup(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT * FROM repeat_dedup_out").collect()
     assert len(got) == 2
+
+
+def test_incremental_checkpoint_scan(spark, tmp_path):
+    from irstats2_spark.sources.checkpoint import (
+        Checkpoint,
+        advance_to_max,
+        incremental_scan,
+    )
+
+    ck = Checkpoint(str(tmp_path))
+    df = spark.createDataFrame(
+        [(i, f"e{i}") for i in range(1, 11)], "eprintid int, payload string"
+    )
+    first = incremental_scan(df, "eprintid", ck, "eprint")
+    assert first.count() == 10  # no checkpoint yet: full scan
+    advance_to_max(first, "eprintid", ck, "eprint")
+    assert ck.get("eprint", "eprintid") == 10
+
+    more = df.union(
+        spark.createDataFrame([(11, "e11"), (12, "e12")], df.schema)
+    )
+    second = incremental_scan(more, "eprintid", ck, "eprint")
+    assert sorted(r.eprintid for r in second.collect()) == [11, 12]
+    advance_to_max(second, "eprintid", ck, "eprint")
+    assert ck.get("eprint", "eprintid") == 12
+    # empty increment: checkpoint unchanged
+    advance_to_max(
+        incremental_scan(more, "eprintid", ck, "eprint"), "eprintid", ck, "eprint"
+    )
+    assert ck.get("eprint", "eprintid") == 12
+
+
+def test_jdbc_scan_options():
+    from irstats2_spark.sources.jdbc import jdbc_scan_options
+
+    opts = jdbc_scan_options(
+        "jdbc:mysql://db/eprints", "access", num_partitions=16, upper=5_000_000
+    )
+    assert opts["partitionColumn"] == "accessid"
+    assert opts["numPartitions"] == "16"
+    assert opts["upperBound"] == "5000000"
+    assert opts["fetchsize"] == "100000"
