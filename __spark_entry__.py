@@ -16,8 +16,10 @@ from irstats2_spark import catalog
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return catalog.queries()["a3_daily_preagg"](spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001 (SURVEY §7.2: monthly
+    downloads, whole repository, all time, densified — through the full
+    adapter -> processor -> Context -> Graph-view path)."""
+    return catalog.queries()["view_monthly_graph"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

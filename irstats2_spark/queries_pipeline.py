@@ -165,9 +165,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_simhash",
-    None,  # 16 conditional-sum columns are SQL-expressible but the oracle
-    # would be machine-generated noise; covered by pytest vs a Python oracle.
-    doc="SimHash 16-bit signatures from md5 word hashes (rows-only check)",
+    f"""
+    WITH words AS (
+        SELECT DISTINCT doc_id, w AS word
+        FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+    ),
+    wh AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(word), 1, 8)) AS BIGINT) AS h
+        FROM words
+    ),
+    votes AS (
+        SELECT doc_id,
+        SUM(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0,
+        SUM(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1,
+        SUM(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2,
+        SUM(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3,
+        SUM(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4,
+        SUM(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5,
+        SUM(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6,
+        SUM(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7,
+        SUM(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8,
+        SUM(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9,
+        SUM(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10,
+        SUM(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11,
+        SUM(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12,
+        SUM(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13,
+        SUM(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14,
+        SUM(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15
+        FROM wh GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes
+    """,
+    doc="SimHash 16-bit signatures from md5 word hashes; oracle rebuilds "
+    "the per-bit vote sums in SQL",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import simhash
