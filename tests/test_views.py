@@ -131,3 +131,82 @@ def test_registry_defaults():
     assert "downloads" in reg.datatypes()
     assert [f.name for f in reg.filters] == ["robots", "repeat"]
     assert "main" in reg.reports
+
+
+@pytest.fixture(scope="module")
+def report_store(spark):
+    fact = spark.createDataFrame(
+        [
+            (1, 20240101, "downloads", 10),
+            (2, 20240102, "downloads", 4),
+            (1, 20240215, "downloads", 7),
+        ],
+        "eprintid int, datestamp int, value string, count long",
+    )
+    ref = spark.createDataFrame(
+        [
+            (1, 20240101, "Google", 6),
+            (2, 20240102, "Yahoo", 2),
+            (1, 20240102, "Google", 3),
+        ],
+        "eprintid int, datestamp int, value string, count long",
+    )
+    terms = spark.createDataFrame(
+        [(1, 20240101, "spark", 5), (2, 20240102, "stats", 2)],
+        "eprintid int, datestamp int, value string, count long",
+    )
+    return StatsStore(
+        facts={"downloads": fact, "referrer": ref, "search_terms": terms}
+    )
+
+
+def test_run_report_main(spark, report_store):
+    from irstats2_spark.plans.registry import default_registry
+    from irstats2_spark.plans.report import run_report
+
+    results = run_report(
+        spark, report_store, default_registry(), "main", today=TODAY
+    )
+    assert len(results) == 5
+    kf = results["0_keyfigures_downloads"]
+    assert kf["downloads"] == 21  # metrics dict, deposits skipped (not loaded)
+    graph = results["1_graph_downloads"].collect()
+    # monthly resolution over dataset bounds: Jan + Feb 2024
+    assert [(r.datestamp, r["count"]) for r in graph] == [
+        (202401, 14),
+        (202402, 7),
+    ]
+    top_ep = results["2_table_downloads"].collect()
+    assert top_ep[0].eprintid == 1 and top_ep[0]["count"] == 17
+    top_ref = {r.value: r["count"] for r in results["3_table_referrer"].collect()}
+    assert top_ref == {"Google": 9, "Yahoo": 2}
+    top_terms = results["4_table_search_terms"].collect()
+    assert top_terms[0].value == "spark"
+
+
+def test_result_cache_roundtrip_and_prewarm(spark, report_store, tmp_path):
+    from irstats2_spark.plans.registry import default_registry
+    from irstats2_spark.plans.report import ResultCache, prewarm_report
+
+    cache = ResultCache(str(tmp_path / "cache"))
+    params = {"datatype": "downloads", "range": "_ALL_"}
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return report_store.facts["downloads"].groupBy().agg(
+            F.sum("count").alias("count")
+        )
+
+    first = cache.fetch_or_compute(params, compute)
+    second = cache.fetch_or_compute(params, compute)
+    assert first == second == [{"count": 21}]
+    assert len(calls) == 1  # second call served from cache
+    # different params => different key
+    assert cache.get({"datatype": "views"}) is None
+
+    n = prewarm_report(
+        spark, report_store, default_registry(), cache, "main", today=TODAY
+    )
+    assert n == 5
+    assert cache.clear() >= 5  # nightly invalidation removes entries
