@@ -211,3 +211,75 @@ def test_get_dates():
     assert get_dates(20231101, 20240201, "month") == [202311, 202312, 202401, 202402]
     assert get_dates(20230615, 20250101, "year") == [2023, 2024, 2025]
     assert get_dates(20240301, 20240201, "day") == []  # from > to guard
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis) for the T3 date arithmetic — the reference's
+# calendar quirks (month-end clamping, yesterday default, 20y clamp) are
+# easy to break subtly; pin them against an independent formulation.
+# ---------------------------------------------------------------------------
+import datetime as _dt
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from irstats2_spark.functions.dates import (
+    _add_delta_ymd,
+    get_dates,
+    int_to_date,
+    normalise_dates,
+)
+
+_days = st.dates(min_value=_dt.date(1995, 1, 7), max_value=_dt.date(2090, 12, 25))
+
+
+def _date_calc_add_months(base: _dt.date, dm: int) -> _dt.date:
+    """Independent oracle for Date::Calc::Add_Delta_YMD month arithmetic
+    (the reference's engine, Utils.pm:311): an invalid day-of-month after
+    the month shift ROLLS FORWARD into the next month (Feb 31 -> Mar 2/3),
+    it is NOT clamped."""
+    import calendar as _cal
+
+    months = base.year * 12 + (base.month - 1) + dm
+    y, m = months // 12, months % 12 + 1
+    days_in = _cal.monthrange(y, m)[1]
+    if base.day <= days_in:
+        return _dt.date(y, m, base.day)
+    return _dt.date(y, m, days_in) + _dt.timedelta(days=base.day - days_in)
+
+
+@settings(max_examples=200, deadline=None)
+@given(today=_days, n=st.integers(1, 400), unit=st.sampled_from("dmy"))
+def test_range_window_properties(today, n, unit):
+    from_i, to_i = normalise_dates(f"{n}{unit}", None, None, today=today)
+    f, t = int_to_date(from_i), int_to_date(to_i)
+    assert t == today - _dt.timedelta(days=1)  # default `to` = yesterday
+    assert f <= t  # window is never inverted
+    if unit == "d":
+        assert (t - f).days == n
+    elif unit == "m":
+        assert f == _date_calc_add_months(t, -n)
+    else:
+        assert t.year - f.year == min(n, 20)  # 20-year clamp (Utils.pm:230)
+
+
+@settings(max_examples=200, deadline=None)
+@given(base=_days, dm=st.integers(-600, 600))
+def test_add_months_matches_date_calc(base, dm):
+    assert _add_delta_ymd(base, 0, dm, 0) == _date_calc_add_months(base, dm)
+
+
+@settings(max_examples=100, deadline=None)
+@given(a=_days, b=_days)
+def test_get_dates_day_sequence_complete(a, b):
+    lo, hi = (a, b) if a <= b else (b, a)
+    if (hi - lo).days > 800:  # keep sequences small
+        hi = lo + _dt.timedelta(days=(hi - lo).days % 800)
+        if hi < lo:
+            lo, hi = hi, lo
+    from irstats2_spark.functions.dates import date_to_int
+
+    keys = get_dates(date_to_int(lo), date_to_int(hi), "day")
+    assert len(keys) == (hi - lo).days + 1
+    assert keys[0] == date_to_int(lo) and keys[-1] == date_to_int(hi)
+    assert keys == sorted(set(keys))  # no gaps, dups, or disorder
