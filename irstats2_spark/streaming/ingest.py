@@ -114,3 +114,65 @@ def start_fact_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def repeat_filter_stream(
+    events: DataFrame,
+    timeout: int = 3600,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """EXACT streaming Repeat filter (P9) via applyInPandasWithState.
+
+    The batch operator (operators.filters.repeat_filter) folds per key
+    within one job; here the per-key anchor (epoch of the last KEPT
+    event, Repeat.pm:63-102) lives in Spark's state store, so the
+    first-kept-anchor semantics hold ACROSS micro-batches — unlike the
+    dropDuplicatesWithinWatermark approximation in read_access_stream.
+
+    Exact under per-key in-order arrival (the reference's situation:
+    time-sorted log files); events are sorted by epoch within each
+    micro-batch. State is one double per active key and is pruned by the
+    reference's own logic in spirit: a key whose anchor is older than the
+    timeout can never drop anything again, so it is overwritten by the
+    next kept event; for bounded state with event-time cleanup, migrate
+    to transformWithStateInPandas TTL when the cluster runs Spark 4.x.
+    """
+    import pandas as pd  # noqa: F811
+
+    from irstats2_spark.operators.filters import repeat_key
+
+    keyed = events.withColumn(
+        "__rk",
+        repeat_key(
+            F.col("referent_id"), F.col("referent_docid"), F.col("requester_id")
+        ),
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in keyed.schema.fields
+        if f.name != "__rk"
+    )
+    cols = [f.name for f in keyed.schema.fields if f.name != "__rk"]
+
+    def fn(key, pdfs, state):
+        anchor = state.get[0] if state.exists else None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(epoch_col, kind="stable")
+            keep = []
+            for t in pdf[epoch_col]:
+                if anchor is not None and abs(t - anchor) <= timeout:
+                    keep.append(False)  # dropped; anchor NOT refreshed
+                else:
+                    keep.append(True)
+                    anchor = float(t)
+            yield pdf[pd.Series(keep, index=pdf.index)][cols]
+        if anchor is not None:
+            state.update((float(anchor),))
+
+    return keyed.groupBy("__rk").applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType="anchor double",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

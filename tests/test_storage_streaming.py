@@ -214,3 +214,54 @@ def test_jdbc_scan_options():
     assert opts["numPartitions"] == "16"
     assert opts["upperBound"] == "5000000"
     assert opts["fetchsize"] == "100000"
+
+
+def test_streaming_repeat_exact_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: the anchor persists across micro-batches —
+    an event in batch 2 within the timeout of batch 1's kept event is
+    dropped, and the anchor is NOT refreshed by dropped events."""
+    from irstats2_spark.streaming.ingest import (
+        read_access_stream,
+        repeat_filter_stream,
+    )
+
+    def line(ts, ip="10.0.0.1"):
+        return "\t".join(
+            [ts, ip, "Mozilla/5.0 Chrome/1", "", "?fulltext=yes", "1", "100"]
+        )
+
+    logs = tmp_path / "cur"
+    logs.mkdir()
+    out_dir = tmp_path / "out"
+    ck = tmp_path / "ck"
+
+    def run_once():
+        stream = repeat_filter_stream(
+            read_access_stream(spark, str(logs), dedup_lines=False), timeout=3600
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(out_dir))
+            .option("checkpointLocation", str(ck))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: keep 00:00 (anchor), drop 00:30
+    (logs / "b1.log").write_text(
+        line("2024-01-01T00:00:00Z") + "\n" + line("2024-01-01T00:30:00Z") + "\n"
+    )
+    run_once()
+    # batch 2: 00:55 within 3600s of the 00:00 anchor => dropped (the
+    # 00:30 drop must not have refreshed it); 01:30 beyond => kept
+    (logs / "b2.log").write_text(
+        line("2024-01-01T00:55:00Z") + "\n" + line("2024-01-01T01:30:00Z") + "\n"
+    )
+    run_once()
+
+    got = sorted(
+        r.epoch for r in spark.read.parquet(str(out_dir)).collect()
+    )
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    assert got == [base, base + 5400]
