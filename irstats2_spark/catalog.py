@@ -63,3 +63,22 @@ def _ensure_loaded() -> None:
     from irstats2_spark import queries_pipeline  # noqa: F401
 
     _LOADED = True
+
+
+def main() -> None:
+    """`python -m irstats2_spark.catalog`: list the operator catalog."""
+    # run-as-__main__ gets its own module instance; use the canonical one
+    from irstats2_spark import catalog as _canonical
+
+    _canonical._ensure_loaded()
+    reg = _canonical._REGISTRY
+    width = max(len(n) for n in reg)
+    for name, spec in sorted(reg.items()):
+        gate = "oracle" if spec.oracle else "rows-only"
+        print(f"{name:<{width}}  [{gate:>9}]  {spec.doc}")
+    print(f"\n{len(reg)} queries, "
+          f"{sum(1 for s in reg.values() if s.oracle)} with SQL oracles")
+
+
+if __name__ == "__main__":
+    main()

@@ -172,3 +172,29 @@ def test_repeat_randomized_vs_oracle_multibatch(spark):
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     expected = sorted(python_repeat_oracle(uniq, 1800), key=key)
     assert got == expected
+
+
+def test_robots_pattern_file_loading(spark, tmp_path):
+    """Robots.pm:43-48,73-81: one pattern per line, '#' comments and blank
+    lines skipped, embedded whitespace stripped; IP prefixes shorter than
+    /32 get a trailing dot before escaping (Robots.pm:103-113)."""
+    ua_file = tmp_path / "robots_ua.txt"
+    ua_file.write_text("# comment\n\nevilcrawler\nbad bot\n")  # 'badbot' after strip
+    ip_file = tmp_path / "robots_ip.txt"
+    ip_file.write_text("192.168\n10.1.2.3\n")
+
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 EvilCrawler/1.0", "1.2.3.4"),     # UA match (ci)
+            ("Mozilla/5.0 badbot/2", "1.2.3.4"),            # stripped pattern
+            ("Mozilla/5.0 Chrome/1", "192.168.7.9"),        # IP prefix match
+            ("Mozilla/5.0 Chrome/1", "192.16.0.1"),         # NOT 192.16 (dot)
+            ("Mozilla/5.0 Chrome/1", "10.1.2.3"),           # exact /32
+            ("Mozilla/5.0 Chrome/1", "8.8.8.8"),            # clean
+        ],
+        "requester_user_agent string, requester_id string",
+    )
+    kept = robots_filter(
+        df, ua_file=str(ua_file), ip_file=str(ip_file)
+    ).collect()
+    assert sorted(r.requester_id for r in kept) == ["192.16.0.1", "8.8.8.8"]
