@@ -48,13 +48,20 @@ class MetricDef:
 
 @dataclass(frozen=True)
 class ReportItem:
-    """One panel of a report page (z_irstats2.pl:319-577)."""
+    """One panel of a report page (z_irstats2.pl:319-577).
+
+    ``priv`` is the privilege required to see the panel
+    (Screen/IRStats2/Report.pm:112-117); ``appears`` optionally gates the
+    panel to specific set contexts (z_irstats2.pl:431-434: e.g. a panel
+    shown only on repository-wide pages, set_name=None)."""
 
     plugin: str  # view name: Graph | Table | Counter | KeyFigures | ...
     datatype: str = "downloads"
     datafilter: str | None = None
     grouping: str | None = None
     options: dict = field(default_factory=dict)
+    priv: str | None = None
+    appears: tuple[str | None, ...] | None = None  # allowed set_names
 
 
 @dataclass(frozen=True)

@@ -62,13 +62,21 @@ def run_report(
     report: str = "main",
     base_context: Context | None = None,
     today: dt.date | None = None,
+    privileges: frozenset[str] | set[str] = frozenset(),
 ) -> dict[str, object]:
     """Execute every item of a report; returns {item_key: DataFrame|dict}.
-    Each item gets its OWN context clone (Report.pm:133: isolation)."""
+    Each item gets its OWN context clone (Report.pm:133: isolation);
+    items with an unmet ``priv`` or an ``appears`` list not matching the
+    context's set_name are skipped."""
     rdef = registry.reports[report]
     base = base_context or Context()
     out: dict[str, object] = {}
     for i, item in enumerate(rdef.items):
+        # per-item gating (Report.pm:112-117, z_irstats2.pl:431-434)
+        if item.priv is not None and item.priv not in privileges:
+            continue
+        if item.appears is not None and base.set_name not in item.appears:
+            continue
         ctx = replace(
             base,
             datatype=item.datatype,

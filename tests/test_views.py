@@ -210,3 +210,27 @@ def test_result_cache_roundtrip_and_prewarm(spark, report_store, tmp_path):
     )
     assert n == 5
     assert cache.clear() >= 5  # nightly invalidation removes entries
+
+
+def test_report_item_gating(spark, report_store):
+    from irstats2_spark.plans.registry import Registry, ReportDef, ReportItem
+    from irstats2_spark.plans.report import run_report
+
+    reg = Registry()
+    reg.reports["gated"] = ReportDef(
+        name="gated",
+        items=(
+            ReportItem(plugin="Counter", priv="irstats2/admin"),
+            ReportItem(plugin="Counter", appears=("divisions",)),
+            ReportItem(plugin="Counter"),  # ungated
+        ),
+    )
+    # no privileges, repository-wide context: only the ungated panel runs
+    out = run_report(spark, report_store, reg, "gated", today=TODAY)
+    assert list(out) == ["2_counter_downloads"]
+    # with the privilege granted, the priv-gated panel appears too
+    out2 = run_report(
+        spark, report_store, reg, "gated", today=TODAY,
+        privileges={"irstats2/admin"},
+    )
+    assert list(out2) == ["0_counter_downloads", "2_counter_downloads"]
