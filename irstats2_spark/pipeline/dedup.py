@@ -106,14 +106,24 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 8
 ) -> DataFrame:
-    """Engine-portable MinHash: permutation i's hash of a shingle is the
-    HEX STRING md5(i || ':' || shingle); the min is lexicographic. Returns
-    (doc_id, mh_0..mh_{n-1}). Deterministic, seed-free, reproducible in
-    any engine with md5."""
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"mh_{i}")
-        for i in range(n_hashes)
-    ]
+    """Engine-portable MinHash: permutation i's hash of a shingle is an
+    8-hex-char SLICE of md5(salt || shingle) — one md5 digest yields four
+    32-bit slices, so 8 permutations cost 2 md5 calls per shingle instead
+    of 8 (the hashing CPU is the dominant per-byte cost of MinHash over
+    100 TB of shingles). Lexicographic min over fixed-width lowercase hex
+    == numeric min. Deterministic, seed-free, reproducible in any engine
+    with md5+substring."""
+    aggs = []
+    for i in range(n_hashes):
+        salt, slot = divmod(i, 4)
+        digest = F.md5(
+            F.concat(F.lit(f"{salt}:"), F.col("shingle"))
+            if salt
+            else F.col("shingle")
+        )
+        aggs.append(
+            F.min(F.substring(digest, 1 + 8 * slot, 8)).alias(f"mh_{i}")
+        )
     return shingles.groupBy("doc_id").agg(*aggs)
 
 

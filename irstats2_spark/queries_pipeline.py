@@ -96,14 +96,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_SQL}
     SELECT doc_id,
-           MIN(md5('0:' || shingle)) AS mh_0,
-           MIN(md5('1:' || shingle)) AS mh_1,
-           MIN(md5('2:' || shingle)) AS mh_2,
-           MIN(md5('3:' || shingle)) AS mh_3,
-           MIN(md5('4:' || shingle)) AS mh_4,
-           MIN(md5('5:' || shingle)) AS mh_5,
-           MIN(md5('6:' || shingle)) AS mh_6,
-           MIN(md5('7:' || shingle)) AS mh_7
+           MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+           MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+           MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+           MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+           MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+           MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+           MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+           MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
     FROM shingles GROUP BY doc_id
     """,
     doc="MinHash signatures: md5-hex lexicographic minima (engine-portable)",
@@ -121,10 +121,14 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLES_SQL},
     sig AS (
         SELECT doc_id,
-               MIN(md5('0:' || shingle)) AS mh_0, MIN(md5('1:' || shingle)) AS mh_1,
-               MIN(md5('2:' || shingle)) AS mh_2, MIN(md5('3:' || shingle)) AS mh_3,
-               MIN(md5('4:' || shingle)) AS mh_4, MIN(md5('5:' || shingle)) AS mh_5,
-               MIN(md5('6:' || shingle)) AS mh_6, MIN(md5('7:' || shingle)) AS mh_7
+               MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+               MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+               MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+               MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
         FROM shingles GROUP BY doc_id
     ),
     banded AS (
