@@ -183,10 +183,17 @@ def compile_context(
         else:
             group_cols = list(fields)
 
-    bad = [f for f in group_cols if f not in VALID_FACT_FIELDS + ("set_value", "grouping_value")]
+    # P2 (Handler.pm:290-293): unknown requested fields WARN and are
+    # skipped, they do not fail the query
+    allowed = VALID_FACT_FIELDS + ("set_value", "grouping_value")
+    bad = [f for f in group_cols if f not in allowed]
     if bad:
-        raise ValueError(f"invalid fields {bad}; allowed {VALID_FACT_FIELDS}")
-    group_cols = [f for f in group_cols if f != "count"]
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ignoring invalid field(s) %s; allowed %s", bad, allowed
+        )
+    group_cols = [f for f in group_cols if f != "count" and f in allowed]
 
     # --- A1: the universal grouped sum -------------------------------------
     if group_cols:

@@ -248,3 +248,21 @@ def test_dimensions(store):
     # rendered values carry name-cased author display
     r = store.rendered.filter(F.col("set_name") == "authors").head()
     assert ", " in r.rendered_set_value
+
+
+def test_context_unknown_field_warned_and_skipped(store, caplog):
+    """P2 (Handler.pm:290-293): an unknown requested field is skipped with
+    a warning, not an error."""
+    import logging
+
+    from irstats2_spark.plans.builder import compile_context
+    from irstats2_spark.plans.context import Context, QueryOptions
+
+    with caplog.at_level(logging.WARNING, "irstats2_spark.plans.builder"):
+        out = compile_context(
+            store,
+            Context(datatype="downloads", range="_ALL_"),
+            QueryOptions(fields=("datestamp", "nonsense")),
+        )
+    assert "nonsense" in caplog.text
+    assert out.columns == ["datestamp", "count"]
