@@ -100,8 +100,27 @@ def run_report(
             )
         elif item.plugin == "Counter":
             out[key] = sum_all(compile_context(store, ctx, today=today))
-        elif item.plugin == "Table":
+        elif item.plugin in ("Table", "PieChart"):
+            # PieChart.pm:32-85 routes `top` exactly like Table.pm:57-85
             out[key] = _run_table(store, ctx, item)
+        elif item.plugin == "GeoChart":
+            # GeoChart.pm:16-21: select fields=['value'] — group the fact
+            # by its value column (country codes)
+            out[key] = compile_context(
+                store, replace(ctx, grouping="value"), today=today
+            )
+        elif item.plugin == "Grid":
+            # Grid.pm: layout container — run the nested items
+            from irstats2_spark.plans.registry import ReportDef
+
+            sub = ReportDef(name=f"{rdef.name}.grid{i}",
+                            items=tuple(item.options.get("items", ())))
+            registry.reports[sub.name] = sub
+            out[key] = run_report(
+                spark, store, registry, sub.name, base, today, privileges
+            )
+        elif item.plugin == "ReportHeader":
+            continue  # presentational only (ReportHeader.pm)
         else:
             raise ValueError(f"unknown view plugin '{item.plugin}'")
     return out

@@ -234,3 +234,30 @@ def test_report_item_gating(spark, report_store):
         privileges={"irstats2/admin"},
     )
     assert list(out2) == ["0_counter_downloads", "2_counter_downloads"]
+
+
+def test_report_pie_geo_grid_plugins(spark, report_store):
+    from irstats2_spark.plans.registry import Registry, ReportDef, ReportItem
+    from irstats2_spark.plans.report import run_report
+
+    reg = Registry()
+    reg.reports["rich"] = ReportDef(
+        name="rich",
+        items=(
+            ReportItem(plugin="PieChart", datatype="referrer",
+                       options={"top": "referrer"}),
+            ReportItem(plugin="GeoChart", datatype="referrer"),
+            ReportItem(plugin="ReportHeader"),
+            ReportItem(plugin="Grid", options={"items": (
+                ReportItem(plugin="Counter", datatype="downloads"),
+            )}),
+        ),
+    )
+    out = run_report(spark, report_store, reg, "rich", today=TODAY)
+    pie = {r.value: r["count"] for r in out["0_piechart_referrer"].collect()}
+    assert pie == {"Google": 9, "Yahoo": 2}
+    geo = {r.value: r["count"] for r in out["1_geochart_referrer"].collect()}
+    assert geo == {"Google": 9, "Yahoo": 2}
+    assert "2_reportheader_downloads" not in out  # presentational, skipped
+    grid = out["3_grid_downloads"]
+    assert grid["0_counter_downloads"].head()["count"] == 21
