@@ -70,14 +70,20 @@ def main() -> None:
     # local-mode restarts repay on every process but a long-lived cluster
     # pays once; pass 2 is the steady-state plan cost we're tuning.
     per_query: dict[str, float] = {}
+    failed: list[str] = []
     for name in names:
         best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = all_queries[name](spark, sf_dir)
-            df.collect()
-            elapsed = time.perf_counter() - t0
-            best = elapsed if best is None else min(best, elapsed)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                df = all_queries[name](spark, sf_dir)
+                df.collect()
+                elapsed = time.perf_counter() - t0
+                best = elapsed if best is None else min(best, elapsed)
+        except Exception as exc:  # one broken query must not zero the run
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            failed.append(name)
+            continue
         per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
@@ -89,6 +95,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": sf,
+                **({"failed": failed} if failed else {}),
             }
         )
     )
