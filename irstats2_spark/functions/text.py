@@ -43,18 +43,32 @@ def extract_search_terms(
     referrer_col: str = "referring_entity_id",
     base_url: str | None = None,
     stopwords: list[str] | None = None,
+    parallelize: bool = True,
 ) -> DataFrame:
     """Explode each qualifying referrer into normalized search words.
 
     Input: a DataFrame of download events (caller applies the is_download
-    restriction). Output: input columns + ``word``.
+    restriction). Output: input columns + ``word``. Pass
+    ``parallelize=False`` when the input is already shuffle-distributed
+    (e.g. post-aggregation) to skip the narrow-input repartition guard.
     """
     from irstats2_spark.parallel import ensure_parallelism
 
-    df = ensure_parallelism(df)
-    ref = F.col(referrer_col)
-    host = url_hostname(ref)
-    uri = url_uri(ref)
+    if parallelize:
+        df = ensure_parallelism(df)
+    # Project host/uri ONCE and reference them by name below. Inlining
+    # url_hostname()/url_uri() at each of the ~7 use sites duplicates the
+    # whole prepare+regex subtree combinatorially, and Catalyst pays for
+    # the tree size in driver-side optimization time (~1s per compile of
+    # this query) — column reuse keeps the plan linear in the logic size.
+    df = df.withColumns(
+        {
+            "__host": url_hostname(F.col(referrer_col)),
+            "__uri": url_uri(F.col(referrer_col)),
+        }
+    )
+    host = F.col("__host")
+    uri = F.col("__uri")
 
     internal = (host == "localhost") | (host == base_url) if base_url else (host == "localhost")
     search_uri = uri.rlike(r"(/secure|)/cgi/search/(simple|advanced)\?")
@@ -85,5 +99,29 @@ def extract_search_terms(
     return (
         exploded.withColumn("word", normalize_word(F.col("__raw"), stopwords))
         .filter(F.col("word").isNotNull())
-        .drop("__q", "__raw")
+        .drop("__q", "__raw", "__host", "__uri")
     )
+
+
+def search_term_counts(
+    df: DataFrame,
+    referrer_col: str = "referring_entity_id",
+    base_url: str | None = None,
+    stopwords: list[str] | None = None,
+) -> DataFrame:
+    """Search-term frequency table: (word, count) over all events.
+
+    Heavy-hitter plan: referrers repeat (the same search-result URL is
+    clicked many times), so aggregate to DISTINCT referrer + count first
+    — a map-side-combining groupBy whose shuffle carries one row per
+    distinct referrer — and run the regex cascade of
+    ``extract_search_terms`` over the distinct set only. Word counts are
+    then the referrer counts summed per exploded word. The per-event
+    regex work drops by the referrer repetition factor; when referrers
+    are mostly unique the plan degrades to the naive one plus one
+    map-side combine, never worse by more than that."""
+    ref_counts = df.groupBy(F.col(referrer_col)).agg(F.count(F.lit(1)).alias("__n"))
+    words = extract_search_terms(
+        ref_counts, referrer_col, base_url, stopwords, parallelize=False
+    )
+    return words.groupBy("word").agg(F.sum("__n").alias("count"))

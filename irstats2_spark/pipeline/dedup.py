@@ -103,16 +103,14 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
-def minhash_signatures(
-    shingles: DataFrame, n_hashes: int = 8
-) -> DataFrame:
-    """Engine-portable MinHash: permutation i's hash of a shingle is an
-    8-hex-char SLICE of md5(salt || shingle) — one md5 digest yields four
-    32-bit slices, so 8 permutations cost 2 md5 calls per shingle instead
-    of 8 (the hashing CPU is the dominant per-byte cost of MinHash over
-    100 TB of shingles). Lexicographic min over fixed-width lowercase hex
-    == numeric min. Deterministic, seed-free, reproducible in any engine
-    with md5+substring."""
+def _minhash_aggs(n_hashes: int) -> list:
+    """Per-doc MinHash aggregate expressions: permutation i's hash of a
+    shingle is an 8-hex-char SLICE of md5(salt || shingle) — one md5
+    digest yields four 32-bit slices, so 8 permutations cost 2 md5 calls
+    per shingle instead of 8 (the hashing CPU is the dominant per-byte
+    cost of MinHash over 100 TB of shingles). Lexicographic min over
+    fixed-width lowercase hex == numeric min. Deterministic, seed-free,
+    reproducible in any engine with md5+substring."""
     aggs = []
     for i in range(n_hashes):
         salt, slot = divmod(i, 4)
@@ -124,7 +122,14 @@ def minhash_signatures(
         aggs.append(
             F.min(F.substring(digest, 1 + 8 * slot, 8)).alias(f"mh_{i}")
         )
-    return shingles.groupBy("doc_id").agg(*aggs)
+    return aggs
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 8
+) -> DataFrame:
+    """Engine-portable MinHash signatures per doc (see _minhash_aggs)."""
+    return shingles.groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
 
 
 def minhash_lsh_candidates(
@@ -140,10 +145,18 @@ def minhash_lsh_candidates(
     Output: (doc_a, doc_b, n_bands_shared). Pass a (cached) ``shingles``
     DataFrame to share the shingling scan with the verify stage."""
     assert n_hashes % bands == 0
-    rows_per_band = n_hashes // bands
     if shingles is None:
         shingles = word_shingles(docs, text_col, id_col, k)
     sig = minhash_signatures(shingles, n_hashes)
+    return _band_candidates(sig, n_hashes, bands)
+
+
+def _band_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
+    """Self-join docs on banded signature equality: (doc_a, doc_b,
+    n_bands_shared). The join key (band, md5-of-band-rows) spreads
+    uniformly, so the shuffle is skew-free; bucket sizes are the LSH
+    collision sets, |bucket|^2 pairs within buckets, never |docs|^2."""
+    rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -173,31 +186,39 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates verified by true Jaccard.
-    Output: (doc_a, doc_b, jaccard) for verified pairs."""
-    sh = word_shingles(docs, text_col, id_col, k).cache()
-    cand = minhash_lsh_candidates(
-        docs, text_col, id_col, k, n_hashes, bands, shingles=sh
+    Output: (doc_a, doc_b, jaccard) for verified pairs.
+
+    One-shuffle design: a single groupBy over the shingle set computes the
+    MinHash minima, the shingle SET (collect_set), and the shingle count
+    per doc, all in one pass — the md5 per shingle is evaluated once, and
+    no later stage touches the raw (doc, shingle) rows again. Candidates
+    come from the banded self-join (skew-free md5 keys); the Jaccard
+    verify is then map-side: broadcast the candidate pairs onto the
+    per-doc rows and intersect the two shingle arrays in the JVM
+    (array_intersect is hash-based, O(|set|)). Per-doc state is bounded
+    by document length, not corpus size. At candidate volumes past
+    broadcast limits, semi-filter per-doc rows by candidate ids and let
+    AQE plan the pair joins instead of hinting broadcast."""
+    sh = word_shingles(docs, text_col, id_col, k)
+    per_doc = sh.groupBy("doc_id").agg(
+        *_minhash_aggs(n_hashes),
+        F.collect_set("shingle").alias("__set"),
+        F.count(F.lit(1)).alias("__n"),
     )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # verify only candidate pairs: semi-restrict the shingle self-join
-    common = (
-        a.join(F.broadcast(cand.select("doc_a", "doc_b")), "doc_a")
-        .join(b, ["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    per_doc = per_doc.cache()  # reused: band candidates + both verify sides
+    cand = _band_candidates(per_doc, n_hashes, bands)
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"), F.col("__set").alias("__sa"), F.col("__n").alias("na")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"), F.col("__set").alias("__sb"), F.col("__n").alias("nb")
+    )
+    pairs = a.join(F.broadcast(cand.select("doc_a", "doc_b")), "doc_a").join(b, "doc_b")
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
-            F.round(
-                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 6
-            ),
+            F.round(n_common / (F.col("na") + F.col("nb") - n_common), 6),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")

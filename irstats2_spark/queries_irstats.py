@@ -303,7 +303,7 @@ def referrer_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="F6 SearchTerms.pm:76-198 — engine param routing + normalization",
 )
 def search_term_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from irstats2_spark.functions.text import extract_search_terms
+    from irstats2_spark.functions.text import search_term_counts
 
     ref = (
         F.when(F.col("user_id") % 3 == 0, "http://www.google.com/search?q=Spark+engine+the+x")
@@ -315,8 +315,7 @@ def search_term_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .withColumn("ref", ref)
     )
-    words = extract_search_terms(ev, "ref", base_url="myrepo.org")
-    return words.groupBy(F.col("word")).agg(F.count(F.lit(1)).alias("count"))
+    return search_term_counts(ev, "ref", base_url="myrepo.org")
 
 
 # ---------------------------------------------------------------------------
