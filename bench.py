@@ -38,6 +38,9 @@ HEADLINE = [
     "geoip_range_join",
     # training-data pipeline
     "dedup_exact",
+    "dedup_clusters",
+    "sample_split_assign",
+    "sample_stratified",
     "dedup_minhash_lsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",

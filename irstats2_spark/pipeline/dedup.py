@@ -263,6 +263,63 @@ def simhash(
     return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Transitive closure of near-dup pairs: (doc_id, cluster_id) where
+    cluster_id = the MIN doc id reachable through any chain of pairs.
+    Near-dup is not transitive, so pair output alone under-deduplicates
+    (A~B, B~C leaves A,C both kept); keeper selection needs components.
+
+    Distributed min-label propagation: every node starts labeled with
+    itself; each round a node adopts the min label among itself and its
+    neighbors; fixpoint in O(component diameter) rounds (near-dup
+    clusters are shallow — a handful). Per round: one join of the label
+    table onto the edge list + one min-groupBy; the label table is
+    ``localCheckpoint``-ed so lineage (and recovery cost) stays O(1) in
+    rounds. The tables involved scale with |dup-pair nodes|, not corpus
+    size. Convergence is an exact fixpoint — output is deterministic and
+    iteration-count-independent.
+    """
+    # Materialize the (small) pair set once: the pair source is typically
+    # a whole LSH pipeline, and both union branches, the label init, and
+    # every propagation round would re-derive it otherwise.
+    pairs = pairs.select(a_col, b_col).localCheckpoint()
+    edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
+        pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    def _checksum(lbl: DataFrame):
+        # labels only ever decrease, so an unchanged sum proves fixpoint
+        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev = _checksum(labels)
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "comp")
+        )
+        labels = (
+            labels.union(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur = _checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.select(F.col("node").alias("doc_id"), F.col("comp").alias("cluster_id"))
+
+
 def embedding_cosine_dups(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -115,10 +115,10 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(word_shingles(docs, "text", "doc_id", 3), 8)
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
-    WITH {_SHINGLES_SQL},
+# LSH candidate + Jaccard-verify chain, ending in CTE ``verified`` —
+# shared by the pair query and the connected-components clustering query.
+_LSH_VERIFIED_SQL = f"""
+    {_SHINGLES_SQL},
     sig AS (
         SELECT doc_id,
                MIN(substring(md5(shingle), 1, 8)) AS mh_0,
@@ -150,12 +150,22 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN shingles a ON a.doc_id = c.doc_a
         JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
         GROUP BY 1, 2
+    ),
+    verified AS (
+        SELECT doc_a, doc_b, ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
     )
-    SELECT doc_a, doc_b, ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
-    FROM common
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_LSH_VERIFIED_SQL}
+    SELECT doc_a, doc_b, jaccard FROM verified
     """,
     doc="MinHash+LSH near-dup: 8 hashes, 4 bands, Jaccard-verified >= 0.5",
 )
@@ -165,6 +175,86 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_dedup(
         load_table(spark, "documents", sf_dir), threshold=0.5
     )
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {_LSH_VERIFIED_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    )
+    SELECT node AS doc_id, MIN(m) AS cluster_id,
+           node = MIN(m) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+    doc="near-dup clustering: transitive closure over LSH-verified pairs "
+    "via distributed min-label propagation; keeper = min id per component",
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import connected_components, minhash_lsh_dedup
+
+    pairs = minhash_lsh_dedup(load_table(spark, "documents", sf_dir), threshold=0.5)
+    comp = connected_components(pairs)
+    return comp.withColumn("is_keeper", F.col("doc_id") == F.col("cluster_id"))
+
+
+# Engine-portable hash bucket, SQL form (mirrors sampling.hash_bucket):
+# first 8 md5 hex chars as a 32-bit int mod the bucket count.
+def _bucket_sql(salt: str, key: str = "doc_id", buckets: int = 10_000) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {buckets}"
+    )
+
+
+@register(
+    "sample_split_assign",
+    f"""
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, {_bucket_sql('split:')} AS bucket FROM documents)
+    """,
+    doc="deterministic train/val/test assignment: md5 hash bucket of the "
+    "doc id — stable across reruns, engines, and partitionings",
+)
+def sample_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import hash_bucket, split_assign
+
+    docs = load_table(spark, "documents", sf_dir)
+    out = split_assign(docs, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    return out.select(
+        "doc_id", hash_bucket(F.col("doc_id"), salt="split:").alias("bucket"), "split"
+    )
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang
+    FROM (SELECT doc_id, lang, {_bucket_sql('sample:')} AS b FROM documents)
+    WHERE b < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 1000 END
+    """,
+    doc="deterministic stratified sample: per-stratum hash-bucket "
+    "fractions (en 50%, de 25%, default 10%); supersets under growth",
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import stratified_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    kept = stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}, "doc_id", default_fraction=0.1
+    )
+    return kept.select("doc_id", "lang")
 
 
 @register(

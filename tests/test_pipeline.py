@@ -203,3 +203,68 @@ def test_multimodal_resize_stub(spark):
         assert len(r.content) == 32
     by_id = {r.media_id: bytes(r.content) for r in out}
     assert by_id[1] == (b"abc" * 11)[:32]  # deterministic tiling
+
+
+# ---------------------------------------------------------------------------
+# Connected components (dedup clustering)
+# ---------------------------------------------------------------------------
+def test_connected_components_chain_and_islands(spark):
+    from irstats2_spark.pipeline.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3 => several propagation rounds), island 7-8,
+    # plus a pair that merges two already-labeled subchains late: 4-9, 9-10
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (7, 8), (9, 4), (10, 9)],
+        "doc_a int, doc_b int",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 1, 10: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_empty(spark):
+    from irstats2_spark.pipeline.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a int, doc_b int")
+    assert connected_components(pairs).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits
+# ---------------------------------------------------------------------------
+def python_bucket(key, salt="", buckets=10_000):
+    return int(hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_hash_bucket_matches_python_md5(spark):
+    from irstats2_spark.pipeline.sampling import hash_bucket
+
+    df = spark.createDataFrame([(i,) for i in range(50)], "id long")
+    got = {
+        r.id: r.b
+        for r in df.select("id", hash_bucket(F.col("id"), salt="s:").alias("b")).collect()
+    }
+    assert got == {i: python_bucket(i, "s:") for i in range(50)}
+
+
+def test_split_assign_deterministic_and_partition_invariant(spark):
+    from irstats2_spark.pipeline.sampling import split_assign
+
+    df = spark.createDataFrame([(i,) for i in range(300)], "id long")
+    a = {r.id: r.split for r in split_assign(df, "id").collect()}
+    b = {r.id: r.split for r in split_assign(df.repartition(7), "id").collect()}
+    assert a == b  # pure function of the key, not of layout
+    frac_train = sum(1 for v in a.values() if v == "train") / len(a)
+    assert 0.8 < frac_train < 0.97  # ~0.9 on 300 keys
+    assert set(a.values()) == {"train", "val", "test"}
+
+
+def test_stratified_sample_superset_under_growth(spark):
+    from irstats2_spark.pipeline.sampling import stratified_sample
+
+    rows = [(i, "en" if i % 2 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, lang string")
+    small = {r.id for r in stratified_sample(df, "lang", {"en": 0.2, "de": 0.1}, "id").collect()}
+    large = {r.id for r in stratified_sample(df, "lang", {"en": 0.5, "de": 0.3}, "id").collect()}
+    assert small <= large  # growing a fraction only adds rows
+    none_kept = stratified_sample(df, "lang", {}, "id", default_fraction=0.0).count()
+    assert none_kept == 0
