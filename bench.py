@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
+    "similarity_hyperplane_sig",
     "text_quality_features",
     "text_lang_id",
 ]

@@ -98,6 +98,92 @@ def brute_force_topk(
     )
 
 
+def _hyperplanes(planes: int, dim: int) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff the
+    first byte of md5("p:d") is even. Seed-free and engine-portable — a
+    SQL oracle re-derives the identical matrix from md5."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:2], 16) % 2 == 0
+            else -1
+            for d in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """Sign-random-projection signature (SimHash for vectors): bit p of
+    ``hp_sig`` is 1 iff dot(quantize(v), w_p) >= 0. For unit-ish vectors
+    P[bit agrees] = 1 - angle/pi, so cosine-near vectors share most bits
+    — band the signature and self-join (as in MinHash-LSH) for candidate
+    pairs without an all-pairs scan.
+
+    Scale: pure map-side JVM column math (the ±1 hyperplanes are literal
+    arrays — integer dots over quantized vectors are exact, no RNG, no
+    broadcast, no shuffle); the output is one long per vector."""
+    qv = quantize(F.col(vec_col), scale)
+    w = _hyperplanes(planes, dim)
+    sig = None
+    for p in range(planes):
+        wp = F.array(*[F.lit(x) for x in w[p]])
+        d = F.aggregate(
+            F.zip_with(qv, wp, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(d >= 0, 2**p).otherwise(0)
+        sig = term if sig is None else sig + term
+    return embeddings.select(
+        F.col(id_col), sig.cast("long").alias("hp_sig")
+    )
+
+
+def hyperplane_lsh_candidates(
+    signatures: DataFrame,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    sig_col: str = "hp_sig",
+) -> DataFrame:
+    """Candidate pairs sharing at least one exact band of the hyperplane
+    signature: (doc_a, doc_b, n_bands_shared). Same skew-free banded
+    self-join shape as MinHash-LSH; follow with an exact cosine verify
+    on the (small) candidate set."""
+    assert planes % bands == 0
+    bits = planes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col(sig_col), b * bits)
+            .bitwiseAND((1 << bits) - 1)
+            .alias("sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = signatures.select(
+        F.col(id_col).alias("doc_id"), F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
+    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    return (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     centroids: DataFrame,

@@ -385,6 +385,40 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_hyperplane_sig",
+    f"""
+    WITH w AS (
+        SELECT p,
+               list(CASE WHEN CAST(concat('0x', substring(
+                        md5(concat(CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))),
+                        1, 2)) AS INT) % 2 = 0 THEN 1 ELSE -1 END ORDER BY d) AS wv
+        FROM generate_series(0, 15) t1(p), generate_series(0, 63) t2(d)
+        GROUP BY p
+    ),
+    q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_sum(list_transform(list_zip(qv, wv), pr -> pr[1]*pr[2])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM q CROSS JOIN w
+    )
+    SELECT vec_id,
+           CAST(SUM(bit * CAST(round(pow(2, p)) AS BIGINT)) AS BIGINT) AS hp_sig
+    FROM bits GROUP BY vec_id
+    """,
+    doc="ANN scale path #2: sign-random-projection signatures from "
+    "md5-derived ±1 hyperplanes (exact integer dots; band + self-join "
+    "for candidates without an all-pairs scan)",
+)
+def similarity_hyperplane_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import hyperplane_signatures
+
+    return hyperplane_signatures(
+        load_table(spark, "embeddings", sf_dir), dim=64, planes=16
+    )
+
+
+@register(
     "text_token_counts",
     f"""
     SELECT doc_id,

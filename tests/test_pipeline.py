@@ -268,3 +268,42 @@ def test_stratified_sample_superset_under_growth(spark):
     assert small <= large  # growing a fraction only adds rows
     none_kept = stratified_sample(df, "lang", {}, "id", default_fraction=0.0).count()
     assert none_kept == 0
+
+
+# ---------------------------------------------------------------------------
+# Hyperplane (sign-random-projection) signatures
+# ---------------------------------------------------------------------------
+def test_hyperplane_signatures_match_numpy_and_bucket_neighbors(spark):
+    import numpy as np
+
+    from irstats2_spark.pipeline.similarity import (
+        _hyperplanes,
+        hyperplane_lsh_candidates,
+        hyperplane_signatures,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=16)
+    near = base + rng.normal(scale=0.01, size=16)  # cosine ~ 1
+    far = rng.normal(size=16)
+    rows = [(1, [float(x) for x in base]), (2, [float(x) for x in near]),
+            (3, [float(x) for x in far])]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    sigs = {r.vec_id: r.hp_sig for r in
+            hyperplane_signatures(df, dim=16, planes=16).collect()}
+
+    # python oracle: same quantization + same md5 hyperplanes
+    w = np.array(_hyperplanes(16, 16))
+    for vid, vec in rows:
+        q = np.floor(np.array([np.float32(x) for x in vec], dtype=np.float64) * 1000 + 0.5)
+        expect = sum((1 << p) for p in range(16) if q @ w[p] >= 0)
+        assert sigs[vid] == expect, vid
+
+    # near-identical vectors agree on (almost) every bit
+    assert bin(sigs[1] ^ sigs[2]).count("1") <= 2
+    sig_df = spark.createDataFrame(
+        [(k, v) for k, v in sigs.items()], "vec_id int, hp_sig long")
+    cands = {(r.doc_a, r.doc_b) for r in
+             hyperplane_lsh_candidates(sig_df).collect()}
+    assert (1, 2) in cands

@@ -81,3 +81,42 @@ def test_geoip_is_hash_join_not_nested_loop(spark, queries):
     plan = plan_of(queries["geoip_range_join"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_no_cartesian_and_no_row_udfs_anywhere(spark, queries):
+    """Catalog-wide scale guard: no query may plan a CartesianProduct
+    (an unbounded |A|x|B| shuffle-free blowup) or a row-at-a-time Python
+    UDF (BatchEvalPython — per-row pickling; Arrow batch operators like
+    MapInPandas/FlatMapGroupsInPandas are the sanctioned Python path).
+    Intentional broadcast cross joins (ANN scoring against a broadcast
+    query/centroid set) plan as BroadcastNestedLoopJoin and stay legal."""
+    for name, fn in queries.items():
+        plan = plan_of(fn(spark, SF))
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+
+
+def test_exact_sums_partials_are_long_not_decimal(spark, queries):
+    # the big map-side combine of a1 must aggregate long partials; the
+    # decimal merge may only appear after the tiny per-split shuffle
+    import re
+
+    plan = plan_of(queries["a1_grouped_sum"](spark, SF))
+    aggs = {}  # node number -> detail block
+    for block in re.split(r"\n\n", plan):
+        m = re.match(r"\((\d+)\) HashAggregate", block)
+        if m:
+            aggs[int(m.group(1))] = block
+    scan_side = aggs[min(aggs)]
+    assert "partial_sum" in scan_side
+    assert "bigint" in scan_side and "decimal" not in scan_side
+    assert "decimal(38,0)" in aggs[max(aggs)]  # exact merge at the top
+
+
+def test_sampling_filter_is_map_side_only(spark, queries):
+    # deterministic sampling must stay a scan + filter/project: no
+    # shuffle, no UDF — the bucket is a pure column expression
+    plan = plan_of(queries["sample_stratified"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "BatchEvalPython" not in plan
