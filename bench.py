@@ -50,6 +50,7 @@ HEADLINE = [
     "similarity_hyperplane_sig",
     "text_quality_features",
     "text_lang_id",
+    "pipeline_curation_summary",
 ]
 
 

@@ -1,0 +1,63 @@
+"""End-to-end corpus curation: the composition layer of the training-data
+pipeline — quality gate -> exact-dedup keeper selection -> deterministic
+split assignment — as one declarative DataFrame chain.
+
+Plan shape at scale (the whole point of composing these map/shuffle
+primitives declaratively):
+
+- the quality gate is a pure column-expression filter fused into the
+  scan stage (no shuffle, pushdown-friendly);
+- keeper selection is ONE full-row shuffle: a min-over-window keyed by
+  md5(text). The alternative (aggregate keeper ids, semi-join back)
+  costs a small shuffle PLUS a full-row join shuffle, so the window
+  formulation strictly wins;
+- split assignment is map-side hash arithmetic (sampling.split_assign);
+- the final summary is an ordinary partial-aggregated groupBy.
+Net: one shuffle before the summary, everything else scan-fused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from irstats2_spark.pipeline.sampling import split_assign
+from irstats2_spark.pipeline.textstats import LANG_MARKERS, tokens
+
+
+def curate_corpus(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """Quality-gate, dedup, and split a document corpus.
+
+    Returns the curated rows (exact-dup keepers only, quality passed)
+    with ``n_tokens`` and ``split`` columns added."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(LANG_MARKERS["en"])))
+    gated = docs.withColumn("n_tokens", n_toks).filter(
+        (F.col("n_tokens") >= min_tokens)
+        & ((n_stop / F.col("n_tokens")) <= max_stopword_ratio)
+    )
+    keeper = F.min(id_col).over(Window.partitionBy(F.md5(text)))
+    curated = (
+        gated.withColumn("__keeper", keeper)
+        .filter(F.col(id_col) == F.col("__keeper"))
+        .drop("__keeper")
+    )
+    return split_assign(curated, id_col, splits)
+
+
+def curation_summary(curated: DataFrame, lang_col: str = "lang") -> DataFrame:
+    """Per (split, stratum) doc and token counts — the corpus report a
+    training run starts from."""
+    return curated.groupBy("split", F.col(lang_col).alias("lang")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

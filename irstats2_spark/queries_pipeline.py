@@ -385,6 +385,44 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_curation_summary",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> length(w) > 0)) AS n_tokens,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> w IN ('the','and','of','to','in','is','a'))) AS n_stop
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feats
+        WHERE n_tokens >= 5 AND (CAST(n_stop AS DOUBLE) / n_tokens) <= 0.6
+    ),
+    keepers AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept
+    ),
+    assigned AS (
+        SELECT doc_id, lang, n_tokens,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, {_bucket_sql('split:')} AS b FROM keepers WHERE doc_id = keeper)
+    )
+    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    FROM assigned GROUP BY 1, 2
+    """,
+    doc="end-to-end curation: quality gate -> exact-dedup keepers -> "
+    "deterministic split -> per-(split, lang) corpus summary",
+)
+def pipeline_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import curate_corpus, curation_summary
+
+    curated = curate_corpus(load_table(spark, "documents", sf_dir))
+    return curation_summary(curated)
+
+
+@register(
     "similarity_hyperplane_sig",
     f"""
     WITH w AS (

@@ -307,3 +307,28 @@ def test_hyperplane_signatures_match_numpy_and_bucket_neighbors(spark):
     cands = {(r.doc_a, r.doc_b) for r in
              hyperplane_lsh_candidates(sig_df).collect()}
     assert (1, 2) in cands
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation composition
+# ---------------------------------------------------------------------------
+def test_curate_corpus_gates_dedups_and_splits(spark):
+    from irstats2_spark.pipeline.curate import curate_corpus, curation_summary
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta", "en"),
+        (2, "alpha beta gamma delta epsilon zeta", "en"),   # exact dup of 1
+        (3, "too short", "en"),                              # fails min_tokens
+        (4, "the the the the the the", "en"),                # all stopwords
+        (5, "one two three four five six seven", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = curate_corpus(docs, min_tokens=5, max_stopword_ratio=0.6).collect()
+    kept = {r.doc_id for r in out}
+    assert kept == {1, 5}  # 2 deduped to keeper 1; 3 too short; 4 stopwordy
+    assert all(r.split in ("train", "val", "test") for r in out)
+    assert all(r.n_tokens >= 5 for r in out)
+
+    summary = curation_summary(curate_corpus(docs, min_tokens=5)).collect()
+    assert sum(r.n_docs for r in summary) == 2
+    assert sum(r.total_tokens for r in summary) == 13
