@@ -48,6 +48,7 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
     "similarity_hyperplane_sig",
+    "similarity_hyperplane_topk",
     "text_quality_features",
     "text_lang_id",
     "pipeline_curation_summary",

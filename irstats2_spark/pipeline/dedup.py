@@ -72,19 +72,43 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
+    max_docs_per_shingle: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard >= threshold.
 
     Brute-force baseline (pairs sharing >=1 shingle); the LSH variant
-    below is the scale path. Output: (doc_a, doc_b, jaccard)."""
+    below is the scale path. Output: (doc_a, doc_b, jaccard).
+
+    The co-occurrence count groups docs per shingle and emits ordered
+    pairs from the sorted id array — ONE shuffle of the shingle set,
+    where the equivalent self-join on shingle shuffles it twice. The
+    per-shingle pair blowup (|docs sharing a shingle|^2) is identical in
+    both formulations and lands on the same reducer key either way;
+    ``max_docs_per_shingle`` caps it by dropping ultra-common shingles
+    (default None = exact — capping slightly lowers Jaccard for pairs
+    whose overlap includes boilerplate, the standard web-scale
+    approximation)."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    bucket_ok = F.size("ids") > 1
+    if max_docs_per_shingle is not None:
+        bucket_ok = bucket_ok & (F.size("ids") <= max_docs_per_shingle)
     common = (
-        a.join(b, "shingle")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(bucket_ok)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
@@ -234,33 +258,40 @@ def simhash(
     """Engine-portable SimHash over words: bit b of a word's hash is bit b
     of the first 4 bytes of md5(word); the document's bit b is 1 iff the
     sum of votes (+1/-1 per DISTINCT word) is positive. Output:
-    (doc_id, simhash int)."""
+    (doc_id, simhash int).
+
+    Entirely map-side: the distinct-word set, the word hashes (one md5
+    per word via a single array transform), and the 16 bit-votes are all
+    per-row array expressions — NO shuffle, so at 100 TB this fuses into
+    the scan stage and costs exactly one pass over the text. (The
+    previous formulation exploded words and shuffled twice: once for the
+    (doc, word) distinct, once for the vote groupBy.)"""
     from irstats2_spark.parallel import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    words = (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("word"),
+    words = F.array_distinct(
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda w: F.length(w) > 0,
         )
-        .filter(F.length("word") > 0)
-        .distinct()
     )
-    # first 8 hex chars of md5 -> 32-bit int; take the low `bits` bits
-    h = F.conv(F.substring(F.md5(F.col("word")), 1, 8), 16, 10).cast("long")
-    words = words.withColumn("wh", h)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(F.col("wh"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    per_doc = words.groupBy("doc_id").agg(*votes)
+    # first 8 hex chars of md5 -> 32-bit int; computed once per word
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
     sim = None
     for b in range(bits):
-        term = F.when(F.col(f"v{b}") > 0, 2 ** b).otherwise(0)
+        vote = F.aggregate(
+            F.col("__wh"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1),  # noqa: B023
+        )
+        term = F.when(vote > 0, 2**b).otherwise(0)
         sim = term if sim is None else sim + term
-    return per_doc.select("doc_id", sim.cast("long").alias("simhash"))
+    return docs.withColumn("__wh", hashes).select(
+        F.col(id_col).alias("doc_id"), sim.cast("long").alias("simhash")
+    )
 
 
 def connected_components(

@@ -115,24 +115,13 @@ def _hyperplanes(planes: int, dim: int) -> list[list[int]]:
     ]
 
 
-def hyperplane_signatures(
-    embeddings: DataFrame,
-    dim: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    planes: int = 16,
-    scale: int = 1000,
-) -> DataFrame:
-    """Sign-random-projection signature (SimHash for vectors): bit p of
-    ``hp_sig`` is 1 iff dot(quantize(v), w_p) >= 0. For unit-ish vectors
-    P[bit agrees] = 1 - angle/pi, so cosine-near vectors share most bits
-    — band the signature and self-join (as in MinHash-LSH) for candidate
-    pairs without an all-pairs scan.
-
-    Scale: pure map-side JVM column math (the ±1 hyperplanes are literal
-    arrays — integer dots over quantized vectors are exact, no RNG, no
-    broadcast, no shuffle); the output is one long per vector."""
-    qv = quantize(F.col(vec_col), scale)
+def hyperplane_sig_expr(
+    qv: Column, dim: int, planes: int = 16
+) -> Column:
+    """Sign-random-projection signature (SimHash for vectors) over an
+    ALREADY-quantized vector column: bit p is 1 iff dot(qv, w_p) >= 0.
+    Pure map-side JVM column math — the ±1 hyperplanes are literal
+    arrays, integer dots are exact, no RNG/broadcast/shuffle."""
     w = _hyperplanes(planes, dim)
     sig = None
     for p in range(planes):
@@ -144,9 +133,23 @@ def hyperplane_signatures(
         )
         term = F.when(d >= 0, 2**p).otherwise(0)
         sig = term if sig is None else sig + term
-    return embeddings.select(
-        F.col(id_col), sig.cast("long").alias("hp_sig")
-    )
+    return sig.cast("long")
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    planes: int = 16,
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-vector hyperplane signature table (see hyperplane_sig_expr).
+    For unit-ish vectors P[bit agrees] = 1 - angle/pi, so cosine-near
+    vectors share most bits — band the signature and self-join (as in
+    MinHash-LSH) for candidate pairs without an all-pairs scan."""
+    sig = hyperplane_sig_expr(quantize(F.col(vec_col), scale), dim, planes)
+    return embeddings.select(F.col(id_col), sig.alias("hp_sig"))
 
 
 def hyperplane_lsh_candidates(
@@ -182,6 +185,74 @@ def hyperplane_lsh_candidates(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )
+
+
+def hyperplane_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """ANN top-k via hyperplane LSH: corpus vectors whose signature shares
+    >= 1 exact band with the query's are scored by exact quantized cosine
+    and ranked. Approximate: recall < 1 when a true neighbor differs in
+    every band.
+
+    Scale shape: signatures and banding are map-side on both sides; the
+    candidate join broadcasts the (small) banded query set, so the corpus
+    is never shuffled — only the candidate (query, vec, cosine) triples
+    move, first into a max-dedup (a pair can match in several bands),
+    then into the per-query top-k window over candidate counts."""
+    assert planes % bands == 0
+    bits = planes // bands
+
+    def banded(df, idc, vecc, out_id):
+        # one map-side select computes the quantized vector AND its
+        # signature — no join back, the corpus is never shuffled
+        base = df.select(
+            F.col(idc).alias(out_id),
+            quantize(F.col(vecc), scale).alias(f"__q_{out_id}"),
+        ).withColumn(
+            "hp_sig", hyperplane_sig_expr(F.col(f"__q_{out_id}"), dim, planes)
+        )
+        band_cols = [
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("hp_sig"), b * bits)
+                .bitwiseAND((1 << bits) - 1)
+                .alias("sig"),
+            )
+            for b in range(bands)
+        ]
+        return base.select(
+            out_id, f"__q_{out_id}", F.explode(F.array(*band_cols)).alias("bs")
+        ).select(out_id, f"__q_{out_id}", "bs.band", "bs.sig")
+
+    corpus_b = banded(embeddings, id_col, vec_col, "vec_id")
+    query_b = banded(queries, q_id_col, q_vec_col, "query_id")
+    scored = (
+        corpus_b.join(F.broadcast(query_b), ["band", "sig"])
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_pre_quantized(F.col("__q_vec_id"), F.col("__q_query_id")), 6
+            ).alias("cosine"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
 def ivf_assign(

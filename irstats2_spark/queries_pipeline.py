@@ -457,6 +457,67 @@ def similarity_hyperplane_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_hyperplane_topk",
+    f"""
+    WITH w AS (
+        SELECT p,
+               list(CASE WHEN CAST(concat('0x', substring(
+                        md5(concat(CAST(p AS VARCHAR), ':', CAST(d AS VARCHAR))),
+                        1, 2)) AS INT) % 2 = 0 THEN 1 ELSE -1 END ORDER BY d) AS wv
+        FROM generate_series(0, 15) t1(p), generate_series(0, 63) t2(d)
+        GROUP BY p
+    ),
+    q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),
+    bits AS (
+        SELECT vec_id, p,
+               CASE WHEN list_sum(list_transform(list_zip(qv, wv), pr -> pr[1]*pr[2])) >= 0
+                    THEN 1 ELSE 0 END AS bit
+        FROM q CROSS JOIN w
+    ),
+    sigs AS (
+        SELECT vec_id,
+               CAST(SUM(bit * CAST(round(pow(2, p)) AS BIGINT)) AS BIGINT) AS hp_sig
+        FROM bits GROUP BY vec_id
+    ),
+    banded AS (
+        SELECT vec_id, b.b AS band, (hp_sig >> (b.b * 4)) & 15 AS bsig
+        FROM sigs CROSS JOIN generate_series(0, 3) b(b)
+    ),
+    cand AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS vec_id
+        FROM banded qb JOIN banded cb ON qb.band = cb.band AND qb.bsig = cb.bsig
+        WHERE qb.vec_id < 3
+    ),
+    scored AS (
+        SELECT c.query_id, c.vec_id,
+               ROUND({_qcos('e.embedding', 'qe.embedding')}, 6) AS cosine
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        JOIN embeddings qe ON qe.vec_id = c.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="ANN scale path #2 end-to-end: hyperplane-LSH banded candidates "
+    "against broadcast queries, exact quantized-cosine verify, top-5 "
+    "(corpus never shuffled)",
+)
+def similarity_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import hyperplane_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return hyperplane_topk(emb, queries, dim=64, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
     "text_token_counts",
     f"""
     SELECT doc_id,

@@ -332,3 +332,25 @@ def test_curate_corpus_gates_dedups_and_splits(spark):
     summary = curation_summary(curate_corpus(docs, min_tokens=5)).collect()
     assert sum(r.n_docs for r in summary) == 2
     assert sum(r.total_tokens for r in summary) == 13
+
+
+def test_hyperplane_topk_finds_near_neighbor(spark):
+    import numpy as np
+
+    from irstats2_spark.pipeline.similarity import hyperplane_topk
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=16)
+    vecs = [(1, base), (2, base + rng.normal(scale=0.01, size=16))] + [
+        (i, rng.normal(size=16)) for i in range(3, 30)
+    ]
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id int, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(1, [float(x) for x in base])], "query_id int, query_vec array<float>"
+    )
+    got = {r.vec_id: r.rank for r in hyperplane_topk(emb, queries, dim=16, k=3).collect()}
+    # the query itself and its near-twin must be the top-2 candidates
+    assert got[1] == 1 and got[2] == 2
