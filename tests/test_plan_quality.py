@@ -120,3 +120,15 @@ def test_sampling_filter_is_map_side_only(spark, queries):
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "BatchEvalPython" not in plan
+
+
+def test_curation_shuffle_never_carries_text(spark, queries):
+    # keeper selection shuffles by md5(text); the text column itself must
+    # be pruned below the exchange (at 100 TB the shuffle carries ids and
+    # counters, not document bodies)
+    import re
+
+    plan = plan_of(queries["pipeline_curation_summary"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
