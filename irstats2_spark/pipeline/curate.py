@@ -38,12 +38,17 @@ def curate_corpus(
     Returns the curated rows (exact-dup keepers only, quality passed)
     with ``n_tokens`` and ``split`` columns added."""
     text = F.col(text_col)
-    toks = tokens(text)
-    n_toks = F.size(toks)
+    # tokenize once per row; re-inlining the chain per feature re-runs it
+    toks = F.col("__toks")
     n_stop = F.size(F.filter(toks, lambda w: w.isin(LANG_MARKERS["en"])))
-    gated = docs.withColumn("n_tokens", n_toks).filter(
-        (F.col("n_tokens") >= min_tokens)
-        & ((n_stop / F.col("n_tokens")) <= max_stopword_ratio)
+    gated = (
+        docs.withColumn("__toks", tokens(text))
+        .withColumn("n_tokens", F.size(toks))
+        .filter(
+            (F.col("n_tokens") >= min_tokens)
+            & ((n_stop / F.col("n_tokens")) <= max_stopword_ratio)
+        )
+        .drop("__toks")
     )
     keeper = F.min(id_col).over(Window.partitionBy(F.md5(text)))
     curated = (

@@ -54,12 +54,23 @@ def lang_scores(text: Column) -> Column:
 
 def lang_id(text: Column) -> Column:
     """Best-scoring language, ties broken alphabetically; 'und' when no
-    marker hits at all."""
+    marker hits at all.
+
+    NOTE: inlines the tokenization once per language — when applying to a
+    DataFrame, materialize the distinct-token array with withColumn and
+    call lang_id_from_tokens instead (runtime subexpression elimination
+    does not dedupe subtrees nested under different parents, so the
+    inline form re-tokenizes 4x per row)."""
+    return lang_id_from_tokens(F.array_distinct(tokens(text)))
+
+
+def lang_id_from_tokens(toks_distinct: Column) -> Column:
+    """lang_id over an ALREADY-materialized distinct-token array column."""
     exprs = []
     for lang in sorted(LANG_MARKERS):
         hits = F.size(
             F.filter(
-                F.array_distinct(tokens(text)),
+                toks_distinct,
                 lambda w: w.isin(LANG_MARKERS[lang]),  # noqa: B023
             )
         )
@@ -81,9 +92,15 @@ def quality_features(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Per-doc quality features: length, token count, mean token length,
-    punctuation ratio, stopword ratio, all-caps flag."""
+    punctuation ratio, stopword ratio, all-caps flag.
+
+    The token array is materialized once per row (withColumn) rather than
+    inlined per feature — the tokenize-normalize chain is the dominant
+    per-row cost and Spark does not dedupe it across sibling expressions
+    (~1.7x at sf0.1)."""
     text = F.col(text_col)
-    toks = tokens(text)
+    docs = docs.withColumn("__toks", tokens(text))
+    toks = F.col("__toks")
     n_toks = F.size(toks)
     n_chars = F.length(text)
     punct = n_chars - F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))

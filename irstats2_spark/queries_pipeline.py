@@ -596,13 +596,14 @@ def text_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.parallel import ensure_parallelism
-    from irstats2_spark.pipeline.textstats import lang_id
+    from irstats2_spark.pipeline.textstats import lang_id_from_tokens, tokens
 
     docs = ensure_parallelism(load_table(spark, "documents", sf_dir))
+    docs = docs.withColumn("__toks", F.array_distinct(tokens(F.col("text"))))
     return docs.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        lang_id(F.col("text")).alias("detected_lang"),
+        lang_id_from_tokens(F.col("__toks")).alias("detected_lang"),
     )
 
 
