@@ -52,6 +52,12 @@ HEADLINE = [
     "text_quality_features",
     "text_lang_id",
     "pipeline_curation_summary",
+    # extensions (rollup, sessionization, distinct agg, chunk dedup, vocab)
+    "agg_rollup_monthly",
+    "events_sessionize",
+    "events_unique_visitors",
+    "text_chunk_dedup",
+    "text_vocab_topk",
 ]
 
 

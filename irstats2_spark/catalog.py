@@ -59,6 +59,7 @@ def _ensure_loaded() -> None:
         return
     # Imports are for their registration side effects.
     from irstats2_spark import queries_core  # noqa: F401
+    from irstats2_spark import queries_ext  # noqa: F401
     from irstats2_spark import queries_irstats  # noqa: F401
     from irstats2_spark import queries_pipeline  # noqa: F401
 

@@ -1,0 +1,82 @@
+"""Sessionization: split each user's event stream into sessions at
+inactivity gaps.
+
+The reference has no session concept — its Repeat filter
+(plugins/EPrints/Plugin/Stats/Filter/Repeat.pm:63-102) is the closest
+relative (per-key time-window state) — but sessionization is the standard
+log-analytics companion op, so the engine exposes it as a first-class
+operator.
+
+Scale design (100 TB posture):
+- ONE shuffle: the window partitions by user_id; both window expressions
+  (lag + running sum) share the same partitioning AND ordering, so Spark
+  plans a single Exchange + single Sort.
+- The per-session and per-user aggregations that follow group on
+  (user_id, ...) — hash partitioning on user_id already satisfies their
+  clustering requirement, so Catalyst plans them WITHOUT further
+  exchanges (asserted in tests/test_plan_quality.py).
+- Gap comparison is integer microseconds (unix_micros), never float
+  epoch seconds: exact, portable, and codegen-friendly.
+- Skew note: a bot user with 10^8 events lands in one partition. The
+  window itself is unavoidable per-key state; at cluster scale pair this
+  with the robots filter upstream (operators/filters.py) which removes
+  exactly those keys, or pre-split pathological keys by day and accept
+  session breaks at day boundaries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Assign a per-user session number to every event.
+
+    A new session starts at the first event and whenever the gap since
+    the PREVIOUS event exceeds ``gap_seconds`` (strictly greater, matching
+    the Repeat filter's `> timeout` comparison at Repeat.pm:89-95).
+    Returns the input plus ``session_no`` (1-based, per user).
+    """
+    gap_us = int(gap_seconds) * 1_000_000
+    w = Window.partitionBy(user_col).orderBy("_ts_us", tiebreak_col)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("_ts_us").over(w)
+    new_sess = (
+        prev.isNull() | (F.col("_ts_us") - prev > F.lit(gap_us))
+    ).cast("int")
+    return (
+        events.withColumn("_ts_us", F.unix_micros(F.col(ts_col)))
+        .withColumn("session_no", F.sum(new_sess).over(run))
+        .drop("_ts_us")
+    )
+
+
+def session_stats(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-user session summary: session count, event count, and the
+    largest single-session event count.
+
+    Both groupBys run on the partitioning the sessionize window already
+    established (user_id) — no additional exchanges.
+    """
+    sess = sessionize(events, gap_seconds, user_col, ts_col, tiebreak_col)
+    per_session = sess.groupBy(user_col, "session_no").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_session.groupBy(user_col).agg(
+        F.max("session_no").alias("n_sessions"),
+        F.sum("_n").alias("n_events"),
+        F.max("_n").alias("max_session_events"),
+    )

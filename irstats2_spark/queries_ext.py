@@ -1,0 +1,243 @@
+"""Extension queries beyond the reference's operator surface.
+
+SURVEY.md §2.4 notes the reference has no grouping-sets/cube/rollup and no
+distinct aggregates ("our engine can expose cube/rollup/approx_count_distinct
+as free extensions") — these entries make those extensions, plus the
+log-analytics and corpus-curation ops a large-scale pipeline needs
+(sessionization, unique visitors, vocabulary heavy hitters, C4-style chunk
+dedup, distribution quantiles), first-class catalog citizens with exact
+DuckDB oracles.
+
+All measure sums go through DECIMAL intermediates (order-invariant) and all
+tie-breaks are total orders, so value-hashes are deterministic on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from irstats2_spark.catalog import register
+from irstats2_spark.sources.testdata import load_table
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals (free extension; reference computes the
+# grand total as a separate sum_all query, Data.pm:292-304 — rollup gives
+# every level in one pass).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_rollup_monthly",
+    """
+    SELECT COALESCE(event_type, '_ALL_') AS event_type,
+           COALESCE(strftime(ts, '%Y-%m'), '_ALL_') AS month,
+           CAST(GROUPING(event_type)*2 + GROUPING(strftime(ts, '%Y-%m')) AS INT) AS lvl,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m'))
+    """,
+    doc="rollup extension — (type, month) hierarchy + subtotals in one pass",
+)
+def agg_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).withColumn(
+        "month", F.date_format("ts", "yyyy-MM")
+    )
+    rolled = ev.rollup("event_type", "month").agg(
+        (F.grouping("event_type") * 2 + F.grouping("month"))
+        .cast("int")
+        .alias("lvl"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # subtotal rows surface as '_ALL_', mirroring the reference's range
+    # sentinel (Utils.pm: range='_ALL_') and keeping the result NULL-free
+    return rolled.select(
+        F.coalesce("event_type", F.lit("_ALL_")).alias("event_type"),
+        F.coalesce("month", F.lit("_ALL_")).alias("month"),
+        "lvl",
+        "sum_value",
+        "n_events",
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping combinations (free extension).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_cube_status_priority",
+    """
+    SELECT COALESCE(o_orderstatus, '_ALL_') AS o_orderstatus,
+           COALESCE(o_orderpriority, '_ALL_') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS lvl,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="cube extension — every (status, priority) marginal in one pass",
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    cubed = orders.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("lvl"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return cubed.select(
+        F.coalesce("o_orderstatus", F.lit("_ALL_")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("_ALL_")).alias("o_orderpriority"),
+        "lvl",
+        "sum_price",
+        "n_orders",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distinct aggregate — daily unique visitors. The reference counts rows,
+# never distinct entities; unique-visitor counting is the first question a
+# usage-stats consumer asks. Spark plans the two-phase distinct (partial
+# agg on (day, user) first) — the manual skew-safe formulation for free.
+# ---------------------------------------------------------------------------
+@register(
+    "events_unique_visitors",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS unique_users,
+           COUNT(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    doc="distinct-agg extension — daily unique visitors (two-phase distinct)",
+)
+def events_unique_visitors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct("user_id").alias("unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based per-user sessions (operators/sessions.py).
+# ---------------------------------------------------------------------------
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess,
+               epoch_us(ts) AS us, event_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    per_session AS (
+        SELECT user_id, session_no, COUNT(*) AS n FROM sess GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(MAX(session_no) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(n) AS BIGINT) AS max_session_events
+    FROM per_session GROUP BY 1
+    """,
+    doc="sessionize extension — 30-min-gap sessions, one shuffle (see operators/sessions.py)",
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.operators.sessions import session_stats
+
+    return session_stats(load_table(spark, "events", sf_dir), gap_seconds=1800)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary heavy hitters (pipeline/textstats.py).
+# ---------------------------------------------------------------------------
+@register(
+    "text_vocab_topk",
+    f"""
+    WITH ex AS (
+        SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+        FROM documents
+    )
+    SELECT token, COUNT(*) AS n_total, COUNT(DISTINCT doc_id) AS n_docs
+    FROM ex GROUP BY 1
+    ORDER BY n_total DESC, token LIMIT 100
+    """,
+    doc="corpus vocabulary top-k by occurrence, with document frequency",
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import vocab_top_k
+
+    return vocab_top_k(load_table(spark, "documents", sf_dir), k=100)
+
+
+# ---------------------------------------------------------------------------
+# C4-style chunk-level exact dedup (pipeline/dedup.py).
+# ---------------------------------------------------------------------------
+@register(
+    "text_chunk_dedup",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    inst AS (
+        SELECT doc_id, CAST(FLOOR((i - 1) / 20) AS BIGINT) AS chunk_idx,
+               md5(string_agg(words[i], ' ' ORDER BY i)) AS h
+        FROM (SELECT doc_id, words, generate_subscripts(words, 1) AS i FROM toks) t
+        GROUP BY 1, 2
+    ),
+    mins AS (
+        SELECT h, MIN(doc_id * 1000000 + chunk_idx) AS owner_key
+        FROM inst GROUP BY 1
+    )
+    SELECT i.doc_id AS doc_id, COUNT(*) AS n_chunks,
+           CAST(SUM(CASE WHEN i.doc_id * 1000000 + i.chunk_idx = m.owner_key
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM inst i JOIN mins m ON i.h = m.h
+    GROUP BY 1
+    """,
+    doc="C4-style chunk dedup: 20-token chunks, first instance owns",
+)
+def text_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import chunk_dedup_stats
+
+    return chunk_dedup_stats(load_table(spark, "documents", sf_dir), chunk_tokens=20)
+
+
+# ---------------------------------------------------------------------------
+# Exact distribution quantiles — doc-length percentiles per language.
+# (At 100 TB use approx_percentile; the exact form is the oracle-checkable
+# contract and the small-data default.)
+# ---------------------------------------------------------------------------
+@register(
+    "text_length_quantiles",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+    FROM documents GROUP BY 1
+    """,
+    doc="per-language doc-length quantiles (exact percentile, interpolated)",
+)
+def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 6).alias("p90_chars"),
+    )

@@ -377,3 +377,59 @@ def test_hyperplane_gemm_matches_catalyst_expr(spark):
         ).collect()
     }
     assert gemm == expr
+
+
+def test_sessionize_gap_boundary_and_tiebreak(spark):
+    # Repeat.pm:89-95 parity: a gap EQUAL to the timeout stays in the same
+    # session (the comparison is strictly greater); equal timestamps order
+    # by the tiebreak column.
+    from irstats2_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        # user 1: 0s, +1800s (same session), +1801s after that (new)
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:30:00"),
+        (3, 1, "2024-01-01 01:00:01"),
+        # user 2: two events at the SAME timestamp -> one session,
+        # deterministic order by event_id
+        (4, 2, "2024-01-01 12:00:00"),
+        (5, 2, "2024-01-01 12:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string").select(
+        "event_id", "user_id", F.to_timestamp("ts").alias("ts")
+    )
+    got = {
+        (r.user_id, r.event_id): r.session_no
+        for r in sessionize(df, gap_seconds=1800).collect()
+    }
+    assert got == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1, (2, 5): 1}
+
+    stats = {r.user_id: r for r in session_stats(df, gap_seconds=1800).collect()}
+    assert stats[1].n_sessions == 2 and stats[1].max_session_events == 2
+    assert stats[2].n_sessions == 1 and stats[2].n_events == 2
+
+
+def test_chunk_dedup_ownership(spark):
+    # 3 docs of 2-token chunks: doc 10 = "a b c d", doc 20 repeats doc 10's
+    # first chunk twice, doc 30 is fresh. First instance (min doc_id, then
+    # min chunk_idx) owns; every other instance is a drop.
+    from irstats2_spark.pipeline.dedup import chunk_dedup_stats
+
+    rows = [(10, "a b c d"), (20, "a b a b"), (30, "x y")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_chunks, r.n_kept)
+        for r in chunk_dedup_stats(df, chunk_tokens=2).collect()
+    }
+    # doc 20: both chunks are "a b", owned by doc 10 chunk 0 -> keeps none
+    assert got == {10: (2, 2), 20: (2, 0), 30: (1, 1)}
+
+
+def test_vocab_top_k_orders_and_breaks_ties(spark):
+    from irstats2_spark.pipeline.textstats import vocab_top_k
+
+    rows = [(1, "b a a"), (2, "b c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = [(r.token, r.n_total, r.n_docs) for r in vocab_top_k(df, k=2).collect()]
+    # 'a' and 'b' tie at 2 total -> alphabetical; 'a' in 1 doc, 'b' in 2
+    assert got == [("a", 2, 1), ("b", 2, 2)]

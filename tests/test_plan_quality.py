@@ -132,3 +132,56 @@ def test_curation_shuffle_never_carries_text(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block):
             assert "text#" not in block, block
+
+
+def test_sessionize_single_exchange(spark, queries):
+    # lag + running-sum windows and BOTH downstream groupBys must all ride
+    # the one hash partitioning on user_id — a second exchange here would
+    # re-shuffle the full event stream at 100 TB
+    plan = plan_of(queries["events_sessionize"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    sort_detail = plan.split(") Sort")[1].split("\n\n")[0]
+    assert "false, 0" in sort_detail  # partition-local sort, never global
+
+
+def test_chunk_dedup_shuffle_never_carries_chunks(spark, queries):
+    # ownership shuffles on md5(chunk); chunk text must be pruned below
+    # the exchange — ids, indexes and hashes only
+    import re
+
+    plan = plan_of(queries["text_chunk_dedup"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2  # hash window + per-doc rollup
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "chunk#" not in block and "text#" not in block, block
+
+
+def test_vocab_topk_two_phase_distinct_and_take_ordered(spark, queries):
+    # countDistinct must plan as partial agg on (token, doc_id) before the
+    # per-token shuffle (the stopword-skew mitigation), and the top-k must
+    # be TakeOrderedAndProject, not a global sort
+    plan = plan_of(queries["text_vocab_topk"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    assert tree.count("Exchange") == 2  # (token, doc) partial + token final
+    assert "Sort " not in tree  # no global sort operator
+
+
+def test_rollup_single_pass(spark, queries):
+    # rollup = Expand + ONE aggregation exchange — never one job per level
+    plan = plan_of(queries["agg_rollup_monthly"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Exchange") == 1
+    assert tree.count("Scan parquet") == 1
+
+
+def test_unique_visitors_two_phase_distinct(spark, queries):
+    # distinct agg: partial on (day, user) first, so a day with 10^9
+    # events shuffles |distinct users|, not |events|
+    plan = plan_of(queries["events_unique_visitors"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert tree.count("HashAggregate") == 4
