@@ -58,6 +58,7 @@ HEADLINE = [
     "events_unique_visitors",
     "text_chunk_dedup",
     "text_vocab_topk",
+    "events_asof_prior",
 ]
 
 

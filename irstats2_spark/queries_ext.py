@@ -241,3 +241,54 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5D)"), 6).alias("p50_chars"),
         F.round(F.expr("percentile(n_chars, 0.9D)"), 6).alias("p90_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — nearest preceding right row per key (operators/asof.py).
+# "For each purchase, the same user's most recent click at-or-before it."
+# ---------------------------------------------------------------------------
+@register(
+    "events_asof_prior",
+    """
+    WITH clicks AS (
+        SELECT user_id, event_id AS pid, epoch_us(ts) AS pus
+        FROM events WHERE event_type = 'click'
+    ),
+    purch AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us
+        FROM events WHERE event_type = 'purchase'
+    ),
+    best AS (
+        SELECT p.event_id, p.user_id, p.us,
+               max(struct_pack(pus := c.pus, pid := c.pid)) AS b
+        FROM purch p LEFT JOIN clicks c
+          ON c.user_id = p.user_id AND c.pus <= p.us
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_id, user_id,
+           COALESCE(b.pid, -1) AS prior_click_id,
+           COALESCE((us - b.pus) // 1000000, -1) AS gap_s
+    FROM best
+    """,
+    doc="as-of join extension — latest prior click per purchase, one shuffle",
+)
+def events_asof_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.operators.asof import asof_join_prior
+
+    ev = load_table(spark, "events", sf_dir)
+    res = asof_join_prior(
+        ev.filter(F.col("event_type") == "purchase"),
+        ev.filter(F.col("event_type") == "click"),
+        on=["user_id"],
+        payload=("event_id",),
+        tiebreak="event_id",
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("asof.event_id"), F.lit(-1)).alias("prior_click_id"),
+        F.coalesce(
+            F.expr("CAST((unix_micros(ts) - asof.ts_us) DIV 1000000 AS BIGINT)"),
+            F.lit(-1),
+        ).alias("gap_s"),
+    )

@@ -433,3 +433,43 @@ def test_vocab_top_k_orders_and_breaks_ties(spark):
     got = [(r.token, r.n_total, r.n_docs) for r in vocab_top_k(df, k=2).collect()]
     # 'a' and 'b' tie at 2 total -> alphabetical; 'a' in 1 doc, 'b' in 2
     assert got == [("a", 2, 1), ("b", 2, 2)]
+
+
+def test_asof_join_prior_semantics(spark):
+    from irstats2_spark.operators.asof import asof_join_prior
+
+    left = spark.createDataFrame(
+        [
+            (100, 1, "2024-01-01 10:00:00"),  # after two clicks
+            (101, 1, "2024-01-01 08:00:00"),  # exactly AT click 11's ts
+            (102, 2, "2024-01-01 10:00:00"),  # user 2 has no clicks
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"))
+    right = spark.createDataFrame(
+        [
+            (10, 1, "2024-01-01 07:00:00"),
+            (11, 1, "2024-01-01 08:00:00"),
+            (12, 1, "2024-01-01 08:00:00"),  # same ts as 11: max id wins
+            (13, 1, "2024-01-01 11:00:00"),  # in the future, never matches
+        ],
+        "event_id long, user_id long, ts string",
+    ).select("event_id", "user_id", F.to_timestamp("ts").alias("ts"))
+
+    res = {
+        r.event_id: (r.asof.event_id if r.asof else None)
+        for r in asof_join_prior(
+            left, right, on=["user_id"], payload=("event_id",)
+        ).collect()
+    }
+    # inclusive: event 101 at 08:00 matches the 08:00 click, higher id wins
+    assert res == {100: 12, 101: 12, 102: None}
+
+    strict = {
+        r.event_id: (r.asof.event_id if r.asof else None)
+        for r in asof_join_prior(
+            left, right, on=["user_id"], payload=("event_id",), inclusive=False
+        ).collect()
+    }
+    # exclusive: 101 must NOT see the same-instant clicks -> only 07:00
+    assert strict == {100: 12, 101: 10, 102: None}

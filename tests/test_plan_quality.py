@@ -185,3 +185,13 @@ def test_unique_visitors_two_phase_distinct(spark, queries):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 2
     assert tree.count("HashAggregate") == 4
+
+
+def test_asof_join_single_exchange_no_explosion(spark, queries):
+    # as-of = tagged union + one window: ONE exchange, no join operator at
+    # all (a range-join formulation would explode |left|x|right| per key)
+    plan = plan_of(queries["events_asof_prior"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "Join" not in tree
+    assert "Union" in tree
