@@ -292,3 +292,55 @@ def events_asof_prior(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1),
         ).alias("gap_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Argmax without a window — each customer's largest order in ONE grouped
+# aggregation (max over a (measure, tiebreak) struct == max_by with a
+# deterministic tie-break). The window/row_number formulation would sort
+# every group; this is a plain partial-aggregatable hash agg.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_argmax_order",
+    """
+    SELECT o_custkey,
+           struct_extract(b, 'k') AS top_orderkey,
+           struct_extract(b, 'p') AS top_totalprice
+    FROM (
+        SELECT o_custkey,
+               max(struct_pack(p := o_totalprice, k := o_orderkey)) AS b
+        FROM orders GROUP BY 1
+    )
+    """,
+    doc="argmax extension — max_by as struct-max: one hash agg, no window sort",
+)
+def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.max(F.struct(F.col("o_totalprice").alias("p"), F.col("o_orderkey").alias("k"))).alias("b"))
+        .select(
+            "o_custkey",
+            F.col("b.k").alias("top_orderkey"),
+            F.col("b.p").alias("top_totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct — the 100 TB path for events_unique_visitors.
+# HyperLogLog++ sketches are engine-specific, so there is no cross-engine
+# oracle (rows-only gate); tests/test_pipeline.py bounds the relative
+# error against the exact count instead.
+# ---------------------------------------------------------------------------
+@register(
+    "events_unique_visitors_approx",
+    None,
+    doc="HLL++ unique visitors — the sketch path for counts at 100 TB (rows-only; error-bounded in pytest)",
+)
+def events_unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_unique_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -176,3 +176,40 @@ def repeat_filter_stream(
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def session_counts_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    user_col: str = "requester_id",
+    ts_col: str = "datestamp",
+) -> DataFrame:
+    """Streaming gap-based sessionization via Spark's native session
+    windows: per (user, session) event counts, emitted once the watermark
+    passes the session's end.
+
+    This is the streaming face of operators/sessions.sessionize — batch
+    assigns retrospective session numbers; streaming merges events into
+    open sessions and finalizes them ``gap`` after the last event. Session
+    state is per-key-per-open-session (bounded by the watermark), exactly
+    the state profile that survives unbounded streams.
+
+    Boundary note: session_window merges an event that lands EXACTLY at
+    the previous window's end (gap == threshold) into a NEW session,
+    whereas the batch operator's strict `> gap` keeps it — same off-by-
+    instant family the Repeat filter documents for its streaming
+    approximation (COVERAGE.md §2.9).
+    """
+    return (
+        events.groupBy(
+            F.col(user_col).alias("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("session"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+        )
+    )

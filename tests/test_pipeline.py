@@ -473,3 +473,23 @@ def test_asof_join_prior_semantics(spark):
     }
     # exclusive: 101 must NOT see the same-instant clicks -> only 07:00
     assert strict == {100: 12, 101: 10, 102: None}
+
+
+def test_approx_unique_visitors_error_bound(spark):
+    # the HLL++ sketch must stay within a few percent of the exact count
+    # (rsd=0.02 => ~2% standard error; assert a loose 3-sigma bound)
+    from irstats2_spark import catalog
+
+    q = catalog.queries()
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r.day: r.unique_users
+        for r in q["events_unique_visitors"](spark, sf).collect()
+    }
+    approx = {
+        r.day: r.approx_unique_users
+        for r in q["events_unique_visitors_approx"](spark, sf).collect()
+    }
+    assert set(exact) == set(approx)
+    for day, n in exact.items():
+        assert abs(approx[day] - n) <= max(2, 0.06 * n), (day, n, approx[day])

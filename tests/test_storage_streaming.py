@@ -265,3 +265,61 @@ def test_streaming_repeat_exact_state_across_batches(spark, tmp_path):
     )
     base = 1704067200  # 2024-01-01T00:00:00Z
     assert got == [base, base + 5400]
+
+
+def test_streaming_session_window(spark, tmp_path):
+    import datetime as dt
+
+    from irstats2_spark.streaming.ingest import (
+        read_access_stream,
+        session_counts_stream,
+    )
+
+    logs = tmp_path / "current"
+    logs.mkdir()
+
+    def line(ts, ip):
+        return "\t".join(
+            [
+                ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                ip,
+                "Mozilla/5.0 Chrome/1",
+                "",
+                "?fulltext=yes",
+                "1",
+                "100",
+            ]
+        )
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    rows = [
+        line(t0, "10.0.0.1"),                              # session 1
+        line(t0 + dt.timedelta(minutes=10), "10.0.0.1"),   # session 1
+        line(t0 + dt.timedelta(hours=3), "10.0.0.1"),      # session 2
+        line(t0, "10.0.0.2"),                              # other user
+    ]
+    (logs / "2024-01-01.log").write_text("\n".join(rows) + "\n")
+    # a later event advances the watermark past day 1, closing its
+    # sessions; Spark then runs a no-data batch that emits them
+    (logs / "2024-01-03.log").write_text(
+        line(t0 + dt.timedelta(days=2), "10.0.0.3") + "\n"
+    )
+
+    stream = read_access_stream(spark, str(logs), dedup_lines=False)
+    q = (
+        session_counts_stream(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start.isoformat()): r.n_events
+        for r in spark.sql("SELECT * FROM sess_counts").collect()
+    }
+    assert got[("10.0.0.1", "2024-01-01T08:00:00")] == 2
+    assert got[("10.0.0.1", "2024-01-01T11:00:00")] == 1
+    assert got[("10.0.0.2", "2024-01-01T08:00:00")] == 1
