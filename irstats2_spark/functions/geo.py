@@ -15,20 +15,26 @@ from pyspark.sql import functions as F
 
 
 def ip_to_long(ip: Column) -> Column:
-    """Dotted-quad IPv4 -> long; NULL for malformed input."""
+    """Dotted-quad IPv4 -> long; NULL for malformed input.
+
+    Arithmetic-only validation (try_cast + range check, NULL propagates) —
+    no regex. Catalyst inlines this expression into every predicate
+    derived from it (join null-filters, pushed-down isnotnull), so each
+    copy must be cheap; the earlier rlike formulation cost a regex match
+    per derived predicate per row."""
     parts = F.split(ip, r"\.")
-    valid = ip.rlike(r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$")
-    octets = [parts.getItem(i).cast("long") for i in range(4)]
-    in_range = valid
-    for o in octets:
-        in_range = in_range & (o <= 255)
+
+    def octet(i: int) -> Column:
+        o = F.get(parts, i).try_cast("long")
+        return F.when((o >= 0) & (o <= 255), o)
+
     value = (
-        octets[0] * F.lit(16777216)
-        + octets[1] * F.lit(65536)
-        + octets[2] * F.lit(256)
-        + octets[3]
+        octet(0) * F.lit(16777216)
+        + octet(1) * F.lit(65536)
+        + octet(2) * F.lit(256)
+        + octet(3)
     )
-    return F.when(in_range, value)
+    return F.when(F.size(parts) == 4, value)
 
 
 def with_country(
@@ -66,9 +72,6 @@ def with_country_prefix_bucketed(
     broadcast HASH join on the prefix (not a nested loop), so each fact
     row probes only the ranges sharing its first octet.
     """
-    from irstats2_spark.parallel import ensure_parallelism
-
-    df = ensure_parallelism(df)
     exploded = ranges.withColumn(
         "__prefix",
         F.explode(

@@ -341,13 +341,17 @@ def search_term_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.functions.geo import with_country_prefix_bucketed
 
-    ranges = spark.createDataFrame(
-        [
-            (167772160, 167772415, "US"),
-            (167772416, 167772671, "DE"),
-            (167837696, 184549375, "JP"),
-        ],
-        "ip_start_long long, ip_end_long long, country_iso2 string",
+    # literal dims as a VALUES LocalRelation, not createDataFrame: a
+    # parallelized 3-row RDD spreads over defaultParallelism partitions
+    # and every broadcast build then runs a 32-task job; LocalTableScan
+    # broadcasts driver-side with no job at all
+    ranges = spark.sql(
+        """
+        SELECT * FROM VALUES (167772160, 167772415, 'US'),
+                             (167772416, 167772671, 'DE'),
+                             (167837696, 184549375, 'JP')
+        AS t(ip_start_long, ip_end_long, country_iso2)
+        """
     )
     ev = (
         load_table(spark, "events", sf_dir)

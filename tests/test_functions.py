@@ -283,3 +283,23 @@ def test_get_dates_day_sequence_complete(a, b):
     assert len(keys) == (hi - lo).days + 1
     assert keys[0] == date_to_int(lo) and keys[-1] == date_to_int(hi)
     assert keys == sorted(set(keys))  # no gaps, dups, or disorder
+
+
+def test_ip_to_long_parses_and_rejects(spark):
+    from irstats2_spark.functions.geo import ip_to_long
+
+    cases = [
+        ("1.2.3.4", 16909060),
+        ("0.0.0.0", 0),
+        ("255.255.255.255", 4294967295),
+        ("10.0.0.7", 167772167),
+        ("256.1.1.1", None),   # octet out of range
+        ("1.2.3", None),       # too few octets
+        ("1.2.3.4.5", None),   # too many octets
+        ("a.b.c.d", None),     # not numeric
+        ("", None),
+    ]
+    df = spark.createDataFrame([(ip,) for ip, _ in cases], "ip string")
+    got = {r.ip: r.ipl for r in df.select("ip", ip_to_long(F.col("ip")).alias("ipl")).collect()}
+    for ip, want in cases:
+        assert got[ip] == want, (ip, got[ip], want)
