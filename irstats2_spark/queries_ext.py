@@ -344,3 +344,108 @@ def events_unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_unique_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group — generalizes argmax to k>1: rank inside each group and
+# keep ranks <= k. One exchange + partition-local sort; the rank filter
+# prunes before anything else consumes the rows. (For k=1 prefer
+# agg_argmax_order's struct-max — no sort at all.)
+# ---------------------------------------------------------------------------
+@register(
+    "agg_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, rk
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey DESC) AS INT) AS rk
+        FROM orders
+    ) WHERE rk <= 3
+    """,
+    doc="top-k per group extension — top-3 orders per customer via ranked window",
+)
+def agg_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.desc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("int").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot — event types to columns (the T5 year-compare view is a pivot in
+# disguise; here it is the real reshaping operator). Explicit value list
+# => no extra distinct-scan job and a stable output schema.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pivot_monthly",
+    """
+    SELECT strftime(ts, '%Y-%m') AS month,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE) AS error
+    FROM events GROUP BY 1
+    """,
+    doc="pivot extension — event types to columns, explicit value list",
+)
+def agg_pivot_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .pivot("event_type", types)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("value").cast("decimal(18,6)")),
+                F.lit(0).cast("decimal(18,6)"),
+            ).cast("double")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Anti-join — "users who clicked but never purchased": the retention
+# question. left_anti is the missing sibling of P7's left_semi; both
+# broadcast the filter side and never materialize the pair space.
+# ---------------------------------------------------------------------------
+@register(
+    "join_anti_no_purchase",
+    """
+    SELECT c.user_id, COUNT(*) AS n_clicks
+    FROM events c
+    WHERE c.event_type = 'click'
+      AND NOT EXISTS (
+          SELECT 1 FROM events p
+          WHERE p.event_type = 'purchase' AND p.user_id = c.user_id
+      )
+    GROUP BY 1
+    """,
+    doc="anti-join extension — click users with zero purchases (left_anti)",
+)
+def join_anti_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    # distinct before broadcast: the build side ships |users who purchased|
+    # keys, not |purchase events| rows
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    )
+    return (
+        clicks.join(F.broadcast(purchasers), "user_id", "left_anti")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+    )

@@ -195,3 +195,30 @@ def test_asof_join_single_exchange_no_explosion(spark, queries):
     assert tree.count("Exchange") == 1
     assert "Join" not in tree
     assert "Union" in tree
+
+
+def test_anti_join_broadcasts(spark, queries):
+    plan = plan_of(queries["join_anti_no_purchase"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree and "LeftAnti" in plan
+    assert "SortMergeJoin" not in tree
+
+
+def test_topk_per_group_single_exchange(spark, queries):
+    # ranked-window top-k: one hash exchange on the group key, sort stays
+    # partition-local
+    plan = plan_of(queries["agg_topk_per_group"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    sort_detail = plan.split(") Sort")[1].split("\n\n")[0]
+    assert "false, 0" in sort_detail
+
+
+def test_pivot_single_scan_two_phase(spark, queries):
+    # explicit pivot values: no distinct-discovery job (one scan); Spark
+    # pre-aggregates on (month, type) before pivoting -> exactly 2
+    # exchanges, both carrying |months x types| rows, not events
+    plan = plan_of(queries["agg_pivot_monthly"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+    assert tree.count("Exchange") == 2
