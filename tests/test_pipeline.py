@@ -493,3 +493,89 @@ def test_approx_unique_visitors_error_bound(spark):
     assert set(exact) == set(approx)
     for day, n in exact.items():
         assert abs(approx[day] - n) <= max(2, 0.06 * n), (day, n, approx[day])
+
+
+def test_asof_matches_pandas_merge_asof_random(spark):
+    # independent oracle: pandas merge_asof (backward) over 600 random
+    # events with deliberate timestamp collisions within and across keys
+    import numpy as np
+    import pandas as pd
+
+    from irstats2_spark.operators.asof import asof_join_prior
+
+    rng = np.random.default_rng(7)
+
+    def mk(n, id0):
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(id0, id0 + n, dtype=np.int64),
+                "user_id": rng.integers(0, 12, n).astype(np.int64),
+                "sec": rng.integers(0, 500, n).astype(np.int64),
+            }
+        )
+
+    lpdf, rpdf = mk(300, 0), mk(300, 10_000)
+    to_df = lambda pdf: spark.createDataFrame(pdf).select(  # noqa: E731
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    for inclusive in (True, False):
+        got = {
+            r.event_id: (r.asof.event_id if r.asof else None)
+            for r in asof_join_prior(
+                to_df(lpdf),
+                to_df(rpdf),
+                on=["user_id"],
+                payload=("event_id",),
+                inclusive=inclusive,
+            ).collect()
+        }
+        # stable sort by (sec, event_id): among equal-ts right rows
+        # merge_asof keeps the LAST, matching the max-tiebreak contract
+        merged = pd.merge_asof(
+            lpdf.sort_values(["sec", "event_id"], kind="stable"),
+            rpdf.sort_values(["sec", "event_id"], kind="stable"),
+            on="sec",
+            by="user_id",
+            allow_exact_matches=inclusive,
+            suffixes=("", "_r"),
+        )
+        want = {
+            int(row.event_id): (None if pd.isna(row.event_id_r) else int(row.event_id_r))
+            for row in merged.itertuples()
+        }
+        assert got == want, inclusive
+
+
+def test_sessionize_matches_sequential_oracle_random(spark):
+    import numpy as np
+
+    from irstats2_spark.operators.sessions import sessionize
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), int(rng.integers(0, 8)), int(rng.integers(0, 40_000)))
+        for i in range(400)
+    ]
+    gap = 3600
+
+    # sequential fold per user over (sec, event_id) order
+    want = {}
+    per_user: dict[int, list] = {}
+    for eid, uid, sec in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+        per_user.setdefault(uid, []).append((sec, eid))
+    for uid, evs in per_user.items():
+        n = 0
+        prev = None
+        for sec, eid in evs:
+            if prev is None or sec - prev > gap:
+                n += 1
+            want[eid] = n
+            prev = sec
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, sec long"
+    ).select("event_id", "user_id", F.timestamp_seconds("sec").alias("ts"))
+    got = {
+        r.event_id: r.session_no
+        for r in sessionize(df, gap_seconds=gap).collect()
+    }
+    assert got == want
