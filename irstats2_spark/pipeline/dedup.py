@@ -164,6 +164,7 @@ def minhash_lsh_candidates(
     n_hashes: int = 8,
     bands: int = 4,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one band signature.
     Output: (doc_a, doc_b, n_bands_shared). Pass a (cached) ``shingles``
@@ -172,14 +173,27 @@ def minhash_lsh_candidates(
     if shingles is None:
         shingles = word_shingles(docs, text_col, id_col, k)
     sig = minhash_signatures(shingles, n_hashes)
-    return _band_candidates(sig, n_hashes, bands)
+    return _band_candidates(sig, n_hashes, bands, max_bucket_size)
 
 
-def _band_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
-    """Self-join docs on banded signature equality: (doc_a, doc_b,
-    n_bands_shared). The join key (band, md5-of-band-rows) spreads
-    uniformly, so the shuffle is skew-free; bucket sizes are the LSH
-    collision sets, |bucket|^2 pairs within buckets, never |docs|^2."""
+def _band_candidates(
+    sig: DataFrame,
+    n_hashes: int,
+    bands: int,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Docs sharing a banded signature: (doc_a, doc_b, n_bands_shared).
+
+    Same one-shuffle shape as ngram_jaccard_pairs: group docs per
+    (band, sig) bucket, emit ordered pairs from the sorted id array —
+    the equivalent self-join on the band key shuffles the banded rows
+    twice. The bucket key (band, md5-of-band-rows) spreads uniformly,
+    so the shuffle is skew-free; pair blowup is |bucket|^2 within
+    buckets, never |docs|^2. ``max_bucket_size`` drops pathological
+    buckets (mass-boilerplate collision sets) — at web scale, a bucket
+    of N near-identical docs emits N^2 pairs that downstream clustering
+    would collapse to one keeper anyway; run exact_dedup first so true
+    duplicates never reach LSH, then cap survivors."""
     rows_per_band = n_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -190,12 +204,25 @@ def _band_candidates(sig: DataFrame, n_hashes: int, bands: int) -> DataFrame:
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "sig")
-    b2 = banded.select(F.col("doc_id").alias("doc_b"), "band", "sig")
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    bucket_ok = F.size("ids") > 1
+    if max_bucket_size is not None:
+        bucket_ok = bucket_ok & (F.size("ids") <= max_bucket_size)
     return (
-        a.join(b2, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
+        banded.groupBy("band", "sig")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(bucket_ok)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )
 
@@ -208,6 +235,7 @@ def minhash_lsh_dedup(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates verified by true Jaccard.
     Output: (doc_a, doc_b, jaccard) for verified pairs.
@@ -230,7 +258,7 @@ def minhash_lsh_dedup(
         F.count(F.lit(1)).alias("__n"),
     )
     per_doc = per_doc.cache()  # reused: band candidates + both verify sides
-    cand = _band_candidates(per_doc, n_hashes, bands)
+    cand = _band_candidates(per_doc, n_hashes, bands, max_bucket_size)
     a = per_doc.select(
         F.col("doc_id").alias("doc_a"), F.col("__set").alias("__sa"), F.col("__n").alias("na")
     )

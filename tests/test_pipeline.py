@@ -579,3 +579,16 @@ def test_sessionize_matches_sequential_oracle_random(spark):
         for r in sessionize(df, gap_seconds=gap).collect()
     }
     assert got == want
+
+
+def test_lsh_max_bucket_size_drops_mass_collisions(spark):
+    from irstats2_spark.pipeline.dedup import minhash_lsh_candidates
+
+    # 5 identical docs (one LSH bucket of 5) + 1 unrelated doc
+    rows = [(i, "the same boilerplate text repeated here") for i in range(5)]
+    rows.append((99, "something else entirely unrelated words"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = minhash_lsh_candidates(df)
+    assert full.count() == 10  # C(5,2) pairs
+    capped = minhash_lsh_candidates(df, max_bucket_size=4)
+    assert capped.count() == 0  # the size-5 bucket is dropped
