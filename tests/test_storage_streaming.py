@@ -323,3 +323,33 @@ def test_streaming_session_window(spark, tmp_path):
     assert got[("10.0.0.1", "2024-01-01T08:00:00")] == 2
     assert got[("10.0.0.1", "2024-01-01T11:00:00")] == 1
     assert got[("10.0.0.2", "2024-01-01T08:00:00")] == 1
+
+
+def test_bucketed_facts_join_without_exchange(spark, tmp_path):
+    from irstats2_spark.sources.storage import write_fact_bucketed
+
+    rows = [(i % 7, 20240101 + (i % 3), "v", 1) for i in range(100)]
+    fact = spark.createDataFrame(
+        rows, "eprintid int, datestamp int, value string, count int"
+    )
+    t_dl = write_fact_bucketed(fact, str(tmp_path), "downloads", buckets=4)
+    t_vw = write_fact_bucketed(fact, str(tmp_path), "views", buckets=4)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        dl = spark.table(t_dl).groupBy("eprintid").agg(F.sum("count").alias("dl"))
+        vw = spark.table(t_vw).groupBy("eprintid").agg(F.sum("count").alias("vw"))
+        joined = dl.join(vw, "eprintid")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        tree = plan.split("\n\n")[0]
+        # both sides pre-hashed by the bucketing: no shuffle anywhere —
+        # not for the aggregations, not for the join
+        assert "Exchange" not in tree, tree
+        assert joined.count() == 7
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t_dl}")
+        spark.sql(f"DROP TABLE IF EXISTS {t_vw}")
