@@ -119,8 +119,20 @@ def search_term_counts(
     then the referrer counts summed per exploded word. The per-event
     regex work drops by the referrer repetition factor; when referrers
     are mostly unique the plan degrades to the naive one plus one
-    map-side combine, never worse by more than that."""
-    ref_counts = df.groupBy(F.col(referrer_col)).agg(F.count(F.lit(1)).alias("__n"))
+    map-side combine, never worse by more than that.
+
+    The cache() on the distinct-referrer set is a codegen fusion fence,
+    not a reuse optimization: fused into one whole-stage region, the
+    referrer aggregate + url-parse + term cascade generate a
+    hashAgg_doAggregateWithKeys method janino cannot compile
+    (InternalCompilerException), and Spark then re-attempts the compile
+    and falls back to interpreted execution on EVERY task batch (~25x
+    slower here). The InMemoryRelation splits the region into two
+    compilable spans; the cached set is the heavy-hitter output —
+    O(distinct referrers), the small end of the plan by design."""
+    ref_counts = (
+        df.groupBy(F.col(referrer_col)).agg(F.count(F.lit(1)).alias("__n")).cache()
+    )
     words = extract_search_terms(
         ref_counts, referrer_col, base_url, stopwords, parallelize=False
     )
