@@ -222,3 +222,20 @@ def test_pivot_single_scan_two_phase(spark, queries):
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1
     assert tree.count("Exchange") == 2
+
+
+def test_headline_queries_compile_without_codegen_fallback(spark, queries):
+    # janino failures (e.g. a fused whole-stage method growing past the
+    # JVM's 64KB bytecode limit) normally degrade SILENTLY to interpreted
+    # execution, retrying the compile on every task batch (~25x slower on
+    # expression-heavy stages). codegen.fallback=false turns that into a
+    # hard error, so this test fails when any headline query stops
+    # compiling — the invisible perf cliff becomes a visible regression.
+    import bench
+
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in bench.HEADLINE:
+            queries[name](spark, SF).collect()
+    finally:
+        spark.conf.unset("spark.sql.codegen.fallback")
