@@ -59,6 +59,10 @@ HEADLINE = [
     "text_chunk_dedup",
     "text_vocab_topk",
     "events_asof_prior",
+    "agg_argmax_order",
+    "agg_topk_per_group",
+    "agg_pivot_monthly",
+    "join_anti_no_purchase",
 ]
 
 
