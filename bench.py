@@ -63,6 +63,7 @@ HEADLINE = [
     "agg_topk_per_group",
     "agg_pivot_monthly",
     "join_anti_no_purchase",
+    "text_tfidf_top_term",
 ]
 
 

@@ -154,3 +154,45 @@ def vocab_top_k(
         .orderBy(F.desc("n_total"), F.asc("token"))
         .limit(k)
     )
+
+
+def tfidf_top_term(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Each document's most characteristic term by TF-IDF
+    (tf * ln(N / df)), ties broken alphabetically.
+
+    Scale design: term frequencies are one explode + groupBy; document
+    frequencies aggregate the SAME grouped output (no second scan of the
+    corpus); N is a 1-row broadcast. The per-doc argmax is a ranked
+    window over (doc, term) rows — |vocab per doc| rows per partition,
+    text long gone. Scores round to 6dp BEFORE ranking so the result is
+    float-order-independent (and matches the SQL oracle exactly).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf = tf.cache()  # reused: df aggregation + scoring
+    df_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(df_counts, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+    )

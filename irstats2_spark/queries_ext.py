@@ -449,3 +449,38 @@ def join_anti_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_clicks"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — each doc's most characteristic term (pipeline/textstats.py).
+# ---------------------------------------------------------------------------
+@register(
+    "text_tfidf_top_term",
+    f"""
+    WITH tf AS (
+        SELECT doc_id, token AS term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS token
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    dfc AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfc.df), 6) AS tfidf
+        FROM tf JOIN dfc USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, tfidf
+    FROM (
+        SELECT doc_id, term, tfidf,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk = 1
+    """,
+    doc="TF-IDF extension — most characteristic term per doc, 6dp-rounded ranking",
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import tfidf_top_term
+
+    return tfidf_top_term(load_table(spark, "documents", sf_dir))
