@@ -45,8 +45,10 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_embedding_ivf",
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
+    "similarity_ivf_topk",
     "similarity_hyperplane_sig",
     "similarity_hyperplane_topk",
     "text_quality_features",
@@ -83,16 +85,18 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).mapInPandas(lambda it: it, schema="id long").count()
 
-    # Two passes per query, report the faster: pass 1 absorbs one-time
+    # Three passes per query, report the fastest: pass 1 absorbs one-time
     # costs (janino codegen compile, JVM JIT, Python worker spawn) that
     # local-mode restarts repay on every process but a long-lived cluster
-    # pays once; pass 2 is the steady-state plan cost we're tuning.
+    # pays once; later passes are the steady-state plan cost we're tuning.
+    # Best-of-3 (vs round 1's best-of-2) because this VM shows up to 2x
+    # run-to-run variance — round-over-round deltas need the extra sample.
     per_query: dict[str, float] = {}
     failed: list[str] = []
     for name in names:
         best = None
         try:
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 df = all_queries[name](spark, sf_dir)
                 df.collect()

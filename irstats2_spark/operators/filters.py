@@ -20,6 +20,7 @@ balanced by construction, and state never leaves one partition.
 
 from __future__ import annotations
 
+import functools
 import os
 
 import pandas as pd
@@ -27,17 +28,38 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# Minimal built-in robot UA fragments (lowercase regex fragments, matched
-# against lower(ua)). The reference ships a ~800-line public list; ours is
-# intentionally small — production deployments pass their own file.
-DEFAULT_ROBOT_UA_PATTERNS = [
+# Default robot lists: the full public UA/IP pattern files shipped with the
+# reference (Filter/default_robots_ua.txt, ~825 fragments, and
+# default_robots_ip.txt, ~610 prefixes) live in operators/data/ and load
+# lazily below. MINIMAL_ROBOT_UA_PATTERNS is the in-code fallback if the
+# data files are missing from an installation.
+_DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
+DEFAULT_ROBOT_UA_FILE = os.path.join(_DATA_DIR, "default_robots_ua.txt")
+DEFAULT_ROBOT_IP_FILE = os.path.join(_DATA_DIR, "default_robots_ip.txt")
+
+MINIMAL_ROBOT_UA_PATTERNS = [
     "googlebot", "msnbot", "bingbot", "slurp", "crawler", "spider",
     "curl", "wget", "httrack", "libwww", "python-requests", "scrapy",
     "yandexbot", "baiduspider", "duckduckbot", "archive\\.org_bot",
     "semrushbot", "ahrefsbot", "mj12bot", "dotbot", "petalbot", "bot/",
     "robot", "nutch", "heritrix",
 ]
-DEFAULT_ROBOT_IP_PREFIXES: list[str] = []
+# retained name: pre-round-2 alias for the fallback list
+DEFAULT_ROBOT_UA_PATTERNS = MINIMAL_ROBOT_UA_PATTERNS
+
+
+@functools.lru_cache(maxsize=None)
+def default_ua_patterns() -> tuple[str, ...]:
+    if os.path.exists(DEFAULT_ROBOT_UA_FILE):
+        return tuple(load_pattern_file(DEFAULT_ROBOT_UA_FILE))
+    return tuple(MINIMAL_ROBOT_UA_PATTERNS)
+
+
+@functools.lru_cache(maxsize=None)
+def default_ip_prefixes() -> tuple[str, ...]:
+    if os.path.exists(DEFAULT_ROBOT_IP_FILE):
+        return tuple(load_pattern_file(DEFAULT_ROBOT_IP_FILE))
+    return ()
 
 
 def load_pattern_file(path: str) -> list[str]:
@@ -75,8 +97,8 @@ def robots_filter(
     ip_file: str | None = None,
 ) -> DataFrame:
     """P8: return only non-robot rows."""
-    ua_patterns = list(ua_patterns if ua_patterns is not None else DEFAULT_ROBOT_UA_PATTERNS)
-    ip_prefixes = list(ip_prefixes if ip_prefixes is not None else DEFAULT_ROBOT_IP_PREFIXES)
+    ua_patterns = list(ua_patterns if ua_patterns is not None else default_ua_patterns())
+    ip_prefixes = list(ip_prefixes if ip_prefixes is not None else default_ip_prefixes())
     if ua_file and os.path.exists(ua_file):
         ua_patterns = load_pattern_file(ua_file)
     if ip_file and os.path.exists(ip_file):

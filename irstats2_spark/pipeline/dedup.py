@@ -443,6 +443,64 @@ def embedding_cosine_dups(
     )
 
 
+def embedding_dups_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup pairs at scale: IVF pre-bucketing, then the exact
+    quantized GEMM per cluster — the scale path prescribed by
+    embedding_cosine_dups' docstring, as code.
+
+    Shape: ivf_assign scores each corpus vector against the broadcast
+    centroid set map-side (one pass, no corpus shuffle), then ONE shuffle
+    groups vectors by centroid_id and ``applyInPandas`` scores each
+    cluster's block against itself with a numpy GEMM. No ``toPandas()``,
+    no driver-side state, no global broadcast of the corpus: executor
+    memory bounds the CLUSTER size (pick n_centroids ~ corpus_bytes /
+    target_block_bytes), not the corpus.
+
+    Quantized-integer math (floor(x*scale+0.5)) keeps every product below
+    2^53, so the float64 GEMM is exact and a SQL oracle reproduces scores
+    bit-for-bit; the final round is half-up like SQL ROUND.
+
+    Approximation contract (standard IVF): pairs whose members land in
+    different clusters are missed. For near-duplicate thresholds (>= ~0.9
+    cosine) both members sit nearly on top of each other, so split pairs
+    are rare; raise recall by probing multiple assignments upstream if
+    needed. The broadcast-GEMM embedding_cosine_dups remains the exact
+    small-corpus path.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from irstats2_spark.pipeline.similarity import ivf_assign
+
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    src = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "centroid_id"
+    )
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        q = np.floor(np.stack(pdf["v"].to_numpy()).astype(np.float64) * scale + 0.5)
+        nrm = np.sqrt((q * q).sum(axis=1))
+        cos = (q @ q.T) / np.outer(nrm, nrm)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"doc_a": ids[ai], "doc_b": ids[bi], "cosine": cos[ai, bi]}
+        )
+
+    return src.groupBy("centroid_id").applyInPandas(
+        cluster_pairs, schema="doc_a long, doc_b long, cosine double"
+    )
+
+
 def chunk_dedup_stats(
     docs: DataFrame,
     chunk_tokens: int = 20,

@@ -321,7 +321,7 @@ def t2_densify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(d, '%Y-%m-%d') AS day,
            c AS count,
-           SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumulative,
+           CAST(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative,
            CAST(FLOOR(SUM(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 / ROW_NUMBER() OVER (ORDER BY d)) AS BIGINT) AS running_avg
     FROM daily
@@ -423,8 +423,8 @@ def a9_minmax_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(ROUND(100.0 * SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
                  / NULLIF(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 0)) AS BIGINT)
            AS purchase_view_ratio,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS views
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views
     FROM events
     """,
     doc="A5 KeyFigures.pm:141-167 — ratio of two sub-aggregates in one pass",

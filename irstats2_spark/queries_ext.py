@@ -329,20 +329,48 @@ def agg_argmax_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Approximate distinct — the 100 TB path for events_unique_visitors.
-# HyperLogLog++ sketches are engine-specific, so there is no cross-engine
-# oracle (rows-only gate); tests/test_pipeline.py bounds the relative
-# error against the exact count instead.
+# HyperLogLog++ sketch values are engine-specific, so the oracle can't
+# reproduce the estimate itself; instead the gate query asserts the
+# estimate IN-QUERY: approx_ok = |approx - exact| <= max(1, 10% of exact)
+# (5x the 2% configured rsd), and the oracle emits the exact distinct plus
+# a constant TRUE — so the driver's value hash fails if the sketch ever
+# drifts out of bound. (At 100 TB only the sketch runs; the exact side
+# here is the verification harness, not the production plan.)
 # ---------------------------------------------------------------------------
 @register(
     "events_unique_visitors_approx",
-    None,
-    doc="HLL++ unique visitors — the sketch path for counts at 100 TB (rows-only; error-bounded in pytest)",
+    """
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT user_id) AS exact_unique_users,
+           COUNT(*) AS n_events,
+           TRUE AS approx_ok
+    FROM events GROUP BY 1
+    """,
+    doc="HLL++ unique visitors — estimate asserted within error bound "
+    "in-query against the exact distinct",
 )
 def events_unique_visitors_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_unique_users"),
-        F.count(F.lit(1)).alias("n_events"),
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct(F.col("user_id"))
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            approx.alias("__approx"),
+            exact.alias("exact_unique_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "day",
+            "exact_unique_users",
+            "n_events",
+            (
+                F.abs(F.col("__approx") - F.col("exact_unique_users"))
+                <= F.greatest(
+                    F.lit(1.0), F.col("exact_unique_users") * F.lit(0.10)
+                )
+            ).alias("approx_ok"),
+        )
     )
 
 

@@ -375,14 +375,36 @@ def geoip_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P9 repeat filter — exact semantics are a sequential fold, not plain SQL;
-# driver records the weaker rows-only check. Full parity is covered by the
-# pytest property test against a Python oracle (tests/test_filters.py).
+# P9 repeat filter — exact first-kept-anchor semantics (Repeat.pm:63-102).
+# The operator is a per-key sequential fold (mapInPandas); the DuckDB oracle
+# reproduces the greedy fold with list_reduce over the epoch-sorted per-key
+# event list, acc-encoded as anchor*1e6 + (kept-1) (kept-per-key < 1e6 at
+# any gate SF; epoch*1e6 < 2^53). The adapter key fields are all functions
+# of (user_id, event_id, event_type), mirrored from
+# sources/access_log.events_from_driver_table.
 # ---------------------------------------------------------------------------
 @register(
     "repeat_filter_exact",
-    None,
-    doc="P9 Repeat.pm:63-102 — first-kept-anchor dedup via applyInPandas (non-SQL)",
+    """
+    WITH ev AS (
+        SELECT CAST(user_id % 100 AS INT) AS eprintid,
+               CASE WHEN event_type = 'click' THEN event_id % 500 END AS docid,
+               user_id % 256 AS ip_a, (user_id // 256) % 256 AS ip_b,
+               epoch_us(ts) // 1000000 AS e
+        FROM events
+    ),
+    folded AS (
+        SELECT eprintid,
+               list_reduce(list(e * 1000000 ORDER BY e), (acc, x) -> CASE
+                   WHEN x // 1000000 - acc // 1000000 > 3600
+                   THEN x + acc % 1000000 + 1 ELSE acc END) % 1000000 + 1 AS kept
+        FROM ev GROUP BY eprintid, docid, ip_a, ip_b
+    )
+    SELECT eprintid, CAST(SUM(kept) AS BIGINT) AS count
+    FROM folded GROUP BY 1
+    """,
+    doc="P9 Repeat.pm:63-102 — first-kept-anchor dedup; oracle = greedy "
+    "list_reduce fold per dedup key",
 )
 def repeat_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _adapted(spark, sf_dir)
@@ -427,15 +449,15 @@ def anon_md5_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM daily
     ),
     months AS (
-        SELECT (2000 + m // 12) * 100 + (m % 12) + 1 AS datestamp
+        SELECT CAST((2000 + m // 12) * 100 + (m % 12) + 1 AS INT) AS datestamp
         FROM generate_series(0, 1199) t(m), bounds
         WHERE (2000 + m // 12) * 100 + (m % 12) + 1 BETWEEN lo AND hi
     ),
     monthly AS (
-        SELECT CAST(d // 100 AS INT) AS datestamp, SUM(c) AS c
+        SELECT CAST(d // 100 AS INT) AS datestamp, CAST(SUM(c) AS BIGINT) AS c
         FROM daily GROUP BY 1
     )
-    SELECT m.datestamp, COALESCE(mo.c, 0) AS count
+    SELECT m.datestamp, CAST(COALESCE(mo.c, 0) AS BIGINT) AS count
     FROM months m LEFT JOIN monthly mo ON m.datestamp = mo.datestamp
     """,
     doc="SURVEY 7.2 minimum slice: Graph view, month resolution, _ALL_ range",
@@ -531,7 +553,7 @@ def _dims_store(spark: SparkSession, sf_dir: str) -> StatsStore:
                COUNT(*) AS c
         FROM events WHERE event_type = 'click' GROUP BY 1, 2
     )
-    SELECT datestamp, SUM(c) AS count
+    SELECT datestamp, CAST(SUM(c) AS BIGINT) AS count
     FROM fact JOIN dim USING (eprintid)
     WHERE datestamp BETWEEN 20240101 AND 20240131
     GROUP BY 1
@@ -565,7 +587,7 @@ def ctx_set_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(user_id % 100 AS INT) AS eprintid, COUNT(*) AS c
         FROM events WHERE event_type = 'click' GROUP BY 1
     )
-    SELECT set_value, SUM(c) AS count
+    SELECT set_value, CAST(SUM(c) AS BIGINT) AS count
     FROM fact JOIN dim USING (eprintid)
     GROUP BY 1
     """,
@@ -592,7 +614,7 @@ def ctx_top_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(user_id % 100 AS INT) AS eprintid, COUNT(*) AS c
         FROM events WHERE event_type = 'click' GROUP BY 1
     )
-    SELECT grouping_value, SUM(c) AS count
+    SELECT grouping_value, CAST(SUM(c) AS BIGINT) AS count
     FROM fact JOIN dim USING (eprintid)
     GROUP BY 1
     ORDER BY count DESC, grouping_value ASC

@@ -325,6 +325,47 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_ivf",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND({_qcos('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM embeddings a
+        JOIN assign sa ON sa.vec_id = a.vec_id
+        JOIN assign sb ON sb.centroid_id = sa.centroid_id
+                      AND sb.vec_id > sa.vec_id
+        JOIN embeddings b ON b.vec_id = sb.vec_id
+    ) WHERE cosine >= 0.45
+    """,
+    doc="embedding near-dup at scale: IVF-bucketed per-cluster exact GEMM "
+    "(no driver collect, no global broadcast); cluster-local pairs only",
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import embedding_dups_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return embedding_dups_ivf(emb, cents, threshold=0.45)
+
+
+@register(
     "similarity_bruteforce_topk",
     f"""
     WITH queries AS (
@@ -336,8 +377,8 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e CROSS JOIN queries q
     )
     SELECT query_id, vec_id, cosine, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
         FROM scored
     ) WHERE rank <= 5
     """,
@@ -409,7 +450,7 @@ def similarity_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'test' END AS split
         FROM (SELECT *, {_bucket_sql('split:')} AS b FROM keepers WHERE doc_id = keeper)
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
     FROM assigned GROUP BY 1, 2
     """,
     doc="end-to-end curation: quality gate -> exact-dedup keepers -> "
@@ -496,8 +537,8 @@ def similarity_hyperplane_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN embeddings qe ON qe.vec_id = c.query_id
     )
     SELECT query_id, vec_id, cosine, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
         FROM scored
     ) WHERE rank <= 5
     """,
@@ -521,8 +562,8 @@ def similarity_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_counts",
     f"""
     SELECT doc_id,
-           len(string_split({_NORM_SQL}, ' ')) AS n_tokens,
-           length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS n_ws_tokens
+           CAST(len(string_split({_NORM_SQL}, ' ')) AS INT) AS n_tokens,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g')) + 1 AS INT) AS n_ws_tokens
     FROM documents
     """,
     doc="token counting: normalized whitespace tokens + raw whitespace runs",
@@ -548,7 +589,7 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                length(text) AS n_chars
         FROM documents
     )
-    SELECT doc_id, n_chars, len(toks) AS n_tokens,
+    SELECT doc_id, CAST(n_chars AS INT) AS n_chars, CAST(len(toks) AS INT) AS n_tokens,
            ROUND(CASE WHEN len(toks) > 0
                  THEN length(list_aggregate(toks, 'string_agg', '')) / len(toks)
                  ELSE 0 END, 6) AS mean_token_len,
@@ -684,8 +725,8 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN queries q ON q.query_id = qa.query_id
     )
     SELECT query_id, vec_id, cosine, rank FROM (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY cosine DESC, vec_id ASC) AS rank
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
         FROM scored
     ) WHERE rank <= 5
     """,

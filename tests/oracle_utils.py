@@ -1,5 +1,12 @@
 """Local mirror of the driver's DuckDB-oracle comparison: row count +
-column names + order-insensitive value comparison, with float tolerance."""
+column names + pandas DTYPES + order-insensitive value comparison.
+
+The dtype check mirrors the driver's dtype-sensitive value hash (round 1's
+only hash failures were identical values with DuckDB HUGEINT/BIGINT vs
+Spark int64/int32 dtypes), so a dtype drift fails here before it fails at
+the gate: compare ``spark_df.toPandas()`` dtypes against DuckDB ``.df()``
+dtypes column by column.
+"""
 
 from __future__ import annotations
 
@@ -42,22 +49,33 @@ def _norm(v):
 
 def assert_matches_oracle(spark_df, sql: str, sf_dir: str = SF_ORACLE) -> None:
     con = duckdb_conn(sf_dir)
-    oracle_rows = con.execute(sql).fetchall()
-    oracle_cols = [d[0] for d in con.execute(sql).description]
-    spark_rows = [tuple(r) for r in spark_df.collect()]
-    spark_cols = spark_df.columns
+    opdf = con.execute(sql).df()
+    spdf = spark_df.toPandas()
+    oracle_cols, spark_cols = list(opdf.columns), list(spdf.columns)
 
     assert sorted(spark_cols) == sorted(oracle_cols), (
         f"column mismatch: spark={spark_cols} oracle={oracle_cols}"
     )
-    assert len(spark_rows) == len(oracle_rows), (
-        f"row count mismatch: spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    assert len(spdf) == len(opdf), (
+        f"row count mismatch: spark={len(spdf)} oracle={len(opdf)}"
+    )
+    dtype_diffs = [
+        f"{c}: spark={spdf[c].dtype} oracle={opdf[c].dtype}"
+        for c in oracle_cols
+        if str(spdf[c].dtype) != str(opdf[c].dtype)
+    ]
+    assert not dtype_diffs, (
+        "dtype mismatch (driver hash is dtype-sensitive): "
+        + "; ".join(dtype_diffs)
     )
     # reorder spark columns to oracle order, normalize, compare as multisets
-    idx = [spark_cols.index(c) for c in oracle_cols]
     s_norm = sorted(
-        tuple(_norm(r[i]) for i in idx) for r in spark_rows
+        tuple(_norm(v) for v in row)
+        for row in spdf[oracle_cols].itertuples(index=False, name=None)
     )
-    o_norm = sorted(tuple(_norm(v) for v in r) for r in oracle_rows)
+    o_norm = sorted(
+        tuple(_norm(v) for v in row)
+        for row in opdf.itertuples(index=False, name=None)
+    )
     for i, (a, b) in enumerate(zip(s_norm, o_norm)):
         assert a == b, f"value mismatch at sorted row {i}: spark={a} oracle={b}"

@@ -108,6 +108,37 @@ def test_robots_filter_ua_and_ip(spark):
     assert uas == {"Mozilla/5.0 (real browser)", None}
 
 
+def test_robots_default_full_lists(spark):
+    """Round 2: the defaults load the full public UA/IP lists shipped in
+    operators/data (Robots.pm's default_robots_ua.txt / _ip.txt). 'aria2'
+    and the 100.24. IP prefix appear ONLY in the full lists — the minimal
+    in-code fallback misses both."""
+    from irstats2_spark.operators.filters import (
+        MINIMAL_ROBOT_UA_PATTERNS,
+        default_ip_prefixes,
+        default_ua_patterns,
+    )
+
+    assert len(default_ua_patterns()) > 500
+    assert len(default_ip_prefixes()) > 300
+    df = spark.createDataFrame(
+        [
+            ("aria2/1.36.0", "8.8.8.8"),
+            ("Mozilla/5.0 ok", "100.24.3.4"),
+            ("Mozilla/5.0 ok", "8.8.8.8"),
+        ],
+        "requester_user_agent string, requester_id string",
+    )
+    kept = robots_filter(df).collect()
+    assert [(r.requester_user_agent, r.requester_id) for r in kept] == [
+        ("Mozilla/5.0 ok", "8.8.8.8")
+    ]
+    kept_min = robots_filter(
+        df, ua_patterns=MINIMAL_ROBOT_UA_PATTERNS, ip_prefixes=[]
+    ).collect()
+    assert len(kept_min) == 3
+
+
 def test_robots_pattern_file(tmp_path, spark):
     f = tmp_path / "ua.txt"
     f.write_text("# comment\n\nbadbot\nevil\\-crawler\n")

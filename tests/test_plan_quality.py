@@ -239,3 +239,109 @@ def test_headline_queries_compile_without_codegen_fallback(spark, queries):
             queries[name](spark, SF).collect()
     finally:
         spark.conf.unset("spark.sql.codegen.fallback")
+
+
+def test_embedding_ivf_dedup_has_no_driver_collect(spark, queries):
+    """The IVF embedding-dedup scale path must be a pure distributed plan:
+    building the DataFrame must not run ANY Spark job (embedding_cosine_dups
+    runs a toPandas() collect at build time — exactly the driver-side
+    bottleneck this operator exists to remove), and the per-cluster GEMM
+    must plan as FlatMapGroupsInPandas over one grouping exchange."""
+    from irstats2_spark.pipeline.dedup import embedding_dups_ivf
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = embedding_dups_ivf(emb, cents, threshold=0.45)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    # embedding_cosine_dups would fail here: its toPandas() collect runs
+    # on EVERY build; the IVF path must not touch the driver at all
+    assert jobs_after == jobs_before, "operator ran a job at build time"
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aqe_splits_skewed_fact_join(spark):
+    """The J1/J2 fact-join shape under a Zipfian key, with broadcast
+    disabled (the not-broadcastable-dimension regime): AQE's skew-join
+    must split the hot key's shuffle partition at runtime (skew=true in
+    the final adaptive SortMergeJoin) instead of landing ~all rows on one
+    reducer. Thresholds are lowered to make a local-scale fixture skew."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 180_000, 0)
+            .otherwise(F.col("id") % 100 + 1)
+            .alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 101).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+        )
+        # global agg, not groupBy(k): a downstream hash-partitioning on k
+        # would be broken by splitting the skewed partition, so AQE only
+        # rewrites the join when nothing downstream reuses its partitioning
+        # (or under forceOptimizeSkewedJoin) — the common fact-join regime.
+        joined = fact.join(dim, "k").agg(F.sum("v").alias("sv"))
+        joined.collect()
+        final = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_join_and_splits_hot_key(spark):
+    """operators.skew.salted_join: result identical to the unsalted join;
+    the physical shape replicates the right side (explode) and joins on
+    (key, salt) so a hot key spreads over `buckets` reducers."""
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 50_000).select(
+        F.when(F.col("id") < 45_000, 0).otherwise(F.col("id") % 50 + 1).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(0, 51).select(F.col("id").alias("k"), (F.col("id") * 7).alias("w"))
+    salted = salted_join(fact, dim, "k", buckets=8)
+    plain = fact.join(dim, "k")
+    assert salted.columns == plain.columns
+    agg = lambda df: sorted(  # noqa: E731
+        df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"),
+                            F.sum("w").alias("sw")).collect()
+    )
+    assert agg(salted) == agg(plain)
+
+
+def test_salted_grouped_sum_matches_plain(spark):
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.operators.skew import salted_grouped_sum
+
+    df = spark.range(0, 30_000).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    salted = salted_grouped_sum(df, ["g"], {"sv": "v"}, buckets=8)
+    plain = df.groupBy("g").agg(F.sum("v").alias("sv"))
+    assert sorted(salted.collect()) == sorted(plain.collect())
