@@ -80,6 +80,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- upgraded from rows-only to value oracles this round --
     "repeat_filter_exact",
     "events_unique_visitors_approx",
+    # -- new this round: full-pipeline end-to-end (robots+repeat+fact) --
+    "etl_silver_views_fact",
     # -- fill to 50 with representative round-1-green coverage --
     "a1_grouped_sum",
     "a2_sum_all",
@@ -92,7 +94,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "robots_filter_outcome",
     "t2_densify",
     "events_asof_prior",
-    "agg_argmax_order",
 )
 
 

@@ -310,22 +310,54 @@ def ivf_assign(
     c_vec_col: str = "centroid_vec",
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine, tie-break
-    by centroid id). Centroids broadcast; one map-side pass over the
-    corpus. Output: original columns + centroid_id + centroid_cosine."""
+    by centroid id). Output: original columns + centroid_id +
+    centroid_cosine.
+
+    Plan shape: a PURE MAP over the corpus — the centroid table is first
+    aggregated into ONE array-of-structs row (tiny: |centroids|), that
+    single row is broadcast-cross-joined onto the corpus, and the argmax
+    is a per-row fold (``F.aggregate``) over the centroid array. The
+    corpus is never shuffled, never sorted, and never aggregated: the
+    assignment fuses into the scan stage. (A row_number window here
+    shuffles+sorts |corpus| x |centroids| scored pairs; a max_by/struct-
+    max aggregate still plans SortAggregate over the exploded pairs —
+    both were measurably worse shapes.)
+
+    The fold keeps (best rounded cosine, best centroid id); a strictly-
+    greater compare with an id tie-break reproduces the oracle's
+    (cosine DESC, centroid_id ASC) ordering exactly. Quantized-integer
+    dot products keep scores engine-exact (see ``quantize``)."""
+    cents_arr = (
+        centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
+        .select(
+            F.struct(
+                F.col(c_id_col).alias("cid"), F.col("__qc").alias("qv")
+            ).alias("__c")
+        )
+        .agg(F.sort_array(F.collect_list("__c")).alias("__cents"))
+    )
     emb_q = embeddings.withColumn("__qv", quantize(F.col(vec_col)))
-    cents_q = centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
-    pairs = emb_q.crossJoin(F.broadcast(cents_q))
-    scored = pairs.withColumn(
-        "centroid_cosine",
-        F.round(cosine_pre_quantized(F.col("__qv"), F.col("__qc")), 6),
+    with_cents = emb_q.crossJoin(F.broadcast(cents_arr))
+
+    init = F.struct(
+        F.lit(-2.0).alias("cc"),  # any real cosine >= -1 beats the sentinel
+        F.lit(None).cast(centroids.schema[c_id_col].dataType).alias("cid"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("centroid_cosine").desc(), F.col(c_id_col).asc()
-    )
+
+    def step(acc, c):
+        cos = F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6)
+        better = (cos > acc["cc"]) | ((cos == acc["cc"]) & (c["cid"] < acc["cid"]))
+        return F.when(
+            better, F.struct(cos.alias("cc"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("__cents"), init, step)
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", c_vec_col, "__qv", "__qc")
+        with_cents.withColumn("__best", best)
+        .withColumn(c_id_col, F.col("__best.cid"))
+        .withColumn("centroid_cosine", F.col("__best.cc"))
+        .filter(F.col(c_id_col).isNotNull())  # empty centroid set => no rows
+        .drop("__qv", "__cents", "__best")
     )
 
 

@@ -512,3 +512,36 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.textstats import tfidf_top_term
 
     return tfidf_top_term(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Skew-bounded join (operators/skew.py): the J1 fact x dimension shape
+# under a hot key, with the dimension NOT broadcast — salting spreads the
+# hot key over `buckets` reducers. The salt never escapes, so the oracle
+# is the plain unsalted equi-join.
+# ---------------------------------------------------------------------------
+@register(
+    "join_salted_skew",
+    """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_customers
+    FROM customer c INNER JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY 1
+    """,
+    doc="salted equi-join for hot keys — result identical to the plain "
+    "join; right side replicated R-fold, hot left keys split R ways",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.operators.skew import salted_join
+
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    nat = load_table(spark, "nation", sf_dir).select("n_nationkey", "n_name")
+    joined = salted_join(
+        cust.withColumnRenamed("c_nationkey", "k"),
+        nat.withColumnRenamed("n_nationkey", "k"),
+        "k",
+        buckets=8,
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )

@@ -415,6 +415,62 @@ def repeat_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Full ETL pipeline end-to-end (SURVEY §3.3, etl/pipeline.py): adapter ->
+# robots filter (full public lists; bot UAs assigned to user_id%10 in
+# {0,1} — 'aria2' is caught ONLY by the full list) -> exact repeat filter
+# -> views processor. The oracle replays the whole chain in SQL: the
+# robots drop is a plain predicate, and the repeat fold returns the KEPT
+# EPOCHS as a list (list-of-lists list_reduce) so the daily fact can be
+# rebuilt from them. Views all share docid 'X', and clicks can never
+# suppress a view (different dedup key), so folding views alone is exact.
+# ---------------------------------------------------------------------------
+@register(
+    "etl_silver_views_fact",
+    """
+    WITH filtered AS (
+        SELECT user_id, ts FROM events
+        WHERE user_id % 10 NOT IN (0, 1)    -- robot UAs assigned to these
+          AND event_type <> 'click'         -- views = abstract pages
+    ),
+    keyed AS (
+        SELECT CAST(user_id % 100 AS INT) AS eprintid,
+               user_id % 256 AS ip_a, (user_id // 256) % 256 AS ip_b,
+               epoch_us(ts) // 1000000 AS e
+        FROM filtered
+    ),
+    folded AS (
+        SELECT eprintid,
+               list_reduce(
+                   list_transform(list(e ORDER BY e), x -> [x]),
+                   (acc, x) -> CASE WHEN x[1] - acc[-1] > 3600
+                               THEN list_concat(acc, x) ELSE acc END) AS kept_es
+        FROM keyed GROUP BY eprintid, ip_a, ip_b
+    ),
+    kept AS (SELECT eprintid, unnest(kept_es) AS e FROM folded)
+    SELECT eprintid,
+           CAST(strftime(make_timestamp(e * 1000000), '%Y%m%d') AS INT) AS datestamp,
+           'views' AS value,
+           COUNT(*) AS count
+    FROM kept GROUP BY 1, 2
+    """,
+    doc="SURVEY 3.3 end-to-end: adapter -> robots (full lists) -> exact "
+    "repeat -> views fact, oracle replays the whole chain incl. the fold",
+)
+def etl_silver_views_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.etl.pipeline import build_silver_events
+
+    ev = load_table(spark, "events", sf_dir)
+    ua = (
+        F.when(ev.user_id % 10 == 0, "Googlebot/2.1 (+http://google.com/bot)")
+        .when(ev.user_id % 10 == 1, "aria2/1.36.0")  # full-list-only pattern
+        .otherwise("Mozilla/5.0 (Windows NT 10.0) Chrome/120")
+    )
+    adapted = events_from_driver_table(ev, user_agent=ua)
+    silver = build_silver_events(adapted)
+    return P.views(silver)
+
+
+# ---------------------------------------------------------------------------
 # F10 value anonymization.
 # ---------------------------------------------------------------------------
 @register(

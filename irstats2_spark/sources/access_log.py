@@ -81,13 +81,19 @@ def with_event_columns(events: DataFrame) -> DataFrame:
     )
 
 
-def events_from_driver_table(events: DataFrame) -> DataFrame:
+def events_from_driver_table(events: DataFrame, user_agent=None) -> DataFrame:
     """Adapter: project the driver's generic `events` table
     (event_id, ts, user_id, event_type, value, props) onto the
     access-event shape so the full ETL path can run on driver data.
     Mapping: user_id => requester entity, event_type 'click' => download
     (docid set), everything else => abstract view.
+
+    ``user_agent``: optional Column over the input's columns for the UA
+    field (default: a constant non-robot UA) — lets gate queries exercise
+    the robots filter inside the full pipeline.
     """
+    if user_agent is None:
+        user_agent = F.lit("Mozilla/5.0 (synthetic)")
     return with_event_columns(
         events.select(
             F.col("ts").alias("datestamp"),
@@ -98,7 +104,7 @@ def events_from_driver_table(events: DataFrame) -> DataFrame:
                 ((F.col("user_id") / 256).cast("long") % 256).cast("string"),
                 F.lit(".1"),
             ).alias("requester_id"),
-            F.lit("Mozilla/5.0 (synthetic)").alias("requester_user_agent"),
+            user_agent.alias("requester_user_agent"),
             F.lit(None).cast("string").alias("referring_entity_id"),
             F.when(F.col("event_type") == "click", F.lit("?fulltext=yes"))
             .otherwise(F.lit("?abstract=yes"))

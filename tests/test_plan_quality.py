@@ -345,3 +345,24 @@ def test_salted_grouped_sum_matches_plain(spark):
     salted = salted_grouped_sum(df, ["g"], {"sv": "v"}, buckets=8)
     plain = df.groupBy("g").agg(F.sum("v").alias("sv"))
     assert sorted(salted.collect()) == sorted(plain.collect())
+
+
+def test_ivf_assign_is_pure_map_over_corpus(spark):
+    """ivf_assign must fuse into the corpus scan: the argmax is a per-row
+    fold over a broadcast centroid ARRAY, so the plan has no Sort anywhere
+    and exactly one Exchange — the |centroids|-row collect_list aggregate
+    on the broadcast side. (Both the row_number-window and max_by/struct-
+    max formulations sort or shuffle |corpus| x |centroids| scored rows.)"""
+    from irstats2_spark.pipeline.similarity import ivf_assign
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    plan = plan_of(ivf_assign(emb, cents))
+    tree = plan.split("\n\n")[0]
+    assert "Sort (" not in tree
+    assert tree.count("Exchange") == 2  # centroid agg shuffle + its broadcast
+    assert "BroadcastExchange" in tree
