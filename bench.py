@@ -26,6 +26,7 @@ HEADLINE = [
     "a6_a7_cumulative_running_avg",
     # irstats2 engine paths (ETL + Context compilation + views)
     "etl_downloads_fact",
+    "etl_silver_views_fact",
     "ctx_daily_series",
     "ctx_top_eprints",
     "ctx_set_series",
@@ -66,6 +67,7 @@ HEADLINE = [
     "agg_pivot_monthly",
     "join_anti_no_purchase",
     "text_tfidf_top_term",
+    "join_salted_skew",
 ]
 
 

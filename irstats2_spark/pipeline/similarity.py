@@ -361,6 +361,69 @@ def ivf_assign(
     )
 
 
+def ivf_assign_gemm(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "centroid_id",
+    c_vec_col: str = "centroid_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """``ivf_assign`` for WIDE centroid sets: one numpy GEMM per Arrow
+    batch instead of a per-element JVM fold.
+
+    The higher-order fold in ``ivf_assign`` evaluates interpreted
+    expressions per (row, centroid, dim) — fine for tens of centroids,
+    dominant at a realistic 1000-way IVF. Here the (small) centroid
+    table is collected once to the driver — the standard broadcast-
+    dimension pattern; this is the DIMENSION side, never the corpus —
+    and each Arrow batch scores against it with ``Q @ C.T`` (quantized
+    ints, exact in float64; half-up round to 6dp like SQL ROUND).
+    Centroids are pre-sorted by id so ``argmax``'s first-max rule
+    reproduces the (cosine DESC, centroid_id ASC) tie-break; a pytest
+    asserts bit-parity with ``ivf_assign``. The corpus is still never
+    shuffled — map-side only, same plan shape as the fold."""
+    import numpy as np
+
+    from irstats2_spark.parallel import ensure_parallelism
+
+    cpdf = centroids.select(
+        F.col(c_id_col).alias("cid"), F.col(c_vec_col).alias("cv")
+    ).toPandas()
+    order = cpdf["cid"].to_numpy().argsort(kind="stable")
+    cids = cpdf["cid"].to_numpy()[order]
+    cq = np.floor(
+        np.stack(cpdf["cv"].to_numpy()[order]).astype(np.float64) * scale + 0.5
+    )
+    cn = np.sqrt((cq * cq).sum(axis=1))
+    bc = embeddings.sparkSession.sparkContext.broadcast((cids, cq, cn))
+
+    in_schema = embeddings.schema
+    cid_type = centroids.schema[c_id_col].dataType.simpleString()
+    out_schema = (
+        ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in in_schema)
+        + f", `{c_id_col}` {cid_type}, `centroid_cosine` double"
+    )
+
+    def assign(batches):
+        cids_b, cq_b, cn_b = bc.value
+        for pdf in batches:
+            q = np.floor(
+                np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
+            )
+            qn = np.sqrt((q * q).sum(axis=1))
+            cos = (q @ cq_b.T) / np.outer(qn, cn_b)
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
+            best = np.argmax(cos, axis=1)  # first max => lowest centroid id
+            out = pdf.copy()
+            out[c_id_col] = cids_b[best]
+            out["centroid_cosine"] = cos[np.arange(len(pdf)), best]
+            yield out
+
+    return ensure_parallelism(embeddings).mapInPandas(assign, schema=out_schema)
+
+
 def ivf_topk(
     embeddings_assigned: DataFrame,
     queries_assigned: DataFrame,

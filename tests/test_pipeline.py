@@ -591,3 +591,20 @@ def test_lsh_max_bucket_size_drops_mass_collisions(spark):
     assert full.count() == 10  # C(5,2) pairs
     capped = minhash_lsh_candidates(df, max_bucket_size=4)
     assert capped.count() == 0  # the size-5 bucket is dropped
+
+
+def test_ivf_assign_gemm_parity(spark):
+    """The Arrow-batched GEMM assignment must be bit-identical to the
+    JVM fold (quantized-int scoring + first-max/lowest-id tie-break)."""
+    from irstats2_spark.pipeline.similarity import ivf_assign_gemm
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = emb.filter(F.col("vec_id") < 7).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    cols = ["vec_id", "centroid_id", "centroid_cosine"]
+    a = sorted(map(tuple, ivf_assign(emb, cents).select(*cols).collect()))
+    b = sorted(map(tuple, ivf_assign_gemm(emb, cents).select(*cols).collect()))
+    assert a == b and len(a) > 0
