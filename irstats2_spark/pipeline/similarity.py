@@ -424,17 +424,53 @@ def ivf_assign_gemm(
     return ensure_parallelism(embeddings).mapInPandas(assign, schema=out_schema)
 
 
+def ivf_probe_assign(
+    queries: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 1,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    c_id_col: str = "centroid_id",
+    c_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """The QUERY side of multi-probe IVF: each query's ``n_probe``
+    nearest centroids (one output row per probe). Feeding this to
+    ``ivf_topk`` widens the candidate set to the n_probe closest
+    clusters — the standard IVF recall knob (recall lost to a neighbor
+    sitting just across a cluster boundary is recovered at p=2..4 for a
+    |probed clusters| / |clusters| fraction of the scan cost).
+
+    Queries are small by contract (the corpus side stays single-assigned
+    via ivf_assign), so the |queries| x |centroids| rank here is
+    negligible; at p=1 this degenerates to ivf_assign's result."""
+    q_q = queries.withColumn("__qq", quantize(F.col(q_vec_col)))
+    c_q = centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
+    scored = q_q.crossJoin(F.broadcast(c_q)).withColumn(
+        "centroid_cosine",
+        F.round(cosine_pre_quantized(F.col("__qq"), F.col("__qc")), 6),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("centroid_cosine").desc(), F.col(c_id_col).asc()
+    )
+    return (
+        scored.withColumn("__probe", F.row_number().over(w))
+        .filter(F.col("__probe") <= n_probe)
+        .drop("__probe", "__qq", "__qc", c_vec_col)
+    )
+
+
 def ivf_topk(
     embeddings_assigned: DataFrame,
     queries_assigned: DataFrame,
     k: int = 5,
-    n_probe_clusters: int = 1,
 ) -> DataFrame:
-    """ANN top-k restricted to the query's cluster(s). Inputs are the
-    outputs of ivf_assign for the corpus and for the queries (with
-    query columns named query_id/query_vec). Output like brute_force_topk
-    (approximate: recall < 1 when the true neighbor lives in another
-    cluster)."""
+    """ANN top-k restricted to the query's probed cluster(s). Inputs:
+    the corpus from ``ivf_assign`` and the query side from ``ivf_assign``
+    (single probe) or ``ivf_probe_assign`` (multi-probe: several rows
+    per query, one per probed cluster — each corpus vector matches at
+    most one of them, so no dedup is needed before ranking). Output like
+    brute_force_topk (approximate: recall < 1 when the true neighbor
+    lives outside every probed cluster)."""
     corpus = embeddings_assigned.select(
         "vec_id",
         quantize(F.col("embedding")).alias("__qv"),

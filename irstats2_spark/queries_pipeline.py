@@ -751,3 +751,74 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, qassigned, k=5).select(
         "query_id", "vec_id", "cosine", "rank"
     )
+
+
+@register(
+    "similarity_ivf_probe2_topk",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id < 3
+    ),
+    qprobe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('q.qv', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM queries q CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT qa.query_id, e.vec_id,
+               ROUND({_qcos('e.embedding', 'q.qv')}, 6) AS cosine
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN qprobe qa ON a.centroid_id = qa.centroid_id
+        JOIN queries q ON q.query_id = qa.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="multi-probe IVF ANN: each query probes its 2 nearest clusters — "
+    "the recall knob over single-probe IVF (candidates still "
+    "cluster-restricted; corpus never shuffled)",
+)
+def similarity_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import (
+        ivf_assign,
+        ivf_probe_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes = ivf_probe_assign(queries, cents, n_probe=2)
+    return ivf_topk(assigned, probes, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )

@@ -608,3 +608,30 @@ def test_ivf_assign_gemm_parity(spark):
     a = sorted(map(tuple, ivf_assign(emb, cents).select(*cols).collect()))
     b = sorted(map(tuple, ivf_assign_gemm(emb, cents).select(*cols).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_multi_probe_recovers_cross_cluster_neighbor(spark):
+    """The true nearest neighbor sits in the query's SECOND-closest
+    cluster: single-probe IVF misses it, 2-probe recovers it (the
+    standard recall knob). Quantized math keeps the scores exact."""
+    from irstats2_spark.pipeline.similarity import ivf_probe_assign
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0]),
+         (5, [0.6, 0.8, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    assigned = ivf_assign(corpus, cents)
+    # vec 5 lands in cluster 1 (cos .8 > .6)
+    assert {r.vec_id: r.centroid_id for r in assigned.collect()}[5] == 1
+    q = spark.createDataFrame(
+        [(100, [0.8, 0.6, 0.0, 0.0])], "query_id long, query_vec array<float>"
+    )
+    top_p1 = ivf_topk(assigned, ivf_probe_assign(q, cents, n_probe=1), k=1).head()
+    top_p2 = ivf_topk(assigned, ivf_probe_assign(q, cents, n_probe=2), k=1).head()
+    assert top_p1.vec_id == 0 and top_p1.cosine == 0.8  # cluster-0 only
+    assert top_p2.vec_id == 5 and top_p2.cosine == 0.96  # true neighbor
