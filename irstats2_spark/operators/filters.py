@@ -95,8 +95,29 @@ def robots_filter(
     ip_prefixes: list[str] | None = None,
     ua_file: str | None = None,
     ip_file: str | None = None,
+    distinct_prefilter: bool = False,
 ) -> DataFrame:
-    """P8: return only non-robot rows."""
+    """P8: return only non-robot rows.
+
+    Two physical strategies with identical output:
+
+    - default: one compiled rlike alternation per row — zero shuffle,
+      fuses into the scan. Per-row cost is O(|patterns|) regex work,
+      which the full ~826-fragment default list makes the dominant CPU
+      of an ETL pass.
+    - ``distinct_prefilter=True``: classify the DISTINCT UA and IP value
+      sets (map-side partial agg makes those shuffles tiny — real
+      traffic has ~10^4-10^6 distinct UAs/IPs against 10^9+ rows), then
+      drop robot rows with two broadcast anti-joins. The regex runs once
+      per distinct value instead of once per row — the same
+      dedup-before-regex shape as functions.text.search_term_counts.
+
+    Measured on this engine the compiled alternation costs ~0.3us/row,
+    so the per-row form stays the default at every scale where the regex
+    is not the measured bottleneck; reach for the prefilter when the
+    pattern list grows past the shipped ~826 fragments or per-row regex
+    time shows up in the stage profile (both strategies are
+    output-identical, parity-tested)."""
     ua_patterns = list(ua_patterns if ua_patterns is not None else default_ua_patterns())
     ip_prefixes = list(ip_prefixes if ip_prefixes is not None else default_ip_prefixes())
     if ua_file and os.path.exists(ua_file):
@@ -104,13 +125,33 @@ def robots_filter(
     if ip_file and os.path.exists(ip_file):
         ip_prefixes = load_pattern_file(ip_file)
 
+    ua_re = "|".join(ua_patterns) if ua_patterns else None
+    ip_re = _ip_prefix_regex(ip_prefixes)
+
+    if distinct_prefilter:
+        # NULL values never classify as robot (isNotNull in the per-row
+        # form); an equality anti-join never matches NULL either, so the
+        # two strategies keep exactly the same rows.
+        orig_cols = df.columns  # USING-joins move the key column first
+        if ua_re:
+            robot_uas = (
+                df.select(ua_col).distinct()
+                .filter(F.lower(F.col(ua_col)).rlike(ua_re))
+            )
+            df = df.join(F.broadcast(robot_uas), ua_col, "left_anti")
+        if ip_re:
+            robot_ips = (
+                df.select(ip_col).distinct()
+                .filter(F.col(ip_col).rlike(ip_re))
+            )
+            df = df.join(F.broadcast(robot_ips), ip_col, "left_anti")
+        return df.select(*orig_cols)
+
     keep = F.lit(True)
-    if ua_patterns:
-        ua_re = "|".join(ua_patterns)
+    if ua_re:
         keep = keep & ~(
             F.col(ua_col).isNotNull() & F.lower(F.col(ua_col)).rlike(ua_re)
         )
-    ip_re = _ip_prefix_regex(ip_prefixes)
     if ip_re:
         keep = keep & ~(
             F.col(ip_col).isNotNull() & F.col(ip_col).rlike(ip_re)

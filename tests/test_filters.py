@@ -229,3 +229,26 @@ def test_robots_pattern_file_loading(spark, tmp_path):
         df, ua_file=str(ua_file), ip_file=str(ip_file)
     ).collect()
     assert sorted(r.requester_id for r in kept) == ["192.16.0.1", "8.8.8.8"]
+
+
+def test_robots_distinct_prefilter_parity(spark):
+    """The dedup-before-regex strategy must keep exactly the same rows
+    as the per-row rlike form, including NULL UA/IP rows."""
+    rows = [
+        ("Mozilla/5.0 (real browser)", "1.2.3.4"),
+        ("Googlebot/2.1 (+http://www.google.com/bot.html)", "5.6.7.8"),
+        ("aria2/1.36.0", "9.9.9.9"),
+        ("Mozilla/5.0 ok", "100.24.3.4"),  # robot IP prefix (full list)
+        (None, "2.3.4.5"),
+        ("Mozilla/5.0 ok", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "requester_user_agent string, requester_id string"
+    )
+    plain = robots_filter(df).collect()
+    pre = robots_filter(df, distinct_prefilter=True).collect()
+    key = lambda r: (r.requester_user_agent or "", r.requester_id or "")  # noqa: E731
+    assert sorted(map(tuple, plain), key=lambda t: (t[0] or "", t[1] or "")) == sorted(
+        map(tuple, pre), key=lambda t: (t[0] or "", t[1] or "")
+    )
+    assert len(pre) == 3  # real browser + both NULL rows
