@@ -55,6 +55,7 @@ HEADLINE = [
     "text_quality_features",
     "text_lang_id",
     "pipeline_curation_summary",
+    "text_pii_scrub",
     # extensions (rollup, sessionization, distinct agg, chunk dedup, vocab)
     "agg_rollup_monthly",
     "events_sessionize",

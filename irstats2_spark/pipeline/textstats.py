@@ -196,3 +196,34 @@ def tfidf_top_term(
         .filter(F.col("rk") == 1)
         .select("doc_id", F.col("term").alias("top_term"), "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — the redaction pass every training-data pipeline runs
+# before text ships to a model. Patterns restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB) so the SQL
+# oracle reproduces the scrub byte-for-byte; replacement order is fixed
+# (email, ipv4, phone) because the classes can abut in raw text.
+# ---------------------------------------------------------------------------
+PII_PATTERNS = (
+    ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}", "<IP>"),
+    ("phone", r"\d{3}[-. ]\d{4}", "<PHONE>"),
+)
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts on the ORIGINAL text (map-side)."""
+    return {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), 0))
+        for kind, pat, _ in PII_PATTERNS
+    }
+
+
+def pii_scrub(text: Column) -> Column:
+    """Text with every PII match replaced by its placeholder, applied in
+    PII_PATTERNS order (map-side, no shuffle, no Python)."""
+    out = text
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out

@@ -822,3 +822,56 @@ def similarity_ivf_probe2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, probes, k=5).select(
         "query_id", "vec_id", "cosine", "rank"
     )
+
+
+@register(
+    "text_pii_scrub",
+    """
+    WITH src AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail.example.org or call 555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                    || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               AS full_text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(full_text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(full_text,
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}')) AS INT) AS n_ipv4,
+           CAST(len(regexp_extract_all(full_text,
+               '\\d{3}[-. ]\\d{4}')) AS INT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(full_text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+               '\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}', '<IP>', 'g'),
+               '\\d{3}[-. ]\\d{4}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM src
+    """,
+    doc="PII scrub: synthetic email/phone/IP injected per doc, redaction "
+    "+ per-kind counts verified byte-exact via md5 of the scrubbed text",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import pii_counts, pii_scrub
+
+    docs = load_table(spark, "documents", sf_dir)
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    docs = docs.withColumn("__full", full)
+    counts = pii_counts(F.col("__full"))
+    return docs.select(
+        "doc_id",
+        counts["email"].alias("n_emails"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["phone"].alias("n_phones"),
+        F.md5(pii_scrub(F.col("__full"))).alias("scrubbed_md5"),
+    )
