@@ -366,3 +366,28 @@ def test_ivf_assign_is_pure_map_over_corpus(spark):
     assert "Sort (" not in tree
     assert tree.count("Exchange") == 2  # centroid agg shuffle + its broadcast
     assert "BroadcastExchange" in tree
+
+
+def test_silver_pipeline_robots_fused_into_scan(spark, queries):
+    """The end-to-end silver pass must keep the robots filter in the scan
+    stage (a Filter below the repeat filter's key exchange — never a
+    separate pass over the events), and plan exactly two exchanges: the
+    repeat key repartition and the final fact aggregation."""
+    plan = plan_of(queries["etl_silver_views_fact"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2
+    assert tree.count("MapInPandas") == 1  # the exact repeat fold
+    # the robots rlike filter sits under the first exchange, fused with
+    # the parquet scan's stage
+    first_exchange_pos = tree.index("Exchange")
+    assert "Filter" in tree[first_exchange_pos:], tree
+
+
+def test_salted_join_replicates_right_side(spark, queries):
+    """join_salted_skew: the right side is exploded buckets-fold
+    (Generate) and the join keys include the salt — never a cartesian."""
+    plan = plan_of(queries["join_salted_skew"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Generate" in tree  # the salt explode on the replicated side
+    assert "CartesianProduct" not in tree
+    assert "__salt" in plan
