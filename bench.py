@@ -50,6 +50,7 @@ HEADLINE = [
     "similarity_bruteforce_topk",
     "similarity_ivf_assign",
     "similarity_ivf_topk",
+    "similarity_kmeans_fit",
     "similarity_hyperplane_sig",
     "similarity_hyperplane_topk",
     "text_quality_features",

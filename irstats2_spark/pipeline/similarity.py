@@ -424,6 +424,105 @@ def ivf_assign_gemm(
     return ensure_parallelism(embeddings).mapInPandas(assign, schema=out_schema)
 
 
+def kmeans_fit(
+    embeddings: DataFrame,
+    k: int = 4,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over an embedding column — the FIT
+    step that makes the IVF family self-contained (fit -> ivf_assign ->
+    ivf_topk / embedding_dups_ivf).
+
+    Engine-portable by construction, so a SQL oracle reproduces the
+    centroids bit-for-bit:
+    - init: the k lowest-id vectors (seed-free, deterministic);
+    - assign: max quantized cosine, centroid-id tie-break — exactly
+      ``ivf_assign``'s rule, and a pure map over the corpus;
+    - update: element-wise mean of the QUANTIZED member vectors (integer
+      sums are order-exact; one double division per dimension), then
+      re-quantized for the next round's scoring;
+    - empty clusters keep their previous centroid;
+    - fixed ``max_iter`` rounds, no driver-side convergence collect.
+
+    Per round: the map-side assign plus ONE shuffle keyed by
+    (centroid_id, dim) for the update — k*dim result rows, so the
+    reduce side is trivially small at any corpus size.
+
+    Output: (centroid_id, dim, value) exploded per dimension — join or
+    pivot back to arrays as needed (``centroids_as_vectors`` below).
+    """
+    # NB: the quantized column must not be named __qv — ivf_assign uses
+    # that name internally and would silently replace-then-drop it
+    src = embeddings.select(
+        F.col(id_col).alias("__id"), quantize(F.col(vec_col), scale).alias("__kq")
+    )
+    # init: k lowest ids, centroid_id = the seed vector's id
+    cents = (
+        src.orderBy("__id")
+        .limit(k)
+        .select(
+            F.col("__id").alias("centroid_id"),
+            F.transform(F.col("__kq"), lambda x: x.cast("double") / scale).alias(
+                "centroid_vec"
+            ),
+        )
+    )
+    for _ in range(max_iter):
+        assigned = ivf_assign(
+            src.select(F.col("__id").alias("vec_id"), F.col("__kq")),
+            cents,
+            id_col="vec_id",
+            vec_col="__kq",
+        )
+        # __kq is already quantized; ivf_assign re-quantizes (floor(q*scale
+        # +0.5)) — harmless for integers scaled back below
+        per_dim = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col("__kq")).alias("dim", "q")
+            )
+            .groupBy("centroid_id", "dim")
+            .agg((F.sum("q") / F.count(F.lit(1)) / scale).alias("value"))
+        )
+        new_cents = per_dim.groupBy("centroid_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("value")))
+            ).alias("__dv")
+        ).select(
+            "centroid_id",
+            F.transform(F.col("__dv"), lambda s: s["value"]).alias("centroid_vec"),
+        )
+        # empty clusters keep their previous centroid
+        cents = (
+            cents.select("centroid_id", F.col("centroid_vec").alias("__old"))
+            .join(new_cents, "centroid_id", "left")
+            .select(
+                "centroid_id", F.coalesce("centroid_vec", "__old").alias("centroid_vec")
+            )
+        )
+    return cents.select(
+        "centroid_id", F.posexplode("centroid_vec").alias("dim", "value")
+    ).select("centroid_id", "dim", F.round("value", 6).alias("value"))
+
+
+def centroids_as_vectors(fitted: DataFrame) -> DataFrame:
+    """Rebuild (centroid_id, centroid_vec) arrays from kmeans_fit's
+    exploded (centroid_id, dim, value) rows — the shape ivf_assign /
+    ivf_probe_assign take as their centroid table."""
+    return (
+        fitted.groupBy("centroid_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("dim", "value"))).alias("__dv")
+        )
+        .select(
+            "centroid_id",
+            F.transform(F.col("__dv"), lambda s: s["value"]).alias("centroid_vec"),
+        )
+    )
+
+
 def ivf_probe_assign(
     queries: DataFrame,
     centroids: DataFrame,

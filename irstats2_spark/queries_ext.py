@@ -244,6 +244,49 @@ def text_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Approximate quantiles — the 100 TB sketch path for the same contract.
+# Like events_unique_visitors_approx, the sketch value itself is engine-
+# specific, so the gate asserts it IN-QUERY: the approx p50/p90 must land
+# between the exact p45-p55 / p85-p95 (rank tolerance 5%, ~50x the
+# guarantee at accuracy=1000), and the oracle emits the exact quantiles
+# plus TRUE — the value hash fails if the sketch drifts out of its rank
+# bound.
+# ---------------------------------------------------------------------------
+@register(
+    "text_length_quantiles_approx",
+    """
+    SELECT lang, COUNT(*) AS n_docs,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.9), 6) AS p90_chars,
+           TRUE AS approx_ok
+    FROM documents GROUP BY 1
+    """,
+    doc="per-language doc-length quantiles via percentile_approx sketch, "
+    "rank-bounded in-query against the exact percentiles",
+)
+def text_length_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    agg = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_chars, 0.5D)"), 6).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9D)"), 6).alias("p90_chars"),
+        F.expr("percentile(n_chars, 0.45D)").alias("__p45"),
+        F.expr("percentile(n_chars, 0.55D)").alias("__p55"),
+        F.expr("percentile(n_chars, 0.85D)").alias("__p85"),
+        F.expr("percentile(n_chars, 0.95D)").alias("__p95"),
+        F.expr("approx_percentile(n_chars, 0.5D, 1000)").alias("__a50"),
+        F.expr("approx_percentile(n_chars, 0.9D, 1000)").alias("__a90"),
+    )
+    ok = (
+        F.col("__a50").between(F.col("__p45"), F.col("__p55"))
+        & F.col("__a90").between(F.col("__p85"), F.col("__p95"))
+    )
+    return agg.select(
+        "lang", "n_docs", "p50_chars", "p90_chars", ok.alias("approx_ok")
+    )
+
+
+# ---------------------------------------------------------------------------
 # As-of join — nearest preceding right row per key (operators/asof.py).
 # "For each purchase, the same user's most recent click at-or-before it."
 # ---------------------------------------------------------------------------

@@ -875,3 +875,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["phone"].alias("n_phones"),
         F.md5(pii_scrub(F.col("__full"))).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-means fit (pipeline/similarity.kmeans_fit): deterministic Lloyd's over
+# quantized vectors. The oracle replays both rounds — assign = the ivf
+# argmax SQL, update = exact integer per-dimension sums with the identical
+# division sequence (sum -> /count -> /scale), so centroids match to the
+# 6dp round.
+# ---------------------------------------------------------------------------
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
+    parts = [
+        f"WITH q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),",
+        f"""c0 AS (
+            SELECT vec_id AS centroid_id,
+                   list_transform(qv, x -> CAST(x AS DOUBLE) / 1000) AS cv
+            FROM q ORDER BY vec_id LIMIT {k}
+        )""",
+    ]
+    for i in range(iters):
+        cur, nxt = f"c{i}", f"c{i + 1}"
+        score = _qcos("q.qv", "c.cv")
+        parts.append(f""",
+        a{i} AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT q.vec_id, c.centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                           ORDER BY ROUND({score}, 6) DESC,
+                                    c.centroid_id ASC) AS rn
+                FROM q CROSS JOIN {cur} c
+            ) WHERE rn = 1
+        ),
+        u{i} AS (
+            SELECT centroid_id, i - 1 AS dim,
+                   CAST(SUM(qv[i]) AS DOUBLE) / COUNT(*) / 1000 AS value
+            FROM (SELECT a.centroid_id, q.qv, generate_subscripts(q.qv, 1) AS i
+                  FROM a{i} a JOIN q ON a.vec_id = q.vec_id) t
+            GROUP BY 1, 2
+        ),
+        {nxt} AS (
+            SELECT c.centroid_id, COALESCE(u.cv, c.cv) AS cv
+            FROM {cur} c LEFT JOIN (
+                SELECT centroid_id, list(value ORDER BY dim) AS cv
+                FROM u{i} GROUP BY 1
+            ) u USING (centroid_id)
+        )""")
+    parts.append(f"""
+    SELECT centroid_id, CAST(i - 1 AS INT) AS dim, ROUND(cv[i], 6) AS value
+    FROM (SELECT centroid_id, cv, generate_subscripts(cv, 1) AS i FROM c{iters}) t
+    """)
+    return "\n".join(parts)
+
+
+@register(
+    "similarity_kmeans_fit",
+    _kmeans_oracle_sql(k=4, iters=2),
+    doc="k-means centroid training (deterministic Lloyd's, quantized-exact "
+    "update sums) — the fit step ahead of ivf_assign / ivf_topk",
+)
+def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import kmeans_fit
+
+    return kmeans_fit(load_table(spark, "embeddings", sf_dir), k=4, max_iter=2)

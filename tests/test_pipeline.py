@@ -635,3 +635,26 @@ def test_ivf_multi_probe_recovers_cross_cluster_neighbor(spark):
     top_p2 = ivf_topk(assigned, ivf_probe_assign(q, cents, n_probe=2), k=1).head()
     assert top_p1.vec_id == 0 and top_p1.cosine == 0.8  # cluster-0 only
     assert top_p2.vec_id == 5 and top_p2.cosine == 0.96  # true neighbor
+
+
+def test_kmeans_fit_deterministic_and_chains_into_ivf(spark):
+    """kmeans_fit: deterministic across runs (seed-free init + exact
+    quantized update sums), k x dim output rows, and its centroids chain
+    straight into ivf_assign (fit -> assign covers every corpus vector
+    with a valid cluster)."""
+    from irstats2_spark.pipeline.similarity import (
+        centroids_as_vectors,
+        kmeans_fit,
+    )
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    f1 = sorted(map(tuple, kmeans_fit(emb, k=4, max_iter=2).collect()))
+    f2 = sorted(map(tuple, kmeans_fit(emb, k=4, max_iter=2).collect()))
+    assert f1 == f2
+    dim = emb.head().embedding.__len__()
+    assert len(f1) == 4 * dim
+    cents = centroids_as_vectors(kmeans_fit(emb, k=4, max_iter=2))
+    assigned = ivf_assign(emb, cents)
+    assert assigned.count() == emb.count()
+    assert assigned.filter(F.col("centroid_id").isNull()).count() == 0
