@@ -559,3 +559,104 @@ def chunk_dedup_stats(
             F.sum("_kept").alias("n_kept"),
         )
     )
+
+
+def exact_dedup_incremental(
+    new_docs: DataFrame,
+    seen_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact dedup: a NEW batch against an accumulated hash
+    snapshot — the shape that matters at 100 TB, where the daily batch
+    must never rescan or reshuffle the historical corpus.
+
+    ``seen_hashes`` needs one column ``text_hash`` (md5 hex), e.g. the
+    ``text_hash`` output of prior exact_dedup runs (persist it bucketed
+    by text_hash via sources.storage.write_fact_bucketed and the anti-
+    join below plans exchange-free on the snapshot side). Returns the
+    batch's fresh groups: (text_hash, keeper_id = min id within the
+    batch, n_docs = batch occurrences) for hashes absent from the
+    snapshot. Composition law (pytest-asserted): keepers(old ∪ new) ==
+    keepers(old) ∪ exact_dedup_incremental(new, hashes(old)) — so a
+    daily pipeline folding batches through this operator converges to
+    exactly the global dedup result.
+    """
+    batch_groups = exact_dedup(new_docs, text_col, id_col)
+    return batch_groups.join(
+        seen_hashes.select("text_hash"), "text_hash", "left_anti"
+    )
+
+
+def minhash_lsh_incremental(
+    new_docs: DataFrame,
+    old_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup: a NEW batch against the accumulated MinHash
+    SIGNATURE snapshot (``minhash_signatures`` output persisted per
+    batch, ~n_hashes strings per historical doc) — the historical text
+    and shingle sets are never re-read.
+
+    Candidates come from a band join of the new batch's banded
+    signatures against the banded snapshot; verification uses the
+    MinHash Jaccard ESTIMATOR (matching-slot fraction — the textbook
+    unbiased estimator, granularity 1/n_hashes) because exact Jaccard
+    would need the old shingle sets back. Output: (old_id, new_id,
+    est_jaccard) for cross pairs with estimate >= threshold. Run the
+    exact in-batch minhash_lsh_dedup alongside for new-vs-new pairs.
+
+    Scale shape: band keys are uniform md5 strings (skew-free); the
+    snapshot side can be stored bucketed by (band, sig) so the daily
+    join co-locates without reshuffling history.
+    """
+    assert n_hashes % bands == 0
+    new_sigs = minhash_signatures(
+        word_shingles(new_docs, text_col, id_col, k), n_hashes
+    )
+
+    def banded(sig, out_id):
+        rows_per_band = n_hashes // bands
+        band_cols = []
+        for b in range(bands):
+            cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("sig"),
+                )
+            )
+        return sig.select(
+            F.col("doc_id").alias(out_id), F.explode(F.array(*band_cols)).alias("bs")
+        ).select(out_id, F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+    cand = (
+        banded(old_sigs, "old_id")
+        .join(banded(new_sigs, "new_id"), ["band", "sig"])
+        .select("old_id", "new_id")
+        .distinct()
+    )
+    o = old_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh_{i}").alias(f"__o{i}") for i in range(n_hashes)],
+    )
+    n = new_sigs.select(
+        F.col("doc_id").alias("new_id"),
+        *[F.col(f"mh_{i}").alias(f"__n{i}") for i in range(n_hashes)],
+    )
+    matches = sum(
+        F.when(F.col(f"__o{i}") == F.col(f"__n{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    return (
+        cand.join(o, "old_id")
+        .join(n, "new_id")
+        .withColumn("est_jaccard", F.round(matches / F.lit(n_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("old_id", "new_id", "est_jaccard")
+    )

@@ -937,3 +937,106 @@ def similarity_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.similarity import kmeans_fit
 
     return kmeans_fit(load_table(spark, "embeddings", sf_dir), k=4, max_iter=2)
+
+
+@register(
+    "dedup_exact_incremental",
+    """
+    WITH old_hashes AS (
+        SELECT DISTINCT md5(text) AS text_hash FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+        SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id,
+               COUNT(*) AS n_docs
+        FROM documents WHERE doc_id >= 250 GROUP BY 1
+    )
+    SELECT b.text_hash, b.keeper_id, b.n_docs
+    FROM batch b LEFT JOIN old_hashes o ON b.text_hash = o.text_hash
+    WHERE o.text_hash IS NULL
+    """,
+    doc="incremental exact dedup: new batch anti-joined against the "
+    "accumulated hash snapshot — the historical corpus is never rescanned",
+)
+def dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import exact_dedup, exact_dedup_incremental
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    seen = exact_dedup(old).select("text_hash")
+    return exact_dedup_incremental(new, seen)
+
+
+# Incremental LSH oracle: the sig CTE over the whole table, split into
+# snapshot (doc_id < 250) and batch (>= 250); band join + matching-slot
+# Jaccard estimator.
+_INC_SIGS = f"""
+    {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+               MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+               MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+               MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    )
+"""
+
+
+@register(
+    "dedup_minhash_incremental",
+    f"""
+    WITH {_INC_SIGS},
+    cand AS (
+        SELECT DISTINCT o.doc_id AS old_id, n.doc_id AS new_id
+        FROM banded o JOIN banded n ON o.band = n.band AND o.sig = n.sig
+        WHERE o.doc_id < 250 AND n.doc_id >= 250
+    )
+    SELECT c.old_id, c.new_id,
+           ROUND(((CASE WHEN so.mh_0 = sn.mh_0 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_1 = sn.mh_1 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_2 = sn.mh_2 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_3 = sn.mh_3 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_4 = sn.mh_4 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_5 = sn.mh_5 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_6 = sn.mh_6 THEN 1 ELSE 0 END)
+                + (CASE WHEN so.mh_7 = sn.mh_7 THEN 1 ELSE 0 END)) / 8.0, 6)
+           AS est_jaccard
+    FROM cand c
+    JOIN sig so ON so.doc_id = c.old_id
+    JOIN sig sn ON sn.doc_id = c.new_id
+    WHERE ((CASE WHEN so.mh_0 = sn.mh_0 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_1 = sn.mh_1 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_2 = sn.mh_2 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_3 = sn.mh_3 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_4 = sn.mh_4 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_5 = sn.mh_5 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_6 = sn.mh_6 THEN 1 ELSE 0 END)
+         + (CASE WHEN so.mh_7 = sn.mh_7 THEN 1 ELSE 0 END)) / 8.0 >= 0.5
+    """,
+    doc="incremental MinHash-LSH: new batch banded against the signature "
+    "snapshot, matching-slot Jaccard estimator — historical text never "
+    "re-read",
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    old_sigs = minhash_signatures(word_shingles(old, "text", "doc_id", 3), 8)
+    return minhash_lsh_incremental(new, old_sigs, threshold=0.5)

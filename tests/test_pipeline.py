@@ -658,3 +658,43 @@ def test_kmeans_fit_deterministic_and_chains_into_ivf(spark):
     assigned = ivf_assign(emb, cents)
     assert assigned.count() == emb.count()
     assert assigned.filter(F.col("centroid_id").isNull()).count() == 0
+
+
+def test_exact_dedup_incremental_composes_to_global(spark, docs):
+    """Folding batches through exact_dedup_incremental must converge to
+    the global dedup result: keepers(all) == keepers(old) U fresh(new)."""
+    from irstats2_spark.pipeline.dedup import exact_dedup, exact_dedup_incremental
+
+    old = docs.filter(F.col("doc_id") <= 3)
+    new = docs.filter(F.col("doc_id") > 3)
+    global_keepers = {
+        (r.text_hash, r.keeper_id) for r in exact_dedup(docs).collect()
+    }
+    old_keepers = {(r.text_hash, r.keeper_id) for r in exact_dedup(old).collect()}
+    fresh = {
+        (r.text_hash, r.keeper_id)
+        for r in exact_dedup_incremental(
+            new, exact_dedup(old).select("text_hash")
+        ).collect()
+    }
+    assert old_keepers | fresh == global_keepers
+    assert old_keepers.isdisjoint(fresh)
+
+
+def test_minhash_incremental_finds_cross_batch_dup(spark, docs):
+    """An exact duplicate split across the snapshot/batch boundary must
+    surface with estimator 1.0 (all slots match); unrelated docs don't."""
+    from irstats2_spark.pipeline.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+    )
+
+    old = docs.filter(F.col("doc_id") <= 2)   # docs 1,2 (2 == dup of 1)
+    new = docs.filter(F.col("doc_id") >= 5)   # docs 5,6 (6 == case-dup of 1)
+    old_sigs = minhash_signatures(word_shingles(old, "text", "doc_id", 3), 8)
+    out = {
+        (r.old_id, r.new_id): r.est_jaccard
+        for r in minhash_lsh_incremental(new, old_sigs, threshold=0.5).collect()
+    }
+    assert out[(1, 6)] == 1.0 and out[(2, 6)] == 1.0  # normalized dups
+    assert not any(new_id == 5 for _, new_id in out)  # unrelated doc clean
