@@ -57,6 +57,10 @@ HEADLINE = [
     "text_lang_id",
     "pipeline_curation_summary",
     "text_pii_scrub",
+    "pipeline_curation_neardup",
+    "sample_weighted",
+    "dedup_exact_incremental",
+    "dedup_minhash_incremental",
     # extensions (rollup, sessionization, distinct agg, chunk dedup, vocab)
     "agg_rollup_monthly",
     "events_sessionize",

@@ -66,3 +66,40 @@ def curation_summary(curated: DataFrame, lang_col: str = "lang") -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+def curate_corpus_neardup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    lsh_threshold: float = 0.5,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """curate_corpus with NEAR-dup collapse: after the quality gate and
+    exact-dup keeper pass, LSH-verified near-dup pairs are clustered
+    (connected components) and only each cluster's min-id keeper
+    survives — the full C4/RefinedWeb-style curation chain.
+
+    Plan shape: the exact pass is curate_corpus (one full-row shuffle);
+    the near-dup pass adds the one-shuffle LSH chain over the already-
+    curated survivors plus the label-propagation rounds, all sized by
+    the near-dup pair set, never the corpus. Exact dedup running FIRST
+    matters at scale: true duplicates never reach LSH, so boilerplate
+    collision sets stay small (see _band_candidates).
+    """
+    from irstats2_spark.pipeline.dedup import connected_components, minhash_lsh_dedup
+
+    exact = curate_corpus(
+        docs, text_col, id_col, min_tokens, max_stopword_ratio, splits
+    )
+    exact = exact.localCheckpoint()  # reused: LSH source + final anti-join
+    pairs = minhash_lsh_dedup(
+        exact, text_col=text_col, id_col=id_col, threshold=lsh_threshold
+    )
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return exact.join(
+        F.broadcast(drop.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
+    )

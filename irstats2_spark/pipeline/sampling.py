@@ -84,3 +84,25 @@ def stratified_sample(
     else:
         limit = default_limit
     return df.filter(hash_bucket(F.col(id_col), buckets, salt) < limit)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: Column,
+    id_col: str,
+    buckets: int = 10_000,
+    salt: str = "wsample:",
+) -> DataFrame:
+    """Keep each row with probability = its own ``weight`` column (in
+    [0, 1]) — per-ROW importance sampling, the data-mixing primitive
+    (e.g. keep-probability from a quality score, so low-quality text is
+    downweighted instead of hard-dropped).
+
+    Deterministic like the other samplers: a row survives iff
+    hash_bucket(id) < weight * buckets, a pure function of (id, weight)
+    — stable across reruns/partitionings, and monotone: raising a row's
+    weight can only add it, never remove it. Map-side filter, no
+    shuffle."""
+    return df.filter(
+        hash_bucket(F.col(id_col), buckets, salt) < weight * buckets
+    )

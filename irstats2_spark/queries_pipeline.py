@@ -1040,3 +1040,93 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") >= 250)
     old_sigs = minhash_signatures(word_shingles(old, "text", "doc_id", 3), 8)
     return minhash_lsh_incremental(new, old_sigs, threshold=0.5)
+
+
+@register(
+    "sample_weighted",
+    f"""
+    SELECT doc_id, lang, ROUND(w, 6) AS weight FROM (
+        SELECT doc_id, lang,
+               LEAST(1.0, len(list_filter(string_split({_NORM_SQL}, ' '),
+                                          x -> length(x) > 0)) / 100.0) AS w,
+               {_bucket_sql('wsample:')} AS b
+        FROM documents
+    ) WHERE b < w * 10000
+    """,
+    doc="weighted sampling: per-row keep-probability = quality-ish weight "
+    "(token count capped at 100 tokens -> weight 1.0); deterministic, "
+    "monotone in the weight",
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import weighted_sample
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.least(F.lit(1.0), token_count(F.col("text")) / F.lit(100.0))
+    docs = docs.withColumn("__w", w)
+    kept = weighted_sample(docs, F.col("__w"), "doc_id")
+    return kept.select("doc_id", "lang", F.round("__w", 6).alias("weight"))
+
+
+# Near-dup-aware curation: the exact-curation CTEs, then the (verified)
+# LSH chain re-pointed at the curated survivors, the recursive component
+# closure from dedup_clusters, and the final keeper-only summary.
+_CURATED_CTE = f"""
+    feats AS (
+        SELECT doc_id, lang, text,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> length(w) > 0)) AS n_tokens,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> w IN ('the','and','of','to','in','is','a'))) AS n_stop
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feats
+        WHERE n_tokens >= 5 AND (CAST(n_stop AS DOUBLE) / n_tokens) <= 0.6
+    ),
+    keepers AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept
+    ),
+    curated AS (
+        SELECT doc_id, lang, text, n_tokens,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, {_bucket_sql('split:')} AS b
+              FROM keepers WHERE doc_id = keeper)
+    )
+"""
+
+
+@register(
+    "pipeline_curation_neardup",
+    f"""
+    WITH RECURSIVE {_CURATED_CTE},
+    {_LSH_VERIFIED_SQL.replace("FROM documents", "FROM curated").lstrip()},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    drops AS (
+        SELECT node AS doc_id FROM reach GROUP BY node HAVING node <> MIN(m)
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM curated c LEFT JOIN drops d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    GROUP BY 1, 2
+    """,
+    doc="near-dup-aware curation end-to-end: quality gate -> exact "
+    "keepers -> split -> LSH cluster keepers -> corpus summary",
+)
+def pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import curate_corpus_neardup, curation_summary
+
+    curated = curate_corpus_neardup(load_table(spark, "documents", sf_dir))
+    return curation_summary(curated)
