@@ -51,6 +51,7 @@ HEADLINE = [
     "similarity_ivf_assign",
     "similarity_ivf_topk",
     "similarity_kmeans_fit",
+    "similarity_kmeans_ivf_topk",
     "similarity_hyperplane_sig",
     "similarity_hyperplane_topk",
     "text_quality_features",

@@ -884,9 +884,11 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # division sequence (sum -> /count -> /scale), so centroids match to the
 # 6dp round.
 # ---------------------------------------------------------------------------
-def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
+def _kmeans_cte(k: int = 4, iters: int = 2) -> str:
+    """CTE chain q, c0, a0, u0, ..., c{iters} — shared by the fit query
+    and the end-to-end fit->assign->probe->search query."""
     parts = [
-        f"WITH q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),",
+        f"q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),",
         f"""c0 AS (
             SELECT vec_id AS centroid_id,
                    list_transform(qv, x -> CAST(x AS DOUBLE) / 1000) AS cv
@@ -920,11 +922,15 @@ def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
                 FROM u{i} GROUP BY 1
             ) u USING (centroid_id)
         )""")
-    parts.append(f"""
+    return "\n".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 4, iters: int = 2) -> str:
+    return f"""
+    WITH {_kmeans_cte(k, iters)}
     SELECT centroid_id, CAST(i - 1 AS INT) AS dim, ROUND(cv[i], 6) AS value
     FROM (SELECT centroid_id, cv, generate_subscripts(cv, 1) AS i FROM c{iters}) t
-    """)
-    return "\n".join(parts)
+    """
 
 
 @register(
@@ -1130,3 +1136,88 @@ def pipeline_curation_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     curated = curate_corpus_neardup(load_table(spark, "documents", sf_dir))
     return curation_summary(curated)
+
+
+@register(
+    "similarity_kmeans_ivf_topk",
+    f"""
+    WITH {{kmeans_cte}},
+    cents AS (
+        -- round-2 centroids as centroids_as_vectors emits them: values
+        -- rounded to 6dp BEFORE the search-side re-quantization
+        SELECT centroid_id, list_transform(cv, x -> ROUND(x, 6)) AS cv FROM c2
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    queries AS (
+        SELECT vec_id AS query_id, embedding AS qv2
+        FROM embeddings WHERE vec_id < 3
+    ),
+    qprobe AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q2.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q2.query_id
+                       ORDER BY ROUND({_qcos('q2.qv2', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM queries q2 CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    scored AS (
+        SELECT qa.query_id, e.vec_id,
+               ROUND({_qcos('e.embedding', 'q2.qv2')}, 6) AS cosine
+        FROM embeddings e
+        JOIN assign a ON e.vec_id = a.vec_id
+        JOIN qprobe qa ON a.centroid_id = qa.centroid_id
+        JOIN queries q2 ON q2.query_id = qa.query_id
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """.format(kmeans_cte="__KMEANS_CTE__"),
+    doc="the complete ANN story in one chain: k-means fit (2 rounds) -> "
+    "corpus assignment -> 2-probe query routing -> exact top-5 on the "
+    "probed clusters",
+)
+def similarity_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import (
+        centroids_as_vectors,
+        ivf_assign,
+        ivf_probe_assign,
+        ivf_topk,
+        kmeans_fit,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = centroids_as_vectors(kmeans_fit(emb, k=4, max_iter=2))
+    assigned = ivf_assign(emb, cents)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    probes = ivf_probe_assign(queries, cents, n_probe=2)
+    return ivf_topk(assigned, probes, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+# splice the shared kmeans CTE chain into the oracle registered above
+# (the registration string uses a placeholder because the f-string and
+# .format would both try to interpret the chain's braces)
+from irstats2_spark import catalog as _catalog  # noqa: E402
+
+_spec = _catalog._REGISTRY["similarity_kmeans_ivf_topk"]
+_catalog._REGISTRY["similarity_kmeans_ivf_topk"] = type(_spec)(
+    spark=_spec.spark,
+    oracle=_spec.oracle.replace("__KMEANS_CTE__", _kmeans_cte(4, 2)),
+    doc=_spec.doc,
+)
