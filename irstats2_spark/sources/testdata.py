@@ -27,23 +27,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# Columns stored as TIMESTAMP(NANOS) in the driver's parquet; read as long
-# (spark.sql.legacy.parquet.nanosAsLong) and converted to micros here.
-# Truncating division matches DuckDB's internal ns->us truncation.
-_NANO_TS_COLS = {"events": ("ts",)}
+# Timestamp columns whose parquet encoding has varied across driver data
+# generations: TIMESTAMP(NANOS) (read as long via
+# spark.sql.legacy.parquet.nanosAsLong, converted to micros here —
+# truncating division matches DuckDB's internal ns->us truncation) or
+# timestamp[us] with isAdjustedToUTC=false (read as TIMESTAMP_NTZ). Either
+# way the engine-facing type is session-TZ TIMESTAMP; the session TZ is
+# pinned UTC (session.get_spark), so the NTZ->TZ cast is wall-clock-exact
+# and matches DuckDB's naive-timestamp reading of the same file.
+_TS_COLS = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
-    if name in _NANO_TS_COLS:
+    if name in _TS_COLS:
         # Force the legacy nanos-as-long read even on sessions not built by
         # get_spark(); the conf is read at scan planning time, so setting it
-        # on the running session is sufficient.
+        # on the running session is sufficient. (No-op for micros files.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    for col in _NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(col) == "bigint":
+    for col in _TS_COLS.get(name, ()):
+        dtype = dict(df.dtypes).get(col)
+        if dtype == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        elif dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
