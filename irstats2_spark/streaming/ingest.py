@@ -178,6 +178,46 @@ def repeat_filter_stream(
     )
 
 
+def dedup_doc_stream(
+    docs: DataFrame,
+    seen_hashes: DataFrame | None = None,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of pipeline.dedup.exact_dedup_incremental: dedup a
+    DOCUMENT stream by content hash, against both the historical corpus
+    and itself, without ever rescanning history.
+
+    Two layers, matching the batch operator's composition law:
+
+    - ``seen_hashes`` (static snapshot, one ``text_hash`` column — the
+      accumulated output of prior batch runs): a stream-static LEFT ANTI
+      join. Stateless — Spark re-plans the static side per micro-batch,
+      so the snapshot can be swapped under the checkpoint between runs.
+    - within-stream: ``dropDuplicatesWithinWatermark`` on the content
+      hash — state is one row per DISTINCT hash seen inside the
+      watermark horizon, evicted as event time passes (vs plain
+      streaming dropDuplicates, whose state never shrinks).
+
+    Approximation contract (SURVEY §2.9, same family as the Repeat
+    filter's streaming form): a duplicate arriving more than ``watermark``
+    after its twin is re-admitted; fold the emitted batches through
+    ``exact_dedup_incremental`` offline for exact global convergence.
+    The hash is the same md5-of-raw-text as ``exact_dedup``, so emitted
+    rows feed straight back into the snapshot.
+    """
+    hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    if seen_hashes is not None:
+        hashed = hashed.join(
+            seen_hashes.select("text_hash"), "text_hash", "left_anti"
+        )
+    return hashed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+
+
 def session_counts_stream(
     events: DataFrame,
     gap: str = "30 minutes",

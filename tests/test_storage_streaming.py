@@ -174,6 +174,51 @@ def test_streaming_repeat_key_dedup(spark, tmp_path):
     assert len(got) == 2
 
 
+def test_streaming_doc_dedup_against_snapshot_and_stream(spark, tmp_path):
+    """dedup_doc_stream: the streaming twin of exact_dedup_incremental —
+    drops docs whose hash is in the static snapshot, keeps one instance
+    per within-stream duplicate hash, passes fresh docs through."""
+    import json
+
+    from irstats2_spark.streaming.ingest import dedup_doc_stream
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "text": "already seen"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z", "text": "fresh one"},
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z", "text": "fresh two"},
+        {"doc_id": 4, "ts": "2024-01-01T00:03:00Z", "text": "fresh one"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    snapshot = spark.createDataFrame(
+        [("already seen",)], "text string"
+    ).select(F.md5("text").alias("text_hash"))
+
+    docs = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = dedup_doc_stream(docs, seen_hashes=snapshot, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("doc_dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT doc_id FROM doc_dedup_out").collect()
+    kept = sorted(r.doc_id for r in got)
+    # 1 dropped (snapshot), one of {2,4} kept (same hash), 3 kept
+    assert 1 not in kept
+    assert 3 in kept
+    assert len(kept) == 2
+    assert kept[0] in (2, 4)
+
+
 def test_incremental_checkpoint_scan(spark, tmp_path):
     from irstats2_spark.sources.checkpoint import (
         Checkpoint,
