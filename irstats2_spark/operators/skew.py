@@ -24,7 +24,7 @@ the unsalted join while no reducer sees more than ~1/R of a hot key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -72,7 +72,7 @@ def salted_join(
 def salted_grouped_sum(
     df: DataFrame,
     keys: list[str],
-    sums: dict[str, str],
+    sums: dict[str, str | Column],
     buckets: int = 16,
     seed: int = 42,
 ) -> DataFrame:
@@ -85,7 +85,9 @@ def salted_grouped_sum(
     reducer at ~1/R of a hot key's partials; phase 2 merges the R salted
     partials per key — |keys| x R rows, trivially small.
 
-    ``sums`` maps output alias -> input column. COUNT is SUM(1).
+    ``sums`` maps output alias -> input column NAME or Column expression
+    (a bare string is resolved as a column name, so COUNT is
+    ``F.lit(1)``, not the string ``'1'``).
     """
     salt = (F.rand(seed) * buckets).cast("int")
     phase1 = (

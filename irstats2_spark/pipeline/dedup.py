@@ -385,6 +385,7 @@ def embedding_cosine_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     scale: int = 1000,
+    max_cells: int = 50_000_000,
 ) -> DataFrame:
     """Embedding near-dup pairs by quantized cosine >= threshold.
 
@@ -397,8 +398,12 @@ def embedding_cosine_dups(
     float64 GEMM is EXACT regardless of summation order; the final
     round is half-up to match SQL ROUND.
 
-    At corpus sizes past broadcast limits, pre-bucket with
-    similarity.ivf_assign and run this per bucket (cluster-local pairs).
+    This is the SMALL-CORPUS exact path, enforced: the whole corpus is
+    driver-collected and broadcast, so it raises when n_rows * dim
+    exceeds ``max_cells`` (default 5e7 float64 cells = ~400 MB, the
+    conventional broadcast ceiling) — pointing at ``embedding_dups_ivf``,
+    the no-driver-collect scale path, instead of silently OOMing a
+    1000-executor job at the driver.
     """
     import numpy as np
     import pandas as pd
@@ -407,6 +412,19 @@ def embedding_cosine_dups(
 
     spark = embeddings.sparkSession
     src = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # one tiny agg job; far cheaper than discovering the size via a
+    # failed driver collect
+    stats = src.agg(
+        F.count(F.lit(1)).alias("n"), F.max(F.size("v")).alias("dim")
+    ).head()
+    cells = (stats.n or 0) * (stats.dim or 0)
+    if cells > max_cells:
+        raise ValueError(
+            f"embedding_cosine_dups is the small-corpus exact path: corpus "
+            f"is {stats.n} x {stats.dim} = {cells} cells > max_cells="
+            f"{max_cells}. Use embedding_dups_ivf (IVF-bucketed per-cluster "
+            f"GEMM, no driver collect) for corpora past the broadcast budget."
+        )
     corpus_pdf = src.toPandas()
     corpus_ids = corpus_pdf["id"].to_numpy()
     cq = np.floor(
@@ -499,6 +517,66 @@ def embedding_dups_ivf(
     return src.groupBy("centroid_id").applyInPandas(
         cluster_pairs, schema="doc_a long, doc_b long, cosine double"
     )
+
+
+def embedding_dups_ivf_probe(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_probe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """``embedding_dups_ivf`` with the recall knob: each vector is filed
+    into its ``n_probe`` nearest clusters (ivf_multi_assign, still a pure
+    map), so a near-dup pair split by a cluster boundary is recovered
+    whenever the two vectors share ANY probed cluster — the multi-probe
+    recall contract the search side already has (ivf_probe_assign), now
+    first-class for dedup.
+
+    Shape: map-side multi-assign (corpus rows x n_probe, no corpus
+    shuffle) -> ONE grouping shuffle on centroid_id -> per-cluster exact
+    quantized GEMM (applyInPandas) -> pair-level dedup (a pair found in
+    several shared clusters scores identically in each — deterministic
+    integer math — so a max-agg keyed by the pair collapses them). The
+    dedup shuffle is sized by candidate PAIRS, not the corpus.
+
+    Cost vs single-probe: scan side x n_probe rows, cluster blocks
+    ~n_probe x denser; recall strictly wider (p=1 equals
+    embedding_dups_ivf). Exactness per pair is unchanged: quantized
+    integer GEMM, half-up round, same threshold semantics.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from irstats2_spark.pipeline.similarity import ivf_multi_assign
+
+    assigned = ivf_multi_assign(
+        embeddings, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+    src = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "centroid_id"
+    )
+
+    def cluster_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["id"].to_numpy()
+        q = np.floor(np.stack(pdf["v"].to_numpy()).astype(np.float64) * scale + 0.5)
+        nrm = np.sqrt((q * q).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (q @ q.T) / np.outer(nrm, nrm)
+        cos = np.nan_to_num(cos, nan=-1.0)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"doc_a": ids[ai], "doc_b": ids[bi], "cosine": cos[ai, bi]}
+        )
+
+    pairs = src.groupBy("centroid_id").applyInPandas(
+        cluster_pairs, schema="doc_a long, doc_b long, cosine double"
+    )
+    return pairs.groupBy("doc_a", "doc_b").agg(F.max("cosine").alias("cosine"))
 
 
 def chunk_dedup_stats(

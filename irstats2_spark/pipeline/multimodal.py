@@ -88,10 +88,54 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
+def media_with_magic(docs: DataFrame) -> DataFrame:
+    """Adapter for tests/benchmarks: composite binary payloads carrying
+    REAL container magic bytes (cycled by doc_id: PNG / JPEG-JFIF / GIF89a
+    / bare), so the byte-level plumbing — sniffing, sizes, chunking — is
+    value-verifiable against an oracle, not just stub-vs-stub."""
+    prefix = (
+        F.when(docs.doc_id % 4 == 0, F.unhex(F.lit("89504E470D0A1A0A")))
+        .when(docs.doc_id % 4 == 1, F.unhex(F.lit("FFD8FFE000104A46")))
+        .when(docs.doc_id % 4 == 2, F.unhex(F.lit("4749463839616161")))
+        .otherwise(F.unhex(F.lit("")))
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(prefix, F.encode(F.col("text"), "UTF-8")).alias("content"),
+        F.lit("detect").alias("meta_format"),
+    )
+
+
+# (name, uppercase hex magic prefix) in sniff precedence order — PNG's full
+# 8-byte signature before the shorter prefixes.
+MAGIC_PREFIXES: tuple[tuple[str, str], ...] = (
+    ("png", "89504E470D0A1A0A"),
+    ("jpeg", "FFD8FF"),
+    ("gif", "47494638"),
+    ("riff", "52494646"),
+    ("pdf", "25504446"),
+)
+
+
+def sniff_media_format(content) -> "F.Column":
+    """Magic-byte container sniffing over a binary column — entirely
+    JVM-side (hex prefix compare, fuses into the scan): the metadata step
+    a real ingest runs BEFORE deciding which decoder a payload needs."""
+    h = F.hex(content)
+    out = None
+    for name, pfx in MAGIC_PREFIXES:
+        cond = F.substring(h, 1, len(pfx)) == pfx
+        out = F.when(cond, name) if out is None else out.when(cond, name)
+    return out.otherwise("unknown")
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' plumbing demo: slice the binary payload into
     fixed-size chunks with explode — the same pattern a video
-    frame-sampler uses (one row per sampled frame), all JVM-side."""
+    frame-sampler uses (one row per sampled frame), all JVM-side.
+    Byte-exact: slicing uses substr over the BINARY column (no string
+    cast, so multi-byte/non-utf8 payloads chunk by bytes, not chars)."""
     n = F.length("content")
     idx = F.sequence(F.lit(0), F.greatest((n - 1) / every_n_bytes, F.lit(0)).cast("int"))
     return media.select(
@@ -99,8 +143,8 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
         F.posexplode(
             F.transform(
                 idx,
-                lambda i: F.substring(
-                    F.col("content").cast("string"), i * every_n_bytes + 1, every_n_bytes
+                lambda i: F.substr(
+                    F.col("content"), i * every_n_bytes + 1, F.lit(every_n_bytes)
                 ),
             )
         ).alias("frame_no", "frame_payload"),

@@ -35,7 +35,9 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide: a zero-norm (degenerate) vector scores NULL, not an
+    # ANSI DIVIDE_BY_ZERO error killing the whole job
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def quantize(v: Column, scale: int = 1000) -> Column:
@@ -62,7 +64,9 @@ def cosine_pre_quantized(qa: Column, qb: Column) -> Column:
     nb = F.sqrt(
         F.aggregate(qb, F.lit(0).cast("long"), lambda acc, x: acc + x * x).cast("double")
     )
-    return d.cast("double") / (na * nb)
+    # try_divide: zero-norm vectors yield NULL (callers decide — e.g.
+    # ivf_assign coalesces to -1) instead of an ANSI DIVIDE_BY_ZERO error
+    return F.try_divide(d.cast("double"), na * nb)
 
 
 def cosine_q(a: Column, b: Column, scale: int = 1000) -> Column:
@@ -326,7 +330,17 @@ def ivf_assign(
     The fold keeps (best rounded cosine, best centroid id); a strictly-
     greater compare with an id tie-break reproduces the oracle's
     (cosine DESC, centroid_id ASC) ordering exactly. Quantized-integer
-    dot products keep scores engine-exact (see ``quantize``)."""
+    dot products keep scores engine-exact (see ``quantize``).
+
+    Zero-norm (degenerate) vectors: cosine divides by the norm, so a
+    zero vector scores NULL against every centroid. NULL never wins a
+    strict compare, which would leave the sentinel and silently DROP the
+    row — whereas the row_number oracle keeps a rank-1 row (NULLS LAST
+    puts some centroid first). Coalescing the score to -1 keeps the row
+    and assigns the lowest centroid id (every real cosine >= -1 beats
+    it, ties break by id), matching the oracle's NULLS-LAST-then-id
+    order. The trailing isNotNull filter then only fires for its
+    documented case: an EMPTY centroid set."""
     cents_arr = (
         centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
         .select(
@@ -345,7 +359,9 @@ def ivf_assign(
     )
 
     def step(acc, c):
-        cos = F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6)
+        cos = F.coalesce(
+            F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6), F.lit(-1.0)
+        )
         better = (cos > acc["cc"]) | ((cos == acc["cc"]) & (c["cid"] < acc["cid"]))
         return F.when(
             better, F.struct(cos.alias("cc"), c["cid"].alias("cid"))
@@ -413,7 +429,11 @@ def ivf_assign_gemm(
                 np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * scale + 0.5
             )
             qn = np.sqrt((q * q).sum(axis=1))
-            cos = (q @ cq_b.T) / np.outer(qn, cn_b)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (q @ cq_b.T) / np.outer(qn, cn_b)
+            # zero-norm row => 0/0 = NaN; score it -1 like ivf_assign's
+            # coalesce so the two variants stay bit-identical
+            cos = np.nan_to_num(cos, nan=-1.0)
             cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
             best = np.argmax(cos, axis=1)  # first max => lowest centroid id
             out = pdf.copy()
@@ -422,6 +442,74 @@ def ivf_assign_gemm(
             yield out
 
     return ensure_parallelism(embeddings).mapInPandas(assign, schema=out_schema)
+
+
+def ivf_multi_assign(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "centroid_id",
+    c_vec_col: str = "centroid_vec",
+) -> DataFrame:
+    """Assign each CORPUS vector to its ``n_probe`` nearest centroids —
+    one output row per (vector, probe), ordered by the same (cosine DESC,
+    centroid_id ASC) rule as ``ivf_assign`` (probe=1 reproduces it).
+
+    This is the corpus-side recall knob for IVF dedup: a vector filed
+    into its 2 nearest clusters meets neighbors sitting just across its
+    cluster boundary (``embedding_dups_ivf`` misses those by contract).
+
+    Plan shape: the same PURE-MAP fold as ``ivf_assign`` — the
+    accumulator is a length-<=n_probe array of (neg cosine, centroid id)
+    structs kept sorted each step (struct comparison is lexicographic, so
+    negating the cosine makes ascending sort_array give cosine DESC with
+    id ASC tie-break). The corpus is never shuffled or sorted; the
+    explode multiplies rows n_probe-fold AFTER the scan, map-side.
+    ``ivf_probe_assign`` stays the right shape for the small QUERY side
+    (its window rank is |queries| x |centroids|); this one exists so the
+    100-TB corpus side never sees a window."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    cid_type = centroids.schema[c_id_col].dataType
+    acc_type = ArrayType(
+        StructType(
+            [StructField("negcc", DoubleType()), StructField("cid", cid_type)]
+        )
+    )
+    cents_arr = (
+        centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
+        .select(
+            F.struct(
+                F.col(c_id_col).alias("cid"), F.col("__qc").alias("qv")
+            ).alias("__c")
+        )
+        .agg(F.sort_array(F.collect_list("__c")).alias("__cents"))
+    )
+    emb_q = embeddings.withColumn("__qv", quantize(F.col(vec_col)))
+    with_cents = emb_q.crossJoin(F.broadcast(cents_arr))
+
+    init = F.array().cast(acc_type)
+
+    def step(acc, c):
+        cos = F.coalesce(
+            F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6), F.lit(-1.0)
+        )
+        cand = F.struct((-cos).alias("negcc"), c["cid"].alias("cid"))
+        return F.slice(
+            F.sort_array(F.concat(acc, F.array(cand))), 1, n_probe
+        )
+
+    probes = F.aggregate(F.col("__cents"), init, step)
+    exploded = (
+        with_cents.withColumn("__probes", probes)
+        .select("*", F.posexplode("__probes").alias("__pos", "__p"))
+        .withColumn("probe", (F.col("__pos") + 1).cast("int"))
+        .withColumn(c_id_col, F.col("__p.cid"))
+        .withColumn("centroid_cosine", -F.col("__p.negcc"))
+    )
+    return exploded.drop("__qv", "__cents", "__probes", "__pos", "__p")
 
 
 def kmeans_fit(

@@ -453,8 +453,11 @@ def repeat_filter_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS count
     FROM kept GROUP BY 1, 2
     """,
-    doc="SURVEY 3.3 end-to-end: adapter -> robots (full lists) -> exact "
-    "repeat -> views fact, oracle replays the whole chain incl. the fold",
+    doc="SURVEY 3.3 end-to-end: adapter -> robots (full UA list; IP-prefix "
+    "list disabled because the oracle models the UA predicate only — the "
+    "synthetic 10.A.B.1 IPs would hit unanchored prefixes like '100.24.' "
+    "at larger user_id domains and silently diverge) -> exact repeat -> "
+    "views fact, oracle replays the whole chain incl. the fold",
 )
 def etl_silver_views_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.etl.pipeline import build_silver_events
@@ -466,7 +469,14 @@ def etl_silver_views_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("Mozilla/5.0 (Windows NT 10.0) Chrome/120")
     )
     adapted = events_from_driver_table(ev, user_agent=ua)
-    silver = build_silver_events(adapted)
+    # ip_prefixes=[]: the oracle SQL above models the robots drop as the UA
+    # predicate (user_id % 10 IN (0,1)). The default IP-prefix list would
+    # ALSO drop synthetic IPs whose 2nd/3rd octets collide with a public
+    # prefix (e.g. user_id 6244 -> 10.100.24.1 matches '100.24.') — a
+    # divergence invisible at gate SFs where user_id stays small. The UA
+    # path is what this gate verifies; robots_filter_outcome covers the
+    # IP-prefix predicate with matched test vectors.
+    silver = build_silver_events(adapted, robots_kwargs={"ip_prefixes": []})
     return P.views(silver)
 
 

@@ -366,6 +366,53 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_embedding_ivf_probe2",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    probes AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn <= 2
+    ),
+    cand AS (
+        SELECT DISTINCT pa.vec_id AS va, pb.vec_id AS vb
+        FROM probes pa
+        JOIN probes pb ON pb.centroid_id = pa.centroid_id
+                      AND pb.vec_id > pa.vec_id
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b,
+               ROUND({_qcos('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM cand
+        JOIN embeddings a ON a.vec_id = cand.va
+        JOIN embeddings b ON b.vec_id = cand.vb
+    ) WHERE cosine >= 0.45
+    """,
+    doc="embedding near-dup with the multi-probe recall knob: each vector "
+    "filed into its 2 nearest clusters (pure-map ivf_multi_assign), "
+    "per-cluster exact GEMM, pair-level dedup — recovers pairs split by a "
+    "cluster boundary that single-probe IVF misses by contract",
+)
+def dedup_embedding_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import embedding_dups_ivf_probe
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return embedding_dups_ivf_probe(emb, cents, threshold=0.45, n_probe=2)
+
+
+@register(
     "similarity_bruteforce_topk",
     f"""
     WITH queries AS (
@@ -668,21 +715,58 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_stub",
     """
-    SELECT doc_id AS media_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           CAST((octet_length(encode(text)) * 7) % 1024 + 1 AS INT) AS width,
-           CAST((octet_length(encode(text)) * 13) % 1024 + 1 AS INT) AS height
-    FROM documents
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               (CASE doc_id % 4
+                  WHEN 0 THEN unhex('89504E470D0A1A0A')
+                  WHEN 1 THEN unhex('FFD8FFE000104A46')
+                  WHEN 2 THEN unhex('4749463839616161')
+                  ELSE unhex('') END) || encode(text) AS content
+        FROM documents
+    )
+    SELECT media_id,
+           CASE WHEN substr(hex(content), 1, 16) = '89504E470D0A1A0A' THEN 'png'
+                WHEN substr(hex(content), 1, 6)  = 'FFD8FF'   THEN 'jpeg'
+                WHEN substr(hex(content), 1, 8)  = '47494638' THEN 'gif'
+                WHEN substr(hex(content), 1, 8)  = '52494646' THEN 'riff'
+                WHEN substr(hex(content), 1, 8)  = '25504446' THEN 'pdf'
+                ELSE 'unknown' END AS format,
+           CAST(octet_length(content) AS BIGINT) AS n_bytes,
+           CAST((octet_length(content) * 7) % 1024 + 1 AS INT) AS width,
+           CAST((octet_length(content) * 13) % 1024 + 1 AS INT) AS height,
+           CAST(GREATEST(CEIL(octet_length(content) / 1024.0), 1) AS BIGINT)
+               AS n_frames
+    FROM media
     """,
-    doc="multimodal plumbing: binary columns + mapInPandas decode (stubbed)",
+    doc="multimodal plumbing, value-oracled end to end: composite binary "
+    "payloads with REAL magic bytes -> JVM-side format sniff (hex prefix) "
+    "+ Arrow-batched stub decode (n_bytes and derived dims over the "
+    "COMPOSITE payload) + byte-exact frame chunk counts from the explode "
+    "sampler — computed properties, not stub-vs-stub equality",
 )
 def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from irstats2_spark.pipeline.multimodal import decode_image_stub, media_from_documents
+    from irstats2_spark.pipeline.multimodal import (
+        decode_image_stub,
+        frame_sample,
+        media_with_magic,
+        sniff_media_format,
+    )
 
-    media = media_from_documents(load_table(spark, "documents", sf_dir))
+    media = media_with_magic(load_table(spark, "documents", sf_dir))
     # mean_intensity depends on byte content (decoder-internal detail);
-    # the oracle checks the metadata contract columns
-    return decode_image_stub(media).select("media_id", "n_bytes", "width", "height")
+    # everything else is a verifiable byte-plumbing property
+    feats = decode_image_stub(media).select("media_id", "n_bytes", "width", "height")
+    fmt = media.select(
+        "media_id", sniff_media_format(F.col("content")).alias("format")
+    )
+    frames = frame_sample(media, every_n_bytes=1024).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(fmt, "media_id")
+        .join(frames, "media_id")
+        .select("media_id", "format", "n_bytes", "width", "height", "n_frames")
+    )
 
 
 @register(
@@ -1207,6 +1291,80 @@ def similarity_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = ivf_probe_assign(queries, cents, n_probe=2)
     return ivf_topk(assigned, probes, k=5).select(
         "query_id", "vec_id", "cosine", "rank"
+    )
+
+
+@register(
+    "meta_json_extract",
+    """
+    WITH side AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 9 THEN '{"broken":'
+                    ELSE printf(
+                        '{"source":{"site":"s%d","rank":%d},'
+                        '"tags":["t%d","common"],"quality":{"score":%d.5}}',
+                        doc_id % 5, doc_id % 100, doc_id % 3, doc_id % 7)
+               END AS sidecar
+        FROM documents
+    ),
+    flat AS (
+        SELECT doc_id,
+               CASE WHEN json_valid(sidecar)
+                    THEN json_extract_string(sidecar, '$.source.site') END AS site,
+               CASE WHEN json_valid(sidecar)
+                    THEN CAST(json_extract(sidecar, '$.source.rank') AS INT) END AS rank,
+               CASE WHEN json_valid(sidecar)
+                    THEN CAST(json_extract(sidecar, '$.quality.score') AS DOUBLE) END AS score,
+               CASE WHEN json_valid(sidecar)
+                    THEN json_extract_string(sidecar, '$.tags[0]') END AS tag0
+        FROM side
+    )
+    SELECT COALESCE(site, 'invalid') AS site,
+           COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS sum_rank,
+           COALESCE(ROUND(AVG(score), 6), -1.0) AS avg_score,
+           COALESCE(MAX(tag0), 'none') AS top_tag
+    FROM flat GROUP BY 1
+    """,
+    doc="VARIANT/JSON sidecar ingestion (sources/jsonmeta.py): heterogeneous "
+    "per-doc JSON metadata parsed once into VARIANT (try_parse_json — the "
+    "deliberately-malformed 10% become NULL variants, not failed jobs), "
+    "typed fields pulled with try_variant_get paths (nested object, array "
+    "element), rolled up per site. Pure per-row expressions fused into the "
+    "scan; the only shuffle is the final aggregation.",
+)
+def meta_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.sources.jsonmeta import extract_meta_fields, with_variant_meta
+
+    docs = load_table(spark, "documents", sf_dir)
+    sidecar = F.when(docs.doc_id % 10 == 9, F.lit('{"broken":')).otherwise(
+        F.format_string(
+            '{"source":{"site":"s%d","rank":%d},'
+            '"tags":["t%d","common"],"quality":{"score":%d.5}}',
+            docs.doc_id % 5,
+            docs.doc_id % 100,
+            docs.doc_id % 3,
+            docs.doc_id % 7,
+        )
+    )
+    parsed = with_variant_meta(docs.withColumn("sidecar", sidecar), "sidecar")
+    flat = extract_meta_fields(
+        parsed,
+        {
+            "site": ("$.source.site", "string"),
+            "rank": ("$.source.rank", "int"),
+            "score": ("$.quality.score", "double"),
+            "tag0": ("$.tags[0]", "string"),
+        },
+        keep=["doc_id"],
+    )
+    return flat.groupBy(
+        F.coalesce(F.col("site"), F.lit("invalid")).alias("site")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.coalesce(F.sum("rank"), F.lit(0)).cast("bigint").alias("sum_rank"),
+        F.coalesce(F.round(F.avg("score"), 6), F.lit(-1.0)).alias("avg_score"),
+        F.coalesce(F.max("tag0"), F.lit("none")).alias("top_tag"),
     )
 
 

@@ -610,6 +610,89 @@ def test_ivf_assign_gemm_parity(spark):
     assert a == b and len(a) > 0
 
 
+def test_jsonmeta_variant_extraction_and_malformed_tolerance(spark):
+    """sources.jsonmeta: heterogeneous sidecars parse into VARIANT; typed
+    path extraction returns NULL (never an error) for malformed JSON,
+    missing paths, and uncastable values; the fixed-schema from_json path
+    agrees on the shared fields."""
+    from irstats2_spark.sources.jsonmeta import (
+        extract_meta_fields,
+        with_struct_meta,
+        with_variant_meta,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"source":{"site":"a","rank":3},"tags":["x","y"]}'),
+            (2, '{"source":{"site":"b"},"extra":{"deep":true}}'),  # no rank
+            (3, '{"source":{"site":"c","rank":"NaNish"}}'),  # uncastable
+            (4, '{"broken":'),  # malformed
+            (5, None),
+        ],
+        "doc_id long, sidecar string",
+    )
+    flat = extract_meta_fields(
+        with_variant_meta(df, "sidecar"),
+        {
+            "site": ("$.source.site", "string"),
+            "rank": ("$.source.rank", "int"),
+            "tag0": ("$.tags[0]", "string"),
+        },
+        keep=["doc_id"],
+    )
+    rows = {r.doc_id: r for r in flat.collect()}
+    assert (rows[1].site, rows[1].rank, rows[1].tag0) == ("a", 3, "x")
+    assert (rows[2].site, rows[2].rank) == ("b", None)
+    assert rows[3].rank is None  # uncastable -> NULL, job survives
+    assert rows[4].site is None and rows[5].site is None
+
+    structed = with_struct_meta(
+        df, "sidecar", "source struct<site string, rank int>"
+    )
+    srows = {r.doc_id: r for r in structed.collect()}
+    assert srows[1].meta.source.site == "a" and srows[1].meta.source.rank == 3
+    assert srows[4].meta is None or srows[4].meta.source is None
+
+
+def test_embedding_cosine_dups_raises_past_broadcast_budget(spark):
+    """The small-corpus exact path must refuse (with a pointer to the IVF
+    scale path) rather than driver-collect a corpus past max_cells."""
+    import pytest
+
+    from irstats2_spark.pipeline.dedup import embedding_cosine_dups
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    with pytest.raises(ValueError, match="embedding_dups_ivf"):
+        embedding_cosine_dups(emb, max_cells=10).count()
+    # under the budget the path still works
+    assert embedding_cosine_dups(emb, threshold=0.45).count() > 0
+
+
+def test_ivf_assign_keeps_zero_norm_vectors(spark):
+    """A zero-norm vector scores NULL cosine against every centroid; both
+    assignment variants must KEEP the row (scored -1, lowest centroid id)
+    rather than silently dropping it — the rank-1-row semantics of the
+    row_number/SQL form."""
+    from irstats2_spark.pipeline.similarity import ivf_assign_gemm
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (20, [0.0, 1.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    cols = ["vec_id", "centroid_id", "centroid_cosine"]
+    fold = sorted(map(tuple, ivf_assign(corpus, cents).select(*cols).collect()))
+    gemm = sorted(map(tuple, ivf_assign_gemm(corpus, cents).select(*cols).collect()))
+    assert fold == gemm
+    assert len(fold) == 3  # zero vector not dropped
+    by_id = {r[0]: r for r in fold}
+    assert by_id[1][1] == 10 and by_id[1][2] == -1.0
+
+
 def test_ivf_multi_probe_recovers_cross_cluster_neighbor(spark):
     """The true nearest neighbor sits in the query's SECOND-closest
     cluster: single-probe IVF misses it, 2-probe recovers it (the
@@ -635,6 +718,62 @@ def test_ivf_multi_probe_recovers_cross_cluster_neighbor(spark):
     top_p2 = ivf_topk(assigned, ivf_probe_assign(q, cents, n_probe=2), k=1).head()
     assert top_p1.vec_id == 0 and top_p1.cosine == 0.8  # cluster-0 only
     assert top_p2.vec_id == 5 and top_p2.cosine == 0.96  # true neighbor
+
+
+def test_embedding_dups_ivf_probe_recovers_boundary_pair(spark):
+    """A near-dup pair whose members single-assign to DIFFERENT clusters:
+    embedding_dups_ivf misses it by contract, the probe2 variant recovers
+    it (members share a probed cluster), and pair-dedup keeps one row for
+    a pair co-located in several shared clusters."""
+    from irstats2_spark.pipeline.dedup import embedding_dups_ivf, embedding_dups_ivf_probe
+
+    # centroids at 0deg and 45deg; 10/11 sit at 20deg/25deg — a near-dup
+    # pair (cos 5deg = .996) straddling the 22.5deg cluster bisector, so
+    # they single-assign to DIFFERENT clusters; 20/21 are same-cluster dups
+    # near c1 (found by both paths)
+    corpus = spark.createDataFrame(
+        [
+            (10, [0.9397, 0.342]),
+            (11, [0.9063, 0.4226]),
+            (20, [0.70, 0.72]),
+            (21, [0.72, 0.70]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.7071, 0.7071])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    single = embedding_dups_ivf(corpus, cents, threshold=0.99)
+    probed = embedding_dups_ivf_probe(corpus, cents, threshold=0.99, n_probe=2)
+    single_pairs = {(r.doc_a, r.doc_b) for r in single.collect()}
+    probed_rows = probed.collect()
+    probed_pairs = {(r.doc_a, r.doc_b) for r in probed_rows}
+    assert (10, 11) not in single_pairs  # split by the cluster boundary
+    assert (10, 11) in probed_pairs  # recovered by the second probe
+    assert single_pairs <= probed_pairs  # recall strictly widens
+    assert len(probed_rows) == len(probed_pairs)  # pair-level dedup held
+
+
+def test_ivf_multi_assign_probe1_matches_ivf_assign(spark):
+    """p=1 multi-assign must reproduce ivf_assign exactly (same fold,
+    same tie-break), and p=2 files every vector into 2 distinct clusters."""
+    from irstats2_spark.pipeline.similarity import ivf_multi_assign
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    cols = ["vec_id", "centroid_id", "centroid_cosine"]
+    p1 = sorted(map(tuple, ivf_multi_assign(emb, cents, n_probe=1).select(*cols).collect()))
+    base = sorted(map(tuple, ivf_assign(emb, cents).select(*cols).collect()))
+    assert p1 == base
+    p2 = ivf_multi_assign(emb, cents, n_probe=2)
+    n = emb.count()
+    assert p2.count() == 2 * n
+    assert p2.select("vec_id", "centroid_id").distinct().count() == 2 * n
 
 
 def test_kmeans_fit_deterministic_and_chains_into_ivf(spark):

@@ -229,14 +229,13 @@ def test_headline_queries_compile_without_codegen_fallback(spark, queries):
     # JVM's 64KB bytecode limit) normally degrade SILENTLY to interpreted
     # execution, retrying the compile on every task batch (~25x slower on
     # expression-heavy stages). codegen.fallback=false turns that into a
-    # hard error, so this test fails when any headline query stops
+    # hard error, so this test fails when ANY catalog query stops
     # compiling — the invisible perf cliff becomes a visible regression.
-    import bench
-
+    # (bench.py now runs the whole catalog too, so catalog == headline.)
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try:
-        for name in bench.HEADLINE:
-            queries[name](spark, SF).collect()
+        for name, fn in queries.items():
+            fn(spark, SF).collect()
     finally:
         spark.conf.unset("spark.sql.codegen.fallback")
 
@@ -265,6 +264,34 @@ def test_embedding_ivf_dedup_has_no_driver_collect(spark, queries):
     plan = plan_of(df)
     assert "FlatMapGroupsInPandas" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_embedding_ivf_probe_dedup_stays_distributed(spark):
+    """The multi-probe dedup keeps the single-probe scale contract: no
+    job at OPERATOR build time (no driver collect — the parquet read's
+    own schema-inference job happens outside the measured window, like
+    the single-probe test above), the per-cluster GEMM plans as
+    FlatMapGroupsInPandas, no CartesianProduct, and the probe explode is
+    map-side (Generate below the grouping exchange, corpus never
+    window-sorted)."""
+    from irstats2_spark.pipeline.dedup import embedding_dups_ivf_probe
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    df = embedding_dups_ivf_probe(emb, cents, threshold=0.45, n_probe=2)
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "operator ran a job at build time"
+    plan = plan_of(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the posexplode of the probe array
+    assert "Window" not in plan  # corpus-side assign is the pure-map fold
 
 
 def test_aqe_splits_skewed_fact_join(spark):
@@ -347,6 +374,25 @@ def test_salted_grouped_sum_matches_plain(spark):
     assert sorted(salted.collect()) == sorted(plain.collect())
 
 
+def test_salted_grouped_sum_accepts_column_exprs(spark):
+    """sums values may be Column expressions — COUNT is F.lit(1), not the
+    string '1' (which would resolve as a column named '1')."""
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.operators.skew import salted_grouped_sum
+
+    df = spark.range(0, 10_000).select(
+        (F.col("id") % 3).alias("g"), F.col("id").alias("v")
+    )
+    salted = salted_grouped_sum(
+        df, ["g"], {"n": F.lit(1), "sv2": F.col("v") * 2}, buckets=4
+    )
+    plain = df.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(F.col("v") * 2).alias("sv2")
+    )
+    assert sorted(salted.collect()) == sorted(plain.collect())
+
+
 def test_ivf_assign_is_pure_map_over_corpus(spark):
     """ivf_assign must fuse into the corpus scan: the argmax is a per-row
     fold over a broadcast centroid ARRAY, so the plan has no Sort anywhere
@@ -391,3 +437,55 @@ def test_salted_join_replicates_right_side(spark, queries):
     assert "Generate" in tree  # the salt explode on the replicated side
     assert "CartesianProduct" not in tree
     assert "__salt" in plan
+
+
+def test_salted_join_bounds_skew_without_aqe(spark):
+    """The salted join is the a-priori skew bound for engines/configs
+    WITHOUT AQE: with adaptive execution and broadcast both disabled, the
+    plan is a shuffle join whose keys include the salt (so a hot key
+    spreads over `buckets` reducers) and the result still matches the
+    plain join exactly."""
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.operators.skew import salted_join
+
+    confs = {
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(0, 20_000).select(
+            F.when(F.col("id") < 18_000, 0).otherwise(F.col("id") % 20 + 1).alias("k"),
+            F.col("id").alias("v"),
+        )
+        dim = spark.range(0, 21).select(
+            F.col("id").alias("k"), (F.col("id") * 7).alias("w")
+        )
+        salted = salted_join(fact, dim, "k", buckets=8)
+        plan = salted._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "__salt" in plan  # salt is part of the join keys
+        assert "AdaptiveSparkPlan" not in plan
+        agg = lambda df: sorted(  # noqa: E731
+            df.groupBy("k").agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()
+        )
+        assert agg(salted) == agg(fact.join(dim, "k"))
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_meta_json_extract_is_single_agg_exchange(spark, queries):
+    """VARIANT parse + path extraction are per-row expressions fused into
+    the scan: the whole query plans with exactly the aggregation's two
+    exchanges-halves (partial/final), no Python UDF, no extra shuffle."""
+    plan = plan_of(queries["meta_json_extract"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1  # the groupBy(site) shuffle only
+    assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
