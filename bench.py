@@ -1,6 +1,10 @@
-"""Benchmark harness: runs the headline catalog queries at
-$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with per-query wall-clock seconds.
+"""Benchmark harness: runs EVERY catalog query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line with per-query wall-clock seconds.
+
+The query list is the catalog itself (gate order) — no hand-maintained
+headline list, so per-query perf history survives gate rotation and a new
+operator is benchmarked the moment it registers.
 """
 
 from __future__ import annotations
@@ -14,69 +18,6 @@ import time
 from irstats2_spark import catalog
 from irstats2_spark.session import get_spark
 
-HEADLINE = [
-    # core star-schema operator shapes
-    "a1_grouped_sum",
-    "a3_daily_preagg",
-    "j1_fact_join_dim",
-    "j2_grouping_join",
-    "p7_semi_join",
-    "t2_densify",
-    "o3_topn",
-    "a6_a7_cumulative_running_avg",
-    # irstats2 engine paths (ETL + Context compilation + views)
-    "etl_downloads_fact",
-    "etl_silver_views_fact",
-    "ctx_daily_series",
-    "ctx_top_eprints",
-    "ctx_set_series",
-    "ctx_grouping_top",
-    "view_monthly_graph",
-    "view_sparkline",
-    "repeat_filter_exact",
-    "robots_filter_outcome",
-    "search_term_extraction",
-    "geoip_range_join",
-    # training-data pipeline
-    "dedup_exact",
-    "dedup_clusters",
-    "sample_split_assign",
-    "sample_stratified",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_embedding_ivf",
-    "similarity_bruteforce_topk",
-    "similarity_ivf_assign",
-    "similarity_ivf_topk",
-    "similarity_kmeans_fit",
-    "similarity_kmeans_ivf_topk",
-    "similarity_hyperplane_sig",
-    "similarity_hyperplane_topk",
-    "text_quality_features",
-    "text_lang_id",
-    "pipeline_curation_summary",
-    "text_pii_scrub",
-    "pipeline_curation_neardup",
-    "sample_weighted",
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    # extensions (rollup, sessionization, distinct agg, chunk dedup, vocab)
-    "agg_rollup_monthly",
-    "events_sessionize",
-    "events_unique_visitors",
-    "text_chunk_dedup",
-    "text_vocab_topk",
-    "events_asof_prior",
-    "agg_argmax_order",
-    "agg_topk_per_group",
-    "agg_pivot_monthly",
-    "join_anti_no_purchase",
-    "text_tfidf_top_term",
-    "join_salted_skew",
-]
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,7 +27,7 @@ def main() -> None:
     spark = get_spark("irstats2_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
     all_queries = catalog.queries()
-    names = [n for n in HEADLINE if n in all_queries]
+    names = list(all_queries)
     # warm the JVM + parquet footers + Python/Arrow workers once so
     # per-query numbers measure the plans, not process startup
     all_queries[names[0]](spark, sf_dir).count()

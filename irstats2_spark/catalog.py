@@ -37,14 +37,39 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the gate set explicitly: queries named here come first (in this order),
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
+#
+# Round-3 rotation (the set is re-cut each round so driver verification
+# CYCLES through the whole catalog instead of freezing on one list):
+# - the 10 round-2 additions that registered past round 2's cutoff — the
+#   only catalog entries with no driver row across r1 u r2;
+# - the new round-3 queries;
+# - every query whose implementation changed this round (the similarity
+#   family: cosine helpers gained try_divide zero-norm semantics; the
+#   silver pipeline's robots kwargs changed) — r2 rows no longer vouch
+#   for today's code;
+# - two core anchors (A1 grouped sum, exact repeat) so the star-schema
+#   spine stays continuously verified;
+# - fill to 50 with the round-1-only queries, none re-verified since r1.
+# Rotated out: the r2-green set just verified last round (they keep their
+# pytest sf0.01 oracle runs either way).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- never driver-verified in round 1: LLM-pipeline family --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_simhash",
+    # -- new in round 3 --
+    "dedup_embedding_ivf_probe2",
+    "meta_json_extract",
+    "multimodal_decode_stub",  # oracle upgraded stub-equality -> computed properties
+    # -- round-2 additions that missed round 2's 50-query window --
+    "similarity_kmeans_fit",
+    "similarity_kmeans_ivf_topk",
+    "similarity_ivf_probe2_topk",
+    "pipeline_curation_neardup",
+    "dedup_exact_incremental",
+    "dedup_minhash_incremental",
+    "sample_weighted",
+    "text_pii_scrub",
+    "text_length_quantiles_approx",
+    "join_salted_skew",
+    # -- implementation changed this round: re-verify on today's code --
+    "etl_silver_views_fact",
     "dedup_embedding_cosine",
     "dedup_embedding_ivf",
     "similarity_bruteforce_topk",
@@ -52,48 +77,37 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_ivf_topk",
     "similarity_hyperplane_sig",
     "similarity_hyperplane_topk",
-    "sample_split_assign",
-    "sample_stratified",
-    "pipeline_curation_summary",
-    "text_token_counts",
-    "text_quality_features",
-    "text_lang_id",
-    "text_fingerprint",
-    "multimodal_decode_stub",
-    # -- never driver-verified in round 1: engine long tail --
-    "s7_sets_build",
-    "s7_groupings_build",
-    "ctx_grouping_top",
-    "ctx_prelive_clamp",
-    "ctx_data_min",
-    "ctx_top_sets",
-    "f1_f3_url_parse",
-    "f9_subject_closure",
-    "t6_f12_formatting",
-    "o4_listing_engine",
-    "view_sparkline",
-    # -- round-1 hash fails (oracle dtype casts fixed this round) --
-    "view_monthly_graph",
-    "ctx_set_series",
-    "a5_ratio_metric",
-    "a6_a7_cumulative_running_avg",
-    # -- upgraded from rows-only to value oracles this round --
-    "repeat_filter_exact",
-    "events_unique_visitors_approx",
-    # -- new this round: full-pipeline end-to-end (robots+repeat+fact) --
-    "etl_silver_views_fact",
-    # -- fill to 50 with representative round-1-green coverage --
+    # -- continuously-verified core anchors --
     "a1_grouped_sum",
-    "a2_sum_all",
-    "a3_daily_preagg",
-    "j1_fact_join_dim",
-    "j2_grouping_join",
-    "etl_downloads_fact",
-    "geoip_range_join",
-    "events_sessionize",
-    "robots_filter_outcome",
-    "t2_densify",
-    "events_asof_prior",
+    "repeat_filter_exact",
+    # -- round-1-only queries: green in r1, never re-gated since --
+    "p3_date_range",
+    "p7_semi_join",
+    "o3_topn",
+    "o4_alpha_listing",
+    "t5_period_compare",
+    "agg_rollup_monthly",
+    "agg_cube_status_priority",
+    "events_unique_visitors",
+    "text_vocab_topk",
+    "text_chunk_dedup",
+    "text_length_quantiles",
+    "agg_argmax_order",
+    "agg_topk_per_group",
+    "agg_pivot_monthly",
+    "join_anti_no_purchase",
+    "text_tfidf_top_term",
+    "etl_views_fact",
+    "etl_doc_downloads_fact",
+    "ctx_daily_series",
+    "ctx_lifetime_total",
+    "ctx_top_eprints",
+    "ctx_single_eprint",
+    "browser_classification",
+    "referrer_classification",
+    "search_term_extraction",
+    "anon_md5_values",
+    "view_compare_years",
 )
 
 
