@@ -57,6 +57,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_ivf_probe2",
     "meta_json_extract",
     "multimodal_decode_stub",  # oracle upgraded stub-equality -> computed properties
+    "text_decontamination",
+    "pack_training_sequences",
+    "text_vocab_heavyhitters_approx",
     # -- round-2 additions that missed round 2's 50-query window --
     "similarity_kmeans_fit",
     "similarity_kmeans_ivf_topk",
@@ -103,12 +106,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ctx_lifetime_total",
     "ctx_top_eprints",
     "ctx_single_eprint",
-    "browser_classification",
-    "referrer_classification",
     "search_term_extraction",
-    "anon_md5_values",
     "view_compare_years",
 )
+# Displaced to stay at 50 (r1-green, implementation unchanged since):
+# browser_classification, referrer_classification, anon_md5_values.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

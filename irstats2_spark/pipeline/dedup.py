@@ -55,7 +55,12 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
     docs = ensure_parallelism(docs)
     words = F.split(normalize_text(F.col(text_col)), " ")
     n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # a doc with fewer than k words has NO k-shingles (the greatest()
+    # fallback used to emit one short pseudo-shingle for such docs,
+    # diverging from the SQL oracles' i+k-1 <= len(words) bound)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
     shingle = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
     )

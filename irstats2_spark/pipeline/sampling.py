@@ -106,3 +106,78 @@ def weighted_sample(
     return df.filter(
         hash_bucket(F.col(id_col), buckets, salt) < weight * buckets
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    size: Column,
+    id_col: str,
+    budget: int,
+    salt: str = "pack:",
+    out_col: str = "seq_id",
+    order_buckets: int = 65536,
+) -> DataFrame:
+    """Deterministic global shuffle + greedy packing of rows into
+    fixed-budget training sequences.
+
+    The last pre-training step: documents are (a) shuffled into an order
+    independent of their source layout (crawl order correlates pages from
+    one site — bad for SGD) and (b) packed greedily into sequences whose
+    cumulative ``size`` (token count) stays near ``budget``. Both must be
+    deterministic so a re-run — or an incremental extension of the corpus
+    — rebuilds identical sequences for identical inputs.
+
+    - The shuffle order is md5(salt || id): a pure function of the row,
+      reproducible across engines (the same trick as the samplers, used
+      as a SORT key instead of a filter). Vary ``salt`` per epoch for a
+      fresh deterministic permutation.
+    - Packing is a running sum of sizes in that order; a row belongs to
+      sequence floor((cumsum - size) / budget) — sequences are
+      consecutive runs whose PRECEDING mass fills whole budgets. An
+      oversized row (size > budget) occupies its own sequence(s) without
+      disturbing its neighbors' numbering.
+
+    A naive ``Window.orderBy(order)`` computes the running sum in ONE
+    task — the classic global-cumsum scale killer. This is the standard
+    two-phase prefix sum instead, with every step deterministic:
+
+    1. bucket = the order key's first 4 hex chars (``order_buckets``
+       leading md5 bits) — a pure row function that IS a range partition
+       of the order (no sampled rangepartitioning whose boundaries could
+       differ between plan branches);
+    2. local running sums per bucket (window partitioned by bucket —
+       ~corpus/65536 rows each, sorted task-locally);
+    3. bucket totals (order_buckets rows) -> exclusive prefix offsets
+       via a window over that TINY table (single-partition is fine at
+       65536 rows) -> broadcast-joined back.
+
+    Net: one wide shuffle of the corpus (the bucket exchange), one tiny
+    agg, one broadcast — and byte-identical output to the one-task form.
+    """
+    from pyspark.sql import Window
+
+    hexlen = max(1, (max(order_buckets, 2) - 1).bit_length() // 4)
+    order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    rows = df.withColumn("__ord", order).withColumn(
+        "__obk", F.conv(F.substring(F.col("__ord"), 1, hexlen), 16, 10).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("__obk")
+        .orderBy("__ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = rows.withColumn("__lcum", F.sum(size).over(w_local))
+    totals = rows.groupBy("__obk").agg(F.sum(size).alias("__tot"))
+    w_prefix = Window.orderBy("__obk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = totals.select(
+        "__obk", F.coalesce(F.sum("__tot").over(w_prefix), F.lit(0)).alias("__off")
+    )
+    packed = local.join(F.broadcast(offsets), "__obk").withColumn(
+        out_col,
+        F.floor((F.col("__lcum") + F.col("__off") - size) / F.lit(budget)).cast(
+            "long"
+        ),
+    )
+    return packed.drop("__ord", "__obk", "__lcum", "__off")

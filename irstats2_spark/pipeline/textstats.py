@@ -156,6 +156,51 @@ def vocab_top_k(
     )
 
 
+def heavy_hitters_checked(
+    docs: DataFrame,
+    support: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Frequent-items sketch with its guarantee verified in-query — the
+    sketch-family pattern events_unique_visitors_approx established for
+    HLL, applied to token heavy hitters.
+
+    ``DataFrame.stat.freqItems`` is Spark's single-pass frequent-items
+    aggregate (Karp et al.): O(1/support) state per partition, one
+    merge, NO exact per-token shuffle — the cheap first pass that finds
+    stopword-grade tokens in a corpus too large to count exactly every
+    run. Its contract is one-sided: every token with frequency >
+    support*N is in the result (false positives allowed, false negatives
+    not).
+
+    Output: for each EXACT heavy hitter (count > support * total), its
+    exact count and ``in_sketch`` — which the contract forces to TRUE,
+    so a SQL oracle can pin the whole result. The sketch side executes
+    eagerly (freqItems collects its tiny candidate array — bounded by
+    1/support, the same small-by-contract shape as a centroid collect)
+    and rejoins as a one-row broadcast; the exact side is one counting
+    aggregate used only to VERIFY the sketch at gate scale.
+    """
+    toks = docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    heavy = counts.crossJoin(F.broadcast(total)).filter(
+        F.col("n_occurrences") > F.lit(support) * F.col("__n")
+    )
+    sketch = toks.stat.freqItems(["word"], support)
+    return (
+        heavy.crossJoin(F.broadcast(sketch))
+        .select(
+            "word",
+            "n_occurrences",
+            F.array_contains(F.col("word_freqItems"), F.col("word")).alias(
+                "in_sketch"
+            ),
+        )
+    )
+
+
 def tfidf_top_term(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1368,6 +1368,97 @@ def meta_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_decontamination",
+    f"""
+    WITH {_SHINGLES_SQL},
+    bench AS (
+        SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10
+    ),
+    scored AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_sh,
+               SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+        FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
+        GROUP BY 1
+    )
+    SELECT doc_id,
+           CAST(n_sh AS BIGINT) AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_contaminated,
+           ROUND(n_hit * 1.0 / n_sh, 6) AS contamination_frac
+    FROM scored
+    """,
+    doc="benchmark decontamination (pipeline/contamination.py): per-doc "
+    "fraction of distinct 3-gram shingles found in an eval/benchmark set "
+    "(docs 0-9 stand in for it) — broadcast probe of the tiny benchmark "
+    "shingle set, corpus never shuffled with text; the eval-leak detector "
+    "every training pipeline runs before a corpus ships",
+)
+def text_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.contamination import contamination_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") < 10)
+    return contamination_scores(docs, bench, k=3)
+
+
+@register(
+    "pack_training_sequences",
+    f"""
+    WITH sized AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS INT) AS n_tokens,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY ord, doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens) / 2048.0)
+                AS BIGINT) AS seq_id
+    FROM sized
+    """,
+    doc="deterministic shuffle + greedy packing into 2048-token training "
+    "sequences (pipeline/sampling.pack_sequences): order = md5(salt||id), "
+    "seq = floor(preceding-mass / budget); computed as a two-phase prefix "
+    "sum (bucketed local cumsum + tiny offset table), never a one-task "
+    "global window — the oracle's single window is the same function at "
+    "gate scale (budget is a power of two, so the division is float-exact)",
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import pack_sequences
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return pack_sequences(
+        sized, F.col("n_tokens"), "doc_id", budget=2048
+    ).select("doc_id", "n_tokens", "seq_id")
+
+
+@register(
+    "text_vocab_heavyhitters_approx",
+    f"""
+    WITH words AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS word FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM words)
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences, TRUE AS in_sketch
+    FROM words, tot GROUP BY word, tot.n HAVING COUNT(*) > 0.02 * tot.n
+    """,
+    doc="frequent-items sketch with the guarantee checked in-query "
+    "(textstats.heavy_hitters_checked): stat.freqItems' one-sided "
+    "contract (no false negatives above support) forces in_sketch=TRUE "
+    "for every exact heavy hitter, so the oracle pins the whole result — "
+    "the HLL-style verification pattern applied to heavy hitters",
+)
+def text_vocab_heavyhitters_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import heavy_hitters_checked
+
+    return heavy_hitters_checked(load_table(spark, "documents", sf_dir), support=0.02)
+
+
 # splice the shared kmeans CTE chain into the oracle registered above
 # (the registration string uses a placeholder because the f-string and
 # .format would both try to interpret the chain's braces)

@@ -610,6 +610,80 @@ def test_ivf_assign_gemm_parity(spark):
     assert a == b and len(a) > 0
 
 
+def test_decontaminate_drops_leaky_docs_keeps_short_ones(spark):
+    """contamination: a doc embedding a benchmark passage scores high and
+    is dropped at tau; clean docs survive; docs too short to shingle are
+    kept (they cannot leak a k-gram)."""
+    from irstats2_spark.pipeline.contamination import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "the secret eval answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "the secret eval answer is forty two exactly word for word"),
+            (2, "completely unrelated clean training document text here"),
+            (3, "tiny doc"),  # < k words: no shingles
+        ],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r for r in contamination_scores(docs, bench, k=3).collect()}
+    assert scores[1].contamination_frac > 0.5
+    assert scores[2].n_contaminated == 0
+    assert 3 not in scores  # unshingleable
+    kept = sorted(r.doc_id for r in decontaminate(docs, bench, tau=0.1).collect())
+    assert kept == [2, 3]
+
+
+def test_pack_sequences_matches_single_window_and_budget(spark):
+    """pack_sequences: the two-phase prefix sum must equal the one-task
+    global-window form byte for byte, numbering must be contiguous from
+    0, and no sequence of small rows exceeds the budget."""
+    from pyspark.sql import Window
+
+    from irstats2_spark.pipeline.sampling import pack_sequences
+
+    df = spark.range(0, 2_000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97 + 1).cast("int").alias("sz")
+    )
+    packed = pack_sequences(df, F.col("sz"), "doc_id", budget=256)
+    ordk = F.md5(F.concat(F.lit("pack:"), F.col("doc_id").cast("string")))
+    w = Window.orderBy(ordk, "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = df.withColumn(
+        "seq_id", F.floor((F.sum("sz").over(w) - F.col("sz")) / F.lit(256)).cast("long")
+    )
+    assert sorted(map(tuple, packed.select("doc_id", "seq_id").collect())) == sorted(
+        map(tuple, naive.select("doc_id", "seq_id").collect())
+    )
+    per_seq = packed.groupBy("seq_id").agg(F.sum("sz").alias("tot")).collect()
+    seq_ids = sorted(r.seq_id for r in per_seq)
+    assert seq_ids == list(range(len(seq_ids)))
+    # max row size is 97 < budget, so no packed sequence can overshoot by
+    # more than one trailing row's worth
+    assert max(r.tot for r in per_seq) < 256 + 97
+
+
+def test_heavy_hitters_sketch_contract(spark):
+    """freqItems' one-sided guarantee: every exact heavy hitter above the
+    support threshold appears in the sketch (in_sketch all true)."""
+    from irstats2_spark.pipeline.textstats import heavy_hitters_checked
+
+    docs = spark.createDataFrame(
+        [(i, "common common common rare" + str(i)) for i in range(50)],
+        "doc_id long, text string",
+    )
+    out = heavy_hitters_checked(docs, support=0.5).collect()
+    assert [r.word for r in out] == ["common"]
+    assert all(r.in_sketch for r in out)
+    assert out[0].n_occurrences == 150
+
+
 def test_jsonmeta_variant_extraction_and_malformed_tolerance(spark):
     """sources.jsonmeta: heterogeneous sidecars parse into VARIANT; typed
     path extraction returns NULL (never an error) for malformed JSON,
