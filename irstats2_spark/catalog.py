@@ -60,6 +60,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_decontamination",
     "pack_training_sequences",
     "text_vocab_heavyhitters_approx",
+    "text_repetition_score",
+    "mix_by_source_cap",
     # -- round-2 additions that missed round 2's 50-query window --
     "similarity_kmeans_fit",
     "similarity_kmeans_ivf_topk",
@@ -87,8 +89,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "p3_date_range",
     "p7_semi_join",
     "o3_topn",
-    "o4_alpha_listing",
-    "t5_period_compare",
     "agg_rollup_monthly",
     "agg_cube_status_priority",
     "events_unique_visitors",
@@ -110,7 +110,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "view_compare_years",
 )
 # Displaced to stay at 50 (r1-green, implementation unchanged since):
-# browser_classification, referrer_classification, anon_md5_values.
+# browser_classification, referrer_classification, anon_md5_values,
+# o4_alpha_listing (o4_listing_engine is r2-green), t5_period_compare
+# (view_compare_years, the end-to-end T5 view, stays in).
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

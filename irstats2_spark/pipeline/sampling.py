@@ -108,6 +108,43 @@ def weighted_sample(
     )
 
 
+def sample_by_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rate_col: str = "rate",
+    buckets: int = 10_000,
+    salt: str = "mix:",
+) -> DataFrame:
+    """``stratified_sample`` for HIGH-CARDINALITY or COMPUTED strata: the
+    per-stratum keep-rates arrive as a DataFrame (typically the output of
+    an aggregate — e.g. capping each source domain at N docs, or a
+    quality-derived mixture), broadcast-joined instead of inlined as a
+    literal map.
+
+    This is the data-mixing primitive: re-weighting a corpus across
+    sources/languages to a target composition. Same determinism contract
+    as the other samplers — a row survives iff hash_bucket(id) <
+    rate * buckets, so reruns are stable and raising a stratum's rate
+    only ever ADDS rows. Strata missing from ``rates`` are dropped
+    (rate 0) via the inner join; pass an explicit row to keep them.
+
+    Plan: one broadcast hash join (the rates side is |strata| rows) +
+    a map-side filter — the corpus is never shuffled.
+    """
+    r = rates.select(
+        F.col(strata_col).alias("__stratum"), F.col(rate_col).alias("__rate")
+    )
+    joined = df.join(
+        F.broadcast(r), df[strata_col] == F.col("__stratum"), "inner"
+    )
+    kept = joined.filter(
+        hash_bucket(F.col(id_col), buckets, salt) < F.col("__rate") * buckets
+    )
+    return kept.drop("__stratum", "__rate")
+
+
 def pack_sequences(
     df: DataFrame,
     size: Column,

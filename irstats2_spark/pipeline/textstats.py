@@ -156,6 +156,47 @@ def vocab_top_k(
     )
 
 
+def _dup_ngram_frac(words: Column, k: int) -> Column:
+    """Fraction of a doc's k-gram instances that are repeats of an
+    earlier instance IN THE SAME DOC: 1 - distinct/total. 0.0 for docs
+    too short to form a k-gram."""
+    n = F.size(words)
+    sh = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(sh)
+    distinct = F.size(F.array_distinct(sh))
+    return F.when(
+        total > 0, F.round((total - distinct) / total, 6)
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_features(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText quality
+    rules): the fraction of duplicate 2-gram and 3-gram instances within
+    each document. Boilerplate, templated spam, and decoding loops score
+    high; natural text scores near zero — the standard cheap filter
+    between exact dedup and model-based quality scoring.
+
+    Everything is a per-row array expression over the tokenized text
+    (shingle arrays + array_distinct) — ZERO shuffle, fuses into the
+    scan; contrast with corpus-level dedup, which needs cross-doc state.
+    """
+    words = tokens(F.col(text_col))
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_tokens"),
+        _dup_ngram_frac(words, 2).alias("dup_bigram_frac"),
+        _dup_ngram_frac(words, 3).alias("dup_trigram_frac"),
+    )
+
+
 def heavy_hitters_checked(
     docs: DataFrame,
     support: float = 0.02,

@@ -1438,6 +1438,72 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_repetition_score",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, COUNT(*) AS t2, COUNT(DISTINCT words[i] || ' ' || words[i+1]) AS d2
+        FROM (SELECT doc_id, words, generate_subscripts(words, 1) AS i FROM toks) t
+        WHERE i + 1 <= len(words) GROUP BY 1
+    ),
+    g3 AS (
+        SELECT doc_id, COUNT(*) AS t3,
+               COUNT(DISTINCT words[i] || ' ' || words[i+1] || ' ' || words[i+2]) AS d3
+        FROM (SELECT doc_id, words, generate_subscripts(words, 1) AS i FROM toks) t
+        WHERE i + 2 <= len(words) GROUP BY 1
+    )
+    SELECT k.doc_id,
+           CAST(len(k.words) AS INT) AS n_tokens,
+           COALESCE(ROUND((g2.t2 - g2.d2) * 1.0 / g2.t2, 6), 0.0) AS dup_bigram_frac,
+           COALESCE(ROUND((g3.t3 - g3.d3) * 1.0 / g3.t3, 6), 0.0) AS dup_trigram_frac
+    FROM toks k
+    LEFT JOIN g2 ON g2.doc_id = k.doc_id
+    LEFT JOIN g3 ON g3.doc_id = k.doc_id
+    """,
+    doc="Gopher-style intra-doc repetition: duplicate 2-/3-gram instance "
+    "fractions (1 - distinct/total), per-row array math — zero shuffle, "
+    "fuses into the scan; the cheap boilerplate/spam filter between exact "
+    "dedup and model-based quality scoring",
+)
+def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import repetition_features
+
+    return repetition_features(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "mix_by_source_cap",
+    f"""
+    WITH rates AS (
+        SELECT source, LEAST(1.0, 10.0 / COUNT(*)) AS rate
+        FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.source
+    FROM (SELECT doc_id, source, {_bucket_sql('mix:')} AS b FROM documents) d
+    JOIN rates r ON r.source = d.source
+    WHERE d.b < r.rate * 10000
+    """,
+    doc="data mixing by computed per-source rates "
+    "(sampling.sample_by_rates): cap every source at ~10 expected docs — "
+    "rates come from an aggregate, broadcast-joined (the high-cardinality "
+    "strata path stratified_sample's literal map can't serve); "
+    "deterministic hash-bucket survival, corpus never shuffled",
+)
+def mix_by_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import sample_by_rates
+
+    docs = load_table(spark, "documents", sf_dir)
+    rates = docs.groupBy("source").agg(
+        F.least(F.lit(1.0), F.lit(10.0) / F.count(F.lit(1))).alias("rate")
+    )
+    return sample_by_rates(docs, rates, "source", "doc_id").select(
+        "doc_id", "source"
+    )
+
+
+@register(
     "text_vocab_heavyhitters_approx",
     f"""
     WITH words AS (

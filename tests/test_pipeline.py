@@ -669,6 +669,48 @@ def test_pack_sequences_matches_single_window_and_budget(spark):
     assert max(r.tot for r in per_seq) < 256 + 97
 
 
+def test_repetition_features_flags_loops_not_natural_text(spark):
+    """Gopher-style repetition: a looping/templated doc scores high dup
+    fractions, varied text scores 0, short docs score 0 by convention."""
+    from irstats2_spark.pipeline.textstats import repetition_features
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),
+            (2, "each word appears exactly once here"),
+            (3, "hi"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_features(docs).collect()}
+    assert rows[1].dup_bigram_frac == 0.8  # 5 instances, 1 distinct
+    assert rows[1].dup_trigram_frac == 0.75
+    assert rows[2].dup_bigram_frac == 0.0 and rows[2].dup_trigram_frac == 0.0
+    assert rows[3].dup_bigram_frac == 0.0  # too short for any 2-gram
+
+
+def test_sample_by_rates_monotone_and_drops_unlisted(spark):
+    """sample_by_rates: raising a stratum's rate only adds rows (same
+    hash survival rule as the other samplers); strata without a rate row
+    drop; rate 1.0 keeps everything."""
+    from irstats2_spark.pipeline.sampling import sample_by_rates
+
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("s"), (F.col("id") % 3).cast("string")).alias("source"),
+    )
+    rates = lambda a, b: spark.createDataFrame(  # noqa: E731
+        [("s0", a), ("s1", b)], "source string, rate double"
+    )
+    low = sample_by_rates(df, rates(0.2, 1.0), "source", "doc_id")
+    high = sample_by_rates(df, rates(0.6, 1.0), "source", "doc_id")
+    low_ids = {r.doc_id for r in low.collect()}
+    high_ids = {r.doc_id for r in high.collect()}
+    assert low_ids <= high_ids  # monotone under rate growth
+    assert not any(r.source == "s2" for r in high.collect())  # unlisted drops
+    assert high.filter(F.col("source") == "s1").count() == 1000  # rate 1 keeps all
+
+
 def test_heavy_hitters_sketch_contract(spark):
     """freqItems' one-sided guarantee: every exact heavy hitter above the
     support threshold appears in the sketch (in_sketch all true)."""

@@ -481,6 +481,25 @@ def test_salted_join_bounds_skew_without_aqe(spark):
                 spark.conf.set(k, v)
 
 
+def test_repetition_score_is_shuffle_free(spark, queries):
+    """Intra-doc repetition is per-row array math: the whole query must
+    plan with ZERO exchanges — anything else means the per-doc signal
+    accidentally became a cross-doc aggregate."""
+    plan = plan_of(queries["text_repetition_score"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_mix_by_rates_broadcasts_the_rates_side(spark, queries):
+    """Data mixing joins the corpus to a |strata|-row rates table: the
+    join must be a BroadcastHashJoin (corpus never shuffled); the only
+    exchanges belong to computing the tiny rates aggregate itself."""
+    plan = plan_of(queries["mix_by_source_cap"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
 def test_meta_json_extract_is_single_agg_exchange(spark, queries):
     """VARIANT parse + path extraction are per-row expressions fused into
     the scan: the whole query plans with exactly the aggregation's two
