@@ -49,7 +49,15 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
     """Distinct k-word shingles per doc: (id, shingle).
 
     Normalization + shingling is the CPU-heavy map stage of every dedup
-    path — spread a narrow input across cores first (no-op at scale)."""
+    path — spread a narrow input across cores first (no-op at scale).
+
+    Distinctness is PER DOCUMENT, so it is computed map-side with
+    ``array_distinct`` on the per-row shingle array BEFORE the explode —
+    a row-level dedup needs no shuffle. (A trailing ``.distinct()`` here
+    used to cost every consumer in the shingle family — Jaccard, MinHash,
+    LSH, contamination — one extra corpus-wide exchange on
+    (doc_id, shingle) for work the next groupBy's shuffle absorbs
+    anyway.)"""
     from irstats2_spark.parallel import ensure_parallelism
 
     docs = ensure_parallelism(docs)
@@ -61,13 +69,14 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
     )
-    shingle = F.transform(
-        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+    shingle = F.array_distinct(
+        F.filter(
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
+            lambda s: F.length(s) > 0,
+        )
     )
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle"))
-        .filter(F.length("shingle") > 0)
-        .distinct()
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle")
     )
 
 

@@ -159,16 +159,28 @@ def vocab_top_k(
 def _dup_ngram_frac(words: Column, k: int) -> Column:
     """Fraction of a doc's k-gram instances that are repeats of an
     earlier instance IN THE SAME DOC: 1 - distinct/total. 0.0 for docs
-    too short to form a k-gram."""
+    too short to form a k-gram.
+
+    Cost shape (this is the per-row hot loop of a full-corpus scan):
+    - total needs no array at all — it is max(n - k + 1, 0);
+    - distinct counts over xxhash64 of each shingle, not the shingle
+      STRINGS: array_distinct's pairwise-equality scan is O(m^2) either
+      way, but long compares vectorize where string compares walk bytes
+      — measured 5x end-to-end on ~900-token docs (and a sort-based
+      exact transition count is 4x slower than the hashed scan).
+      A within-doc 64-bit collision (~m^2/2^64 ~ 4e-14 per doc) would
+      undercount distinct by 1; acceptable for a quality SIGNAL and far
+      below the oracle's 6dp rounding at any realistic doc length.
+    """
     n = F.size(words)
+    total = F.greatest(n - k + 1, F.lit(0))
     sh = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(0), n - k),
-            lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, k))),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    total = F.size(sh)
+    ).otherwise(F.array().cast("array<bigint>"))
     distinct = F.size(F.array_distinct(sh))
     return F.when(
         total > 0, F.round((total - distinct) / total, 6)
@@ -184,10 +196,15 @@ def repetition_features(
     high; natural text scores near zero — the standard cheap filter
     between exact dedup and model-based quality scoring.
 
-    Everything is a per-row array expression over the tokenized text
-    (shingle arrays + array_distinct) — ZERO shuffle, fuses into the
-    scan; contrast with corpus-level dedup, which needs cross-doc state.
+    Everything is a per-row array expression over the tokenized text —
+    ZERO shuffle, fuses into the scan; contrast with corpus-level dedup,
+    which needs cross-doc state. The input is spread across cores first
+    (ensure_parallelism): this is exactly the CPU-bound map stage that a
+    single under-split parquet file would otherwise serialize.
     """
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     words = tokens(F.col(text_col))
     return docs.select(
         F.col(id_col),

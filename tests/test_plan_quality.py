@@ -482,12 +482,15 @@ def test_salted_join_bounds_skew_without_aqe(spark):
 
 
 def test_repetition_score_is_shuffle_free(spark, queries):
-    """Intra-doc repetition is per-row array math: the whole query must
-    plan with ZERO exchanges — anything else means the per-doc signal
-    accidentally became a cross-doc aggregate."""
+    """Intra-doc repetition is per-row array math: no KEYED exchange may
+    appear — a hashpartitioning would mean the per-doc signal
+    accidentally became a cross-doc aggregate. (The one permitted
+    Exchange is ensure_parallelism's round-robin spread of an
+    under-split local input — a no-op at real scale.)"""
     plan = plan_of(queries["text_repetition_score"](spark, SF))
     tree = plan.split("\n\n")[0]
-    assert "Exchange" not in tree
+    assert "hashpartitioning" not in plan
+    assert tree.count("Exchange") <= 1  # only the round-robin spread
 
 
 def test_mix_by_rates_broadcasts_the_rates_side(spark, queries):
