@@ -711,6 +711,49 @@ def test_sample_by_rates_monotone_and_drops_unlisted(spark):
     assert high.filter(F.col("source") == "s1").count() == 1000  # rate 1 keeps all
 
 
+def test_pack_sequences_matches_python_oracle_random(spark):
+    """Independent oracle: a sequential Python fold over md5-sorted rows
+    (random sizes incl. oversized rows past the budget and ties in size)
+    must reproduce pack_sequences' seq_ids exactly."""
+    import hashlib
+
+    from irstats2_spark.pipeline.sampling import pack_sequences
+
+    rows = [(i, (i * 7919) % 613 + 1) for i in range(1_500)]
+    rows += [(10_000 + i, 5_000) for i in range(5)]  # oversized singletons
+    df = spark.createDataFrame(rows, "doc_id long, sz int")
+    got = {
+        r.doc_id: r.seq_id
+        for r in pack_sequences(df, F.col("sz"), "doc_id", budget=1024).collect()
+    }
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"pack:{r[0]}".encode()).hexdigest(), r[0])
+    )
+    cum = 0
+    for doc_id, sz in order:
+        expected = (cum + sz - sz) // 1024  # floor(preceding / budget)
+        assert got[doc_id] == cum // 1024 == expected, doc_id
+        cum += sz
+    assert len(got) == len(rows)
+
+
+def test_sample_by_rates_matches_python_oracle_random(spark):
+    """sample_by_rates survival must equal the hash rule computed
+    independently in Python for arbitrary per-stratum rates."""
+    import hashlib
+
+    from irstats2_spark.pipeline.sampling import sample_by_rates
+
+    rows = [(i, f"s{i % 7}") for i in range(2_000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    rates = {f"s{j}": j / 7.0 for j in range(7)}
+    rdf = spark.createDataFrame(list(rates.items()), "source string, rate double")
+    got = {r.doc_id for r in sample_by_rates(df, rdf, "source", "doc_id").collect()}
+    for doc_id, src in rows:
+        b = int(hashlib.md5(f"mix:{doc_id}".encode()).hexdigest()[:8], 16) % 10_000
+        assert (b < rates[src] * 10_000) == (doc_id in got), (doc_id, src)
+
+
 def test_heavy_hitters_sketch_contract(spark):
     """freqItems' one-sided guarantee: every exact heavy hitter above the
     support threshold appears in the sketch (in_sketch all true)."""
