@@ -62,6 +62,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_heavyhitters_approx",
     "text_repetition_score",
     "mix_by_source_cap",
+    "dedup_url_canonical",
     # -- round-2 additions that missed round 2's 50-query window --
     "similarity_kmeans_fit",
     "similarity_kmeans_ivf_topk",
@@ -105,14 +106,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "ctx_daily_series",
     "ctx_lifetime_total",
     "ctx_top_eprints",
-    "ctx_single_eprint",
     "search_term_extraction",
     "view_compare_years",
 )
 # Displaced to stay at 50 (r1-green, implementation unchanged since):
 # browser_classification, referrer_classification, anon_md5_values,
 # o4_alpha_listing (o4_listing_engine is r2-green), t5_period_compare
-# (view_compare_years, the end-to-end T5 view, stays in).
+# (view_compare_years, the end-to-end T5 view, stays in),
+# ctx_single_eprint (ctx_top_eprints + ctx_daily_series cover the family).
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

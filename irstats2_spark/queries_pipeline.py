@@ -1504,6 +1504,124 @@ def mix_by_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_url_canonical",
+    """
+    WITH raw AS (
+        SELECT doc_id,
+               CASE doc_id % 4
+                 WHEN 0 THEN 'https://WWW.Example.com:443/p/' || source ||
+                             '/?utm_source=feed&id=' || (doc_id % 50) || '#frag'
+                 WHEN 1 THEN 'https://www.example.com/p/' || source ||
+                             '?id=' || (doc_id % 50)
+                 WHEN 2 THEN 'HTTP://Example.COM:80/p/' || source ||
+                             '/?id=' || (doc_id % 50) || '&utm_campaign=x'
+                 ELSE 'example.com/p/' || source || '?fbclid=abc&id=' || (doc_id % 50)
+               END AS url
+        FROM documents
+    ),
+    canon AS (
+        SELECT doc_id, url,
+               regexp_replace(trim(url), '#.*$', '') AS u
+        FROM raw
+    ),
+    parts AS (
+        SELECT doc_id,
+               CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+                    THEN 'http'
+                    ELSE lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+               END AS scheme,
+               CASE WHEN regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1) = ''
+                    THEN u
+                    ELSE regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.-]*://', '')
+               END AS rest
+        FROM canon
+    ),
+    split1 AS (
+        SELECT doc_id, scheme,
+               lower(regexp_extract(rest, '^([^/?]*)', 1)) AS hostport,
+               substr(rest, length(regexp_extract(rest, '^([^/?]*)', 1)) + 1) AS tail
+        FROM parts
+    ),
+    split2 AS (
+        SELECT doc_id, scheme,
+               CASE WHEN scheme = 'http'  AND hostport LIKE '%:80'
+                    THEN regexp_replace(hostport, ':80$', '')
+                    WHEN scheme = 'https' AND hostport LIKE '%:443'
+                    THEN regexp_replace(hostport, ':443$', '')
+                    ELSE hostport END AS host,
+               regexp_extract(tail, '^([^?]*)', 1) AS path,
+               CASE WHEN length(tail) > length(regexp_extract(tail, '^([^?]*)', 1))
+                    THEN substr(tail, length(regexp_extract(tail, '^([^?]*)', 1)) + 2)
+                    ELSE '' END AS query
+        FROM split1
+    ),
+    built AS (
+        SELECT doc_id, scheme, host,
+               CASE WHEN regexp_replace(path, '/+$', '') = '' THEN '/'
+                    ELSE regexp_replace(path, '/+$', '') END AS path_c,
+               array_to_string(list_sort(list_filter(string_split(query, '&'),
+                   p -> length(p) > 0 AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)'))), '&') AS qs
+        FROM split2
+    )
+    SELECT scheme || '://' || host || path_c ||
+           CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS canonical_url,
+           COUNT(*) AS n_urls,
+           MIN(doc_id) AS keeper_id
+    FROM built GROUP BY 1
+    """,
+    doc="URL-keyed dedup for web corpora (functions/urls.canonicalize_url): "
+    "scheme/host case, default ports, fragments, tracking params "
+    "(utm_*/fbclid/gclid/msclkid), param order, and trailing slashes all "
+    "normalize away, so page variants collapse to one key — map-side "
+    "string/array expressions, one counting shuffle; the oracle mirrors "
+    "every rule in SQL over the same synthesized variants",
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.functions.urls import canonicalize_url
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.doc_id
+    url = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit("https://WWW.Example.com:443/p/"), docs.source,
+                F.lit("/?utm_source=feed&id="), (d % 50).cast("string"), F.lit("#frag"),
+            ),
+        )
+        .when(
+            d % 4 == 1,
+            F.concat(
+                F.lit("https://www.example.com/p/"), docs.source,
+                F.lit("?id="), (d % 50).cast("string"),
+            ),
+        )
+        .when(
+            d % 4 == 2,
+            F.concat(
+                F.lit("HTTP://Example.COM:80/p/"), docs.source,
+                F.lit("/?id="), (d % 50).cast("string"), F.lit("&utm_campaign=x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("example.com/p/"), docs.source,
+                F.lit("?fbclid=abc&id="), (d % 50).cast("string"),
+            )
+        )
+    )
+    return (
+        docs.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.min("doc_id").alias("keeper_id"),
+        )
+    )
+
+
+@register(
     "text_vocab_heavyhitters_approx",
     f"""
     WITH words AS (

@@ -711,6 +711,29 @@ def test_sample_by_rates_monotone_and_drops_unlisted(spark):
     assert high.filter(F.col("source") == "s1").count() == 1000  # rate 1 keeps all
 
 
+def test_canonicalize_url_rules(spark):
+    """Every canonicalization rule on one fixture each: case, default
+    ports, fragments, tracking params, param order, trailing slashes,
+    scheme default, and non-default ports kept."""
+    from irstats2_spark.functions.urls import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Ex.COM:443/A/B/?b=2&utm_source=x&a=1#f",
+         "https://www.ex.com/A/B?a=1&b=2"),
+        ("http://ex.com:80/", "http://ex.com/"),
+        ("http://ex.com:8080/x", "http://ex.com:8080/x"),  # non-default kept
+        ("ex.com/path/?fbclid=z", "http://ex.com/path"),  # scheme default
+        ("https://ex.com", "https://ex.com/"),  # empty path -> /
+        ("http://ex.com/x?utm_a=1&utm_b=2", "http://ex.com/x"),  # only tracking
+        ("http://ex.com/x?id=2&id=10", "http://ex.com/x?id=10&id=2"),  # bytewise sort
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)],
+                               "i long, url string")
+    got = {r.i: r.c for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i], want)
+
+
 def test_pack_sequences_matches_python_oracle_random(spark):
     """Independent oracle: a sequential Python fold over md5-sorted rows
     (random sizes incl. oversized rows past the budget and ties in size)
