@@ -63,6 +63,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_repetition_score",
     "mix_by_source_cap",
     "dedup_url_canonical",
+    "embed_text_stub",
     # -- round-2 additions that missed round 2's 50-query window --
     "similarity_kmeans_fit",
     "similarity_kmeans_ivf_topk",
@@ -91,7 +92,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "p7_semi_join",
     "o3_topn",
     "agg_rollup_monthly",
-    "agg_cube_status_priority",
     "events_unique_visitors",
     "text_vocab_topk",
     "text_chunk_dedup",
@@ -113,7 +113,8 @@ GATE_PRIORITY: tuple[str, ...] = (
 # browser_classification, referrer_classification, anon_md5_values,
 # o4_alpha_listing (o4_listing_engine is r2-green), t5_period_compare
 # (view_compare_years, the end-to-end T5 view, stays in),
-# ctx_single_eprint (ctx_top_eprints + ctx_daily_series cover the family).
+# ctx_single_eprint (ctx_top_eprints + ctx_daily_series cover the family),
+# agg_cube_status_priority (agg_rollup_monthly covers GROUPING SETS).
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

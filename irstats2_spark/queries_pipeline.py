@@ -1504,6 +1504,33 @@ def mix_by_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embed_text_stub",
+    """
+    WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+    x AS (
+        SELECT doc_id, dim,
+               CAST(concat('0x', substring(md5(text || ':' || dim), 1, 8))
+                    AS BIGINT) % 2000 - 1000 AS xi
+        FROM documents, dims
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(xi * xi)) AS nrm FROM x GROUP BY 1)
+    SELECT x.doc_id, CAST(x.dim AS INT) AS dim,
+           ROUND(CASE WHEN nrm = 0 THEN xi ELSE xi / nrm END, 6) AS value
+    FROM x JOIN norms USING (doc_id)
+    """,
+    doc="batch text-embedding plumbing (pipeline/embed.py): Arrow-batched "
+    "mapInPandas inference shape with the MODEL stubbed to a "
+    "deterministic md5-derived vector (integer components, exact-integer "
+    "norm), L2-normalized — swap the fake for model.encode and nothing "
+    "else changes; chains into ivf_assign via embedded_as_vectors",
+)
+def embed_text_stub_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.embed import embed_text_stub
+
+    return embed_text_stub(load_table(spark, "documents", sf_dir), dim=8)
+
+
+@register(
     "dedup_url_canonical",
     """
     WITH raw AS (

@@ -711,6 +711,30 @@ def test_sample_by_rates_monotone_and_drops_unlisted(spark):
     assert high.filter(F.col("source") == "s1").count() == 1000  # rate 1 keeps all
 
 
+def test_embed_stub_normalized_deterministic_and_chains_into_ann(spark):
+    """embed_text_stub: unit norm per doc, identical across runs, and its
+    vectors feed ivf_assign through embedded_as_vectors (full text ->
+    embed -> ANN chain)."""
+    from irstats2_spark.pipeline.embed import embed_text_stub, embedded_as_vectors
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    a = sorted(map(tuple, embed_text_stub(docs, dim=8).collect()))
+    b = sorted(map(tuple, embed_text_stub(docs, dim=8).collect()))
+    assert a == b and len(a) == 3 * 8
+    vecs = embedded_as_vectors(embed_text_stub(docs, dim=8))
+    rows = {r.vec_id: r.embedding for r in vecs.collect()}
+    assert rows[1] == rows[3]  # same text -> same vector
+    assert abs(sum(v * v for v in rows[1]) - 1.0) < 1e-4  # unit norm
+    cents = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid_vec")
+    )
+    assigned = ivf_assign(vecs, cents)
+    got = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    assert got[3] == 1  # identical text lands on its twin's centroid
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
