@@ -44,10 +44,13 @@ def contamination_scores(
 
     Output: (doc_id, n_shingles, n_contaminated, contamination_frac) —
     frac = |doc's distinct k-gram shingles found in the benchmark| /
-    |doc's distinct k-gram shingles| (0.0 for docs too short to shingle,
-    matching the convention that an unshingleable doc cannot be flagged).
+    |doc's distinct k-gram shingles|. Docs too short to shingle (< k
+    words) emit a (doc_id, 0, 0, 0.0) row — the decision predicate
+    downstream needs every doc, and an unshingleable doc cannot be
+    flagged; ``keep_empty`` shingling (explode_outer) preserves them as
+    a NULL-shingle row that the conditional counts below score as zero.
     """
-    doc_sh = word_shingles(docs, text_col, id_col, k=k)
+    doc_sh = word_shingles(docs, text_col, id_col, k=k, keep_empty=True)
     bench_sh = (
         word_shingles(
             benchmark.select(F.col(bench_text_col).alias("text"), F.lit(0).alias("bid")),
@@ -61,11 +64,15 @@ def contamination_scores(
     hits = doc_sh.join(
         F.broadcast(bench_sh.withColumn("__hit", F.lit(1))), "shingle", "left"
     )
+    # count("shingle") skips the NULL row a shingle-less doc carries, so
+    # it lands at (0, 0); try_divide makes the 0/0 ratio NULL (not an
+    # ANSI error) -> coalesced to the documented 0.0
     return hits.groupBy(F.col("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("shingle").alias("n_shingles"),
         F.count("__hit").alias("n_contaminated"),
-        F.round(
-            F.count("__hit") / F.count(F.lit(1)), 6
+        F.coalesce(
+            F.round(F.try_divide(F.count("__hit"), F.count("shingle")), 6),
+            F.lit(0.0),
         ).alias("contamination_frac"),
     )
 
@@ -80,11 +87,15 @@ def decontaminate(
 ) -> DataFrame:
     """Drop documents whose contamination fraction reaches ``tau``.
 
-    Docs too short to produce a shingle are KEPT (they cannot leak a
-    k-gram). Returns the surviving docs with their scores attached; the
-    join back to the doc table is on doc_id — broadcast-eligible when
-    the flagged set is small (the common case), otherwise a key-only
-    shuffle that never carries text on the scored side.
+    Docs too short to produce a shingle are KEPT (they score 0.0; they
+    cannot leak a k-gram). Returns the surviving docs; the anti-join
+    back to the doc table is on doc_id with NO forced broadcast hint:
+    AQE picks a broadcast anti-join at runtime when the flagged set is
+    small (the common case), and degrades to a key-only shuffle — which
+    never carries text on the flagged side — when a heavily contaminated
+    corpus pushes the flagged set past the broadcast threshold. (A
+    forced F.broadcast() here would OOM in exactly the case the size
+    guard on embedding_cosine_dups exists to prevent.)
     """
     scores = contamination_scores(
         docs, benchmark, k=k, text_col=text_col, id_col=id_col
@@ -93,7 +104,7 @@ def decontaminate(
         F.col("doc_id").alias("__flagged_id")
     )
     return docs.join(
-        F.broadcast(flagged),
+        flagged,
         docs[id_col] == F.col("__flagged_id"),
         "left_anti",
     )

@@ -45,8 +45,19 @@ def exact_dedup(
     )
 
 
-def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+def word_shingles(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 3,
+    keep_empty: bool = False,
+) -> DataFrame:
     """Distinct k-word shingles per doc: (id, shingle).
+
+    With ``keep_empty=True`` a doc too short to shingle (< k words)
+    still emits one (id, NULL) row (``explode_outer``) — for consumers
+    like contamination scoring whose decision predicate needs a row for
+    EVERY doc; the default drops such docs entirely.
 
     Normalization + shingling is the CPU-heavy map stage of every dedup
     path — spread a narrow input across cores first (no-op at scale).
@@ -75,8 +86,9 @@ def word_shingles(docs: DataFrame, text_col: str, id_col: str, k: int = 3) -> Da
             lambda s: F.length(s) > 0,
         )
     )
+    exploder = F.explode_outer if keep_empty else F.explode
     return docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(shingle).alias("shingle")
+        F.col(id_col).alias("doc_id"), exploder(shingle).alias("shingle")
     )
 
 

@@ -72,7 +72,9 @@ def embed_text_stub(
                 v = xs / nrm if nrm > 0 else xs
                 ids.extend([doc_id] * dim)
                 dims.extend(range(dim))
-                vals.extend(np.round(v, 6))
+                # half-up like SQL ROUND (repo idiom — see ivf_assign_gemm,
+                # cluster_pairs), not np.round's half-even
+                vals.extend(np.floor(v * 1e6 + 0.5) / 1e6)
             yield pd.DataFrame({"doc_id": ids, "dim": dims, "value": vals})
 
     return src.mapInPandas(work, schema="doc_id long, dim int, value double")

@@ -122,7 +122,10 @@ def sniff_media_format(content) -> "F.Column":
     """Magic-byte container sniffing over a binary column — entirely
     JVM-side (hex prefix compare, fuses into the scan): the metadata step
     a real ingest runs BEFORE deciding which decoder a payload needs."""
-    h = F.hex(content)
+    # hex only the first 8 bytes (16 hex chars cover the longest magic):
+    # F.hex over the whole payload would materialize a string 2x the blob
+    # size per row just to compare a prefix
+    h = F.hex(F.substring(content, 1, 8))
     out = None
     for name, pfx in MAGIC_PREFIXES:
         cond = F.substring(h, 1, len(pfx)) == pfx

@@ -65,7 +65,7 @@ def cosine_pre_quantized(qa: Column, qb: Column) -> Column:
         F.aggregate(qb, F.lit(0).cast("long"), lambda acc, x: acc + x * x).cast("double")
     )
     # try_divide: zero-norm vectors yield NULL (callers decide — e.g.
-    # ivf_assign coalesces to -1) instead of an ANSI DIVIDE_BY_ZERO error
+    # ivf_assign coalesces to -2) instead of an ANSI DIVIDE_BY_ZERO error
     return F.try_divide(d.cast("double"), na * nb)
 
 
@@ -336,11 +336,13 @@ def ivf_assign(
     zero vector scores NULL against every centroid. NULL never wins a
     strict compare, which would leave the sentinel and silently DROP the
     row — whereas the row_number oracle keeps a rank-1 row (NULLS LAST
-    puts some centroid first). Coalescing the score to -1 keeps the row
-    and assigns the lowest centroid id (every real cosine >= -1 beats
-    it, ties break by id), matching the oracle's NULLS-LAST-then-id
-    order. The trailing isNotNull filter then only fires for its
-    documented case: an EMPTY centroid set."""
+    puts some centroid first). Coalescing the score to -2.0 — STRICTLY
+    below any real cosine — keeps the row and ranks every zero-norm
+    centroid behind even an antipodal (-1.0) one, matching the oracle's
+    NULLS-LAST-then-id order exactly (a -1.0 sentinel would tie with and
+    beat a genuine -1.0 cosine on lower id). The trailing isNotNull
+    filter then only fires for its documented case: an EMPTY centroid
+    set."""
     cents_arr = (
         centroids.withColumn("__qc", quantize(F.col(c_vec_col)))
         .select(
@@ -354,13 +356,16 @@ def ivf_assign(
     with_cents = emb_q.crossJoin(F.broadcast(cents_arr))
 
     init = F.struct(
-        F.lit(-2.0).alias("cc"),  # any real cosine >= -1 beats the sentinel
+        F.lit(-3.0).alias("cc"),  # below even the NULL-cosine sentinel
         F.lit(None).cast(centroids.schema[c_id_col].dataType).alias("cid"),
     )
 
     def step(acc, c):
+        # NULL (zero-norm) cosines coalesce to -2.0 — STRICTLY below any
+        # real cosine, so a genuine -1.0 (antipodal) centroid still beats
+        # a zero-norm one, exactly like the oracle's NULLS LAST
         cos = F.coalesce(
-            F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6), F.lit(-1.0)
+            F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6), F.lit(-2.0)
         )
         better = (cos > acc["cc"]) | ((cos == acc["cc"]) & (c["cid"] < acc["cid"]))
         return F.when(
@@ -431,9 +436,10 @@ def ivf_assign_gemm(
             qn = np.sqrt((q * q).sum(axis=1))
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = (q @ cq_b.T) / np.outer(qn, cn_b)
-            # zero-norm row => 0/0 = NaN; score it -1 like ivf_assign's
-            # coalesce so the two variants stay bit-identical
-            cos = np.nan_to_num(cos, nan=-1.0)
+            # zero-norm row => 0/0 = NaN; score it -2 like ivf_assign's
+            # coalesce so the two variants stay bit-identical (strictly
+            # below any real cosine — never ties an antipodal -1.0)
+            cos = np.nan_to_num(cos, nan=-2.0)
             cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
             best = np.argmax(cos, axis=1)  # first max => lowest centroid id
             out = pdf.copy()
@@ -493,8 +499,9 @@ def ivf_multi_assign(
     init = F.array().cast(acc_type)
 
     def step(acc, c):
+        # -2.0 NULL sentinel: see ivf_assign — strictly below any real cosine
         cos = F.coalesce(
-            F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6), F.lit(-1.0)
+            F.round(cosine_pre_quantized(F.col("__qv"), c["qv"]), 6), F.lit(-2.0)
         )
         cand = F.struct((-cos).alias("negcc"), c["cid"].alias("cid"))
         return F.slice(

@@ -1376,16 +1376,19 @@ def meta_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10
     ),
     scored AS (
-        SELECT s.doc_id,
-               COUNT(*) AS n_sh,
+        SELECT d.doc_id,
+               COUNT(s.shingle) AS n_sh,
                SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
-        FROM shingles s LEFT JOIN bench b ON s.shingle = b.shingle
+        FROM documents d
+        LEFT JOIN shingles s ON d.doc_id = s.doc_id
+        LEFT JOIN bench b ON s.shingle = b.shingle
         GROUP BY 1
     )
     SELECT doc_id,
            CAST(n_sh AS BIGINT) AS n_shingles,
-           CAST(n_hit AS BIGINT) AS n_contaminated,
-           ROUND(n_hit * 1.0 / n_sh, 6) AS contamination_frac
+           CAST(COALESCE(n_hit, 0) AS BIGINT) AS n_contaminated,
+           CASE WHEN n_sh = 0 THEN 0.0
+                ELSE ROUND(n_hit * 1.0 / n_sh, 6) END AS contamination_frac
     FROM scored
     """,
     doc="benchmark decontamination (pipeline/contamination.py): per-doc "

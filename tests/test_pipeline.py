@@ -634,7 +634,11 @@ def test_decontaminate_drops_leaky_docs_keeps_short_ones(spark):
     scores = {r.doc_id: r for r in contamination_scores(docs, bench, k=3).collect()}
     assert scores[1].contamination_frac > 0.5
     assert scores[2].n_contaminated == 0
-    assert 3 not in scores  # unshingleable
+    # unshingleable docs emit the documented (0, 0, 0.0) row — the
+    # decision predicate downstream needs every doc
+    assert scores[3].n_shingles == 0
+    assert scores[3].n_contaminated == 0
+    assert scores[3].contamination_frac == 0.0
     kept = sorted(r.doc_id for r in decontaminate(docs, bench, tau=0.1).collect())
     assert kept == [2, 3]
 
@@ -877,9 +881,10 @@ def test_embedding_cosine_dups_raises_past_broadcast_budget(spark):
 
 def test_ivf_assign_keeps_zero_norm_vectors(spark):
     """A zero-norm vector scores NULL cosine against every centroid; both
-    assignment variants must KEEP the row (scored -1, lowest centroid id)
-    rather than silently dropping it — the rank-1-row semantics of the
-    row_number/SQL form."""
+    assignment variants must KEEP the row (scored -2.0 — strictly below
+    any real cosine, so it never ties an antipodal -1.0 — with the
+    lowest centroid id) rather than silently dropping it — the
+    rank-1-row semantics of the row_number/SQL form."""
     from irstats2_spark.pipeline.similarity import ivf_assign_gemm
 
     corpus = spark.createDataFrame(
@@ -896,7 +901,27 @@ def test_ivf_assign_keeps_zero_norm_vectors(spark):
     assert fold == gemm
     assert len(fold) == 3  # zero vector not dropped
     by_id = {r[0]: r for r in fold}
-    assert by_id[1][1] == 10 and by_id[1][2] == -1.0
+    assert by_id[1][1] == 10 and by_id[1][2] == -2.0
+
+
+def test_ivf_assign_antipodal_beats_zero_norm_centroid(spark):
+    """A genuine -1.0 cosine (antipodal centroid) must outrank a NULL
+    cosine against a LOWER-id zero-norm centroid — the oracle's NULLS
+    LAST ranks the real -1.0 first, so the NULL sentinel has to sit
+    strictly below -1.0 (a -1.0 sentinel picked the zero-norm one)."""
+    from irstats2_spark.pipeline.similarity import ivf_assign, ivf_assign_gemm
+
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<float>"
+    )
+    cents = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (5, [-1.0, 0.0])],
+        "centroid_id long, centroid_vec array<float>",
+    )
+    cols = ["vec_id", "centroid_id", "centroid_cosine"]
+    for impl in (ivf_assign, ivf_assign_gemm):
+        row = impl(corpus, cents).select(*cols).collect()[0]
+        assert (row.centroid_id, row.centroid_cosine) == (5, -1.0), impl.__name__
 
 
 def test_ivf_multi_probe_recovers_cross_cluster_neighbor(spark):

@@ -212,11 +212,10 @@ def test_streaming_doc_dedup_against_snapshot_and_stream(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.sql("SELECT doc_id FROM doc_dedup_out").collect()
     kept = sorted(r.doc_id for r in got)
-    # 1 dropped (snapshot), one of {2,4} kept (same hash), 3 kept
-    assert 1 not in kept
-    assert 3 in kept
-    assert len(kept) == 2
-    assert kept[0] in (2, 4)
+    # 1 dropped (snapshot), one of {2,4} kept (same hash), 3 kept —
+    # WHICH of the duplicate pair survives is nondeterministic, so
+    # assert on the set, not a position in the sorted list
+    assert set(kept) in ({2, 3}, {3, 4})
 
 
 def test_incremental_checkpoint_scan(spark, tmp_path):
