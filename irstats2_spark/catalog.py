@@ -38,83 +38,85 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-3 rotation (the set is re-cut each round so driver verification
+# Round-4 rotation (the set is re-cut each round so driver verification
 # CYCLES through the whole catalog instead of freezing on one list):
-# - the 10 round-2 additions that registered past round 2's cutoff — the
-#   only catalog entries with no driver row across r1 u r2;
-# - the new round-3 queries;
-# - every query whose implementation changed this round (the similarity
-#   family: cosine helpers gained try_divide zero-norm semantics; the
-#   silver pipeline's robots kwargs changed) — r2 rows no longer vouch
-#   for today's code;
+# - the new round-4 composition query;
+# - every query whose implementation changed this round — the
+#   contamination family (explode_outer 0.0 rows, no forced broadcast),
+#   the IVF assignment family (-2.0 NULL-cosine sentinel), the embed
+#   stub (half-up rounding), multimodal sniffing (prefix-only hex), and
+#   the shingle-family consumers of word_shingles' new keep_empty path;
+# - ALL 13 queries whose only green row still dates to round 1;
 # - two core anchors (A1 grouped sum, exact repeat) so the star-schema
 #   spine stays continuously verified;
-# - fill to 50 with the round-1-only queries, none re-verified since r1.
-# Rotated out: the r2-green set just verified last round (they keep their
-# pytest sf0.01 oracle runs either way).
+# - fill to 50 with the oldest r2-gated rows (the remaining 16 r2 rows
+#   rotate in next round).
+# Rotated out: the r3-green set just verified last round (they keep
+# their pytest sf0.01 oracle runs either way).
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- new in round 3 --
-    "dedup_embedding_ivf_probe2",
-    "meta_json_extract",
-    "multimodal_decode_stub",  # oracle upgraded stub-equality -> computed properties
-    "text_decontamination",
-    "pack_training_sequences",
-    "text_vocab_heavyhitters_approx",
-    "text_repetition_score",
-    "mix_by_source_cap",
-    "dedup_url_canonical",
-    "embed_text_stub",
-    # -- round-2 additions that missed round 2's 50-query window --
-    "similarity_kmeans_fit",
-    "similarity_kmeans_ivf_topk",
-    "similarity_ivf_probe2_topk",
-    "pipeline_curation_neardup",
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    "sample_weighted",
-    "text_pii_scrub",
-    "text_length_quantiles_approx",
-    "join_salted_skew",
+    # -- new in round 4 --
+    "pipeline_pretrain_e2e",
     # -- implementation changed this round: re-verify on today's code --
-    "etl_silver_views_fact",
-    "dedup_embedding_cosine",
-    "dedup_embedding_ivf",
-    "similarity_bruteforce_topk",
+    "text_decontamination",
+    "embed_text_stub",
     "similarity_ivf_assign",
     "similarity_ivf_topk",
-    "similarity_hyperplane_sig",
-    "similarity_hyperplane_topk",
+    "similarity_ivf_probe2_topk",
+    "similarity_kmeans_fit",
+    "similarity_kmeans_ivf_topk",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_probe2",
+    "multimodal_decode_stub",
+    "pipeline_curation_neardup",
+    "pipeline_curation_summary",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_signatures",
+    "dedup_minhash_lsh",
+    # -- r1-stale: only green row dates to round 1 --
+    "p5_datafilter_eq",
+    "t1_month_trunc",
+    "o2_limit_offset",
+    "a9_minmax_dates",
+    "a10_top_values",
+    "o4_alpha_listing",
+    "t5_period_compare",
+    "a8_count_rows",
+    "agg_cube_status_priority",
+    "ctx_single_eprint",
+    "browser_classification",
+    "referrer_classification",
+    "anon_md5_values",
     # -- continuously-verified core anchors --
     "a1_grouped_sum",
     "repeat_filter_exact",
-    # -- round-1-only queries: green in r1, never re-gated since --
-    "p3_date_range",
-    "p7_semi_join",
-    "o3_topn",
-    "agg_rollup_monthly",
-    "events_unique_visitors",
-    "text_vocab_topk",
-    "text_chunk_dedup",
-    "text_length_quantiles",
-    "agg_argmax_order",
-    "agg_topk_per_group",
-    "agg_pivot_monthly",
-    "join_anti_no_purchase",
-    "text_tfidf_top_term",
-    "etl_views_fact",
-    "etl_doc_downloads_fact",
-    "ctx_daily_series",
-    "ctx_lifetime_total",
-    "ctx_top_eprints",
-    "search_term_extraction",
-    "view_compare_years",
+    # -- oldest r2-gated rows, cycling back through --
+    "a2_sum_all",
+    "a3_daily_preagg",
+    "j1_fact_join_dim",
+    "j2_grouping_join",
+    "t2_densify",
+    "a6_a7_cumulative_running_avg",
+    "a5_ratio_metric",
+    "events_sessionize",
+    "events_asof_prior",
+    "events_unique_visitors_approx",
+    "etl_downloads_fact",
+    "robots_filter_outcome",
+    "geoip_range_join",
+    "view_monthly_graph",
+    "ctx_set_series",
+    "ctx_top_sets",
+    "ctx_grouping_top",
+    "ctx_prelive_clamp",
+    "ctx_data_min",
 )
-# Displaced to stay at 50 (r1-green, implementation unchanged since):
-# browser_classification, referrer_classification, anon_md5_values,
-# o4_alpha_listing (o4_listing_engine is r2-green), t5_period_compare
-# (view_compare_years, the end-to-end T5 view, stays in),
-# ctx_single_eprint (ctx_top_eprints + ctx_daily_series cover the family),
-# agg_cube_status_priority (agg_rollup_monthly covers GROUPING SETS).
+# Displaced to stay at 50 (r2-green, implementation unchanged since;
+# they head round 5's cut): view_sparkline, s7_sets_build,
+# s7_groupings_build, f9_subject_closure, f1_f3_url_parse,
+# o4_listing_engine, t6_f12_formatting, dedup_exact, dedup_clusters,
+# sample_split_assign, sample_stratified, dedup_simhash,
+# text_token_counts, text_quality_features, text_lang_id,
+# text_fingerprint.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

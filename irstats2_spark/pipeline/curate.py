@@ -59,6 +59,64 @@ def curate_corpus(
     return split_assign(curated, id_col, splits)
 
 
+def pretrain_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+    tau: float = 0.1,
+    k: int = 3,
+    source_cap: float = 15.0,
+    budget: int = 1024,
+    splits: dict[str, float] | None = None,
+) -> DataFrame:
+    """The full pretraining-data chain as ONE composition:
+
+        curate (quality gate -> exact-dedup keepers -> split)
+        -> decontaminate (drop docs leaking >= tau of their k-grams
+           into the benchmark/eval set)
+        -> mix (cap every source at ~``source_cap`` expected train docs
+           via computed rates — broadcast join + map-side filter)
+        -> pack (deterministic shuffle + greedy packing of the train
+           split into ``budget``-token sequences)
+
+    This is the LLM-data analog of the access-log silver pipeline
+    (etl.processors): each stage is individually gated, but the
+    composition is where their contracts actually meet — curate's
+    ``n_tokens`` is the size pack bills against, decontaminate must
+    preserve curate's split/keeper decisions, and mix's rates are
+    computed from the decontaminated (not raw) corpus.
+
+    Plan shape at scale: curate's one full-row shuffle (keeper window),
+    decontaminate's broadcast shingle probe + id-only rollup, mix's
+    broadcast rates join, pack's bucketed two-phase prefix sum — the
+    corpus text crosses an exchange exactly once (the keeper window);
+    every later stage shuffles ids/counts or nothing.
+
+    Output: one row per packed train doc —
+    (doc_id, source, n_tokens, seq_id).
+    """
+    from irstats2_spark.pipeline.contamination import decontaminate
+    from irstats2_spark.pipeline.sampling import pack_sequences, sample_by_rates
+
+    curated = curate_corpus(
+        docs, text_col, id_col, min_tokens, max_stopword_ratio, splits
+    )
+    decon = decontaminate(
+        curated, benchmark, tau=tau, k=k, text_col=text_col, id_col=id_col
+    )
+    train = decon.filter(F.col("split") == "train")
+    rates = train.groupBy(source_col).agg(
+        F.least(F.lit(1.0), F.lit(source_cap) / F.count(F.lit(1))).alias("rate")
+    )
+    mixed = sample_by_rates(train, rates, source_col, id_col)
+    packed = pack_sequences(mixed, F.col("n_tokens"), id_col, budget=budget)
+    return packed.select(id_col, source_col, "n_tokens", "seq_id")
+
+
 def curation_summary(curated: DataFrame, lang_col: str = "lang") -> DataFrame:
     """Per (split, stratum) doc and token counts — the corpus report a
     training run starts from."""

@@ -1673,6 +1673,95 @@ def text_vocab_heavyhitters_approx(spark: SparkSession, sf_dir: str) -> DataFram
     return heavy_hitters_checked(load_table(spark, "documents", sf_dir), support=0.02)
 
 
+@register(
+    "pipeline_pretrain_e2e",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, source, text,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> length(w) > 0)) AS n_tokens,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> w IN ('the','and','of','to','in','is','a'))) AS n_stop
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feats
+        WHERE n_tokens >= 5 AND (CAST(n_stop AS DOUBLE) / n_tokens) <= 0.6
+    ),
+    keepers AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper FROM kept
+    ),
+    curated AS (
+        SELECT doc_id, source, text, n_tokens,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT *, {_bucket_sql('split:')} AS b FROM keepers
+              WHERE doc_id = keeper)
+    ),
+    c_shingled AS (
+        SELECT doc_id, words, generate_subscripts(words, 1) AS i
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+              FROM curated) t
+    ),
+    c_sh AS (
+        SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM c_shingled WHERE i + 2 <= len(words)
+    ),
+    b_shingled AS (
+        SELECT doc_id, words, generate_subscripts(words, 1) AS i
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS words
+              FROM documents WHERE doc_id < 10) t
+    ),
+    bench_sh AS (
+        SELECT DISTINCT words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+        FROM b_shingled WHERE i + 2 <= len(words)
+    ),
+    flagged AS (
+        SELECT s.doc_id
+        FROM c_sh s LEFT JOIN bench_sh b ON s.shingle = b.shingle
+        GROUP BY 1
+        HAVING ROUND(SUM(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                     * 1.0 / COUNT(*), 6) >= 0.1
+    ),
+    train AS (
+        SELECT * FROM curated
+        WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM flagged)
+    ),
+    rates AS (
+        SELECT source, LEAST(1.0, 15.0 / COUNT(*)) AS rate FROM train GROUP BY 1
+    ),
+    mixed AS (
+        SELECT d.doc_id, d.source, d.n_tokens
+        FROM (SELECT *, {_bucket_sql('mix:')} AS mb FROM train) d
+        JOIN rates r ON r.source = d.source
+        WHERE d.mb < r.rate * 10000
+    )
+    SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER (
+                    ORDER BY md5('pack:' || CAST(doc_id AS VARCHAR)), doc_id
+                    ROWS UNBOUNDED PRECEDING) - n_tokens) / 1024.0)
+                AS BIGINT) AS seq_id
+    FROM mixed
+    """,
+    doc="END-TO-END pretraining pipeline (curate.pretrain_corpus): "
+    "quality gate -> exact-dedup keepers -> split -> benchmark "
+    "decontamination (docs 0-9 as the eval set, tau=0.1) -> per-source "
+    "rate mixing (cap ~15 train docs/source) -> deterministic packing "
+    "into 1024-token sequences. The LLM-data analog of "
+    "etl_silver_views_fact: every stage is gated alone, this row gates "
+    "their COMPOSITION — n_tokens billing, kept-vs-dropped doc sets, and "
+    "deterministic ordering must agree across all four stages at once",
+)
+def pipeline_pretrain_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import pretrain_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    bench = docs.filter(F.col("doc_id") < 10)
+    return pretrain_corpus(docs, bench)
+
+
 # splice the shared kmeans CTE chain into the oracle registered above
 # (the registration string uses a placeholder because the f-string and
 # .format would both try to interpret the chain's braces)
