@@ -72,7 +72,18 @@ def word_shingles(
     from irstats2_spark.parallel import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    exploder = F.explode_outer if keep_empty else F.explode
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        exploder(shingle_array(F.col(text_col), k)).alias("shingle"),
+    )
+
+
+def shingle_array(text: "F.Column", k: int = 3) -> "F.Column":
+    """Per-row array of DISTINCT k-word shingles — the pre-explode form
+    of ``word_shingles``, map-side only (shared by the batch explode
+    path and the streaming per-row MinHash, which must not aggregate)."""
+    words = F.split(normalize_text(text), " ")
     n = F.size(words)
     # a doc with fewer than k words has NO k-shingles (the greatest()
     # fallback used to emit one short pseudo-shingle for such docs,
@@ -80,15 +91,11 @@ def word_shingles(
     idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
         F.array().cast("array<int>")
     )
-    shingle = F.array_distinct(
+    return F.array_distinct(
         F.filter(
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
             lambda s: F.length(s) > 0,
         )
-    )
-    exploder = F.explode_outer if keep_empty else F.explode
-    return docs.select(
-        F.col(id_col).alias("doc_id"), exploder(shingle).alias("shingle")
     )
 
 
@@ -180,6 +187,38 @@ def minhash_signatures(
 ) -> DataFrame:
     """Engine-portable MinHash signatures per doc (see _minhash_aggs)."""
     return shingles.groupBy("doc_id").agg(*_minhash_aggs(n_hashes))
+
+
+def minhash_row_cols(sh, n_hashes: int = 8) -> list:
+    """Per-ROW MinHash signature expressions over a shingle ARRAY column
+    (``shingle_array`` output): ``array_min`` over each permutation's
+    hash — bit-identical to ``_minhash_aggs``' groupBy-min over the
+    exploded shingles (min is insensitive to the array's distinctness
+    and order), but computed entirely MAP-SIDE with no aggregation.
+
+    This is what makes MinHash streamable: a Structured Streaming query
+    can't run the groupBy form without watermarked stateful aggregation,
+    but these columns fuse into the stateless projection of each
+    micro-batch (streaming.ingest.neardup_doc_stream). An empty shingle
+    array (doc too short) yields NULL signature slots — such docs can't
+    near-dup and band-join nothing."""
+    # closure factory, not default args: F.transform counts a lambda's
+    # default parameters as lambda arity and would bind the array index
+    # to them
+    def perm_hash(salt: int, slot: int):
+        def h(s):
+            digest = F.md5(F.concat(F.lit(f"{salt}:"), s)) if salt else F.md5(s)
+            return F.substring(digest, 1 + 8 * slot, 8)
+
+        return h
+
+    cols = []
+    for i in range(n_hashes):
+        salt, slot = divmod(i, 4)
+        cols.append(
+            F.array_min(F.transform(sh, perm_hash(salt, slot))).alias(f"mh_{i}")
+        )
+    return cols
 
 
 def minhash_lsh_candidates(

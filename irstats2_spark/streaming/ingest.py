@@ -218,6 +218,118 @@ def dedup_doc_stream(
     )
 
 
+def neardup_doc_stream(
+    docs: DataFrame,
+    old_sigs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of pipeline.dedup.minhash_lsh_incremental: flag
+    NEAR-duplicate documents in a stream against the accumulated MinHash
+    SIGNATURE snapshot — the LSH counterpart of ``dedup_doc_stream``'s
+    exact-hash dedup, and the variant production corpora actually run.
+
+    Output mirrors the batch incremental operator: one row per flagged
+    cross pair — (old_id, new_id, est_jaccard, ``ts_col``) for snapshot
+    docs whose MinHash-estimated Jaccard with an arriving doc reaches
+    ``threshold``.
+
+    Why this streams where the batch formulation wouldn't: MinHash
+    signatures are normally a groupBy-min over exploded shingles — a
+    stateful streaming aggregation. Here each doc's signature is
+    computed PER ROW (``dedup.minhash_row_cols``: array_min over the
+    in-row shingle array — bit-identical values), so the whole chain is
+    stateless map work plus:
+
+    - a stream-static INNER join of the banded stream against the
+      banded snapshot (stateless; the static side is re-planned every
+      micro-batch, so the snapshot — typically persisted bucketed by
+      (band, sig) — can grow under the checkpoint between runs);
+    - the estimator filter (matching-slot fraction >= threshold), a
+      row-local comparison of the two signatures riding the joined row;
+    - ``dropDuplicatesWithinWatermark`` on (old_id, new_id), because a
+      pair sharing b bands surfaces b times: state is one row per
+      DISTINCT flagged pair inside the watermark horizon — ∝ near-dup
+      hits, never corpus size.
+
+    Same approximation contract as the batch twin (SURVEY §2.9): the
+    estimator has 1/n_hashes granularity, and a pair re-arriving past
+    the watermark re-emits; fold emitted pairs through the batch
+    operator's clustering offline for exact convergence. New-vs-new
+    pairs inside the stream are out of scope here (run the batch
+    ``minhash_lsh_dedup`` over each day's accumulated batch), matching
+    the batch incremental operator's contract.
+    """
+    from irstats2_spark.pipeline.dedup import minhash_row_cols, shingle_array
+
+    assert n_hashes % bands == 0
+    rows_per_band = n_hashes // bands
+
+    sig = docs.select(
+        F.col(id_col).alias("new_id"),
+        F.col(ts_col),
+        *minhash_row_cols(shingle_array(F.col(text_col), k), n_hashes),
+    )
+
+    def band_structs(prefix: str):
+        out = []
+        for b in range(bands):
+            cols = [
+                F.col(f"{prefix}{b * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            out.append(
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("sig"),
+                )
+            )
+        return F.array(*out)
+
+    new_banded = sig.select(
+        "new_id",
+        ts_col,
+        *[F.col(f"mh_{i}").alias(f"__n{i}") for i in range(n_hashes)],
+        F.explode(band_structs("mh_")).alias("bs"),
+    ).select(
+        "new_id",
+        ts_col,
+        *[f"__n{i}" for i in range(n_hashes)],
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+    old_banded = old_sigs.select(
+        F.col("doc_id").alias("old_id"),
+        *[F.col(f"mh_{i}").alias(f"__o{i}") for i in range(n_hashes)],
+        F.explode(band_structs("mh_")).alias("bs"),
+    ).select(
+        "old_id",
+        *[f"__o{i}" for i in range(n_hashes)],
+        F.col("bs.band").alias("band"),
+        F.col("bs.sig").alias("sig"),
+    )
+
+    matches = sum(
+        F.when(F.col(f"__o{i}") == F.col(f"__n{i}"), 1).otherwise(0)
+        for i in range(n_hashes)
+    )
+    flagged = (
+        new_banded.join(old_banded, ["band", "sig"])
+        .withColumn("est_jaccard", F.round(matches / F.lit(n_hashes), 6))
+        .filter(F.col("est_jaccard") >= threshold)
+        .select("old_id", "new_id", "est_jaccard", ts_col)
+    )
+    return flagged.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["old_id", "new_id"]
+    )
+
+
 def session_counts_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -218,6 +218,76 @@ def test_streaming_doc_dedup_against_snapshot_and_stream(spark, tmp_path):
     assert set(kept) in ({2, 3}, {3, 4})
 
 
+def test_streaming_neardup_matches_batch_incremental(spark, tmp_path):
+    """neardup_doc_stream: the streaming LSH twin of
+    minhash_lsh_incremental — the flagged (old_id, new_id, est_jaccard)
+    pairs from the stream must EQUAL the batch incremental operator's
+    output on the same (snapshot, batch) data, clean docs flag nothing,
+    and band-collision pairs below the estimator threshold stay out."""
+    import json
+
+    from irstats2_spark.pipeline.dedup import (
+        minhash_lsh_incremental,
+        minhash_signatures,
+        word_shingles,
+    )
+    from irstats2_spark.streaming.ingest import neardup_doc_stream
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    old_docs = spark.createDataFrame(
+        [(10, base), (11, "completely different historical corpus document text")],
+        "doc_id long, text string",
+    )
+    old_sigs = minhash_signatures(word_shingles(old_docs, "text", "doc_id", 3))
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        # near-dup of snapshot doc 10: one word changed
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "text": base.replace("lazy", "sleepy")},
+        # clean
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z",
+         "text": "an entirely unrelated fresh streaming document arrives"},
+        # exact copy of snapshot doc 10 (est_jaccard = 1.0)
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z", "text": base},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    docs = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = neardup_doc_stream(docs, old_sigs, threshold=0.5, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardup_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.old_id, r.new_id): r.est_jaccard
+        for r in spark.sql("SELECT * FROM neardup_out").collect()
+    }
+
+    new_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    batch = {
+        (r.old_id, r.new_id): r.est_jaccard
+        for r in minhash_lsh_incremental(
+            new_docs, old_sigs, threshold=0.5
+        ).collect()
+    }
+    assert got == batch  # streaming == batch incremental, values included
+    assert got[(10, 3)] == 1.0  # the exact copy maxes the estimator
+    assert (10, 1) in got  # the near-dup is flagged
+    assert all(new != 2 for (_, new) in got)  # the clean doc flags nothing
+
+
 def test_incremental_checkpoint_scan(spark, tmp_path):
     from irstats2_spark.sources.checkpoint import (
         Checkpoint,
