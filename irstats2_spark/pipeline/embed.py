@@ -32,6 +32,7 @@ def embed_text_stub(
     dim: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    model_batch_rows: int | None = None,
 ) -> DataFrame:
     """Embed documents into ``dim``-dimensional L2-normalized vectors.
 
@@ -42,7 +43,29 @@ def embed_text_stub(
     Scale: mapInPandas streams Arrow batches; memory is bounded by the
     Arrow batch size regardless of partition size, and the input is
     spread across cores first (inference is the CPU/GPU-bound map stage
-    par excellence)."""
+    par excellence).
+
+    Batch-size control (the knob that makes the model-swap contract
+    real on a GPU fleet):
+
+    - ``model_batch_rows`` caps the rows handed to the model per
+      forward pass, independent of how Arrow chunks the stream: each
+      incoming Arrow batch is re-sliced to at most this many rows
+      before the encode call. None = one forward per Arrow batch.
+      Output is row-wise, so ANY slicing produces identical results —
+      a pytest pins that batch boundaries never change output.
+    - The Arrow chunking itself is session-level:
+      ``spark.sql.execution.arrow.maxRecordsPerBatch`` (default
+      10000) bounds peak pandas memory per batch. Set it ALONGSIDE
+      ``model_batch_rows`` when vectors are wide (batch bytes ~=
+      rows x dim x 8).
+    - GPU stages: attach a stage-level ResourceProfile so ONLY this
+      map stage requests accelerators —
+      ``ResourceProfileBuilder().require(
+      TaskResourceRequests().resource("gpu", 1))`` and run the
+      mapInPandas stage under it (Spark 3.4+ stage-level
+      scheduling); the rest of the pipeline schedules on CPU-only
+      executors unchanged."""
     import hashlib
 
     import numpy as np
@@ -54,8 +77,17 @@ def embed_text_stub(
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     )
 
-    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def sliced(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        """Re-slice Arrow batches to the model's forward-batch size."""
+        if model_batch_rows is None:
+            yield from batches
+            return
         for pdf in batches:
+            for lo in range(0, len(pdf), model_batch_rows):
+                yield pdf.iloc[lo : lo + model_batch_rows]
+
+    def work(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in sliced(batches):
             ids, dims, vals = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 t = text if text is not None else ""

@@ -739,6 +739,103 @@ def test_embed_stub_normalized_deterministic_and_chains_into_ann(spark):
     assert got[3] == 1  # identical text lands on its twin's centroid
 
 
+def test_embed_stub_batch_boundaries_do_not_change_output(spark):
+    """model_batch_rows re-slices the Arrow stream to the model's
+    forward-batch size; output must be identical for ANY slicing (1-row
+    micro-batches, an uneven 7, and the unsliced default) — the contract
+    that lets a GPU deployment tune batch size freely."""
+    from irstats2_spark.pipeline.embed import embed_text_stub
+
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} text") for i in range(23)], "doc_id long, text string"
+    ).coalesce(1)  # one Arrow stream so slicing is actually exercised
+    base = sorted(map(tuple, embed_text_stub(docs, dim=8).collect()))
+    for nrows in (1, 7, 100):
+        got = sorted(
+            map(tuple, embed_text_stub(docs, dim=8, model_batch_rows=nrows).collect())
+        )
+        assert got == base
+
+
+def test_float32_quantize_gemm_bit_identical_wide_dims(spark, tmp_path):
+    """The ANN family's precision contract, pinned at a realistic width:
+    vectors are STORED float32 (the embeddings table / embedded_as_vectors
+    are array<float>) while every scoring path quantizes through float64.
+    For dim=1024 this asserts, on the same parquet bits:
+
+    1. quantization parity — Spark ``quantize``, the numpy GEMM paths'
+       ``floor(x*1000+0.5)``, and DuckDB's ``_Q`` fragment produce the
+       SAME integers from the float32 storage;
+    2. float64 GEMM over those integers is EXACT — bit-identical to
+       arbitrary-precision integer dot products (max |partial sum| ~1e9
+       at scale 1000 x dim 1024, far under 2^53);
+    3. the one double division at the end (cosine, 6dp) is bit-identical
+       between the Spark fold and DuckDB SQL."""
+    import duckdb
+    import numpy as np
+
+    from irstats2_spark.pipeline.similarity import cosine_pre_quantized, quantize
+    from irstats2_spark.queries_pipeline import _qcos
+
+    rng = np.random.default_rng(7)
+    n, dim = 8, 1024
+    v = rng.uniform(-1, 1, size=(n, dim))
+    v32 = (v / np.linalg.norm(v, axis=1, keepdims=True)).astype(np.float32)
+
+    rows = [(i, [float(x) for x in v32[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pq = str(tmp_path / "vecs_parquet")
+    df.coalesce(1).write.parquet(pq)
+    df2 = spark.read.parquet(pq)
+
+    # 1. quantization parity (Spark vs the numpy idiom the GEMMs use)
+    q_np = np.floor(v32.astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    got = {
+        r.vec_id: r.q
+        for r in df2.select(
+            "vec_id", quantize(F.col("embedding")).alias("q")
+        ).collect()
+    }
+    for i in range(n):
+        assert got[i] == list(q_np[i])
+
+    # 2. float64 GEMM == arbitrary-precision integer math, with headroom
+    dots64 = q_np.astype(np.float64) @ q_np.astype(np.float64).T
+    for i in range(n):
+        for j in range(n):
+            exact = sum(int(a) * int(b) for a, b in zip(q_np[i], q_np[j]))
+            assert dots64[i, j] == float(exact)
+    assert np.abs(dots64).max() < 2**53
+
+    # 3. cosine at 6dp: Spark fold == DuckDB SQL on the same parquet
+    pairs = df2.alias("a").crossJoin(df2.alias("b")).filter(
+        F.col("a.vec_id") < F.col("b.vec_id")
+    )
+    sp = {
+        (r.i, r.j): r.c
+        for r in pairs.select(
+            F.col("a.vec_id").alias("i"),
+            F.col("b.vec_id").alias("j"),
+            F.round(
+                cosine_pre_quantized(
+                    quantize(F.col("a.embedding")), quantize(F.col("b.embedding"))
+                ),
+                6,
+            ).alias("c"),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW v AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    ora = con.execute(
+        f"""SELECT a.vec_id AS i, b.vec_id AS j,
+                   ROUND({_qcos("a.embedding", "b.embedding")}, 6) AS c
+            FROM v a JOIN v b ON a.vec_id < b.vec_id"""
+    ).fetchall()
+    assert len(ora) == n * (n - 1) // 2
+    for i, j, c in ora:
+        assert sp[(i, j)] == c
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
