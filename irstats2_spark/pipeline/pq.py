@@ -1,0 +1,308 @@
+"""Product quantization (PQ) — the memory-bound ANN tier beside IVF and
+hyperplane-LSH (Jegou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+At 100 TB of vectors the corpus no longer fits executor memory as floats:
+PQ splits each vector into ``m`` subvectors, clusters each subspace into
+``n_codes`` codewords, and stores only the per-subspace codeword ids —
+m bytes per vector at n_codes <= 256 instead of dim*4. Search is
+asymmetric distance computation (ADC): a query precomputes its distance
+to every codeword (an m x n_codes table, tiny), and each corpus vector's
+approximate distance is m table lookups summed — no float vector is ever
+touched at scan time.
+
+Engine-portable by the repo's quantized-integer convention: subvectors
+are quantized longs, so squared-L2 distances are EXACT integers (no
+rounding anywhere in fit/encode/search except the codebook means), and a
+DuckDB oracle replays fit -> encode -> ADC bit-for-bit.
+
+Scale shape:
+- fit: per-subspace Lloyd's — the corpus is exploded m-fold MAP-SIDE,
+  assignment is a fold over a broadcast per-subspace codeword array, the
+  update is ONE shuffle keyed (subspace, code, dim) with an
+  m*n_codes*sub_dim reduce side at any corpus size;
+- encode: pure map (broadcast codebook), one output row per
+  (vector, subspace);
+- ADC search: the m x n_codes distance table is built from the (small)
+  query side and broadcast; scoring is a per-row fold over the corpus
+  codes — the corpus is never shuffled before the final per-query top-k
+  window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from irstats2_spark.pipeline.similarity import quantize
+
+
+def l2dist_q(a: Column, b: Column) -> Column:
+    """Squared L2 distance over ALREADY-quantized (long-array) vectors —
+    an exact integer, so any engine reproduces it bit-for-bit."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_subvectors(
+    df: DataFrame,
+    dim: int,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Explode vectors into quantized subvectors: (vec_id, subspace,
+    qsub array<long>), one row per (vector, subspace). Map-side only —
+    quantize once, slice m ways, posexplode."""
+    assert dim % m == 0, "dim must split evenly into m subspaces"
+    sub_dim = dim // m
+    qv = quantize(F.col(vec_col), scale)
+    slices = F.array(*[F.slice(qv, j * sub_dim + 1, sub_dim) for j in range(m)])
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.posexplode(slices).alias("subspace", "qsub"),
+    )
+
+
+def _codebook_qarrays(codebook: DataFrame, scale: int = 1000) -> DataFrame:
+    """Rebuild quantized codeword arrays from the exploded (subspace,
+    code, dim, value) codebook shape ``pq_fit`` emits: (subspace, code,
+    qv array<long>) with the same floor(x*scale+0.5) requantization the
+    fit loop uses between iterations."""
+    return (
+        codebook.groupBy("subspace", "code")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dim"), F.col("value")))
+            ).alias("__dv")
+        )
+        .select(
+            "subspace",
+            "code",
+            F.transform(
+                F.col("__dv"),
+                lambda s: F.floor(s["value"] * scale + F.lit(0.5)).cast("long"),
+            ).alias("qv"),
+        )
+    )
+
+
+def _assign_codes(sub: DataFrame, cb_q: DataFrame) -> DataFrame:
+    """Nearest codeword per (vector, subspace): min integer squared-L2,
+    tie-break lowest code id — (vec_id, subspace, qsub, code, dist).
+
+    Plan shape: the codebook is aggregated into ONE array-of-structs row
+    per subspace (m tiny rows) and broadcast; the argmin is a per-row
+    fold over that array. The exploded corpus is joined map-side on
+    subspace and never shuffled — same pure-map shape as
+    ``similarity.ivf_assign``."""
+    cents = cb_q.groupBy("subspace").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("code"), F.col("qv")))
+        ).alias("__cents")
+    )
+    joined = sub.join(F.broadcast(cents), "subspace")
+
+    init = F.struct(
+        F.lit(None).cast("long").alias("dist"),
+        F.lit(None).cast("int").alias("code"),
+    )
+
+    def step(acc, c):
+        d = l2dist_q(F.col("qsub"), c["qv"])
+        better = (
+            acc["code"].isNull()
+            | (d < acc["dist"])
+            | ((d == acc["dist"]) & (c["code"] < acc["code"]))
+        )
+        return F.when(
+            better, F.struct(d.alias("dist"), c["code"].alias("code"))
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("__cents"), init, step)
+    return (
+        joined.withColumn("__best", best)
+        .select(
+            "vec_id",
+            "subspace",
+            "qsub",
+            F.col("__best.code").alias("code"),
+            F.col("__best.dist").alias("dist"),
+        )
+        .filter(F.col("code").isNotNull())  # empty codebook => no rows
+    )
+
+
+def pq_fit(
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Per-subspace deterministic Lloyd's — the PQ codebook fit.
+
+    Engine-portable by the same construction as ``kmeans_fit``:
+    - init: codewords 0..n_codes-1 are the subvector slices of the
+      n_codes lowest-id vectors (seed-free, deterministic);
+    - assign: min integer squared-L2, code-id tie-break (EXACT — no
+      rounding, unlike the cosine variant's 6dp round);
+    - update: per-dimension mean of member QUANTIZED subvectors —
+      integer sums are order-exact, one double division sequence
+      (sum -> /count -> /scale) identical in any engine — requantized
+      floor(x*scale+0.5) for the next round's distances;
+    - empty codes keep their previous codeword; fixed ``max_iter``
+      rounds, no driver-side convergence collect.
+
+    Output: (subspace, code, dim, value) exploded — ``dim`` is the
+    LOCAL dimension index within the subspace; value rounded 6dp at the
+    end only (intermediates stay full doubles, mirrored by the oracle).
+    """
+    sub = pq_subvectors(embeddings, dim, m, id_col, vec_col, scale)
+
+    # init: n_codes lowest-id vectors; code = rank among the seeds
+    seeds = (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .orderBy("vec_id")
+        .limit(n_codes)
+        .select(
+            "vec_id",
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).cast("int").alias("code"),
+        )
+    )
+    cb = (
+        sub.join(F.broadcast(seeds), "vec_id")
+        .select("subspace", "code", F.posexplode("qsub").alias("dim", "q"))
+        .select(
+            "subspace",
+            "code",
+            "dim",
+            (F.col("q").cast("double") / scale).alias("value"),
+        )
+    )
+    for _ in range(max_iter):
+        assigned = _assign_codes(sub, _codebook_qarrays(cb, scale))
+        per_dim = (
+            assigned.select(
+                "subspace", "code", F.posexplode("qsub").alias("dim", "q")
+            )
+            .groupBy("subspace", "code", "dim")
+            .agg((F.sum("q") / F.count(F.lit(1)) / scale).alias("value"))
+        )
+        # empty codes keep their previous codeword
+        cb = (
+            cb.select("subspace", "code", "dim", F.col("value").alias("__old"))
+            .join(per_dim, ["subspace", "code", "dim"], "left")
+            .select(
+                "subspace",
+                "code",
+                "dim",
+                F.coalesce("value", "__old").alias("value"),
+            )
+        )
+    return cb.select(
+        "subspace", "code", "dim", F.round("value", 6).alias("value")
+    )
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Encode vectors against a fitted codebook: (vec_id, subspace,
+    code, dist) — dist is the exact integer squared-L2 to the chosen
+    codeword (the per-subspace reconstruction error). m rows per vector;
+    pure map over the corpus with the codebook broadcast."""
+    sub = pq_subvectors(embeddings, dim, m, id_col, vec_col, scale)
+    return _assign_codes(sub, _codebook_qarrays(codebook, scale)).select(
+        "vec_id", "subspace", "code", "dist"
+    )
+
+
+def pq_topk_adc(
+    encoded: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    k: int = 5,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """ANN top-k by asymmetric distance computation over PQ codes.
+
+    Each query precomputes its integer squared-L2 to every codeword —
+    an m x n_codes table, flattened to one array per query with slot
+    ``subspace*n_codes + code`` (sorted-struct collect, so the layout
+    is deterministic). The table rows are broadcast; each corpus
+    vector's approximate distance is an m-element fold of table lookups
+    over its code array — the codes are the ONLY corpus data touched,
+    which is the entire point of PQ at memory-bound scale.
+
+    Output: (query_id, vec_id, adc_dist, rank) — adc_dist is an exact
+    integer, rank ascending by (adc_dist, vec_id). Approximate: ADC
+    measures distance to the quantized corpus point, not the original
+    vector."""
+    qsub = pq_subvectors(queries, dim, m, q_id_col, q_vec_col, scale)
+    cb_q = _codebook_qarrays(codebook, scale)
+    tbl = (
+        qsub.join(cb_q, "subspace")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "subspace",
+            "code",
+            l2dist_q(F.col("qsub"), F.col("qv")).alias("dist"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code", "dist"))
+                ),
+                lambda s: s["dist"],
+            ).alias("__tbl")
+        )
+    )
+    codes = encoded.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("subspace", "code"))),
+            lambda s: s["code"],
+        ).alias("__codes")
+    )
+    looked = F.zip_with(
+        F.col("__codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(
+            F.col("__tbl"), (j * n_codes + c + 1).cast("int")
+        ),
+    )
+    scored = codes.crossJoin(F.broadcast(tbl)).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            looked, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

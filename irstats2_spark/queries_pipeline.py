@@ -1773,3 +1773,170 @@ _catalog._REGISTRY["similarity_kmeans_ivf_topk"] = type(_spec)(
     oracle=_spec.oracle.replace("__KMEANS_CTE__", _kmeans_cte(4, 2)),
     doc=_spec.doc,
 )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (pipeline/pq.py): per-subspace Lloyd's fit, code
+# encoding, ADC search. Distances are EXACT integers (squared L2 over
+# quantized subvectors), so the oracle replays fit -> encode -> ADC with
+# no rounding anywhere except the codebook means (the same
+# sum -> /count -> /scale double sequence the kmeans oracle pins).
+# ---------------------------------------------------------------------------
+def _pq_l2(a: str, b: str) -> str:
+    return (
+        f"CAST(list_sum(list_transform(list_zip({a}, {b}),"
+        f" p -> (p[1]-p[2])*(p[1]-p[2]))) AS BIGINT)"
+    )
+
+
+def _pq_cte(m: int = 8, sub_dim: int = 8, n_codes: int = 4, iters: int = 2) -> str:
+    """CTE chain q, sub, seeds, c0, (cq{i}, a{i}, u{i}, c{i+1})...,
+    cbR (rounded codebook = pq_fit's output) and cqF (requantized from
+    the ROUNDED values — exactly what pq_encode receives from pq_fit)."""
+    parts = [
+        f"q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),",
+        f"""sub AS (
+            SELECT vec_id, CAST(j AS INT) AS subspace,
+                   list_slice(qv, j*{sub_dim}+1, j*{sub_dim}+{sub_dim}) AS qsub
+            FROM q CROSS JOIN (SELECT unnest(range({m})) AS j)
+        ),
+        seeds AS (
+            SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+            FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_codes})
+        ),
+        c0 AS (
+            SELECT t.subspace, t.code, CAST(t.i - 1 AS INT) AS dim,
+                   CAST(t.qsub[t.i] AS DOUBLE)/1000 AS value
+            FROM (SELECT s.subspace, sd.code, s.qsub,
+                         generate_subscripts(s.qsub, 1) AS i
+                  FROM sub s JOIN seeds sd USING (vec_id)) t
+        )""",
+    ]
+    for i in range(iters):
+        parts.append(f""",
+        cq{i} AS (
+            SELECT subspace, code,
+                   list(CAST(FLOOR(value*1000 + 0.5) AS BIGINT) ORDER BY dim) AS qv
+            FROM c{i} GROUP BY 1, 2
+        ),
+        a{i} AS (
+            SELECT vec_id, subspace, code FROM (
+                SELECT s.vec_id, s.subspace, c.code,
+                       ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                           ORDER BY {_pq_l2("s.qsub", "c.qv")} ASC, c.code ASC) AS rn
+                FROM sub s JOIN cq{i} c ON s.subspace = c.subspace
+            ) WHERE rn = 1
+        ),
+        u{i} AS (
+            SELECT t.subspace, t.code, CAST(t.i - 1 AS INT) AS dim,
+                   CAST(SUM(t.qsub[t.i]) AS DOUBLE) / COUNT(*) / 1000 AS value
+            FROM (SELECT a.subspace, a.code, s.qsub,
+                         generate_subscripts(s.qsub, 1) AS i
+                  FROM a{i} a JOIN sub s
+                    ON a.vec_id = s.vec_id AND a.subspace = s.subspace) t
+            GROUP BY 1, 2, 3
+        ),
+        c{i + 1} AS (
+            SELECT c.subspace, c.code, c.dim, COALESCE(u.value, c.value) AS value
+            FROM c{i} c LEFT JOIN u{i} u
+              ON c.subspace = u.subspace AND c.code = u.code AND c.dim = u.dim
+        )""")
+    parts.append(f""",
+        cbR AS (
+            SELECT subspace, code, dim, ROUND(value, 6) AS value FROM c{iters}
+        ),
+        cqF AS (
+            SELECT subspace, code,
+                   list(CAST(FLOOR(value*1000 + 0.5) AS BIGINT) ORDER BY dim) AS qv
+            FROM cbR GROUP BY 1, 2
+        )""")
+    return "\n".join(parts)
+
+
+_PQ_ENC = f"""
+    enc AS (
+        SELECT vec_id, subspace, code, dist FROM (
+            SELECT s.vec_id, s.subspace, c.code,
+                   {_pq_l2("s.qsub", "c.qv")} AS dist,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                       ORDER BY {_pq_l2("s.qsub", "c.qv")} ASC, c.code ASC) AS rn
+            FROM sub s JOIN cqF c ON s.subspace = c.subspace
+        ) WHERE rn = 1
+    )
+"""
+
+
+@register(
+    "similarity_pq_fit",
+    f"""
+    WITH {_pq_cte()}
+    SELECT subspace, code, dim, value FROM cbR
+    """,
+    doc="PQ codebook fit: per-subspace deterministic Lloyd's over "
+    "quantized subvectors (m=8 subspaces x 4 codewords, integer-exact "
+    "L2 assignment) — the memory-bound ANN tier's training step",
+)
+def similarity_pq_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import pq_fit
+
+    return pq_fit(
+        load_table(spark, "embeddings", sf_dir), dim=64, m=8, n_codes=4, max_iter=2
+    )
+
+
+@register(
+    "similarity_pq_encode",
+    f"""
+    WITH {_pq_cte()},
+    {_PQ_ENC}
+    SELECT vec_id, subspace, code, dist FROM enc
+    """,
+    doc="PQ encoding: nearest codeword per (vector, subspace) — m bytes "
+    "per vector replace the float array; dist = exact integer "
+    "reconstruction error per subspace",
+)
+def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import pq_encode, pq_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
+    return pq_encode(emb, cb, dim=64, m=8)
+
+
+@register(
+    "similarity_pq_topk",
+    f"""
+    WITH {_pq_cte()},
+    {_PQ_ENC},
+    qsub AS (SELECT vec_id AS query_id, subspace, qsub FROM sub WHERE vec_id < 3),
+    tbl AS (
+        SELECT q.query_id, c.subspace, c.code,
+               {_pq_l2("q.qsub", "c.qv")} AS dist
+        FROM qsub q JOIN cqF c ON q.subspace = c.subspace
+    ),
+    scored AS (
+        SELECT t.query_id, e.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+        FROM enc e JOIN tbl t ON e.subspace = t.subspace AND e.code = t.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="PQ ADC top-k: fit -> encode -> asymmetric distance search — the "
+    "query's m x n_codes integer distance table is broadcast and each "
+    "corpus vector scores as m table lookups over its codes; no float "
+    "vector is touched at scan time",
+)
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import pq_encode, pq_fit, pq_topk_adc
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
+    enc = pq_encode(emb, cb, dim=64, m=8).select("vec_id", "subspace", "code")
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_topk_adc(enc, cb, queries, dim=64, m=8, n_codes=4, k=5)

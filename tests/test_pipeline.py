@@ -836,6 +836,84 @@ def test_float32_quantize_gemm_bit_identical_wide_dims(spark, tmp_path):
         assert sp[(i, j)] == c
 
 
+def test_pq_fit_encode_adc_integer_exact(spark):
+    """PQ family against an independent Python integer-math oracle:
+    fit is deterministic; encode's (code, dist) is the true argmin of
+    exact squared-L2 over the requantized codebook; ADC distances are
+    exactly the sum of per-subspace table lookups (recomputed from the
+    collected codebook with arbitrary-precision ints)."""
+    import math
+
+    from irstats2_spark.pipeline.pq import pq_encode, pq_fit, pq_topk_adc
+
+    dim, m, n_codes = 4, 2, 2
+    vecs = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.1, 0.0, 1.0, 0.9]),
+        (3, [0.9, 1.0, 0.1, 0.0]),
+        (4, [0.0, 0.1, 0.9, 1.0]),
+        (5, [1.0, 0.9, 0.0, 0.1]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+
+    fit1 = sorted(map(tuple, pq_fit(df, dim, m, n_codes, max_iter=2).collect()))
+    fit2 = sorted(map(tuple, pq_fit(df, dim, m, n_codes, max_iter=2).collect()))
+    assert fit1 == fit2 and len(fit1) == m * n_codes * (dim // m)
+
+    # rebuild the requantized codebook the way _codebook_qarrays does
+    cb = pq_fit(df, dim, m, n_codes, max_iter=2)
+    cbq = {}  # (subspace, code) -> [int]
+    for r in cb.collect():
+        cbq.setdefault((r.subspace, r.code), {})[r.dim] = int(
+            math.floor(r.value * 1000 + 0.5)
+        )
+    cbq = {k: [v[i] for i in sorted(v)] for k, v in cbq.items()}
+
+    def q(xs):  # float32 storage -> quantized ints, matching `quantize`
+        import numpy as np
+
+        return [
+            int(math.floor(float(np.float32(x)) * 1000 + 0.5)) for x in xs
+        ]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sub_dim = dim // m
+    subs = {
+        (vid, j): q(v)[j * sub_dim : (j + 1) * sub_dim]
+        for vid, v in vecs
+        for j in range(m)
+    }
+
+    enc = pq_encode(df, cb, dim, m)
+    for r in enc.collect():
+        dists = {
+            c: l2(subs[(r.vec_id, r.subspace)], cbq[(r.subspace, c)])
+            for c in range(n_codes)
+        }
+        want_code = min(dists, key=lambda c: (dists[c], c))
+        assert (r.code, r.dist) == (want_code, dists[want_code])
+
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = pq_topk_adc(
+        enc.select("vec_id", "subspace", "code"), cb, queries, dim, m, n_codes, k=3
+    )
+    enc_codes = {(r.vec_id, r.subspace): r.code for r in enc.collect()}
+    got = {(r.query_id, r.vec_id): r.adc_dist for r in topk.collect()}
+    for (qid, vid), adc in got.items():
+        want = sum(
+            l2(subs[(qid, j)], cbq[(j, enc_codes[(vid, j)])]) for j in range(m)
+        )
+        assert adc == want
+    # the query's own vector reconstructs best: rank 1 is itself
+    ranks = {(r.query_id, r.rank): r.vec_id for r in topk.collect()}
+    assert ranks[(0, 1)] == 0 and ranks[(1, 1)] == 1
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,

@@ -511,3 +511,25 @@ def test_meta_json_extract_is_single_agg_exchange(spark, queries):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") == 1  # the groupBy(site) shuffle only
     assert "BatchEvalPython" not in tree and "ArrowEvalPython" not in tree
+
+
+def test_pq_encode_codebook_join_broadcasts(spark, queries):
+    """PQ encode joins the exploded corpus to an m-row codebook-array
+    table: that join must broadcast (never sort-merge shuffle the
+    corpus), so encoding stays a pure map over the scan. The fit side
+    contains its own small shuffles (the codebook update aggregations);
+    what matters is the CORPUS side reaches its join without one."""
+    plan = plan_of(queries["similarity_pq_encode"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastHashJoin" in tree
+    assert "SortMergeJoin" not in tree
+
+
+def test_pq_adc_scoring_broadcasts_query_tables(spark, queries):
+    """ADC search touches only the corpus CODES: the per-query distance
+    tables join in as a broadcast (BroadcastNestedLoopJoin over the
+    few-row table side is the sanctioned cross-join shape) and the
+    corpus codes reach scoring without a sort-merge join."""
+    plan = plan_of(queries["similarity_pq_topk"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
