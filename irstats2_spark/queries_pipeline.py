@@ -1940,3 +1940,40 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return pq_topk_adc(enc, cb, queries, dim=64, m=8, n_codes=4, k=5)
+
+
+@register(
+    "similarity_scalar_quant_error",
+    """
+    WITH ex AS (
+        SELECT CAST(t.i - 1 AS INT) AS dim, CAST(t.embedding[t.i] AS DOUBLE) AS x
+        FROM (SELECT embedding, generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+    ),
+    rng AS (SELECT dim, MIN(x) AS vmin, MAX(x) AS vmax FROM ex GROUP BY 1),
+    coded AS (
+        SELECT e.dim, e.x, r.vmin, r.vmax,
+               CASE WHEN r.vmax = r.vmin THEN 0
+                    ELSE FLOOR((e.x - r.vmin) / (r.vmax - r.vmin) * 255 + 0.5)
+               END AS code
+        FROM ex e JOIN rng r ON e.dim = r.dim
+    ),
+    errs AS (
+        SELECT dim, vmin, vmax,
+               CAST(FLOOR(ABS(x - (vmin + code * (vmax - vmin) / 255)) * 1e9 + 0.5)
+                    AS BIGINT) AS err_q
+        FROM coded
+    )
+    SELECT dim, ROUND(MIN(vmin), 6) AS vmin, ROUND(MAX(vmax), 6) AS vmax,
+           ROUND(CAST(SUM(err_q) AS DOUBLE) / COUNT(*) / 1e9, 6) AS mean_abs_err,
+           ROUND(CAST(MAX(err_q) AS DOUBLE) / 1e9, 6) AS max_abs_err
+    FROM errs GROUP BY 1
+    """,
+    doc="scalar int8 quantization audit: per-dim calibration ranges and "
+    "reconstruction error (nanos-quantized exact double sums) — the "
+    "go/no-go check before switching a vector store to int8",
+)
+def similarity_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import scalar_quant_stats
+
+    return scalar_quant_stats(load_table(spark, "embeddings", sf_dir))

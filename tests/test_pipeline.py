@@ -914,6 +914,40 @@ def test_pq_fit_encode_adc_integer_exact(spark):
     assert ranks[(0, 1)] == 0 and ranks[(1, 1)] == 1
 
 
+def test_scalar_quantize_codes_and_error_bounds(spark):
+    """int8 scalar quantization: codes stay in [0, 255], a constant
+    dimension codes to 0, and every dimension's max reconstruction error
+    respects the half-quantum bound (vmax-vmin)/255/2 (+ the nanos
+    rounding slack the stats path introduces)."""
+    from irstats2_spark.pipeline.pq import (
+        scalar_quant_ranges,
+        scalar_quant_stats,
+        scalar_quantize,
+    )
+
+    vecs = [
+        (0, [0.0, -1.0, 5.0, 0.25]),
+        (1, [1.0, 1.0, 5.0, 0.5]),
+        (2, [0.5, 0.0, 5.0, 0.75]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    rng = scalar_quant_ranges(df)
+    got_rng = {r.dim: (r.vmin, r.vmax) for r in rng.collect()}
+    assert got_rng[0] == (0.0, 1.0) and got_rng[2] == (5.0, 5.0)
+
+    codes = {r.vec_id: r.codes for r in scalar_quantize(df, rng).collect()}
+    assert codes[0] == [0, 0, 0, 0]  # mins (and the constant dim) -> 0
+    assert codes[1][0] == 255 and codes[1][1] == 255  # maxes -> full scale
+    assert all(0 <= c <= 255 for cs in codes.values() for c in cs)
+
+    stats = {r.dim: r for r in scalar_quant_stats(df).collect()}
+    assert stats[2].max_abs_err == 0.0  # constant dim reconstructs exactly
+    for d, row in stats.items():
+        half_quantum = (got_rng[d][1] - got_rng[d][0]) / 255 / 2
+        assert row.max_abs_err <= half_quantum + 1e-6
+        assert row.mean_abs_err <= row.max_abs_err
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
