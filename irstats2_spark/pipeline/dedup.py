@@ -803,3 +803,90 @@ def minhash_lsh_incremental(
         .filter(F.col("est_jaccard") >= threshold)
         .select("old_id", "new_id", "est_jaccard")
     )
+
+
+def _bloom_pos(i: int, hash_col, m_bits: int):
+    """Bloom hash i of an md5-hex key: first 8 hex chars of
+    md5("{i}:" || key) as a 32-bit int, mod the filter width. The
+    engine-portable hash-bucket idiom (sampling.hash_bucket), salted per
+    hash function."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), hash_col)), 1, 8), 16, 10
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_build(
+    hashes: DataFrame,
+    hash_col: str = "text_hash",
+    n_hashes: int = 3,
+    m_bits: int = 1 << 27,
+) -> DataFrame:
+    """Build a Bloom filter over a hash snapshot as a BITMAP TABLE:
+    (word_idx, bits) with 32 filter bits per 64-bit word (masks stay
+    positive, dodging sign traps in any engine's bigint shifts).
+
+    This is the memory-bound membership tier for incremental dedup: the
+    accumulated corpus's hash set at 100 TB is ~billions of 32-char
+    strings, but the Bloom bitmap is m_bits/8 bytes FIXED (e.g. 2^33
+    bits = 1 GiB for ~10^9 docs at ~2% FP with k=3; size by
+    m = -n*ln(p)/ln(2)^2, k = (m/n)*ln(2)). Build is one shuffle:
+    explode k positions map-side, groupBy word with a bit_or partial
+    aggregate — the reduce side is at most m_bits/32 rows regardless of
+    corpus size.
+
+    Contract: NO false negatives ever (a hash that was added always
+    probes maybe_seen=true); false positives at the designed rate, and
+    deterministic — the same md5-derived positions in every engine, so
+    a SQL oracle replays even the false positives bit-for-bit.
+    """
+    pos_structs = F.array(
+        *[_bloom_pos(i, F.col(hash_col), m_bits).alias(f"p{i}") for i in range(n_hashes)]
+    )
+    pos = hashes.select(F.explode(pos_structs).alias("p"))
+    # 2^k via pow: exact in double for k <= 31 (F.shiftleft only takes a
+    # literal shift count, not a column)
+    mask = F.pow(F.lit(2.0), F.col("p") % 32).cast("long")
+    return (
+        pos.select(F.floor(F.col("p") / 32).alias("word_idx"), mask.alias("__mask"))
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_probe(
+    batch: DataFrame,
+    bloom: DataFrame,
+    hash_col: str = "text_hash",
+    n_hashes: int = 3,
+    m_bits: int = 1 << 27,
+) -> DataFrame:
+    """Probe a batch against a Bloom bitmap: adds ``maybe_seen`` —
+    true iff ALL k salted positions are set. ``maybe_seen=false`` is
+    definitive (drop straight into the corpus, no further check);
+    ``maybe_seen=true`` routes the (tiny) candidate subset to the exact
+    anti-join (``exact_dedup_incremental``) — the standard two-tier
+    shape that keeps the exact check's build side ~FP-rate-sized.
+
+    Plan: the bitmap table is folded into ONE map<word_idx, bits> row
+    (built once — not once per hash function) and broadcast; each probe
+    row checks its k positions with map lookups, AND-ed map-side. The
+    batch is never shuffled and never joined. For bitmaps past the
+    broadcast budget, pre-partition bloom and the exploded positions on
+    word_idx and use a co-located join instead."""
+    bm = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("__bloom")
+    )
+    out = batch.crossJoin(F.broadcast(bm))
+    keep = None
+    for i in range(n_hashes):
+        p = _bloom_pos(i, F.col(hash_col), m_bits)
+        mask = F.pow(F.lit(2.0), p % 32).cast("long")
+        word = F.element_at(F.col("__bloom"), F.floor(p / 32))
+        hit = F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
+        keep = hit if keep is None else keep & hit
+    return out.withColumn("maybe_seen", keep).drop("__bloom")

@@ -1977,3 +1977,64 @@ def similarity_scalar_quant_error(spark: SparkSession, sf_dir: str) -> DataFrame
     from irstats2_spark.pipeline.pq import scalar_quant_stats
 
     return scalar_quant_stats(load_table(spark, "embeddings", sf_dir))
+
+
+def _bloom_pos_sql(i_expr: str, key: str, m_bits: int) -> str:
+    return (
+        f"CAST(concat('0x', substring(md5(CAST({i_expr} AS VARCHAR) || ':' || {key}),"
+        f" 1, 8)) AS BIGINT) % {m_bits}"
+    )
+
+
+@register(
+    "dedup_bloom_prefilter",
+    f"""
+    WITH snap AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id < 250
+    ),
+    pos AS (
+        SELECT {_bloom_pos_sql("i", "h", 1024)} AS p
+        FROM snap CROSS JOIN (SELECT unnest(range(3)) AS i)
+    ),
+    bloom AS (
+        SELECT CAST(FLOOR(p / 32) AS BIGINT) AS word_idx,
+               bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS bits
+        FROM pos GROUP BY 1
+    ),
+    batch AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id >= 250
+    ),
+    bpos AS (
+        SELECT doc_id, h, {_bloom_pos_sql("i", "h", 1024)} AS p
+        FROM batch CROSS JOIN (SELECT unnest(range(3)) AS i)
+    ),
+    hits AS (
+        SELECT b.doc_id, b.h,
+               COALESCE((bl.bits & (CAST(1 AS BIGINT) << CAST(b.p % 32 AS INT))) <> 0,
+                        FALSE) AS hit
+        FROM bpos b LEFT JOIN bloom bl
+          ON CAST(FLOOR(b.p / 32) AS BIGINT) = bl.word_idx
+    )
+    SELECT doc_id, h AS text_hash, bool_and(hit) AS maybe_seen
+    FROM hits GROUP BY 1, 2
+    """,
+    doc="Bloom-filter dedup prefilter: the new batch probes a fixed-size "
+    "bitmap built from the corpus snapshot's hashes (k=3 salted md5 "
+    "positions, 32 bits/word) — maybe_seen=false skips the exact "
+    "anti-join entirely; false positives are deterministic and the "
+    "oracle replays them bit-for-bit",
+)
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import bloom_build, bloom_probe
+
+    docs = load_table(spark, "documents", sf_dir)
+    snap = (
+        docs.filter(F.col("doc_id") < 250)
+        .select(F.md5("text").alias("text_hash"))
+        .distinct()
+    )
+    bloom = bloom_build(snap, n_hashes=3, m_bits=1024)
+    batch = docs.filter(F.col("doc_id") >= 250).select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    return bloom_probe(batch, bloom, n_hashes=3, m_bits=1024)

@@ -948,6 +948,50 @@ def test_scalar_quantize_codes_and_error_bounds(spark):
         assert row.mean_abs_err <= row.max_abs_err
 
 
+def test_bloom_prefilter_no_false_negatives_and_deterministic_fps(spark):
+    """Bloom prefilter: every snapshot member probes maybe_seen=true
+    (the no-false-negative guarantee), and the full result — including
+    false positives at a deliberately tiny m — matches an independent
+    Python replay of the salted-md5 bitmap."""
+    import hashlib
+
+    from irstats2_spark.pipeline.dedup import bloom_build, bloom_probe
+
+    m_bits, k = 256, 3
+    snap_hashes = [hashlib.md5(f"old{i}".encode()).hexdigest() for i in range(40)]
+    new_hashes = [hashlib.md5(f"new{i}".encode()).hexdigest() for i in range(60)]
+
+    snap = spark.createDataFrame([(h,) for h in snap_hashes], "text_hash string")
+    bloom = bloom_build(snap, n_hashes=k, m_bits=m_bits)
+    # probe both the members themselves and fresh keys
+    batch = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(snap_hashes + new_hashes)],
+        "doc_id long, text_hash string",
+    )
+    got = {
+        r.text_hash: r.maybe_seen
+        for r in bloom_probe(batch, bloom, n_hashes=k, m_bits=m_bits).collect()
+    }
+
+    def positions(h):
+        return [
+            int(hashlib.md5(f"{i}:{h}".encode()).hexdigest()[:8], 16) % m_bits
+            for i in range(k)
+        ]
+
+    bits = set()
+    for h in snap_hashes:
+        bits.update(positions(h))
+    want = {
+        h: all(p in bits for p in positions(h)) for h in snap_hashes + new_hashes
+    }
+    assert got == want
+    assert all(got[h] for h in snap_hashes)  # no false negatives, ever
+    fps = [h for h in new_hashes if got[h]]
+    assert fps, "tiny m should force at least one false positive"
+    assert len(fps) < len(new_hashes)  # and the filter still filters
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,

@@ -533,3 +533,20 @@ def test_pq_adc_scoring_broadcasts_query_tables(spark, queries):
     plan = plan_of(queries["similarity_pq_topk"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bloom_probe_batch_never_shuffled(spark, queries):
+    """The Bloom bitmap folds into ONE broadcast map row (built once,
+    not once per hash function) and the probe is a pure projection after
+    the broadcast: the batch side goes scan -> filter -> project into
+    the result with no Exchange, no sort-merge join, and all k position
+    checks fused map-side."""
+    plan = plan_of(queries["dedup_bloom_prefilter"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "SortMergeJoin" not in tree
+    # every shuffle belongs to the one bitmap build (distinct hashes,
+    # bit_or agg, map fold); the probe side contributes none — the
+    # batch scan's subtree must be exchange-free
+    batch_side = tree.split("BroadcastExchange")[0]
+    assert "Exchange" not in batch_side
+    assert tree.count("Exchange hashpartitioning") <= 3
