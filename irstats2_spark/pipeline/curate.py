@@ -161,3 +161,64 @@ def curate_corpus_neardup(
     return exact.join(
         F.broadcast(drop.withColumnRenamed("doc_id", id_col)), id_col, "left_anti"
     )
+
+
+def source_stats(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    min_tokens: int = 5,
+    max_stopword_ratio: float = 0.6,
+) -> DataFrame:
+    """Per-source curation dashboard: the numbers a rate table
+    (``sampling.sample_by_rates``) is actually derived from when
+    deciding how to mix a multi-source corpus.
+
+    Per source: n_docs, n_quality_fail (docs the gate would drop),
+    n_dups (docs that are NOT the global exact-dup keeper — cross-source
+    duplicates count against the later source, mirroring who
+    ``curate_corpus`` would drop), total/mean tokens, corpus-level
+    stopword ratio, dup rate.
+
+    Engine-exact means: every ratio is a quotient of exact INTEGER sums
+    (token/stop/flag counts), one double division at the end — never a
+    sum of per-row doubles, so summation order cannot flip a value.
+
+    Plan: one full-row window shuffle keyed md5(text) for keeper
+    identity (the same single-shuffle idiom as ``curate_corpus``), then
+    a partial-aggregated groupBy(source) with a |sources|-row reduce
+    side."""
+    text = F.col(text_col)
+    base = (
+        docs.withColumn("__toks", tokens(text))
+        .withColumn("n_tokens", F.size(F.col("__toks")))
+        .withColumn(
+            "n_stop",
+            F.size(F.filter(F.col("__toks"), lambda w: w.isin(LANG_MARKERS["en"]))),
+        )
+        .drop("__toks")
+    )
+    keeper = F.min(id_col).over(Window.partitionBy(F.md5(text)))
+    flagged = base.withColumn(
+        "is_dup", (F.col(id_col) != keeper).cast("int")
+    ).withColumn(
+        "q_fail",
+        F.when(F.col("n_tokens") < min_tokens, F.lit(1))
+        .otherwise(
+            (
+                (F.col("n_stop") / F.col("n_tokens")) > max_stopword_ratio
+            ).cast("int")
+        ),
+    )
+    return flagged.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("q_fail").alias("n_quality_fail"),
+        F.sum("is_dup").alias("n_dups"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.sum("n_tokens") / F.count(F.lit(1)), 6).alias("mean_tokens"),
+        F.round(
+            F.try_divide(F.sum("n_stop"), F.sum("n_tokens")), 6
+        ).alias("stop_ratio"),
+        F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
+    )

@@ -2038,3 +2038,42 @@ def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.md5("text").alias("text_hash")
     )
     return bloom_probe(batch, bloom, n_hashes=3, m_bits=1024)
+
+
+@register(
+    "corpus_source_stats",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, source, text,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> length(w) > 0)) AS n_tokens,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> w IN ('the','and','of','to','in','is','a'))) AS n_stop
+        FROM documents
+    ),
+    flagged AS (
+        SELECT source, n_tokens, n_stop,
+               CASE WHEN doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text))
+                    THEN 1 ELSE 0 END AS is_dup,
+               CASE WHEN n_tokens < 5 THEN 1
+                    WHEN CAST(n_stop AS DOUBLE) / n_tokens > 0.6 THEN 1
+                    ELSE 0 END AS q_fail
+        FROM feats
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(q_fail) AS BIGINT) AS n_quality_fail,
+           CAST(SUM(is_dup) AS BIGINT) AS n_dups,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+           ROUND(CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens), 6) AS stop_ratio,
+           ROUND(CAST(SUM(is_dup) AS DOUBLE) / COUNT(*), 6) AS dup_rate
+    FROM flagged GROUP BY 1
+    """,
+    doc="per-source curation dashboard: doc/dup/quality-fail counts, "
+    "token totals, and the integer-exact ratios a mixing rate table is "
+    "derived from — cross-source dups billed to the non-keeper source",
+)
+def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import source_stats
+
+    return source_stats(load_table(spark, "documents", sf_dir))

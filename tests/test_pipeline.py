@@ -992,6 +992,33 @@ def test_bloom_prefilter_no_false_negatives_and_deterministic_fps(spark):
     assert len(fps) < len(new_hashes)  # and the filter still filters
 
 
+def test_source_stats_bills_cross_source_dups_to_non_keeper(spark):
+    """source_stats: a duplicate shared across sources counts against
+    the source holding the NON-keeper instance (who curate_corpus would
+    drop); quality failures and integer-exact ratios come out per
+    source."""
+    from irstats2_spark.pipeline.curate import source_stats
+
+    long_text = "the quick brown fox jumps over the lazy dog again"
+    docs = spark.createDataFrame(
+        [
+            (1, long_text, "a"),  # keeper of the cross-source dup
+            (2, long_text, "b"),  # dup, billed to b
+            (3, "unique words entirely different content here", "b"),
+            (4, "tiny", "b"),  # quality fail: < 5 tokens
+            (5, "the and of to in is a the and of", "a"),  # stopword fail
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: r for r in source_stats(docs).collect()}
+    assert got["a"].n_docs == 2 and got["a"].n_dups == 0
+    assert got["a"].n_quality_fail == 1  # the all-stopword doc
+    assert got["b"].n_docs == 3 and got["b"].n_dups == 1
+    assert got["b"].n_quality_fail == 1  # the 1-token doc
+    assert got["b"].dup_rate == round(1 / 3, 6)
+    assert got["a"].total_tokens == 10 + 10  # both a-docs have 10 tokens
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
