@@ -40,7 +40,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #
 # Round-4 rotation (the set is re-cut each round so driver verification
 # CYCLES through the whole catalog instead of freezing on one list):
-# - the new round-4 composition query;
+# - the new round-4 queries: the e2e composition, the PQ family,
+#   scalar quantization, the Bloom prefilter, source stats;
 # - every query whose implementation changed this round — the
 #   contamination family (explode_outer 0.0 rows, no forced broadcast),
 #   the IVF assignment family (-2.0 NULL-cosine sentinel), the embed
@@ -56,6 +57,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 GATE_PRIORITY: tuple[str, ...] = (
     # -- new in round 4 --
     "pipeline_pretrain_e2e",
+    "similarity_pq_fit",
+    "similarity_pq_encode",
+    "similarity_pq_topk",
+    "similarity_scalar_quant_error",
+    "dedup_bloom_prefilter",
+    "corpus_source_stats",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -103,20 +110,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "etl_downloads_fact",
     "robots_filter_outcome",
     "geoip_range_join",
-    "view_monthly_graph",
-    "ctx_set_series",
-    "ctx_top_sets",
-    "ctx_grouping_top",
-    "ctx_prelive_clamp",
-    "ctx_data_min",
 )
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
-# they head round 5's cut): view_sparkline, s7_sets_build,
-# s7_groupings_build, f9_subject_closure, f1_f3_url_parse,
-# o4_listing_engine, t6_f12_formatting, dedup_exact, dedup_clusters,
-# sample_split_assign, sample_stratified, dedup_simhash,
-# text_token_counts, text_quality_features, text_lang_id,
-# text_fingerprint.
+# they head round 5's cut): view_monthly_graph, ctx_set_series,
+# ctx_top_sets, ctx_grouping_top, ctx_prelive_clamp, ctx_data_min,
+# view_sparkline, s7_sets_build, s7_groupings_build,
+# f9_subject_closure, f1_f3_url_parse, o4_listing_engine,
+# t6_f12_formatting, dedup_exact, dedup_clusters, sample_split_assign,
+# sample_stratified, dedup_simhash, text_token_counts,
+# text_quality_features, text_lang_id, text_fingerprint.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):
