@@ -54,16 +54,21 @@ def pq_subvectors(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    pre_quantized: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Explode vectors into quantized subvectors: (vec_id, subspace,
-    qsub array<long>), one row per (vector, subspace). Map-side only —
-    quantize once, slice m ways, posexplode."""
+    """Explode vectors into quantized subvectors: (vec_id[, keep_cols],
+    subspace, qsub array<long>), one row per (vector, subspace).
+    Map-side only — quantize once, slice m ways, posexplode.
+    ``pre_quantized`` treats ``vec_col`` as an already-integer long
+    array (e.g. IVF-PQ residuals) and skips the quantization."""
     assert dim % m == 0, "dim must split evenly into m subspaces"
     sub_dim = dim // m
-    qv = quantize(F.col(vec_col), scale)
+    qv = F.col(vec_col) if pre_quantized else quantize(F.col(vec_col), scale)
     slices = F.array(*[F.slice(qv, j * sub_dim + 1, sub_dim) for j in range(m)])
     return df.select(
         F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in keep_cols],
         F.posexplode(slices).alias("subspace", "qsub"),
     )
 
@@ -126,14 +131,10 @@ def _assign_codes(sub: DataFrame, cb_q: DataFrame) -> DataFrame:
     best = F.aggregate(F.col("__cents"), init, step)
     return (
         joined.withColumn("__best", best)
-        .select(
-            "vec_id",
-            "subspace",
-            "qsub",
-            F.col("__best.code").alias("code"),
-            F.col("__best.dist").alias("dist"),
-        )
+        .withColumn("code", F.col("__best.code"))
+        .withColumn("dist", F.col("__best.dist"))
         .filter(F.col("code").isNotNull())  # empty codebook => no rows
+        .drop("__cents", "__best")
     )
 
 
@@ -146,6 +147,7 @@ def pq_fit(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Per-subspace deterministic Lloyd's — the PQ codebook fit.
 
@@ -165,7 +167,7 @@ def pq_fit(
     LOCAL dimension index within the subspace; value rounded 6dp at the
     end only (intermediates stay full doubles, mirrored by the oracle).
     """
-    sub = pq_subvectors(embeddings, dim, m, id_col, vec_col, scale)
+    sub = pq_subvectors(embeddings, dim, m, id_col, vec_col, scale, pre_quantized)
 
     # init: n_codes lowest-id vectors; code = rank among the seeds
     seeds = (
@@ -198,10 +200,12 @@ def pq_fit(
             .groupBy("subspace", "code", "dim")
             .agg((F.sum("q") / F.count(F.lit(1)) / scale).alias("value"))
         )
-        # empty codes keep their previous codeword
+        # empty codes keep their previous codeword; both sides are
+        # codebook-sized (m*n_codes*sub_dim rows) — broadcast, never
+        # let a statsless 256-row join degrade to sort-merge
         cb = (
             cb.select("subspace", "code", "dim", F.col("value").alias("__old"))
-            .join(per_dim, ["subspace", "code", "dim"], "left")
+            .join(F.broadcast(per_dim), ["subspace", "code", "dim"], "left")
             .select(
                 "subspace",
                 "code",
@@ -222,14 +226,18 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
+    pre_quantized: bool = False,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
-    """Encode vectors against a fitted codebook: (vec_id, subspace,
-    code, dist) — dist is the exact integer squared-L2 to the chosen
-    codeword (the per-subspace reconstruction error). m rows per vector;
-    pure map over the corpus with the codebook broadcast."""
-    sub = pq_subvectors(embeddings, dim, m, id_col, vec_col, scale)
+    """Encode vectors against a fitted codebook: (vec_id[, keep_cols],
+    subspace, code, dist) — dist is the exact integer squared-L2 to the
+    chosen codeword (the per-subspace reconstruction error). m rows per
+    vector; pure map over the corpus with the codebook broadcast."""
+    sub = pq_subvectors(
+        embeddings, dim, m, id_col, vec_col, scale, pre_quantized, keep_cols
+    )
     return _assign_codes(sub, _codebook_qarrays(codebook, scale)).select(
-        "vec_id", "subspace", "code", "dist"
+        "vec_id", *keep_cols, "subspace", "code", "dist"
     )
 
 
@@ -363,7 +371,7 @@ def pq_topk_adc(
     qsub = pq_subvectors(queries, dim, m, q_id_col, q_vec_col, scale)
     cb_q = _codebook_qarrays(codebook, scale)
     tbl = (
-        qsub.join(cb_q, "subspace")
+        qsub.join(F.broadcast(cb_q), "subspace")
         .select(
             F.col("vec_id").alias("query_id"),
             "subspace",
@@ -399,6 +407,130 @@ def pq_topk_adc(
         F.aggregate(
             looked, F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def ivfpq_residuals(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    c_id_col: str = "centroid_id",
+    c_vec_col: str = "centroid_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """Residual vectors for IVF-PQ: each row keeps its coarse-cluster
+    assignment and the INTEGER residual quantize(v) - quantize(c) —
+    both sides quantized at the same scale, so the residual (and every
+    downstream PQ distance) stays exact integer math.
+
+    Requires rows already carrying ``c_id_col`` (from
+    ``similarity.ivf_assign`` or ``ivf_probe_assign``); the centroid
+    table is broadcast. Pure map — the corpus is never shuffled."""
+    cq = centroids.select(
+        F.col(c_id_col), quantize(F.col(c_vec_col), scale).alias("__cqv")
+    )
+    return (
+        df.join(F.broadcast(cq), c_id_col)
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(c_id_col),
+            F.zip_with(
+                quantize(F.col(vec_col), scale),
+                F.col("__cqv"),
+                lambda x, y: x - y,
+            ).alias("resid"),
+        )
+    )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    k: int = 5,
+    n_probe: int = 2,
+    max_iter: int = 2,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF-PQ ANN search — the FAISS-style workhorse index composed
+    from this repo's primitives: coarse IVF assignment + product
+    quantization of the RESIDUALS (v - centroid), searched by per-probe
+    ADC.
+
+    Residual PQ beats plain PQ because residuals are small and centered,
+    so the same codebook budget quantizes them with far less error; at
+    100 TB the corpus stores (centroid_id, m codes) per vector and
+    nothing else.
+
+    Chain (all existing primitives):
+    - corpus: ivf_assign (pure map) -> integer residuals (pure map) ->
+      pq_fit over residuals -> pq_encode (broadcast codebook, pure map,
+      centroid_id kept);
+    - query: ivf_probe_assign to its n_probe nearest coarse centroids,
+      one integer residual PER PROBED CENTROID, and one ADC table per
+      (query, probe) — tables are |queries| x n_probe x m x n_codes,
+      broadcast;
+    - search: corpus codes join the tables on (centroid_id, subspace,
+      code): a vector scores against a query iff its coarse cluster is
+      probed — the IVF pruning — and the score is the exact integer sum
+      of m lookups. Top-k ascending (adc_dist, vec_id).
+
+    Output: (query_id, vec_id, adc_dist, rank). Approximate on two
+    axes: IVF recall (true neighbor outside every probed cluster) and
+    PQ quantization (distance to the reconstructed point)."""
+    from irstats2_spark.pipeline.similarity import ivf_assign, ivf_probe_assign
+
+    # -- corpus side: assign -> residual -> fit -> encode
+    assigned = ivf_assign(embeddings, centroids)
+    res = ivfpq_residuals(assigned, centroids, scale=scale)
+    cb = pq_fit(
+        res, dim, m, n_codes, max_iter, vec_col="resid", pre_quantized=True,
+        scale=scale,
+    )
+    enc = pq_encode(
+        res, cb, dim, m, vec_col="resid", pre_quantized=True, scale=scale,
+        keep_cols=("centroid_id",),
+    ).select("vec_id", "centroid_id", "subspace", "code")
+
+    # -- query side: probe -> residual per probe -> ADC table per probe
+    probed = ivf_probe_assign(
+        queries, centroids, n_probe=n_probe, q_id_col=q_id_col, q_vec_col=q_vec_col
+    )
+    qres = ivfpq_residuals(
+        probed, centroids, id_col=q_id_col, vec_col=q_vec_col, scale=scale
+    )
+    qsub = pq_subvectors(
+        qres, dim, m, id_col="vec_id", vec_col="resid", scale=scale,
+        pre_quantized=True, keep_cols=("centroid_id",),
+    )
+    tbl = qsub.join(F.broadcast(_codebook_qarrays(cb, scale)), "subspace").select(
+        F.col("vec_id").alias("query_id"),
+        "centroid_id",
+        "subspace",
+        "code",
+        l2dist_q(F.col("qsub"), F.col("qv")).alias("dist"),
+    )
+
+    # -- search: IVF pruning is the centroid_id equi-join; ADC is the sum
+    scored = (
+        enc.join(
+            F.broadcast(tbl), ["centroid_id", "subspace", "code"]
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("dist").alias("adc_dist"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()

@@ -1789,27 +1789,24 @@ def _pq_l2(a: str, b: str) -> str:
     )
 
 
-def _pq_cte(m: int = 8, sub_dim: int = 8, n_codes: int = 4, iters: int = 2) -> str:
-    """CTE chain q, sub, seeds, c0, (cq{i}, a{i}, u{i}, c{i+1})...,
-    cbR (rounded codebook = pq_fit's output) and cqF (requantized from
-    the ROUNDED values — exactly what pq_encode receives from pq_fit)."""
+def _pq_iter_cte(sub: str = "sub", n_codes: int = 4, iters: int = 2) -> str:
+    """PQ fit iteration chain over a (vec_id, subspace, qsub) CTE named
+    ``sub``: seeds, c0, (cq{i}, a{i}, u{i}, c{i+1})..., cbR (rounded
+    codebook = pq_fit's output) and cqF (requantized from the ROUNDED
+    values — exactly what pq_encode receives from pq_fit). Shared by the
+    plain-PQ oracles (sub = sliced corpus vectors) and the IVF-PQ oracle
+    (sub = sliced coarse-cluster residuals)."""
     parts = [
-        f"q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),",
-        f"""sub AS (
-            SELECT vec_id, CAST(j AS INT) AS subspace,
-                   list_slice(qv, j*{sub_dim}+1, j*{sub_dim}+{sub_dim}) AS qsub
-            FROM q CROSS JOIN (SELECT unnest(range({m})) AS j)
-        ),
-        seeds AS (
+        f"""seeds AS (
             SELECT vec_id, CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
-            FROM (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_codes})
+            FROM (SELECT DISTINCT vec_id FROM {sub} ORDER BY vec_id LIMIT {n_codes})
         ),
         c0 AS (
             SELECT t.subspace, t.code, CAST(t.i - 1 AS INT) AS dim,
                    CAST(t.qsub[t.i] AS DOUBLE)/1000 AS value
             FROM (SELECT s.subspace, sd.code, s.qsub,
                          generate_subscripts(s.qsub, 1) AS i
-                  FROM sub s JOIN seeds sd USING (vec_id)) t
+                  FROM {sub} s JOIN seeds sd USING (vec_id)) t
         )""",
     ]
     for i in range(iters):
@@ -1824,7 +1821,7 @@ def _pq_cte(m: int = 8, sub_dim: int = 8, n_codes: int = 4, iters: int = 2) -> s
                 SELECT s.vec_id, s.subspace, c.code,
                        ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
                            ORDER BY {_pq_l2("s.qsub", "c.qv")} ASC, c.code ASC) AS rn
-                FROM sub s JOIN cq{i} c ON s.subspace = c.subspace
+                FROM {sub} s JOIN cq{i} c ON s.subspace = c.subspace
             ) WHERE rn = 1
         ),
         u{i} AS (
@@ -1832,7 +1829,7 @@ def _pq_cte(m: int = 8, sub_dim: int = 8, n_codes: int = 4, iters: int = 2) -> s
                    CAST(SUM(t.qsub[t.i]) AS DOUBLE) / COUNT(*) / 1000 AS value
             FROM (SELECT a.subspace, a.code, s.qsub,
                          generate_subscripts(s.qsub, 1) AS i
-                  FROM a{i} a JOIN sub s
+                  FROM a{i} a JOIN {sub} s
                     ON a.vec_id = s.vec_id AND a.subspace = s.subspace) t
             GROUP BY 1, 2, 3
         ),
@@ -1851,6 +1848,26 @@ def _pq_cte(m: int = 8, sub_dim: int = 8, n_codes: int = 4, iters: int = 2) -> s
             FROM cbR GROUP BY 1, 2
         )""")
     return "\n".join(parts)
+
+
+def _pq_sub_cte(src: str = "q", vec: str = "qv", m: int = 8, sub_dim: int = 8) -> str:
+    """Slice a quantized-vector CTE into per-subspace subvectors."""
+    return f"""sub AS (
+            SELECT vec_id, CAST(j AS INT) AS subspace,
+                   list_slice({vec}, j*{sub_dim}+1, j*{sub_dim}+{sub_dim}) AS qsub
+            FROM {src} CROSS JOIN (SELECT unnest(range({m})) AS j)
+        )"""
+
+
+def _pq_cte(m: int = 8, sub_dim: int = 8, n_codes: int = 4, iters: int = 2) -> str:
+    """Plain-PQ chain over the embeddings table: q, sub, then the shared
+    fit iteration chain ending in cbR/cqF."""
+    return (
+        f"q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),\n"
+        + _pq_sub_cte("q", "qv", m, sub_dim)
+        + ",\n"
+        + _pq_iter_cte("sub", n_codes, iters)
+    )
 
 
 _PQ_ENC = f"""
@@ -2077,3 +2094,101 @@ def corpus_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.curate import source_stats
 
     return source_stats(load_table(spark, "documents", sf_dir))
+
+
+# Quantized-cosine over ALREADY-quantized bigint lists (mirrors
+# similarity.cosine_pre_quantized) — the coarse-assignment scorer for
+# the IVF-PQ oracle, where q/cents are quantized once upstream.
+def _qcos_pre(a: str, b: str) -> str:
+    return (
+        f"(CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1]*p[2])) AS DOUBLE)"
+        f" / (sqrt(CAST(list_sum(list_transform({a}, x -> x*x)) AS DOUBLE))"
+        f" * sqrt(CAST(list_sum(list_transform({b}, x -> x*x)) AS DOUBLE))))"
+    )
+
+
+@register(
+    "similarity_ivfpq_topk",
+    f"""
+    WITH q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),
+    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 4),
+    asg AS (
+        SELECT vec_id, cid FROM (
+            SELECT q.vec_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({_qcos_pre('q.qv', 'c.cqv')}, 6) DESC,
+                                c.cid ASC) AS rn
+            FROM q CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    res AS (
+        SELECT q.vec_id, a.cid,
+               list_transform(list_zip(q.qv, c.cqv), p -> p[1]-p[2]) AS rv
+        FROM q JOIN asg a USING (vec_id) JOIN cents c ON a.cid = c.cid
+    ),
+    {_pq_sub_cte("res", "rv")},
+    {_pq_iter_cte("sub")},
+    enc AS (
+        SELECT e.vec_id, a.cid, e.subspace, e.code FROM (
+            SELECT s.vec_id, s.subspace, c.code,
+                   ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.subspace
+                       ORDER BY {_pq_l2("s.qsub", "c.qv")} ASC, c.code ASC) AS rn
+            FROM sub s JOIN cqF c ON s.subspace = c.subspace
+        ) e JOIN asg a USING (vec_id) WHERE e.rn = 1
+    ),
+    probes AS (
+        SELECT query_id, cid FROM (
+            SELECT q.vec_id AS query_id, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                       ORDER BY ROUND({_qcos_pre('q.qv', 'c.cqv')}, 6) DESC,
+                                c.cid ASC) AS rn
+            FROM q CROSS JOIN cents c WHERE q.vec_id < 3
+        ) WHERE rn <= 2
+    ),
+    qres AS (
+        SELECT p.query_id, p.cid,
+               list_transform(list_zip(q.qv, c.cqv), p2 -> p2[1]-p2[2]) AS rv
+        FROM probes p JOIN q ON p.query_id = q.vec_id
+                      JOIN cents c ON p.cid = c.cid
+    ),
+    qsub2 AS (
+        SELECT query_id, cid, CAST(j AS INT) AS subspace,
+               list_slice(rv, j*8+1, j*8+8) AS qsub
+        FROM qres CROSS JOIN (SELECT unnest(range(8)) AS j)
+    ),
+    tbl AS (
+        SELECT s.query_id, s.cid, s.subspace, c.code,
+               {_pq_l2("s.qsub", "c.qv")} AS dist
+        FROM qsub2 s JOIN cqF c ON s.subspace = c.subspace
+    ),
+    scored AS (
+        SELECT t.query_id, e.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+        FROM enc e JOIN tbl t
+          ON e.cid = t.cid AND e.subspace = t.subspace AND e.code = t.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
+        FROM scored
+    ) WHERE rank <= 5
+    """,
+    doc="IVF-PQ ANN search (the FAISS-style index): coarse IVF "
+    "assignment + PQ over integer residuals, searched per probe by ADC "
+    "— vectors score only against queries probing their cluster, and "
+    "the stored corpus is (centroid_id, m codes) per vector",
+)
+def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import ivfpq_topk
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        emb, cents, queries, dim=64, m=8, n_codes=4, k=5, n_probe=2, max_iter=2
+    )

@@ -1019,6 +1019,64 @@ def test_source_stats_bills_cross_source_dups_to_non_keeper(spark):
     assert got["a"].total_tokens == 10 + 10  # both a-docs have 10 tokens
 
 
+def test_ivfpq_residuals_exact_and_search_respects_probes(spark):
+    """IVF-PQ: residuals are exact integer differences of the quantized
+    vector and its assigned centroid; search only returns vectors whose
+    coarse cluster is among the query's probes; self-queries reconstruct
+    best (rank 1 = self) on well-separated clusters."""
+    import math
+
+    import numpy as np
+
+    from irstats2_spark.pipeline.pq import ivfpq_residuals, ivfpq_topk
+    from irstats2_spark.pipeline.similarity import ivf_assign
+
+    rng = np.random.default_rng(11)
+    # two tight clusters around orthogonal anchors
+    anchors = np.zeros((2, 8))
+    anchors[0, 0] = 1.0
+    anchors[1, 4] = 1.0
+    vecs = []
+    for i in range(10):
+        v = anchors[i % 2] + rng.normal(0, 0.02, 8)
+        v = v / np.linalg.norm(v)
+        vecs.append((i, [float(np.float32(x)) for x in v]))
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cents = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+
+    assigned = ivf_assign(df, cents)
+    res = ivfpq_residuals(assigned, cents)
+    cent_q = {
+        r.centroid_id: [int(math.floor(float(np.float32(x)) * 1000 + 0.5)) for x in r.centroid_vec]
+        for r in cents.collect()
+    }
+    emb_q = {
+        i: [int(math.floor(float(np.float32(x)) * 1000 + 0.5)) for x in v]
+        for i, v in vecs
+    }
+    asg = {r.vec_id: r.centroid_id for r in assigned.collect()}
+    for r in res.collect():
+        want = [a - b for a, b in zip(emb_q[r.vec_id], cent_q[asg[r.vec_id]])]
+        assert r.resid == want
+
+    queries = df.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    topk = ivfpq_topk(
+        df, cents, queries, dim=8, m=4, n_codes=2, k=3, n_probe=1
+    ).collect()
+    # with n_probe=1 every hit's cluster equals the query's own cluster
+    for r in topk:
+        assert asg[r.vec_id] == asg[r.query_id]
+        assert r.adc_dist >= 0
+    ranks = {(r.query_id, r.rank): r.vec_id for r in topk}
+    for qid in range(4):
+        assert ranks[(qid, 1)] == qid  # self reconstructs best
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,

@@ -550,3 +550,13 @@ def test_bloom_probe_batch_never_shuffled(spark, queries):
     batch_side = tree.split("BroadcastExchange")[0]
     assert "Exchange" not in batch_side
     assert tree.count("Exchange hashpartitioning") <= 3
+
+
+def test_ivfpq_search_joins_broadcast_only(spark, queries):
+    """IVF-PQ search: the corpus codes join the per-(query, probe) ADC
+    tables via broadcast on (centroid_id, subspace, code) — never a
+    sort-merge join or cartesian product; the corpus side's only
+    shuffles are the candidate-sized score rollup and top-k window."""
+    plan = plan_of(queries["similarity_ivfpq_topk"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
