@@ -218,3 +218,34 @@ def pack_sequences(
         ),
     )
     return packed.drop("__ord", "__obk", "__lcum", "__off")
+
+
+def balanced_topk_sample(
+    df: DataFrame,
+    stratum_col: str,
+    key_col: str,
+    k: int,
+    salt: str = "topk:",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, deterministically —
+    the balanced-subset sampler beside the rate-based
+    ``sample_by_rates`` (expected counts) and ``stratified_sample``
+    (per-stratum rates): rows rank by the salted md5 of their key
+    (key tie-break) within each stratum and rank <= k survive. Stable
+    across reruns, engines, and partitionings; changing the salt draws
+    an independent subset.
+
+    Plan: ONE exchange on the stratum with a partition-local sort (the
+    same ranked-window shape as top-k per group). A pathologically hot
+    stratum sorts on one task; if a stratum can exceed task memory,
+    pre-thin with ``stratified_sample`` at a few-x-k/|stratum| rate
+    first — the hash order makes the two-stage result identical to
+    ranking the survivors directly."""
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("sample_rank") <= k)
+    )

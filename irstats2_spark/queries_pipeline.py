@@ -2192,3 +2192,27 @@ def similarity_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, cents, queries, dim=64, m=8, n_codes=4, k=5, n_probe=2, max_iter=2
     )
+
+
+@register(
+    "sample_balanced_topk",
+    """
+    SELECT source, doc_id, sample_rank FROM (
+        SELECT source, doc_id,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY md5('topk:' || CAST(doc_id AS VARCHAR)) ASC,
+                            doc_id ASC) AS INT) AS sample_rank
+        FROM documents
+    ) WHERE sample_rank <= 10
+    """,
+    doc="balanced subset: exactly min(k, |stratum|) docs per source by "
+    "deterministic salted-hash rank — the fixed-count complement to "
+    "rate-based mixing",
+)
+def sample_balanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import balanced_topk_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    return balanced_topk_sample(docs, "source", "doc_id", k=10).select(
+        "source", "doc_id", "sample_rank"
+    )

@@ -365,3 +365,40 @@ def session_counts_stream(
             "n_events",
         )
     )
+
+
+def bloom_prefilter_stream(
+    docs: DataFrame,
+    bloom: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 3,
+    m_bits: int = 1 << 27,
+) -> DataFrame:
+    """Streaming twin of ``pipeline.dedup.bloom_probe``: tag a document
+    stream with ``maybe_seen`` against the corpus snapshot's Bloom
+    bitmap, so ``maybe_seen=false`` rows (the vast majority on mostly
+    -fresh streams) skip the exact anti-join entirely and only the
+    candidate sliver reaches ``dedup_doc_stream``'s stream-static join.
+
+    The bitmap folds to one map row exactly as in batch; the
+    stream-static cross join broadcasts it per micro-batch, so the
+    snapshot (rebuilt by the batch side as the corpus grows) can be
+    swapped under the checkpoint between runs — and the probe itself is
+    stateless map work, no streaming state at all."""
+    from irstats2_spark.pipeline.dedup import _bloom_pos
+
+    hashed = docs.withColumn("text_hash", F.md5(F.col(text_col)))
+    bm = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "bits"))
+        ).alias("__bloom")
+    )
+    out = hashed.crossJoin(bm)
+    keep = None
+    for i in range(n_hashes):
+        p = _bloom_pos(i, F.col("text_hash"), m_bits)
+        mask = F.pow(F.lit(2.0), p % 32).cast("long")
+        word = F.element_at(F.col("__bloom"), F.floor(p / 32))
+        hit = F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
+        keep = hit if keep is None else keep & hit
+    return out.withColumn("maybe_seen", keep).drop("__bloom")

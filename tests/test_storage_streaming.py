@@ -467,3 +467,59 @@ def test_bucketed_facts_join_without_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t_dl}")
         spark.sql(f"DROP TABLE IF EXISTS {t_vw}")
+
+
+def test_streaming_bloom_prefilter_matches_batch_probe(spark, tmp_path):
+    """bloom_prefilter_stream: the streaming twin of dedup.bloom_probe —
+    snapshot members tag maybe_seen=true (no false negatives through the
+    stream-static broadcast), fresh docs tag exactly as the batch probe
+    does on the same bitmap (bit-identical maybe_seen column)."""
+    import json
+
+    from irstats2_spark.pipeline.dedup import bloom_build, bloom_probe
+    from irstats2_spark.streaming.ingest import bloom_prefilter_stream
+
+    m_bits, k = 256, 3
+    snap_texts = [f"snapshot doc {i}" for i in range(30)]
+    snapshot = spark.createDataFrame(
+        [(t,) for t in snap_texts], "text string"
+    ).select(F.md5("text").alias("text_hash"))
+    bloom = bloom_build(snapshot, n_hashes=k, m_bits=m_bits)
+
+    rows = [
+        {"doc_id": i, "ts": f"2024-01-01T00:{i:02d}:00Z", "text": t}
+        for i, t in enumerate(snap_texts[:5] + [f"fresh doc {j}" for j in range(20)])
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    docs = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = bloom_prefilter_stream(docs, bloom, n_hashes=k, m_bits=m_bits)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloom_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: r.maybe_seen
+        for r in spark.sql("SELECT doc_id, maybe_seen FROM bloom_stream_out").collect()
+    }
+    assert len(got) == 25
+    assert all(got[i] for i in range(5))  # snapshot members: no false negatives
+
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    ).select("doc_id", F.md5("text").alias("text_hash"))
+    want = {
+        r.doc_id: r.maybe_seen
+        for r in bloom_probe(batch, bloom, n_hashes=k, m_bits=m_bits).collect()
+    }
+    assert got == want  # stream == batch, bit for bit
