@@ -477,35 +477,38 @@ def ivfpq_topk(
 
     Chain (all existing primitives):
     - corpus: ivf_assign (pure map) -> integer residuals (pure map) ->
-      pq_fit over residuals -> pq_encode (broadcast codebook, pure map,
-      centroid_id kept);
+      pq_fit over residuals -> pq_encode_vec (broadcast nested codebook,
+      pure map — the corpus carries only (vec_id, centroid_id, m codes)
+      from here on);
     - query: ivf_probe_assign to its n_probe nearest coarse centroids,
-      one integer residual PER PROBED CENTROID, and one ADC table per
-      (query, probe) — tables are |queries| x n_probe x m x n_codes,
-      broadcast;
-    - search: corpus codes join the tables on (centroid_id, subspace,
-      code): a vector scores against a query iff its coarse cluster is
-      probed — the IVF pruning — and the score is the exact integer sum
-      of m lookups. Top-k ascending (adc_dist, vec_id).
+      one integer residual PER PROBED CENTROID, one ADC table per
+      (query, probe) flattened to slot subspace*n_codes + code —
+      |queries| x n_probe rows, broadcast;
+    - search: the codes join the tables on centroid_id ONLY — a vector
+      meets a query iff its coarse cluster is probed (the IVF pruning)
+      — and the score is a per-row m-lookup fold over the code array.
+      No exploded join, no score rollup: the corpus side goes straight
+      from the broadcast join into the final top-k window, which is the
+      only corpus-sized shuffle in the whole search.
 
     Output: (query_id, vec_id, adc_dist, rank). Approximate on two
     axes: IVF recall (true neighbor outside every probed cluster) and
     PQ quantization (distance to the reconstructed point)."""
     from irstats2_spark.pipeline.similarity import ivf_assign, ivf_probe_assign
 
-    # -- corpus side: assign -> residual -> fit -> encode
+    # -- corpus side: assign -> residual -> fit -> encode to code arrays
     assigned = ivf_assign(embeddings, centroids)
     res = ivfpq_residuals(assigned, centroids, scale=scale)
     cb = pq_fit(
         res, dim, m, n_codes, max_iter, vec_col="resid", pre_quantized=True,
         scale=scale,
     )
-    enc = pq_encode(
+    codes = pq_encode_vec(
         res, cb, dim, m, vec_col="resid", pre_quantized=True, scale=scale,
         keep_cols=("centroid_id",),
-    ).select("vec_id", "centroid_id", "subspace", "code")
+    )
 
-    # -- query side: probe -> residual per probe -> ADC table per probe
+    # -- query side: probe -> residual per probe -> flat ADC table per probe
     probed = ivf_probe_assign(
         queries, centroids, n_probe=n_probe, q_id_col=q_id_col, q_vec_col=q_vec_col
     )
@@ -516,21 +519,40 @@ def ivfpq_topk(
         qres, dim, m, id_col="vec_id", vec_col="resid", scale=scale,
         pre_quantized=True, keep_cols=("centroid_id",),
     )
-    tbl = qsub.join(F.broadcast(_codebook_qarrays(cb, scale)), "subspace").select(
-        F.col("vec_id").alias("query_id"),
-        "centroid_id",
-        "subspace",
-        "code",
-        l2dist_q(F.col("qsub"), F.col("qv")).alias("dist"),
+    flat = (
+        qsub.join(F.broadcast(_codebook_qarrays(cb, scale)), "subspace")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "centroid_id",
+            "subspace",
+            "code",
+            l2dist_q(F.col("qsub"), F.col("qv")).alias("dist"),
+        )
+        .groupBy("query_id", "centroid_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code", "dist"))
+                ),
+                lambda s: s["dist"],
+            ).alias("__tbl")
+        )
     )
 
-    # -- search: IVF pruning is the centroid_id equi-join; ADC is the sum
-    scored = (
-        enc.join(
-            F.broadcast(tbl), ["centroid_id", "subspace", "code"]
-        )
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("dist").alias("adc_dist"))
+    # -- search: centroid_id equi-join IS the IVF pruning; ADC is a fold
+    looked = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(
+            F.col("__tbl"), (j * n_codes + c + 1).cast("int")
+        ),
+    )
+    scored = codes.join(F.broadcast(flat), "centroid_id").select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            looked, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("adc_dist"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
@@ -538,4 +560,57 @@ def ivfpq_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+    )
+
+
+def pq_encode_vec(
+    df: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    pre_quantized: bool = False,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(vec_id[, keep_cols], codes array<int>) — the WRITER shape for
+    storing PQ codes, computed wholly map-side: the codebook folds into
+    ONE nested-array row (subspace-ordered arrays of (code, qv)
+    structs), broadcast; each row's m codes are array_min picks over
+    per-codeword (dist, code) structs (struct ordering = the (dist ASC,
+    code ASC) tie-break). No explode, no regroup shuffle — unlike
+    ``pq_encode``'s exploded per-subspace rows, the corpus contributes
+    zero exchanges. A pytest pins code-level parity between the two."""
+    assert dim % m == 0
+    sub_dim = dim // m
+    nested = (
+        _codebook_qarrays(codebook, scale)
+        .groupBy("subspace")
+        .agg(F.sort_array(F.collect_list(F.struct("code", "qv"))).alias("cw"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "cw"))),
+                lambda s: s["cw"],
+            ).alias("__cb")
+        )
+    )
+    qv = F.col(vec_col) if pre_quantized else quantize(F.col(vec_col), scale)
+    slices = F.array(*[F.slice(qv, j * sub_dim + 1, sub_dim) for j in range(m)])
+    codes = F.zip_with(
+        slices,
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda s, j: F.array_min(
+            F.transform(
+                F.element_at(F.col("__cb"), (j + 1).cast("int")),
+                lambda c: F.struct(
+                    l2dist_q(s, c["qv"]).alias("dist"), c["code"].alias("code")
+                ),
+            )
+        )["code"],
+    )
+    return df.crossJoin(F.broadcast(nested)).select(
+        F.col(id_col).alias("vec_id"),
+        *[F.col(c) for c in keep_cols],
+        codes.alias("codes"),
     )

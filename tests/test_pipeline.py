@@ -1077,6 +1077,25 @@ def test_ivfpq_residuals_exact_and_search_respects_probes(spark):
         assert ranks[(qid, 1)] == qid  # self reconstructs best
 
 
+def test_pq_encode_vec_parity_with_exploded_encoder(spark):
+    """pq_encode_vec (map-side nested-codebook array_min, the stored-
+    codes writer) must pick code-for-code what the exploded pq_encode
+    picks, including its (dist ASC, code ASC) tie-break."""
+    from irstats2_spark.pipeline.pq import pq_encode, pq_encode_vec, pq_fit
+
+    vecs = [
+        (i, [float((i * 7 + j * 3) % 5) / 5 for j in range(8)]) for i in range(20)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cb = pq_fit(df, dim=8, m=4, n_codes=3, max_iter=2)
+    want = {}
+    for r in pq_encode(df, cb, dim=8, m=4).collect():
+        want.setdefault(r.vec_id, {})[r.subspace] = r.code
+    want = {k: [v[j] for j in range(4)] for k, v in want.items()}
+    got = {r.vec_id: r.codes for r in pq_encode_vec(df, cb, dim=8, m=4).collect()}
+    assert got == want
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
