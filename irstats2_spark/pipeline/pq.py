@@ -161,7 +161,16 @@ def pq_fit(
       (sum -> /count -> /scale) identical in any engine — requantized
       floor(x*scale+0.5) for the next round's distances;
     - empty codes keep their previous codeword; fixed ``max_iter``
-      rounds, no driver-side convergence collect.
+      rounds, no driver-side convergence COLLECT-AND-TEST.
+
+    The codebook is materialized to a LocalRelation after every update:
+    it is m*n_codes*sub_dim rows BY CONTRACT (parameters, not data
+    size — 256 rows at the defaults), i.e. the broadcast build side,
+    and without materialization each iteration's lineage embeds the
+    previous one's whole DAG, doubling the plan per round and
+    re-running the entire fit for every downstream consumer (encode +
+    ADC both read it). Same pattern as the accepted centroid collects
+    in ``ivf_assign_gemm``.
 
     Output: (subspace, code, dim, value) exploded — ``dim`` is the
     LOCAL dimension index within the subspace; value rounded 6dp at the
@@ -212,6 +221,10 @@ def pq_fit(
                 "dim",
                 F.coalesce("value", "__old").alias("value"),
             )
+        )
+        # materialize the contract-tiny codebook (see docstring)
+        cb = embeddings.sparkSession.createDataFrame(
+            cb.collect(), schema="subspace int, code int, dim int, value double"
         )
     return cb.select(
         "subspace", "code", "dim", F.round("value", 6).alias("value")
