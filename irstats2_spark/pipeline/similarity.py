@@ -597,6 +597,15 @@ def kmeans_fit(
                 "centroid_id", F.coalesce("centroid_vec", "__old").alias("centroid_vec")
             )
         )
+        # materialize the contract-tiny centroid table (k x dim values):
+        # without this each round's lineage embeds the previous round's
+        # whole DAG, doubling the plan per iteration and re-running the
+        # entire fit for every downstream consumer (assign + probe +
+        # search all read it) — the same broadcast-dimension collect
+        # pattern as ivf_assign_gemm and pq_fit
+        cents = embeddings.sparkSession.createDataFrame(
+            cents.collect(), schema=cents.schema
+        )
     return cents.select(
         "centroid_id", F.posexplode("centroid_vec").alias("dim", "value")
     ).select("centroid_id", "dim", F.round("value", 6).alias("value"))
