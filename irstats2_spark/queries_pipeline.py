@@ -2216,3 +2216,105 @@ def sample_balanced_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return balanced_topk_sample(docs, "source", "doc_id", k=10).select(
         "source", "doc_id", "sample_rank"
     )
+
+
+@register(
+    "similarity_recall_audit",
+    f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'q.qv')}, 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings e CROSS JOIN queries q
+        ) WHERE rank <= 5
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    qassign AS (
+        SELECT query_id, centroid_id FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('q.qv', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM queries q CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    ivf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT qa.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qa.query_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'q.qv')}, 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings e
+            JOIN assign a ON e.vec_id = a.vec_id
+            JOIN qassign qa ON a.centroid_id = qa.centroid_id
+            JOIN queries q ON q.query_id = qa.query_id
+        ) WHERE rank <= 5
+    )
+    SELECT b.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+    FROM bf b LEFT JOIN ivf i
+      ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY 1
+    """,
+    doc="ANN quality audit: recall@5 of single-probe IVF against the "
+    "exact brute-force baseline, per query — the feedback loop that "
+    "tunes n_probe/n_clusters before trusting an approximate index; "
+    "an integer hit count and one division, so the oracle is exact",
+)
+def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    bf = brute_force_topk(emb, queries, k=5).select("query_id", "vec_id")
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    ivf = (
+        ivf_topk(
+            ivf_assign(emb, cents),
+            ivf_assign(queries, cents, id_col="query_id", vec_col="query_vec"),
+            k=5,
+        )
+        .select("query_id", "vec_id")
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        bf.join(ivf, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("n_hit"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))) / F.count(F.lit(1)), 6
+            ).alias("recall_at_5"),
+        )
+    )
