@@ -66,6 +66,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "corpus_source_stats",
     "sample_balanced_topk",
     "similarity_recall_audit",
+    "corpus_snapshot_diff",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -109,10 +110,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "a5_ratio_metric",
     "events_sessionize",
     "events_asof_prior",
-    "events_unique_visitors_approx",
 )
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
-# they head round 5's cut): etl_downloads_fact,
+# they head round 5's cut): events_unique_visitors_approx,
+# etl_downloads_fact,
 # robots_filter_outcome (its filter also
 # re-verified this round inside etl_silver_views_fact),
 # geoip_range_join, view_monthly_graph, ctx_set_series,

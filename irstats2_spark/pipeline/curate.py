@@ -222,3 +222,37 @@ def source_stats(
         ).alias("stop_ratio"),
         F.round(F.sum("is_dup") / F.count(F.lit(1)), 6).alias("dup_rate"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset versioning audit between two corpus snapshots: per doc id,
+    ``added`` (new only), ``removed`` (old only), ``changed`` (both,
+    different content hash), ``unchanged``. The release-to-release diff
+    a training-data pipeline publishes alongside a new corpus cut.
+
+    Plan: both sides reduce to (id, md5(text)) map-side — the full-outer
+    join shuffles hashes, never document bodies — and the status is a
+    pure projection. At 100 TB this is two columnar scans plus one
+    id-keyed shuffle of 48-byte rows."""
+    o = old.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__old_h")
+    )
+    n = new.select(
+        F.col(id_col).alias("doc_id"), F.md5(F.col(text_col)).alias("__new_h")
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("__old_h").isNull(), F.lit("added"))
+            .when(F.col("__new_h").isNull(), F.lit("removed"))
+            .when(F.col("__old_h") != F.col("__new_h"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )

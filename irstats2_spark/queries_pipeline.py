@@ -2318,3 +2318,39 @@ def similarity_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+@register(
+    "corpus_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id < 400
+    ),
+    new AS (
+        SELECT doc_id,
+               md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END) AS h
+        FROM documents WHERE doc_id >= 100
+    )
+    SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.h <> n.h THEN 'changed'
+                ELSE 'unchanged' END AS status
+    FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    """,
+    doc="dataset versioning: per-doc added/removed/changed/unchanged "
+    "between two corpus snapshots — hashes shuffle, bodies never do "
+    "(fixture: docs <400 vs >=100 with a deterministic mutation)",
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import snapshot_diff
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") < 400)
+    new = docs.filter(F.col("doc_id") >= 100).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
