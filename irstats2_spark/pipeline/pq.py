@@ -627,3 +627,63 @@ def pq_encode_vec(
         *[F.col(c) for c in keep_cols],
         codes.alias("codes"),
     )
+
+
+def pq_topk_adc_vec(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    k: int = 5,
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """``pq_topk_adc`` over the stored-codes shape ``pq_encode_vec``
+    emits — (vec_id, codes array<int>) — so search is: broadcast the
+    flattened per-query tables, fold m lookups per row, window.
+    The corpus contributes NO exchange before the final top-k window
+    (the exploded-input variant pays a groupBy to reassemble arrays);
+    this is the search path matching how codes are actually stored."""
+    qsub = pq_subvectors(queries, dim, m, q_id_col, q_vec_col, scale)
+    flat = (
+        qsub.join(F.broadcast(_codebook_qarrays(codebook, scale)), "subspace")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "subspace",
+            "code",
+            l2dist_q(F.col("qsub"), F.col("qv")).alias("dist"),
+        )
+        .groupBy("query_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("subspace", "code", "dist"))
+                ),
+                lambda s: s["dist"],
+            ).alias("__tbl")
+        )
+    )
+    looked = F.zip_with(
+        F.col("codes"),
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda c, j: F.element_at(
+            F.col("__tbl"), (j * n_codes + c + 1).cast("int")
+        ),
+    )
+    scored = codes.crossJoin(F.broadcast(flat)).select(
+        "query_id",
+        "vec_id",
+        F.aggregate(
+            looked, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("adc_dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

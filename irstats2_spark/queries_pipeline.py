@@ -1948,15 +1948,15 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vector is touched at scan time",
 )
 def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from irstats2_spark.pipeline.pq import pq_encode, pq_fit, pq_topk_adc
+    from irstats2_spark.pipeline.pq import pq_encode_vec, pq_fit, pq_topk_adc_vec
 
     emb = load_table(spark, "embeddings", sf_dir)
     cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
-    enc = pq_encode(emb, cb, dim=64, m=8).select("vec_id", "subspace", "code")
+    codes = pq_encode_vec(emb, cb, dim=64, m=8)
     queries = emb.filter(F.col("vec_id") < 3).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
-    return pq_topk_adc(enc, cb, queries, dim=64, m=8, n_codes=4, k=5)
+    return pq_topk_adc_vec(codes, cb, queries, dim=64, m=8, n_codes=4, k=5)
 
 
 @register(
