@@ -1096,6 +1096,33 @@ def test_pq_encode_vec_parity_with_exploded_encoder(spark):
     assert got == want
 
 
+def test_pq_edge_cases(spark):
+    """PQ edges: more codewords than vectors (codebook just has fewer
+    seeds — fit still converges and encodes), m=1 (PQ degenerates to
+    plain vector quantization), and an empty corpus fits an empty
+    codebook and encodes nothing rather than erroring."""
+    from irstats2_spark.pipeline.pq import pq_encode, pq_encode_vec, pq_fit
+
+    df = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    # n_codes > |corpus|: only 2 seeds exist -> 2 codewords, not 5
+    cb = pq_fit(df, dim=2, m=1, n_codes=5, max_iter=2)
+    assert {r.code for r in cb.collect()} == {0, 1}
+    enc = pq_encode(df, cb, dim=2, m=1).collect()
+    assert {(r.vec_id, r.code) for r in enc} == {(0, 0), (1, 1)}
+    assert all(r.dist == 0 for r in enc)  # each vector IS its codeword
+
+    # m=1: code arrays are length 1 and match the exploded encoder
+    codes = {r.vec_id: r.codes for r in pq_encode_vec(df, cb, dim=2, m=1).collect()}
+    assert codes == {0: [0], 1: [1]}
+
+    empty = df.filter(F.col("vec_id") < 0)
+    cb_e = pq_fit(empty, dim=2, m=1, n_codes=2, max_iter=1)
+    assert cb_e.count() == 0
+    assert pq_encode(df, cb_e, dim=2, m=1).count() == 0  # empty codebook
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
