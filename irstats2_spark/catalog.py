@@ -57,6 +57,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 GATE_PRIORITY: tuple[str, ...] = (
     # -- new in round 4 --
     "pipeline_pretrain_e2e",
+    "pipeline_embed_index_search_e2e",
     "similarity_pq_fit",
     "similarity_pq_encode",
     "similarity_pq_topk",
@@ -109,10 +110,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "a6_a7_cumulative_running_avg",
     "a5_ratio_metric",
     "events_sessionize",
-    "events_asof_prior",
 )
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
-# they head round 5's cut): events_unique_visitors_approx,
+# they head round 5's cut): events_asof_prior,
+# events_unique_visitors_approx,
 # etl_downloads_fact,
 # robots_filter_outcome (its filter also
 # re-verified this round inside etl_silver_views_fact),

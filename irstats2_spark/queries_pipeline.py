@@ -2107,16 +2107,26 @@ def _qcos_pre(a: str, b: str) -> str:
     )
 
 
-@register(
-    "similarity_ivfpq_topk",
-    f"""
-    WITH q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),
-    cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < 4),
+def _ivfpq_sql(
+    m: int = 8,
+    sub_dim: int = 8,
+    n_codes: int = 4,
+    iters: int = 2,
+    n_cents: int = 4,
+    n_queries: int = 3,
+    n_probe: int = 2,
+    k: int = 5,
+) -> str:
+    """The IVF-PQ oracle chain from coarse centroids to the ranked
+    SELECT, assuming a CTE ``q`` (vec_id, qv quantized bigint list)
+    already exists — shared by the embeddings-table query and the
+    embed -> index -> search e2e composition."""
+    return f"""cents AS (SELECT vec_id AS cid, qv AS cqv FROM q WHERE vec_id < {n_cents}),
     asg AS (
         SELECT vec_id, cid FROM (
             SELECT q.vec_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                       ORDER BY ROUND({_qcos_pre('q.qv', 'c.cqv')}, 6) DESC,
+                       ORDER BY ROUND({_qcos_pre("q.qv", "c.cqv")}, 6) DESC,
                                 c.cid ASC) AS rn
             FROM q CROSS JOIN cents c
         ) WHERE rn = 1
@@ -2126,8 +2136,8 @@ def _qcos_pre(a: str, b: str) -> str:
                list_transform(list_zip(q.qv, c.cqv), p -> p[1]-p[2]) AS rv
         FROM q JOIN asg a USING (vec_id) JOIN cents c ON a.cid = c.cid
     ),
-    {_pq_sub_cte("res", "rv")},
-    {_pq_iter_cte("sub")},
+    {_pq_sub_cte("res", "rv", m, sub_dim)},
+    {_pq_iter_cte("sub", n_codes, iters)},
     enc AS (
         SELECT e.vec_id, a.cid, e.subspace, e.code FROM (
             SELECT s.vec_id, s.subspace, c.code,
@@ -2140,10 +2150,10 @@ def _qcos_pre(a: str, b: str) -> str:
         SELECT query_id, cid FROM (
             SELECT q.vec_id AS query_id, c.cid,
                    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-                       ORDER BY ROUND({_qcos_pre('q.qv', 'c.cqv')}, 6) DESC,
+                       ORDER BY ROUND({_qcos_pre("q.qv", "c.cqv")}, 6) DESC,
                                 c.cid ASC) AS rn
-            FROM q CROSS JOIN cents c WHERE q.vec_id < 3
-        ) WHERE rn <= 2
+            FROM q CROSS JOIN cents c WHERE q.vec_id < {n_queries}
+        ) WHERE rn <= {n_probe}
     ),
     qres AS (
         SELECT p.query_id, p.cid,
@@ -2153,8 +2163,8 @@ def _qcos_pre(a: str, b: str) -> str:
     ),
     qsub2 AS (
         SELECT query_id, cid, CAST(j AS INT) AS subspace,
-               list_slice(rv, j*8+1, j*8+8) AS qsub
-        FROM qres CROSS JOIN (SELECT unnest(range(8)) AS j)
+               list_slice(rv, j*{sub_dim}+1, j*{sub_dim}+{sub_dim}) AS qsub
+        FROM qres CROSS JOIN (SELECT unnest(range({m})) AS j)
     ),
     tbl AS (
         SELECT s.query_id, s.cid, s.subspace, c.code,
@@ -2171,7 +2181,14 @@ def _qcos_pre(a: str, b: str) -> str:
         SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
                        ORDER BY adc_dist ASC, vec_id ASC) AS INT) AS rank
         FROM scored
-    ) WHERE rank <= 5
+    ) WHERE rank <= {k}"""
+
+
+@register(
+    "similarity_ivfpq_topk",
+    f"""
+    WITH q AS (SELECT vec_id, {_Q.format(v='embedding')} AS qv FROM embeddings),
+    {_ivfpq_sql()}
     """,
     doc="IVF-PQ ANN search (the FAISS-style index): coarse IVF "
     "assignment + PQ over integer residuals, searched per probe by ADC "
@@ -2354,3 +2371,53 @@ def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).otherwise(F.col("text")),
     )
     return snapshot_diff(old, new)
+
+
+@register(
+    "pipeline_embed_index_search_e2e",
+    f"""
+    WITH dims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+    x AS (
+        SELECT doc_id, dim,
+               CAST(concat('0x', substring(md5(text || ':' || dim), 1, 8))
+                    AS BIGINT) % 2000 - 1000 AS xi
+        FROM documents, dims
+    ),
+    norms AS (SELECT doc_id, sqrt(SUM(xi * xi)) AS nrm FROM x GROUP BY 1),
+    emb AS (
+        SELECT x.doc_id, x.dim,
+               ROUND(CASE WHEN nrm = 0 THEN xi ELSE xi / nrm END, 6) AS value
+        FROM x JOIN norms USING (doc_id)
+    ),
+    vecs AS (
+        SELECT doc_id AS vec_id,
+               list(CAST(value AS FLOAT) ORDER BY dim) AS emb_v
+        FROM emb GROUP BY 1
+    ),
+    q AS (SELECT vec_id, {_Q.format(v='emb_v')} AS qv FROM vecs),
+    {_ivfpq_sql(m=4, sub_dim=2)}
+    """,
+    doc="END-TO-END vector pipeline: embed (stubbed model, Arrow "
+    "mapInPandas) -> fold to float32 vectors -> coarse IVF + residual "
+    "PQ index -> multi-probe ADC search, as ONE composition over the "
+    "documents table — the ANN analog of pipeline_pretrain_e2e: every "
+    "stage is gated alone, this row gates their composition (float32 "
+    "storage, 6dp embed rounding, and integer residual quantization "
+    "must agree across the whole chain)",
+)
+def pipeline_embed_index_search_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.embed import embed_text_stub, embedded_as_vectors
+    from irstats2_spark.pipeline.pq import ivfpq_topk
+
+    docs = load_table(spark, "documents", sf_dir)
+    vecs = embedded_as_vectors(embed_text_stub(docs, dim=8))
+    cents = vecs.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = vecs.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(
+        vecs, cents, queries, dim=8, m=4, n_codes=4, k=5, n_probe=2, max_iter=2
+    )
