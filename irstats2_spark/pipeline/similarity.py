@@ -698,3 +698,76 @@ def ivf_topk(
     return (
         scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
     )
+
+
+def contrastive_pairs(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k_pos: int = 1,
+    n_neg: int = 3,
+    topn_excl: int = 5,
+    salt: str = "neg:",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Mine (anchor, positive, negative) training pairs for contrastive
+    embedding fine-tuning: per query, positives are its ``k_pos``
+    nearest non-self neighbors (exact cosine), negatives are ``n_neg``
+    corpus docs drawn deterministically by salted-hash rank from
+    OUTSIDE the query's top-``topn_excl`` (so a near-duplicate can
+    never leak in as a negative). Output: (query_id, role 'pos'|'neg',
+    vec_id, rank).
+
+    Deterministic end to end — hash-ranked negatives redraw identically
+    on any engine/partitioning, and a new salt draws an independent
+    negative set.
+
+    Scale shape: the exact top-k and the negative rank both broadcast
+    the (small-by-contract) query side over the corpus; for
+    corpus-scale mining pre-thin the negative candidates with a hash
+    threshold (keep md5 < t, t ~ a few x n_neg / |corpus|) before the
+    rank — the hash order makes the thinned result identical."""
+    bf = brute_force_topk(
+        embeddings, queries, k=topn_excl, id_col=id_col, vec_col=vec_col,
+        q_id_col=q_id_col, q_vec_col=q_vec_col,
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(F.col("rank").asc())
+    pos = (
+        bf.filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("__r", F.row_number().over(w_pos))
+        .filter(F.col("__r") <= k_pos)
+        .select(
+            "query_id",
+            F.lit("pos").alias("role"),
+            "vec_id",
+            F.col("__r").cast("int").alias("rank"),
+        )
+    )
+    cand = (
+        embeddings.select(F.col(id_col).alias("vec_id"))
+        .crossJoin(F.broadcast(queries.select(F.col(q_id_col).alias("query_id"))))
+        .join(bf.select("query_id", "vec_id"), ["query_id", "vec_id"], "left_anti")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    h = F.md5(
+        F.concat(
+            F.lit(salt),
+            F.col("query_id").cast("string"),
+            F.lit(":"),
+            F.col("vec_id").cast("string"),
+        )
+    )
+    w_neg = Window.partitionBy("query_id").orderBy(h.asc(), F.col("vec_id").asc())
+    neg = (
+        cand.withColumn("__r", F.row_number().over(w_neg))
+        .filter(F.col("__r") <= n_neg)
+        .select(
+            "query_id",
+            F.lit("neg").alias("role"),
+            "vec_id",
+            F.col("__r").cast("int").alias("rank"),
+        )
+    )
+    return pos.unionByName(neg)

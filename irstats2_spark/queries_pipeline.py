@@ -2421,3 +2421,59 @@ def pipeline_embed_index_search_e2e(spark: SparkSession, sf_dir: str) -> DataFra
     return ivfpq_topk(
         vecs, cents, queries, dim=8, m=4, n_codes=4, k=5, n_probe=2, max_iter=2
     )
+
+
+@register(
+    "pairs_contrastive_mining",
+    f"""
+    WITH queries AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    bf AS (
+        SELECT query_id, vec_id, rank FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'q.qv')}, 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings e CROSS JOIN queries q
+        ) WHERE rank <= 5
+    ),
+    pos AS (
+        SELECT query_id, 'pos' AS role, vec_id, rnk AS rank FROM (
+            SELECT query_id, vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY rank ASC) AS INT) AS rnk
+            FROM bf WHERE vec_id <> query_id
+        ) WHERE rnk <= 1
+    ),
+    cand AS (
+        SELECT q.query_id, e.vec_id
+        FROM embeddings e CROSS JOIN queries q
+        LEFT JOIN bf b ON b.query_id = q.query_id AND b.vec_id = e.vec_id
+        WHERE b.vec_id IS NULL AND e.vec_id <> q.query_id
+    ),
+    neg AS (
+        SELECT query_id, 'neg' AS role, vec_id, rnk AS rank FROM (
+            SELECT query_id, vec_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY md5('neg:' || CAST(query_id AS VARCHAR) || ':'
+                                     || CAST(vec_id AS VARCHAR)) ASC,
+                                 vec_id ASC) AS INT) AS rnk
+            FROM cand
+        ) WHERE rnk <= 3
+    )
+    SELECT * FROM pos UNION ALL SELECT * FROM neg
+    """,
+    doc="contrastive training-pair mining: per query, the nearest "
+    "non-self neighbor as positive and 3 deterministic hash-ranked "
+    "negatives drawn from outside the top-5 (near-dups can never leak "
+    "in as negatives)",
+)
+def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import contrastive_pairs
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return contrastive_pairs(emb, queries, k_pos=1, n_neg=3, topn_excl=5)
