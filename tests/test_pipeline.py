@@ -1123,6 +1123,54 @@ def test_pq_edge_cases(spark):
     assert pq_encode(df, cb_e, dim=2, m=1).count() == 0  # empty codebook
 
 
+def test_contrastive_pairs_semantics(spark):
+    """contrastive_pairs invariants: the positive is the nearest
+    NON-SELF neighbor (twin text beats everything), negatives never
+    overlap the exclusion top-N or the query itself, counts are exact,
+    and a different salt draws a different (but equally valid) negative
+    set."""
+    import numpy as np
+
+    from irstats2_spark.pipeline.similarity import brute_force_topk, contrastive_pairs
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, 8)
+    vecs = [(0, base), (1, base * 1.001)]  # 1 is 0's obvious twin
+    for i in range(2, 30):
+        vecs.append((i, rng.normal(0, 1, 8)))
+    rows = [
+        (i, [float(np.float32(x)) for x in (v / np.linalg.norm(v))])
+        for i, v in vecs
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    out = contrastive_pairs(df, queries, k_pos=1, n_neg=4, topn_excl=5).collect()
+    pos = {r.query_id: r.vec_id for r in out if r.role == "pos"}
+    assert pos == {0: 1, 1: 0}  # twins pick each other, never self
+    top5 = {
+        (r.query_id, r.vec_id)
+        for r in brute_force_topk(df, queries, k=5).collect()
+    }
+    negs = {}
+    for r in out:
+        if r.role == "neg":
+            assert (r.query_id, r.vec_id) not in top5
+            assert r.vec_id != r.query_id
+            negs.setdefault(r.query_id, set()).add(r.vec_id)
+    assert all(len(v) == 4 for v in negs.values())
+
+    out2 = contrastive_pairs(
+        df, queries, k_pos=1, n_neg=4, topn_excl=5, salt="other:"
+    ).collect()
+    negs2 = {
+        r.query_id: {r2.vec_id for r2 in out2 if r2.role == "neg" and r2.query_id == r.query_id}
+        for r in out2
+    }
+    assert negs2 != negs  # independent draw under a new salt
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
