@@ -2410,7 +2410,11 @@ def pipeline_embed_index_search_e2e(spark: SparkSession, sf_dir: str) -> DataFra
     from irstats2_spark.pipeline.pq import ivfpq_topk
 
     docs = load_table(spark, "documents", sf_dir)
-    vecs = embedded_as_vectors(embed_text_stub(docs, dim=8))
+    # a production pipeline materializes embeddings to storage before
+    # indexing (inference is the expensive stage; fit/assign/encode all
+    # re-read it) — persist() stands in for that parquet write so the
+    # embed stage runs once, not once per lineage branch
+    vecs = embedded_as_vectors(embed_text_stub(docs, dim=8)).persist()
     cents = vecs.filter(F.col("vec_id") < 4).select(
         F.col("vec_id").alias("centroid_id"),
         F.col("embedding").alias("centroid_vec"),
