@@ -560,3 +560,26 @@ def test_ivfpq_search_joins_broadcast_only(spark, queries):
     plan = plan_of(queries["similarity_ivfpq_topk"](spark, SF))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_source_stats_shuffle_never_carries_text(spark, queries):
+    """source_stats shuffles on md5(text) for keeper identity; document
+    bodies must be pruned below every exchange — only ids, the hash key,
+    and the small counters may flow."""
+    import re
+
+    plan = plan_of(queries["corpus_source_stats"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
+
+
+def test_snapshot_diff_shuffles_hashes_not_bodies(spark, queries):
+    """The snapshot diff's full-outer join moves (doc_id, md5) rows; at
+    100 TB neither side's document text may reach an exchange."""
+    import re
+
+    plan = plan_of(queries["corpus_snapshot_diff"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
