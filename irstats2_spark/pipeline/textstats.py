@@ -330,3 +330,78 @@ def pii_scrub(text: Column) -> Column:
     for _, pat, repl in PII_PATTERNS:
         out = F.regexp_replace(out, pat, repl)
     return out
+
+
+def classifier_vote_scores(
+    docs: DataFrame,
+    pos_seed: DataFrame,
+    neg_seed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Seed-set quality classification, integer-exact: the learned-filter
+    pattern (a la CCNet's fastText quality classifier) reduced to
+    Naive-Bayes token VOTES so every comparison is exact integer math —
+    no log-likelihood floats, so a SQL oracle replays it bit-for-bit.
+
+    Train: token counts per class over the two seed sets. Score: each
+    token instance in a doc votes +1 if P(tok|pos) > P(tok|neg) — i.e.
+    c_pos(tok) * T_neg > c_neg(tok) * T_pos by cross-multiplication —
+    -1 if the inequality reverses, 0 on ties/unseen. Output per doc:
+    (doc_id, n_pos_votes, n_neg_votes, n_votes, vote_margin,
+    label 'pos'|'neg'|'tie').
+
+    Scale shape: seed-vocab stats are one groupBy(token) with
+    conditional-sum partials; the corpus tokens join the vocab
+    BROADCAST (vocabularies are ~millions of rows — well under
+    broadcast budgets; for extreme vocabularies co-partition both
+    sides on token instead) and roll up per doc. Two shuffles total,
+    neither carrying text."""
+    def toks(df):
+        return df.select(
+            F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("tok")
+        )
+
+    pos_t = toks(pos_seed).withColumn("__is_pos", F.lit(1))
+    neg_t = toks(neg_seed).withColumn("__is_pos", F.lit(0))
+    vocab = (
+        pos_t.unionByName(neg_t)
+        .groupBy("tok")
+        .agg(
+            F.sum("__is_pos").alias("c_pos"),
+            F.sum(1 - F.col("__is_pos")).alias("c_neg"),
+        )
+    )
+    totals = vocab.agg(
+        F.sum("c_pos").alias("t_pos"), F.sum("c_neg").alias("t_neg")
+    )
+    scored = (
+        toks(docs)
+        .join(F.broadcast(vocab), "tok", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            F.when(
+                F.coalesce(F.col("c_pos"), F.lit(0)) * F.col("t_neg")
+                > F.coalesce(F.col("c_neg"), F.lit(0)) * F.col("t_pos"),
+                F.lit(1),
+            )
+            .when(
+                F.coalesce(F.col("c_pos"), F.lit(0)) * F.col("t_neg")
+                < F.coalesce(F.col("c_neg"), F.lit(0)) * F.col("t_pos"),
+                F.lit(-1),
+            )
+            .otherwise(F.lit(0))
+            .alias("vote"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") == 1, 1).otherwise(0)).alias("n_pos_votes"),
+        F.sum(F.when(F.col("vote") == -1, 1).otherwise(0)).alias("n_neg_votes"),
+        F.count(F.lit(1)).alias("n_votes"),
+        F.sum("vote").alias("vote_margin"),
+        F.when(F.sum("vote") > 0, F.lit("pos"))
+        .when(F.sum("vote") < 0, F.lit("neg"))
+        .otherwise(F.lit("tie"))
+        .alias("label"),
+    )

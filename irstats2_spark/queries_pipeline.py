@@ -2481,3 +2481,60 @@ def pairs_contrastive_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return contrastive_pairs(emb, queries, k_pos=1, n_neg=3, topn_excl=5)
+
+
+@register(
+    "text_classifier_votes",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+                   string_split({_NORM_SQL}, ' '), w -> length(w) > 0)) AS tok
+        FROM documents
+    ),
+    seed AS (
+        SELECT tok, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+        FROM toks WHERE source IN ('src0', 'src1')
+    ),
+    vocab AS (
+        SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+        FROM seed GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg
+        FROM vocab
+    ),
+    votes AS (
+        SELECT t.doc_id,
+               CASE WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         > COALESCE(v.c_neg, 0) * tt.t_pos THEN 1
+                    WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         < COALESCE(v.c_neg, 0) * tt.t_pos THEN -1
+                    ELSE 0 END AS vote
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos_votes,
+           CAST(SUM(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_neg_votes,
+           COUNT(*) AS n_votes,
+           CAST(SUM(vote) AS BIGINT) AS vote_margin,
+           CASE WHEN SUM(vote) > 0 THEN 'pos'
+                WHEN SUM(vote) < 0 THEN 'neg'
+                ELSE 'tie' END AS label
+    FROM votes GROUP BY 1
+    """,
+    doc="seed-set quality classifier (the CCNet/fastText learned-filter "
+    "pattern) reduced to integer-exact Naive-Bayes token votes: src0 "
+    "docs as positive seeds, src1 as negative, cross-multiplied counts "
+    "instead of log-likelihood floats — the oracle replays it exactly",
+)
+def text_classifier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import classifier_vote_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return classifier_vote_scores(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    )

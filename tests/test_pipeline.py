@@ -1171,6 +1171,33 @@ def test_contrastive_pairs_semantics(spark):
     assert negs2 != negs  # independent draw under a new salt
 
 
+def test_classifier_votes_hand_computed(spark):
+    """Vote classifier on a hand-computable fixture: tokens vote by
+    cross-multiplied class counts (no floats), unseen tokens abstain,
+    ties label 'tie'."""
+    from irstats2_spark.pipeline.textstats import classifier_vote_scores
+
+    pos = spark.createDataFrame(
+        [(100, "good good nice")], "doc_id long, text string"
+    )
+    neg = spark.createDataFrame([(200, "bad awful")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [
+            (1, "good bad unseen"),  # +1 -1 0 -> tie
+            (2, "good nice"),  # +1 +1 -> pos
+            (3, "awful awful"),  # -1 -1 -> neg
+            (4, "unseen words only"),  # all abstain -> tie
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in classifier_vote_scores(docs, pos, neg).collect()}
+    assert got[1].label == "tie" and got[1].vote_margin == 0
+    assert got[1].n_pos_votes == 1 and got[1].n_neg_votes == 1
+    assert got[2].label == "pos" and got[2].vote_margin == 2
+    assert got[3].label == "neg" and got[3].vote_margin == -2
+    assert got[4].label == "tie" and got[4].n_votes == 3
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
