@@ -249,3 +249,39 @@ def balanced_topk_sample(
         df.withColumn("sample_rank", F.row_number().over(w).cast("int"))
         .filter(F.col("sample_rank") <= k)
     )
+
+
+def top_fraction(
+    df: DataFrame,
+    order_col: str,
+    frac: float,
+    key_col: str,
+    ascending: bool = False,
+) -> DataFrame:
+    """Keep the best ``frac`` of rows by ``order_col`` — the
+    threshold-free form of quality filtering ("keep the top 30% by
+    classifier margin", FineWeb-edu style): rows rank globally by
+    (order_col, key_col) and rank <= floor(frac * N) survive. Exact
+    integer cutoff — no percentile interpolation to drift between
+    engines.
+
+    Plan: one count (cheap aggregate) + ONE global-sort window for the
+    rank. A global rank is the honest semantics of a corpus-wide
+    top-fraction; for 100-TB inputs prefer the two-phase approximation
+    (per-partition histogram -> threshold -> map-side filter) when a
+    +-epsilon boundary is acceptable."""
+    n_keep = df.select(
+        F.floor(F.count(F.lit(1)) * frac).cast("long").alias("k")
+    )
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        F.col(key_col).asc(),
+    ]
+    from pyspark.sql import Window
+
+    ranked = df.withColumn(
+        "quality_rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    )
+    return ranked.crossJoin(F.broadcast(n_keep)).filter(
+        F.col("quality_rank") <= F.col("k")
+    ).drop("k")

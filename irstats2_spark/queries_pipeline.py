@@ -2538,3 +2538,63 @@ def text_classifier_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src0"),
         docs.filter(F.col("source") == "src1"),
     )
+
+
+@register(
+    "text_classifier_top_fraction",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+                   string_split({_NORM_SQL}, ' '), w -> length(w) > 0)) AS tok
+        FROM documents
+    ),
+    seed AS (
+        SELECT tok, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+        FROM toks WHERE source IN ('src0', 'src1')
+    ),
+    vocab AS (
+        SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+        FROM seed GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg
+        FROM vocab
+    ),
+    votes AS (
+        SELECT t.doc_id,
+               CASE WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         > COALESCE(v.c_neg, 0) * tt.t_pos THEN 1
+                    WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         < COALESCE(v.c_neg, 0) * tt.t_pos THEN -1
+                    ELSE 0 END AS vote
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+    ),
+    margins AS (
+        SELECT doc_id, CAST(SUM(vote) AS BIGINT) AS vote_margin
+        FROM votes GROUP BY 1
+    ),
+    n AS (SELECT CAST(FLOOR(COUNT(*) * 0.3) AS BIGINT) AS k FROM margins)
+    SELECT doc_id, vote_margin, quality_rank FROM (
+        SELECT doc_id, vote_margin,
+               CAST(ROW_NUMBER() OVER (ORDER BY vote_margin DESC, doc_id ASC)
+                    AS BIGINT) AS quality_rank
+        FROM margins
+    ) r, n WHERE r.quality_rank <= n.k
+    """,
+    doc="learned-filter composition: classifier vote margins -> keep the "
+    "global top 30% by exact integer rank (no percentile interpolation "
+    "to drift between engines) — the FineWeb-edu-style quality cut",
+)
+def text_classifier_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import top_fraction
+    from irstats2_spark.pipeline.textstats import classifier_vote_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    margins = classifier_vote_scores(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    ).select("doc_id", "vote_margin")
+    return top_fraction(margins, "vote_margin", 0.3, "doc_id")
