@@ -40,18 +40,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #
 # Round-4 rotation (the set is re-cut each round so driver verification
 # CYCLES through the whole catalog instead of freezing on one list):
-# - the new round-4 queries: the e2e composition, the PQ family,
-#   scalar quantization, the Bloom prefilter, source stats;
+# - the 15 queries NEW this round: both e2e compositions (pretraining
+#   and embed->index->search), the PQ/IVF-PQ/scalar-quant family, the
+#   Bloom prefilter, source stats, balanced sampling, the recall audit,
+#   snapshot diff, contrastive pairs, and the vote classifier + its
+#   top-fraction cut;
 # - every query whose implementation changed this round — the
 #   contamination family (explode_outer 0.0 rows, no forced broadcast),
-#   the IVF assignment family (-2.0 NULL-cosine sentinel), the embed
-#   stub (half-up rounding), multimodal sniffing (prefix-only hex), and
-#   the shingle-family consumers of word_shingles' new keep_empty path;
+#   the IVF/kmeans assignment family (-2.0 NULL-cosine sentinel +
+#   centroid materialization), the embed stub (half-up rounding,
+#   model_batch_rows), multimodal sniffing (prefix-only hex), and the
+#   shingle-family consumers of word_shingles' keep_empty path;
 # - ALL 13 queries whose only green row still dates to round 1;
 # - two core anchors (A1 grouped sum, exact repeat) so the star-schema
 #   spine stays continuously verified;
-# - fill to 50 with the oldest r2-gated rows (the remaining 16 r2 rows
-#   rotate in next round).
+# - fill to 50 with the oldest r2-gated rows (the 30 displaced r2/r3
+#   rows listed below head round 5's cut).
 # Rotated out: the r3-green set just verified last round (they keep
 # their pytest sf0.01 oracle runs either way).
 GATE_PRIORITY: tuple[str, ...] = (
