@@ -890,3 +890,89 @@ def bloom_probe(
         hit = F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
         keep = hit if keep is None else keep & hit
     return out.withColumn("maybe_seen", keep).drop("__bloom")
+
+
+def embedding_dups_pq_blocking(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    bands: int = 4,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Embedding near-dup candidates by PQ-CODE BLOCKING: vectors whose
+    PQ codes agree on a whole band (m/bands consecutive subspaces) are
+    candidates, verified by exact quantized cosine >= threshold — the
+    code-space analog of MinHash-LSH banding, and the natural dedup tier
+    when the corpus already stores PQ codes (no shingles, no extra
+    signatures: the index IS the blocking key).
+
+    Scale shape: encode is a pure map (broadcast nested codebook, codes
+    + quantized vector carried together so the verify never joins back
+    to the corpus); banding explodes rows x bands map-side; ONE keyed
+    shuffle on (band, band signature) forms buckets; pairs are scored
+    inline and a max-agg collapses pairs found in several bands.
+    Candidate volume is bucket-bounded exactly like LSH — never
+    all-pairs. Recall: a near-dup pair is found iff some band's codes
+    all agree; more bands (fewer subspaces each) = higher recall."""
+    from irstats2_spark.pipeline.pq import pq_encode_vec
+    from irstats2_spark.pipeline.similarity import cosine_pre_quantized, quantize
+
+    assert m % bands == 0
+    per_band = m // bands
+
+    enc = pq_encode_vec(
+        embeddings.withColumn("__qv", quantize(F.col(vec_col), scale)),
+        codebook,
+        dim,
+        m,
+        id_col=id_col,
+        vec_col=vec_col,
+        scale=scale,
+        keep_cols=("__qv",),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ":",
+                    *[
+                        F.element_at(F.col("codes"), b * per_band + i + 1)
+                        for i in range(per_band)
+                    ],
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = enc.select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("__qv"),
+        F.explode(band_structs).alias("bs"),
+    ).select("doc_id", "__qv", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("__qv").alias("__qa"), "band", "sig"
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("__qv").alias("__qb"), "band", "sig"
+    )
+    pairs = (
+        a.join(b2, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                cosine_pre_quantized(F.col("__qa"), F.col("__qb")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("cosine").alias("cosine"))
+    )
+    return pairs

@@ -2598,3 +2598,38 @@ def text_classifier_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("source") == "src1"),
     ).select("doc_id", "vote_margin")
     return top_fraction(margins, "vote_margin", 0.3, "doc_id")
+
+
+@register(
+    "dedup_embedding_pq_blocking",
+    f"""
+    WITH {_pq_cte()},
+    {_PQ_ENC},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+        FROM enc a JOIN enc b
+          ON a.subspace = b.subspace AND a.code = b.code
+         AND a.vec_id < b.vec_id
+    )
+    SELECT doc_a, doc_b, cosine FROM (
+        SELECT c.doc_a, c.doc_b,
+               ROUND({_qcos_pre('qa.qv', 'qb.qv')}, 6) AS cosine
+        FROM cand c JOIN q qa ON c.doc_a = qa.vec_id
+                    JOIN q qb ON c.doc_b = qb.vec_id
+    ) WHERE cosine >= 0.45
+    """,
+    doc="embedding near-dup by PQ-CODE BLOCKING: vectors sharing any "
+    "per-subspace codeword are candidates (the stored index IS the "
+    "blocking key — no extra signatures), verified by exact quantized "
+    "cosine; bands=8 recovers every pair the all-pairs baseline finds "
+    "on this data, bands=4 trades recall for candidate volume",
+)
+def dedup_embedding_pq_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import embedding_dups_pq_blocking
+    from irstats2_spark.pipeline.pq import pq_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
+    return embedding_dups_pq_blocking(
+        emb, cb, dim=64, m=8, n_codes=4, bands=8, threshold=0.45
+    )
