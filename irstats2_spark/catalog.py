@@ -75,6 +75,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pairs_contrastive_mining",
     "text_classifier_votes",
     "text_classifier_top_fraction",
+    "text_classifier_top_fraction_binned",
     "dedup_embedding_pq_blocking",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
@@ -113,10 +114,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "a2_sum_all",
     "a3_daily_preagg",
     "j1_fact_join_dim",
-    "j2_grouping_join",
 )
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
-# they head round 5's cut): t2_densify,
+# they head round 5's cut): j2_grouping_join, t2_densify,
 # a6_a7_cumulative_running_avg, a5_ratio_metric,
 # events_sessionize, events_asof_prior,
 # events_unique_visitors_approx,

@@ -2633,3 +2633,83 @@ def dedup_embedding_pq_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_dups_pq_blocking(
         emb, cb, dim=64, m=8, n_codes=4, bands=8, threshold=0.45
     )
+
+
+@register(
+    "text_classifier_top_fraction_binned",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+                   string_split({_NORM_SQL}, ' '), w -> length(w) > 0)) AS tok
+        FROM documents
+    ),
+    seed AS (
+        SELECT tok, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+        FROM toks WHERE source IN ('src0', 'src1')
+    ),
+    vocab AS (
+        SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+        FROM seed GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg
+        FROM vocab
+    ),
+    votes AS (
+        SELECT t.doc_id,
+               CASE WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         > COALESCE(v.c_neg, 0) * tt.t_pos THEN 1
+                    WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         < COALESCE(v.c_neg, 0) * tt.t_pos THEN -1
+                    ELSE 0 END AS vote
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+    ),
+    margins AS (
+        SELECT doc_id, CAST(SUM(vote) AS BIGINT) AS vote_margin
+        FROM votes GROUP BY 1
+    ),
+    n AS (SELECT CAST(FLOOR(COUNT(*) * 0.3) AS BIGINT) AS k FROM margins),
+    hist AS (
+        SELECT vote_margin AS score, COUNT(*) AS cnt FROM margins GROUP BY 1
+    ),
+    cum AS (
+        SELECT score, cnt,
+               SUM(cnt) OVER (ORDER BY score DESC) - cnt AS above
+        FROM hist
+    ),
+    cut AS (
+        SELECT MIN(score) AS cut, CAST(MAX(above) AS BIGINT) AS cut_above, MIN(k) AS k
+        FROM cum, n WHERE above < k
+    )
+    SELECT doc_id, vote_margin FROM margins, cut WHERE vote_margin > cut
+    UNION ALL
+    SELECT doc_id, vote_margin FROM (
+        SELECT m.doc_id, m.vote_margin,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('cut:' || CAST(m.doc_id AS VARCHAR)) ASC,
+                            m.doc_id ASC) AS r,
+               c.k - c.cut_above AS need
+        FROM margins m, cut c WHERE m.vote_margin = c.cut
+    ) WHERE r <= need
+    """,
+    doc="the 100-TB form of the quality cut: exact score HISTOGRAM "
+    "finds the boundary margin (tiny aggregate, broadcast), everything "
+    "above it survives map-side, and only the boundary bin passes "
+    "through a rank window (deterministic hash tie-break) — exactly "
+    "floor(0.3*N) rows, no global sort of the corpus",
+)
+def text_classifier_top_fraction_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import top_fraction_binned
+    from irstats2_spark.pipeline.textstats import classifier_vote_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    margins = classifier_vote_scores(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    ).select("doc_id", "vote_margin")
+    return top_fraction_binned(margins, "vote_margin", 0.3, "doc_id")

@@ -1234,6 +1234,28 @@ def test_pq_blocking_recall_vs_allpairs(spark):
     assert b4 <= set(b8)  # coarser bands only lose candidates
 
 
+def test_top_fraction_binned_matches_global_rank_size_and_upper_set(spark):
+    """top_fraction_binned keeps exactly floor(frac*N) rows like the
+    global-rank top_fraction; rows strictly above the boundary score
+    agree between the two, and only the boundary bin's tie-break
+    differs (hash draw vs key order)."""
+    from irstats2_spark.pipeline.sampling import top_fraction, top_fraction_binned
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5) for i in range(1000)], "doc_id long, score long"
+    )
+    a = top_fraction(df, "score", 0.3, "doc_id")
+    b = top_fraction_binned(df, "score", 0.3, "doc_id")
+    sa = {r.doc_id for r in a.collect()}
+    sb = {r.doc_id for r in b.collect()}
+    assert len(sa) == len(sb) == 300
+    boundary = min(r.score for r in a.select("score").collect())
+    above = {r.doc_id for r in df.filter(F.col("score") > boundary).collect()}
+    assert above <= sa and above <= sb
+    # both fill the boundary bin and never dip below it
+    assert all(r.score >= boundary for r in b.select("score").collect())
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
