@@ -900,6 +900,7 @@ def embedding_dups_pq_blocking(
     n_codes: int = 4,
     bands: int = 4,
     threshold: float = 0.95,
+    max_bucket_size: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     scale: int = 1000,
@@ -914,13 +915,26 @@ def embedding_dups_pq_blocking(
     Scale shape: encode is a pure map (broadcast nested codebook, codes
     + quantized vector carried together so the verify never joins back
     to the corpus); banding explodes rows x bands map-side; ONE keyed
-    shuffle on (band, band signature) forms buckets; pairs are scored
-    inline and a max-agg collapses pairs found in several bands.
-    Candidate volume is bucket-bounded exactly like LSH — never
-    all-pairs. Recall: a near-dup pair is found iff some band's codes
-    all agree; more bands (fewer subspaces each) = higher recall."""
+    shuffle on (band, band signature) forms buckets; each bucket's pairs
+    are scored with an Arrow-batched numpy GEMM (applyInPandas — exact
+    quantized integers, half-up 6dp round, the same verified convention
+    as ``embedding_dups_ivf``; a JVM per-pair fold here cost ~10x at
+    bucket sizes in the hundreds) and a max-agg collapses pairs found in
+    several bands.
+
+    Candidate volume is bucket-bounded like LSH, so it scales ONLY if
+    the codes discriminate: size the codebook so expected bucket size
+    stays O(1)-ish (n_codes^(m/bands) >> corpus/acceptable_bucket), and
+    set ``max_bucket_size`` to drop degenerate buckets (boilerplate
+    code regions) outright — the standard web-scale cap, same contract
+    as ``minhash_lsh_dedup``. Recall: a near-dup pair is found iff some
+    band's codes all agree; more bands (fewer subspaces each) = higher
+    recall."""
+    import numpy as np
+    import pandas as pd
+
     from irstats2_spark.pipeline.pq import pq_encode_vec
-    from irstats2_spark.pipeline.similarity import cosine_pre_quantized, quantize
+    from irstats2_spark.pipeline.similarity import quantize
 
     assert m % bands == 0
     per_band = m // bands
@@ -954,25 +968,31 @@ def embedding_dups_pq_blocking(
         F.col("vec_id").alias("doc_id"),
         F.col("__qv"),
         F.explode(band_structs).alias("bs"),
-    ).select("doc_id", "__qv", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    a = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("__qv").alias("__qa"), "band", "sig"
+    ).select(
+        "doc_id", "__qv", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    b2 = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("__qv").alias("__qb"), "band", "sig"
-    )
-    pairs = (
-        a.join(b2, ["band", "sig"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                cosine_pre_quantized(F.col("__qa"), F.col("__qb")), 6
-            ).alias("cosine"),
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2 or (
+            max_bucket_size is not None and len(pdf) > max_bucket_size
+        ):
+            return pd.DataFrame({"doc_a": [], "doc_b": [], "cosine": []}).astype(
+                {"doc_a": "int64", "doc_b": "int64", "cosine": "float64"}
+            )
+        ids = pdf["doc_id"].to_numpy()
+        q = np.stack(pdf["__qv"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((q * q).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (q @ q.T) / np.outer(nrm, nrm)
+        cos = np.nan_to_num(cos, nan=-1.0)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
+        keep = (cos >= threshold) & (ids[:, None] < ids[None, :])
+        ai, bi = np.nonzero(keep)
+        return pd.DataFrame(
+            {"doc_a": ids[ai], "doc_b": ids[bi], "cosine": cos[ai, bi]}
         )
-        .filter(F.col("cosine") >= threshold)
-        .groupBy("doc_a", "doc_b")
-        .agg(F.max("cosine").alias("cosine"))
+
+    pairs = banded.groupBy("band", "sig").applyInPandas(
+        bucket_pairs, schema="doc_a long, doc_b long, cosine double"
     )
-    return pairs
+    return pairs.groupBy("doc_a", "doc_b").agg(F.max("cosine").alias("cosine"))

@@ -2603,7 +2603,7 @@ def text_classifier_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_pq_blocking",
     f"""
-    WITH {_pq_cte()},
+    WITH {_pq_cte(n_codes=16)},
     {_PQ_ENC},
     cand AS (
         SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
@@ -2619,19 +2619,18 @@ def text_classifier_top_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE cosine >= 0.45
     """,
     doc="embedding near-dup by PQ-CODE BLOCKING: vectors sharing any "
-    "per-subspace codeword are candidates (the stored index IS the "
-    "blocking key — no extra signatures), verified by exact quantized "
-    "cosine; bands=8 recovers every pair the all-pairs baseline finds "
-    "on this data, bands=4 trades recall for candidate volume",
+    "per-subspace codeword (16-codeword subspaces — sized so buckets "
+    "stay small) are candidates, GEMM-verified by exact quantized "
+    "cosine; the stored index IS the blocking key, no extra signatures",
 )
 def dedup_embedding_pq_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import embedding_dups_pq_blocking
     from irstats2_spark.pipeline.pq import pq_fit
 
     emb = load_table(spark, "embeddings", sf_dir)
-    cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=16, max_iter=2)
     return embedding_dups_pq_blocking(
-        emb, cb, dim=64, m=8, n_codes=4, bands=8, threshold=0.45
+        emb, cb, dim=64, m=8, n_codes=16, bands=8, threshold=0.45
     )
 
 
