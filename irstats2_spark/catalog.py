@@ -77,6 +77,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_classifier_top_fraction",
     "text_classifier_top_fraction_binned",
     "dedup_embedding_pq_blocking",
+    "text_ngram_novelty",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -113,10 +114,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- oldest r2-gated rows, cycling back through --
     "a2_sum_all",
     "a3_daily_preagg",
-    "j1_fact_join_dim",
 )
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
-# they head round 5's cut): j2_grouping_join, t2_densify,
+# they head round 5's cut): j1_fact_join_dim, j2_grouping_join, t2_densify,
 # a6_a7_cumulative_running_avg, a5_ratio_metric,
 # events_sessionize, events_asof_prior,
 # events_unique_visitors_approx,

@@ -405,3 +405,56 @@ def classifier_vote_scores(
         .otherwise(F.lit("tie"))
         .alias("label"),
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Corpus-level informativeness per doc: the fraction of its
+    distinct k-word shingles that appear in NO other document —
+    high-novelty docs carry content the corpus doesn't already have
+    (the inverse of boilerplate), a standard curation signal next to
+    dup rate and quality score.
+
+    Output: (doc_id, n_shingles, n_novel, novelty) — counts exact
+    integers, novelty one final division. Docs too short to shingle
+    emit (0, 0, 0.0) rather than dropping (the contamination-scores
+    contract).
+
+    Scale shape: shingle document frequencies are ONE groupBy on the
+    shingle (map-side combine; the shuffle carries hashes of work the
+    per-doc rollup needs anyway); the df table joins back to the
+    exploded shingles on the same key — at 100 TB, bucket both sides or
+    accept the one co-keyed shuffle — then a per-doc rollup."""
+    from irstats2_spark.pipeline.dedup import word_shingles
+
+    sh = word_shingles(docs, text_col, id_col, k, keep_empty=True)
+    df_counts = (
+        sh.filter(F.col("shingle").isNotNull())
+        .groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    joined = sh.join(df_counts, "shingle", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("shingle").isNotNull(), 1).otherwise(0)
+            ).alias("n_shingles"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("n_novel"), F.col("n_shingles")), F.lit(0.0)
+                ),
+                6,
+            ).alias("novelty"),
+        )
+    )

@@ -2712,3 +2712,35 @@ def text_classifier_top_fraction_binned(
         docs.filter(F.col("source") == "src1"),
     ).select("doc_id", "vote_margin")
     return top_fraction_binned(margins, "vote_margin", 0.3, "doc_id")
+
+
+@register(
+    "text_ngram_novelty",
+    f"""
+    WITH {_SHINGLES_SQL},
+    df_counts AS (
+        SELECT shingle, COUNT(DISTINCT doc_id) AS df FROM shingles GROUP BY 1
+    ),
+    per_doc AS (
+        SELECT s.doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN c.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        FROM shingles s JOIN df_counts c ON s.shingle = c.shingle
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_shingles, 0) AS n_shingles,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           COALESCE(ROUND(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6), 0.0)
+               AS novelty
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+    doc="per-doc k-gram novelty: fraction of a doc's distinct shingles "
+    "appearing in NO other document — the informativeness signal "
+    "(inverse of boilerplate) beside dup rate and quality in a "
+    "curation decision; exact integer counts, one division",
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import ngram_novelty
+
+    return ngram_novelty(load_table(spark, "documents", sf_dir))

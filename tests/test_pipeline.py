@@ -1256,6 +1256,30 @@ def test_top_fraction_binned_matches_global_rank_size_and_upper_set(spark):
     assert all(r.score >= boundary for r in b.select("score").collect())
 
 
+def test_ngram_novelty_hand_computed(spark):
+    """Novelty on a hand-computable fixture: all-unique shingles -> 1.0,
+    an exact twin -> 0.0 for both copies, partial overlap in between,
+    too-short docs emit the (0, 0, 0.0) row instead of dropping."""
+    from irstats2_spark.pipeline.textstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb cc dd ee"),  # shingles unique to doc 1 -> 1.0
+            (2, "xx yy zz ww"),  # twin of 3 -> 0.0
+            (3, "xx yy zz ww"),
+            (4, "xx yy zz qq"),  # shares 'xx yy zz' with 2/3; 'yy zz qq' novel
+            (5, "one two"),  # too short for 3-shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in ngram_novelty(docs).collect()}
+    assert got[1].novelty == 1.0 and got[1].n_shingles == 3
+    assert got[2].novelty == 0.0 and got[3].novelty == 0.0
+    assert got[4].n_shingles == 2 and got[4].n_novel == 1
+    assert got[4].novelty == 0.5
+    assert (got[5].n_shingles, got[5].n_novel, got[5].novelty) == (0, 0, 0.0)
+
+
 def test_canonicalize_url_rules(spark):
     """Every canonicalization rule on one fixture each: case, default
     ports, fragments, tracking params, param order, trailing slashes,
