@@ -387,6 +387,96 @@ def simhash(
     )
 
 
+def simhash_hamming_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup PAIRS: banded blocking over the signature, then an
+    exact Hamming verify. Output: (doc_a, doc_b, hamming) for pairs with
+    popcount(xor(sig_a, sig_b)) <= max_hamming.
+
+    Completes the SimHash tier: ``simhash`` emits signatures but (before
+    this) no pair stage existed, so SimHash could not feed
+    ``connected_components`` the way MinHash-LSH does. Blocking is the
+    classic Charikar/Manku split: cut the ``bits``-bit signature into
+    ``bands`` equal slices and bucket-join on (band, slice). Pigeonhole:
+    any pair within Hamming distance ``bands - 1`` agrees exactly on at
+    least one slice, so with ``max_hamming <= bands - 1`` (default 3 <= 3)
+    the banded output EQUALS the all-pairs scan — the oracle verifies
+    that equivalence, not just plausibility.
+
+    Scale shape (mirrors ``_band_candidates``): signatures are map-side
+    (zero-shuffle ``simhash``); banding explodes to ``bands`` rows per
+    doc carrying only (doc_id, band, slice-int, sig) — never text; ONE
+    groupBy on the (band, slice) bucket emits ordered in-bucket pairs;
+    the Hamming verify is pure integer math on the pair rows (the full
+    signature rides along in the bucket rows, so no join back to the
+    signature table). ``max_bucket_size`` caps boilerplate-collision
+    buckets exactly like the MinHash path: run ``exact_dedup`` first so
+    true duplicates never inflate a bucket.
+    """
+    assert bits % bands == 0
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    sig = simhash(docs, text_col, id_col, bits)
+    slices = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), b * band_bits)
+            .bitwiseAND(F.lit(mask))
+            .alias("key"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", "simhash", F.explode(F.array(*slices)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Sorted (id, sig) structs -> ordered in-bucket pairs, one groupBy.
+    members = F.array_sort(F.col("members"))
+    pair_structs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + 2, F.size(members)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["simhash"].alias("sa"),
+                    y["simhash"].alias("sb"),
+                ),
+            ),
+        )
+    )
+    bucket_ok = F.size("members") > 1
+    if max_bucket_size is not None:
+        bucket_ok = bucket_ok & (F.size("members") <= max_bucket_size)
+    pairs = (
+        banded.groupBy("band", "key")
+        .agg(
+            F.collect_set(
+                F.struct(F.col("doc_id"), F.col("simhash"))
+            ).alias("members")
+        )
+        .filter(bucket_ok)
+        .select(F.explode(pair_structs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
+        # a pair sharing several bands appears once per shared band
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        pairs.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

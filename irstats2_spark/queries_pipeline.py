@@ -257,10 +257,20 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
-@register(
-    "dedup_simhash",
-    f"""
-    WITH words AS (
+def _simhash_cte(bits: int) -> str:
+    """SimHash signature CTE (ends in ``sigs(doc_id, simhash)``) for any
+    signature width — shared by the signature query (16-bit) and the
+    Hamming-pair query (32-bit). Generated, not handwritten: the per-bit
+    vote columns are mechanical."""
+    votes = ",\n        ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(bits)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    words AS (
         SELECT DISTINCT doc_id, w AS word
         FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
               FROM documents)
@@ -273,28 +283,19 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     votes AS (
         SELECT doc_id,
-        SUM(CASE WHEN (h // 1) % 2 = 1 THEN 1 ELSE -1 END) AS v0,
-        SUM(CASE WHEN (h // 2) % 2 = 1 THEN 1 ELSE -1 END) AS v1,
-        SUM(CASE WHEN (h // 4) % 2 = 1 THEN 1 ELSE -1 END) AS v2,
-        SUM(CASE WHEN (h // 8) % 2 = 1 THEN 1 ELSE -1 END) AS v3,
-        SUM(CASE WHEN (h // 16) % 2 = 1 THEN 1 ELSE -1 END) AS v4,
-        SUM(CASE WHEN (h // 32) % 2 = 1 THEN 1 ELSE -1 END) AS v5,
-        SUM(CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END) AS v6,
-        SUM(CASE WHEN (h // 128) % 2 = 1 THEN 1 ELSE -1 END) AS v7,
-        SUM(CASE WHEN (h // 256) % 2 = 1 THEN 1 ELSE -1 END) AS v8,
-        SUM(CASE WHEN (h // 512) % 2 = 1 THEN 1 ELSE -1 END) AS v9,
-        SUM(CASE WHEN (h // 1024) % 2 = 1 THEN 1 ELSE -1 END) AS v10,
-        SUM(CASE WHEN (h // 2048) % 2 = 1 THEN 1 ELSE -1 END) AS v11,
-        SUM(CASE WHEN (h // 4096) % 2 = 1 THEN 1 ELSE -1 END) AS v12,
-        SUM(CASE WHEN (h // 8192) % 2 = 1 THEN 1 ELSE -1 END) AS v13,
-        SUM(CASE WHEN (h // 16384) % 2 = 1 THEN 1 ELSE -1 END) AS v14,
-        SUM(CASE WHEN (h // 32768) % 2 = 1 THEN 1 ELSE -1 END) AS v15
+        {votes}
         FROM wh GROUP BY doc_id
+    ),
+    sigs AS (
+        SELECT doc_id, CAST({sig} AS BIGINT) AS simhash
+        FROM votes
     )
-    SELECT doc_id,
-           CAST((CASE WHEN v0 > 0 THEN 1 ELSE 0 END) + (CASE WHEN v1 > 0 THEN 2 ELSE 0 END) + (CASE WHEN v2 > 0 THEN 4 ELSE 0 END) + (CASE WHEN v3 > 0 THEN 8 ELSE 0 END) + (CASE WHEN v4 > 0 THEN 16 ELSE 0 END) + (CASE WHEN v5 > 0 THEN 32 ELSE 0 END) + (CASE WHEN v6 > 0 THEN 64 ELSE 0 END) + (CASE WHEN v7 > 0 THEN 128 ELSE 0 END) + (CASE WHEN v8 > 0 THEN 256 ELSE 0 END) + (CASE WHEN v9 > 0 THEN 512 ELSE 0 END) + (CASE WHEN v10 > 0 THEN 1024 ELSE 0 END) + (CASE WHEN v11 > 0 THEN 2048 ELSE 0 END) + (CASE WHEN v12 > 0 THEN 4096 ELSE 0 END) + (CASE WHEN v13 > 0 THEN 8192 ELSE 0 END) + (CASE WHEN v14 > 0 THEN 16384 ELSE 0 END) + (CASE WHEN v15 > 0 THEN 32768 ELSE 0 END) AS BIGINT) AS simhash
-    FROM votes
-    """,
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"WITH {_simhash_cte(16)} SELECT doc_id, simhash FROM sigs",
     doc="SimHash 16-bit signatures from md5 word hashes; oracle rebuilds "
     "the per-bit vote sums in SQL",
 )
@@ -302,6 +303,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import simhash
 
     return simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_simhash_hamming",
+    f"""
+    WITH {_simhash_cte(32)}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs (32-bit): banded blocking + exact Hamming<=3 "
+    "verify; the all-pairs oracle proves the pigeonhole equivalence "
+    "(4 bands of 8 bits, d=3)",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+
+    return simhash_hamming_pairs(load_table(spark, "documents", sf_dir), bits=32)
 
 
 @register(

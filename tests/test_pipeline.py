@@ -87,6 +87,39 @@ def test_simhash_matches_python_oracle(spark, docs):
     assert got[1] == got[2] == got[6]
 
 
+def test_simhash_hamming_pairs_equal_brute_force(spark, docs):
+    """Banded blocking (4 bands, d <= bands-1) must return EXACTLY the
+    all-pairs Hamming<=3 set — the pigeonhole guarantee, checked against
+    a brute-force scan of the python_simhash signatures."""
+    from itertools import combinations
+
+    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+
+    sigs = {r.doc_id: python_simhash(r.text, bits=32) for r in docs.collect()}
+    expect = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(docs, bits=32).collect()
+    }
+    assert got == expect
+    assert got[(1, 2)] == 0  # exact dups agree bit-for-bit
+
+
+def test_simhash_hamming_bucket_cap_drops_boilerplate(spark):
+    """max_bucket_size caps collision buckets: 5 identical docs form one
+    5-member bucket in every band; cap 4 must drop all their pairs."""
+    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+
+    rows = [(i, "same exact boilerplate text everywhere") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    assert simhash_hamming_pairs(df, bits=32, max_bucket_size=4).count() == 0
+    assert simhash_hamming_pairs(df, bits=32).count() == 10
+
+
 def test_word_shingles(spark, docs):
     sh = word_shingles(docs.filter(F.col("doc_id") == 1), "text", "doc_id", 3)
     shingles = {r.shingle for r in sh.collect()}

@@ -574,6 +574,24 @@ def test_source_stats_shuffle_never_carries_text(spark, queries):
             assert "text#" not in block, block
 
 
+def test_simhash_hamming_is_bucketed_groupby_not_selfjoin(spark, queries):
+    """SimHash Hamming pairs must come from the banded bucket groupBy
+    (pair volume ∝ |bucket|^2), never a signature-table self-join
+    (∝ |docs|^2); and no exchange may carry document text — the
+    signature scan is map-side, so only (doc_id, band, key, sig) ints
+    ever shuffle."""
+    import re
+
+    plan = plan_of(queries["dedup_simhash_hamming"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "Join" not in plan  # groupBy-only pipeline
+    for block in plan.split("\n\n"):
+        # REPARTITION_BY_NUM is ensure_parallelism's small-input guard —
+        # a no-op at real scale (inputs already >= cores partitions)
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
+
+
 def test_snapshot_diff_shuffles_hashes_not_bodies(spark, queries):
     """The snapshot diff's full-outer join moves (doc_id, md5) rows; at
     100 TB neither side's document text may reach an exchange."""
