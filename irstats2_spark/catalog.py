@@ -79,6 +79,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_embedding_pq_blocking",
     "text_ngram_novelty",
     "dedup_simhash_hamming",
+    "select_dsir_weights",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -112,11 +113,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- continuously-verified core anchors --
     "a1_grouped_sum",
     "repeat_filter_exact",
-    # -- oldest r2-gated rows, cycling back through --
-    "a2_sum_all",
 )
-# (a3_daily_preagg cycled out when dedup_simhash_hamming landed: its r2 row
-# stands and its components were re-verified inside the r3 etl_* fact rows.)
+# (The r2 fillers a2_sum_all / a3_daily_preagg cycled out when
+# dedup_simhash_hamming and select_dsir_weights landed: their r2 rows stand,
+# their implementations are unchanged, and a3's components were re-verified
+# inside the r3 etl_* fact rows.)
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
 # they head round 5's cut): j1_fact_join_dim, j2_grouping_join, t2_densify,
 # a6_a7_cumulative_running_avg, a5_ratio_metric,

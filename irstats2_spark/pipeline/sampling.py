@@ -345,3 +345,90 @@ def top_fraction_binned(
         .drop("__r")
     )
     return above.unionByName(boundary).drop("__cut", "__cut_above", "__k")
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 1024,
+    salt: str = "dsir:",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) weights:
+    score each corpus document by how much more likely its hashed-unigram
+    bag is under the TARGET domain's token distribution than under the
+    raw corpus's. Output: (doc_id, n_tokens, lw_micro, logweight) for
+    EVERY corpus doc (token-less docs score 0), where
+
+        logweight = sum over token instances of
+                    ln( p_target(bucket) / p_raw(bucket) )
+
+    with add-one smoothing over ``n_buckets`` hash buckets. Selection is
+    then a composition: ``top_fraction(out, "lw_micro", frac, "doc_id")``
+    or a Gumbel-free weighted draw via ``weighted_sample``.
+
+    Engine-exact: the per-bucket log-ratio is quantized ONCE to integer
+    micro-nats — lq(b) = floor(1e6 * ln(num/den) + 0.5) — and each doc
+    sums integers, so the rollup is order-independent and the oracle
+    replays it bit-for-bit. num/den are products of exact integer
+    counts evaluated in DOUBLE ((c_t+1)*(T_raw+B) overflows int64 at
+    100-TB token counts; IEEE double products of identical inputs round
+    identically in any engine).
+
+    Scale shape: two groupBys over hashed-int token buckets (map-side
+    combine; results are <= n_buckets rows each), one BROADCAST of the
+    n_buckets-row score table onto the exploded corpus tokens, and a
+    per-doc integer rollup whose shuffle carries (doc_id, long) partials
+    — never text. The target side is usually a domain sample, but
+    nothing here materializes it beyond its bucket histogram."""
+    def tok(df: DataFrame) -> DataFrame:
+        from irstats2_spark.pipeline.textstats import tokens
+
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("tok"),
+        ).withColumn("bucket", hash_bucket(F.col("tok"), n_buckets, salt))
+
+    corpus_tok = tok(docs)
+    target_tok = tok(target)
+    raw = corpus_tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
+    tgt = target_tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    t_raw = corpus_tok.agg(F.count(F.lit(1)).alias("t_raw"))
+    t_t = target_tok.agg(F.count(F.lit(1)).alias("t_t"))
+    b = float(n_buckets)
+    num = (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double") * (
+        F.col("t_raw") + b
+    )
+    den = (F.col("c_raw") + 1).cast("double") * (F.col("t_t") + b)
+    stats = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(t_raw))
+        .crossJoin(F.broadcast(t_t))
+        .select(
+            "bucket",
+            F.floor(F.lit(1e6) * F.log(num / den) + F.lit(0.5))
+            .cast("long")
+            .alias("lq"),
+        )
+    )
+    scored = (
+        corpus_tok.join(F.broadcast(stats), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lq").alias("lw_micro"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("lw_micro"), F.lit(0)).cast("long").alias("lw_micro"),
+            F.round(F.coalesce(F.col("lw_micro"), F.lit(0)) / 1e6, 6).alias(
+                "logweight"
+            ),
+        )
+    )

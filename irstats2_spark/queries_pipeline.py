@@ -2764,3 +2764,54 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.textstats import ngram_novelty
 
     return ngram_novelty(load_table(spark, "documents", sf_dir))
+
+
+# DSIR importance weights: corpus tokens bucketed by salted md5 hash; the
+# target domain is the 'src0' source slice of the same corpus.
+_DSIR_TOKS = f"""
+    dsir_toks AS (
+        SELECT doc_id, source,
+               {_bucket_sql("dsir:", key="w", buckets=1024)} AS bucket
+        FROM (SELECT doc_id, source,
+                     unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents) t
+        WHERE length(w) > 0
+    )
+"""
+
+
+@register(
+    "select_dsir_weights",
+    f"""
+    WITH {_DSIR_TOKS},
+    raw AS (SELECT bucket, COUNT(*) AS c_raw FROM dsir_toks GROUP BY 1),
+    tgt AS (SELECT bucket, COUNT(*) AS c_t FROM dsir_toks
+            WHERE source = 'src0' GROUP BY 1),
+    tot AS (SELECT (SELECT COUNT(*) FROM dsir_toks) AS t_raw,
+                   (SELECT COUNT(*) FROM dsir_toks WHERE source = 'src0') AS t_t),
+    stats AS (
+        SELECT bucket,
+               CAST(FLOOR(1e6 * ln(
+                   (CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) * (t_raw + 1024.0))
+                   / (CAST(c_raw + 1 AS DOUBLE) * (t_t + 1024.0))) + 0.5)
+               AS BIGINT) AS lq
+        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+    ),
+    scored AS (
+        SELECT doc_id, COUNT(*) AS n_tokens, SUM(lq) AS lw_micro
+        FROM dsir_toks JOIN stats USING (bucket) GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(lw_micro, 0) AS BIGINT) AS lw_micro,
+           ROUND(COALESCE(lw_micro, 0) / 1e6, 6) AS logweight
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+    doc="DSIR importance weights vs the src0 target domain: hashed-unigram "
+    "log-likelihood ratios quantized to integer micro-nats, summed per doc",
+)
+def select_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import dsir_logweights
+
+    docs = load_table(spark, "documents", sf_dir)
+    return dsir_logweights(docs, docs.filter(F.col("source") == "src0"))

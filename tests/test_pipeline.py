@@ -1642,3 +1642,29 @@ def test_minhash_incremental_finds_cross_batch_dup(spark, docs):
     }
     assert out[(1, 6)] == 1.0 and out[(2, 6)] == 1.0  # normalized dups
     assert not any(new_id == 5 for _, new_id in out)  # unrelated doc clean
+
+
+def test_dsir_logweights_prefer_target_like_docs(spark):
+    """DSIR: docs that look like the target domain must outscore docs
+    that don't; token-less docs emit an exact-zero row."""
+    from irstats2_spark.pipeline.sampling import dsir_logweights
+
+    rows = [
+        (1, "spark query engine shuffle partition"),
+        (2, "spark query engine broadcast join"),
+        (3, "gardening soil tomato seeds watering"),
+        (4, "   "),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    target = docs.filter(F.col("doc_id").isin(1, 2))
+    out = {r.doc_id: r for r in dsir_logweights(docs, target).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1].logweight > out[3].logweight
+    assert out[2].logweight > out[3].logweight
+    assert out[4].n_tokens == 0 and out[4].lw_micro == 0
+    # integer micro-nat rollup is partitioning-independent
+    out2 = {
+        r.doc_id: r.lw_micro
+        for r in dsir_logweights(docs.repartition(7), target).collect()
+    }
+    assert out2 == {k: v.lw_micro for k, v in out.items()}

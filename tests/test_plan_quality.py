@@ -601,3 +601,17 @@ def test_snapshot_diff_shuffles_hashes_not_bodies(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block):
             assert "text#" not in block, block
+
+
+def test_dsir_scoring_broadcasts_the_bucket_table(spark, queries):
+    """DSIR's n_buckets-row score table must broadcast onto the exploded
+    corpus tokens (never a shuffle join against the corpus), and no
+    exchange may carry document text — only token buckets and integer
+    partials flow."""
+    import re
+
+    plan = plan_of(queries["select_dsir_weights"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
