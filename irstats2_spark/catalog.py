@@ -80,6 +80,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_ngram_novelty",
     "dedup_simhash_hamming",
     "select_dsir_weights",
+    "bpe_pair_counts",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -110,10 +111,14 @@ GATE_PRIORITY: tuple[str, ...] = (
     "browser_classification",
     "referrer_classification",
     "anon_md5_values",
-    # -- continuously-verified core anchors --
+    # -- continuously-verified core anchor --
     "a1_grouped_sum",
-    "repeat_filter_exact",
 )
+# (repeat_filter_exact stepped out of the anchor pair for one round to make
+# room for bpe_pair_counts: its r3 row is on unchanged code. bpe_train_merges
+# is registered but ungated — its driver check would be rows-only, while the
+# pytest suite verifies the full merge sequence against a sequential
+# reference; the gate slot is better spent on a value-hashed query.)
 # (The r2 fillers a2_sum_all / a3_daily_preagg cycled out when
 # dedup_simhash_hamming and select_dsir_weights landed: their r2 rows stand,
 # their implementations are unchanged, and a3's components were re-verified

@@ -2815,3 +2815,56 @@ def select_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return dsir_logweights(docs, docs.filter(F.col("source") == "src0"))
+
+
+@register(
+    "bpe_pair_counts",
+    f"""
+    WITH toks AS (
+        SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+    ),
+    words AS (
+        SELECT w AS word, COUNT(*) AS freq FROM toks
+        WHERE length(w) > 0 GROUP BY 1
+    ),
+    sym AS (
+        SELECT freq, list_append(string_split(word, ''), '</w>') AS s
+        FROM words
+    ),
+    pairs AS (
+        SELECT s[i] AS left_sym, s[i+1] AS right_sym, SUM(freq) AS pair_count
+        FROM (SELECT freq, s, unnest(generate_series(1, len(s) - 1)) AS i
+              FROM sym) t
+        GROUP BY 1, 2
+    )
+    SELECT left_sym, right_sym, CAST(pair_count AS BIGINT) AS pair_count
+    FROM pairs
+    ORDER BY pair_count DESC, left_sym, right_sym
+    LIMIT 20
+    """,
+    doc="BPE training round 1: freq-weighted adjacent symbol-pair counts "
+    "over the corpus word table (chars + </w> marker), top 20",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.bpe import pair_counts, symbolize, word_table
+
+    words = word_table(load_table(spark, "documents", sf_dir))
+    sym = words.select("freq", symbolize(F.col("word")).alias("symbols"))
+    return pair_counts(sym).orderBy(
+        F.col("pair_count").desc(),
+        F.col("left_sym").asc(),
+        F.col("right_sym").asc(),
+    ).limit(20)
+
+
+@register(
+    "bpe_train_merges",
+    None,  # iterative (argmax -> re-fold per round): not SQL-expressible
+    doc="distributed BPE training, 8 merges over the corpus word table; "
+    "rows-only gate — pytest verifies against a clean-room sequential "
+    "reference implementation",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.bpe import bpe_train
+
+    return bpe_train(load_table(spark, "documents", sf_dir), n_merges=8)

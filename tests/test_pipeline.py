@@ -1668,3 +1668,94 @@ def test_dsir_logweights_prefer_target_like_docs(spark):
         for r in dsir_logweights(docs.repartition(7), target).collect()
     }
     assert out2 == {k: v.lw_micro for k, v in out.items()}
+
+
+def _python_bpe(word_freqs: dict, n_merges: int):
+    """Clean-room sequential BPE reference (Sennrich-style): dict of
+    word -> freq, greedy left-to-right merge application."""
+    sym = {w: tuple(list(w) + ["</w>"]) for w in word_freqs}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        # deterministic tiebreak: max count, then lexicographically
+        # smallest (left, right)
+        top_n = max(counts.values())
+        best = min(p for p, c in counts.items() if c == top_n)
+        if counts[best] < 2:
+            break
+        merges.append((best[0], best[1], counts[best]))
+        a, b = best
+        for w in sym:
+            s, out, i = sym[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = tuple(out)
+    return merges, sym
+
+
+def test_bpe_train_matches_sequential_reference(spark):
+    from collections import Counter
+
+    from irstats2_spark.pipeline.bpe import bpe_segment, bpe_train
+    from irstats2_spark.pipeline.dedup import normalize_text  # noqa: F401
+
+    texts = [
+        "low low low low low lower lower",
+        "newest newest newest newest newest newest",
+        "widest widest widest lowest lowest",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    freqs = Counter(w for t in texts for w in t.split())
+    expect_merges, expect_sym = _python_bpe(dict(freqs), 10)
+    got = bpe_train(docs, n_merges=10)
+    got_rows = sorted(got.collect(), key=lambda r: r.merge_rank)
+    assert [(r.left_sym, r.right_sym, r.pair_count) for r in got_rows] == expect_merges
+    # segmentation agrees word-for-word with the reference's final state
+    seg = {r.doc_id: r for r in bpe_segment(docs, got).collect()}
+    for i, t in enumerate(texts):
+        expect_tokens = [tok for w in t.split() for tok in expect_sym[w]]
+        assert list(seg[i].tokens) == expect_tokens, i
+        assert seg[i].n_words == len(t.split())
+        assert seg[i].n_tokens == len(expect_tokens)
+
+
+def test_bpe_merge_is_greedy_nonoverlapping(spark):
+    """'aaaa' + merge (a,a) must give [aa, aa, </w>] — a fresh merge
+    output never re-merges within the same pass."""
+    from irstats2_spark.pipeline.bpe import merge_pair_expr, symbolize
+
+    df = spark.createDataFrame([("aaaa",), ("aaa",)], "word string")
+    out = {
+        r.word: r.m
+        for r in df.select(
+            "word",
+            merge_pair_expr(symbolize(F.col("word")), "a", "a").alias("m"),
+        ).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa", "</w>"]
+    assert out["aaa"] == ["aa", "a", "</w>"]
+
+
+def test_bpe_train_is_partitioning_independent(spark):
+    from irstats2_spark.pipeline.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [(i, "spark shuffle spark merge merge merge") for i in range(6)],
+        "doc_id int, text string",
+    )
+    a = [tuple(r) for r in bpe_train(docs, 4).collect()]
+    b = [tuple(r) for r in bpe_train(docs.repartition(5), 4).collect()]
+    assert a == b and len(a) == 4

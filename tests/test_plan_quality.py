@@ -615,3 +615,31 @@ def test_dsir_scoring_broadcasts_the_bucket_table(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
             assert "text#" not in block, block
+
+
+def test_bpe_pair_counts_single_groupby_take_ordered(spark, queries):
+    """BPE round-1 pair counting: word-table groupBy + pair groupBy are
+    the only exchanges, the top-20 is TakeOrderedAndProject (never a
+    global sort), and no exchange carries document text."""
+    import re
+
+    plan = plan_of(queries["bpe_pair_counts"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "TakeOrderedAndProject" in tree
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
+
+
+def test_bpe_segmentation_is_zero_shuffle_map(spark, queries):
+    """Applying a learned merge table is a pure map over the corpus: the
+    segmentation plan must contain no Exchange at all (the merge table is
+    collected — tiny by contract — and baked into the fold expression)."""
+    from irstats2_spark.pipeline.bpe import bpe_segment, bpe_train
+    from irstats2_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF)
+    merges = bpe_train(docs, n_merges=3)
+    plan = plan_of(bpe_segment(docs, merges))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
