@@ -81,6 +81,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_simhash_hamming",
     "select_dsir_weights",
     "bpe_pair_counts",
+    "mix_by_temperature",
+    "text_lm_nll_score",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -91,12 +93,16 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_kmeans_ivf_topk",
     "dedup_embedding_ivf",
     "dedup_embedding_ivf_probe2",
-    "multimodal_decode_stub",
     "pipeline_curation_neardup",
     "pipeline_curation_summary",
     "dedup_ngram_jaccard",
-    "dedup_minhash_signatures",
     "dedup_minhash_lsh",
+    # (multimodal_decode_stub and dedup_minhash_signatures ceded their
+    # slots to the new mix_by_temperature / text_lm_nll_score entries:
+    # multimodal's round-4 change is plan-only — the prefix-hex sniff is
+    # value-identical and its r3 row verified the same computed-byte
+    # oracle; minhash signatures are an interior stage of the still-gated
+    # dedup_minhash_lsh. Both keep their pytest sf0.01 oracle runs.)
     # -- r1-stale: only green row dates to round 1 --
     "p5_datafilter_eq",
     "t1_month_trunc",

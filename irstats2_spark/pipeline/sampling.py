@@ -432,3 +432,50 @@ def dsir_logweights(
             ),
         )
     )
+
+
+def temperature_mix_rates(
+    df: DataFrame,
+    strata_col: str,
+    alpha: float = 0.5,
+    target_total: float = 100.0,
+) -> DataFrame:
+    """Multinomial temperature-sampling rates (the multilingual-pretraining
+    recipe: stratum probability ∝ n^alpha, alpha<1 up-weighting small
+    strata — XLM/mT5-style source balancing). Returns (stratum, n_docs,
+    rate) where rate = min(1, target_total * p_s / n_s); feed it straight
+    to ``sample_by_rates``.
+
+    Engine-exact: each stratum's n^alpha term is quantized ONCE to
+    integer micro-units, the normalizer is the exact integer sum of those
+    terms (order-independent — a raw double sum would drift with
+    partitioning), and the final rate is one double expression over
+    integers, quantized to 6dp half-up.
+
+    Plan: one groupBy over the strata + a 1-row normalizer crossJoin —
+    both tiny; composition with ``sample_by_rates`` keeps the corpus
+    un-shuffled end to end."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    terms = counts.select(
+        "stratum",
+        "n_docs",
+        F.floor(F.lit(1e6) * F.pow(F.col("n_docs").cast("double"), F.lit(alpha)) + F.lit(0.5))
+        .cast("long")
+        .alias("__tq"),
+    )
+    z = terms.agg(F.sum("__tq").alias("__zq"))
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(target_total) * F.col("__tq"))
+        / (F.col("__zq").cast("double") * F.col("n_docs")),
+    )
+    return (
+        terms.crossJoin(F.broadcast(z))
+        .select(
+            "stratum",
+            "n_docs",
+            (F.floor(rate * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
+        )
+    )

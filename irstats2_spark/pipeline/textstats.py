@@ -458,3 +458,102 @@ def ngram_novelty(
             ).alias("novelty"),
         )
     )
+
+
+def lm_nll_scores(
+    docs: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bigram-LM negative-log-likelihood quality scores (the CCNet-style
+    perplexity filter, reduced to an engine-exact bigram model): train
+    add-one-smoothed bigram probabilities on a REFERENCE corpus (the
+    "good text" sample), score every corpus doc by the average NLL of its
+    bigrams under that model — low avg_nll ≈ reference-like text, high ≈
+    gibberish. Output: (doc_id, n_bigrams, nll_micro, avg_nll) for every
+    doc; docs with < 2 tokens score (0, 0, 0.0).
+
+        P(w | ctx) = (c_big(ctx,w) + 1) / (c_uni(ctx) + V)
+
+    with V = reference vocab size; unseen context ⇒ uniform 1/V.
+
+    Engine-exact like ``dsir_logweights``: each bigram's ln P is computed
+    from exact integer counts (one double division + one ln — identical
+    in any IEEE engine) and quantized ONCE to integer micro-nats; the
+    per-doc rollup sums integers, so results are partitioning-independent
+    and the SQL oracle replays them bit-for-bit.
+
+    Scale shape: reference unigram/bigram tables are two groupBys over
+    the (typically curated, small) reference sample and BROADCAST onto
+    the corpus's exploded bigrams — for a giant reference co-partition
+    both sides on the bigram key instead; the per-doc rollup's shuffle
+    carries (doc_id, long) partials, never text."""
+
+    def bigrams(df: DataFrame) -> DataFrame:
+        toks = tokens(F.col(text_col))
+        n = F.size("__toks")
+        zipped = F.arrays_zip(
+            F.slice(F.col("__toks"), 1, n - 1).alias("ctx"),
+            F.slice(F.col("__toks"), 2, n - 1).alias("w"),
+        )
+        return (
+            df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+            .filter(n >= 2)
+            .select("doc_id", F.explode(zipped).alias("b"))
+            .select("doc_id", F.col("b.ctx").alias("ctx"), F.col("b.w").alias("w"))
+        )
+
+    ref_big = bigrams(reference).groupBy("ctx", "w").agg(
+        F.count(F.lit(1)).alias("c_big")
+    )
+    ref_uni = (
+        reference.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_uni"))
+    )
+    vocab = ref_uni.agg(F.count(F.lit(1)).alias("v"))
+    scored = (
+        bigrams(docs)
+        .join(F.broadcast(ref_big), ["ctx", "w"], "left")
+        .join(
+            F.broadcast(ref_uni.withColumnRenamed("w", "ctx")), "ctx", "left"
+        )
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                F.lit(1e6)
+                * F.log(
+                    (F.coalesce(F.col("c_big"), F.lit(0)) + 1).cast("double")
+                    / (F.coalesce(F.col("c_uni"), F.lit(0)) + F.col("v")).cast(
+                        "double"
+                    )
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lq"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("lq")).alias("nll_micro"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce(F.col("nll_micro"), F.lit(0)).cast("long").alias("nll_micro"),
+            F.round(
+                F.coalesce(
+                    F.try_divide(F.col("nll_micro"), F.col("n_bigrams") * F.lit(1e6)),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+    )

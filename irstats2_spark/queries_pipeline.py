@@ -2868,3 +2868,99 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.bpe import bpe_train
 
     return bpe_train(load_table(spark, "documents", sf_dir), n_merges=8)
+
+
+@register(
+    "mix_by_temperature",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    terms AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(1e6 * POWER(CAST(n_docs AS DOUBLE), 0.5) + 0.5)
+                    AS BIGINT) AS tq
+        FROM counts
+    ),
+    z AS (SELECT SUM(tq) AS zq FROM terms),
+    rates AS (
+        SELECT source,
+               FLOOR(LEAST(1.0, (100.0 * tq) / (CAST(zq AS DOUBLE) * n_docs))
+                     * 1e6 + 0.5) / 1e6 AS rate
+        FROM terms CROSS JOIN z
+    )
+    SELECT d.doc_id, d.source
+    FROM (SELECT doc_id, source, {_bucket_sql('mix:')} AS b FROM documents) d
+    JOIN rates r ON r.source = d.source
+    WHERE d.b < r.rate * 10000
+    """,
+    doc="temperature-based source mixing (p ∝ n^0.5, ~100 expected docs): "
+    "the multilingual-pretraining balancing recipe as computed rates "
+    "into sample_by_rates; integer-quantized normalizer so the rates "
+    "are partitioning-independent",
+)
+def mix_by_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import (
+        sample_by_rates,
+        temperature_mix_rates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rates = temperature_mix_rates(docs, "source", alpha=0.5, target_total=100.0)
+    return sample_by_rates(
+        docs, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
+    ).select("doc_id", "source")
+
+
+@register(
+    "text_lm_nll_score",
+    f"""
+    WITH lm_toks AS (
+        SELECT doc_id, source,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, source, t[i] AS ctx, t[i+1] AS w
+        FROM (SELECT doc_id, source, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM lm_toks WHERE len(t) >= 2) z
+    ),
+    ref_big AS (
+        SELECT ctx, w, COUNT(*) AS c_big FROM big
+        WHERE source = 'src0' GROUP BY 1, 2
+    ),
+    ref_uni AS (
+        SELECT u AS w, COUNT(*) AS c_uni
+        FROM (SELECT unnest(t) AS u FROM lm_toks WHERE source = 'src0')
+        GROUP BY 1
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM ref_uni),
+    scored AS (
+        SELECT b.doc_id, COUNT(*) AS n_bigrams,
+               -SUM(CAST(FLOOR(1e6 * ln(
+                       CAST(COALESCE(rb.c_big, 0) + 1 AS DOUBLE)
+                       / CAST(COALESCE(ru.c_uni, 0) + v AS DOUBLE)) + 0.5)
+                    AS BIGINT)) AS nll_micro
+        FROM big b
+        LEFT JOIN ref_big rb ON rb.ctx = b.ctx AND rb.w = b.w
+        LEFT JOIN ref_uni ru ON ru.w = b.ctx
+        CROSS JOIN vocab
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           CAST(COALESCE(nll_micro, 0) AS BIGINT) AS nll_micro,
+           ROUND(COALESCE(nll_micro / (n_bigrams * 1e6), 0.0), 6) AS avg_nll
+    FROM documents d LEFT JOIN scored USING (doc_id)
+    """,
+    doc="bigram-LM quality scores (CCNet-style perplexity filter): add-one "
+    "bigram model trained on the src0 reference slice, per-doc average "
+    "NLL in integer micro-nats",
+)
+def text_lm_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import lm_nll_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    return lm_nll_scores(docs, docs.filter(F.col("source") == "src0"))

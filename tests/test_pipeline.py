@@ -1759,3 +1759,43 @@ def test_bpe_train_is_partitioning_independent(spark):
     a = [tuple(r) for r in bpe_train(docs, 4).collect()]
     b = [tuple(r) for r in bpe_train(docs.repartition(5), 4).collect()]
     assert a == b and len(a) == 4
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    from irstats2_spark.pipeline.sampling import temperature_mix_rates
+
+    rows = [(i, "big") for i in range(400)] + [(1000 + i, "small") for i in range(16)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    rates = {
+        r.stratum: r for r in temperature_mix_rates(df, "source", 0.5, 100.0).collect()
+    }
+    # p(big) = 20/24, p(small) = 4/24; expected kept: big 83.3, small 16.6
+    assert rates["small"].rate == 1.0  # capped: expected > stratum size
+    assert 0.2 < rates["big"].rate < 0.22  # 100 * (20/24) / 400
+    # alpha raises small-stratum share above its 16/416 proportional share
+    assert rates["small"].rate * 16 / 100.0 > 16 / 416
+
+
+def test_lm_nll_prefers_reference_like_text(spark):
+    """Bigram-LM scoring: reference-like docs get lower avg NLL than
+    out-of-domain docs; short docs emit exact-zero rows; integer
+    micro-nat sums are partitioning-independent."""
+    from irstats2_spark.pipeline.textstats import lm_nll_scores
+
+    ref_text = "the cat sat on the mat and the cat ran"
+    rows = [
+        (1, ref_text),
+        (2, "the cat sat on the mat"),          # in-domain
+        (3, "quantum flux capacitors oscillate wildly"),  # out-of-domain
+        (4, "one"),                              # < 2 tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    ref = docs.filter(F.col("doc_id") == 1)
+    out = {r.doc_id: r for r in lm_nll_scores(docs, ref).collect()}
+    assert out[2].avg_nll < out[3].avg_nll
+    assert out[4].n_bigrams == 0 and out[4].nll_micro == 0 and out[4].avg_nll == 0.0
+    out2 = {
+        r.doc_id: r.nll_micro
+        for r in lm_nll_scores(docs.repartition(5), ref).collect()
+    }
+    assert out2 == {k: v.nll_micro for k, v in out.items()}

@@ -643,3 +643,16 @@ def test_bpe_segmentation_is_zero_shuffle_map(spark, queries):
     plan = plan_of(bpe_segment(docs, merges))
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_lm_nll_reference_tables_broadcast(spark, queries):
+    """The bigram/unigram reference tables must broadcast onto the
+    corpus bigrams (never a shuffle join against the corpus), and no
+    non-repartition exchange may carry document text."""
+    import re
+
+    plan = plan_of(queries["text_lm_nll_score"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
