@@ -74,8 +74,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "corpus_snapshot_diff",
     "pairs_contrastive_mining",
     "text_classifier_votes",
-    "text_classifier_top_fraction",
     "text_classifier_top_fraction_binned",
+    # (text_classifier_top_fraction ceded its slot to
+    # dedup_ngram_containment: the binned variant gated above verifies
+    # the same cut semantics — exactly floor(frac*N) rows, same
+    # above-boundary set — through the scale-path plan; the global-rank
+    # form keeps its pytest sf0.01 oracle run and heads round 5's cut.)
     "dedup_embedding_pq_blocking",
     "text_ngram_novelty",
     "dedup_simhash_hamming",
@@ -83,6 +87,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "bpe_pair_counts",
     "mix_by_temperature",
     "text_lm_nll_score",
+    "dedup_ngram_containment",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",

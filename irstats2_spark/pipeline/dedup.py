@@ -160,6 +160,65 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_containment_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    C(A in B) = |A ∩ B| / |A| — the sub-document-duplication detector
+    Jaccard structurally misses: a short doc fully quoted inside a long
+    one has containment 1.0 but Jaccard ≈ |A|/|B| → 0 as B grows.
+    Output: (doc_id, contained_in, containment) — one DIRECTED row per
+    (smaller-side, larger-side) with C >= threshold; curation drops
+    ``doc_id`` (the contained doc) and keeps ``contained_in``.
+
+    Same one-shuffle co-occurrence shape as ``ngram_jaccard_pairs``
+    (shared shingle -> ordered pairs -> per-pair n_common), then BOTH
+    directed containments are checked from the one undirected pair row.
+    ``max_docs_per_shingle`` caps boilerplate blowup identically."""
+    sh = word_shingles(docs, text_col, id_col, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    ids = F.array_sort(F.col("ids"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    bucket_ok = F.size("ids") > 1
+    if max_docs_per_shingle is not None:
+        bucket_ok = bucket_ok & (F.size("ids") <= max_docs_per_shingle)
+    common = (
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(bucket_ok)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    both = common.join(sa, "doc_a").join(sb, "doc_b")
+    a_in_b = both.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("contained_in"),
+        F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
+    )
+    b_in_a = both.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("contained_in"),
+        F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
+    )
+    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+
+
 def _minhash_aggs(n_hashes: int) -> list:
     """Per-doc MinHash aggregate expressions: permutation i's hash of a
     shingle is an 8-hex-char SLICE of md5(salt || shingle) — one md5

@@ -2964,3 +2964,37 @@ def text_lm_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, "documents", sf_dir)
     return lm_nll_scores(docs, docs.filter(F.col("source") == "src0"))
+
+
+@register(
+    "dedup_ngram_containment",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    both_dirs AS (
+        SELECT doc_a AS doc_id, doc_b AS contained_in,
+               ROUND(n_common / sa.n, 6) AS containment
+        FROM common JOIN sizes sa ON sa.doc_id = doc_a
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS contained_in,
+               ROUND(n_common / sb.n, 6) AS containment
+        FROM common JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_id, contained_in, containment
+    FROM both_dirs WHERE containment >= 0.6
+    """,
+    doc="asymmetric shingle containment |A∩B|/|A| >= 0.6: catches short "
+    "docs duplicated inside longer ones where Jaccard vanishes",
+)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.6
+    )

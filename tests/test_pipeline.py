@@ -1799,3 +1799,24 @@ def test_lm_nll_prefers_reference_like_text(spark):
         for r in lm_nll_scores(docs.repartition(5), ref).collect()
     }
     assert out2 == {k: v.nll_micro for k, v in out.items()}
+
+
+def test_containment_catches_quoted_subdocument(spark):
+    """A short doc fully contained in a long one: containment 1.0 in the
+    short->long direction even though Jaccard is far below threshold."""
+    from irstats2_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " " + " ".join(f"filler{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_)], "doc_id int, text string"
+    )
+    got = {
+        (r.doc_id, r.contained_in): r.containment
+        for r in ngram_containment_pairs(docs, threshold=0.8).collect()
+    }
+    assert got == {(1, 2): 1.0}
+    assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
