@@ -1820,3 +1820,45 @@ def test_containment_catches_quoted_subdocument(spark):
     }
     assert got == {(1, 2): 1.0}
     assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
+
+
+def test_bpe_merge_fold_matches_reference_on_random_words(spark):
+    """Property-style pin: the JVM fold and the sequential python merge
+    agree on 300 random {a,b,c} words for every pair over the alphabet —
+    one Spark job for the whole grid (a per-example job would be too
+    slow), seeded for reproducibility."""
+    import random
+
+    from irstats2_spark.pipeline.bpe import merge_pair_expr
+
+    rng = random.Random(0xBEEF)
+    words = [
+        "".join(rng.choice("abc") for _ in range(rng.randint(1, 10)))
+        for _ in range(300)
+    ]
+    pairs = [(a, b) for a in "abc" for b in "abc"]
+
+    def py_merge(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    sym = F.split(F.col("word"), "(?!$)")  # chars, no trailing empty
+    cols = [
+        merge_pair_expr(sym, a, b).alias(f"m_{a}{b}") for a, b in pairs
+    ]
+    rows = df.select("word", *cols).collect()
+    for r in rows:
+        for a, b in pairs:
+            assert list(r[f"m_{a}{b}"]) == py_merge(list(r.word), a, b), (
+                r.word,
+                a,
+                b,
+            )
