@@ -446,93 +446,158 @@ def simhash(
     )
 
 
+def simhash64(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit halves (doc_id, sim_lo, sim_hi) —
+    the Manku-et-al. production width. Two halves rather than one long
+    because bit 63 of a packed single value would overflow signed int64
+    arithmetic in SQL engines (2^63 has no positive BIGINT), and the
+    Hamming math is identical: popcount(xor(lo)) + popcount(xor(hi)).
+
+    Word hashes are the first and second 8-hex-char slices of md5(word)
+    — independent 32-bit draws, engine-portable. Same zero-shuffle
+    map-side shape as ``simhash``."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    words = F.array_distinct(
+        F.filter(
+            F.split(normalize_text(F.col(text_col)), " "),
+            lambda w: F.length(w) > 0,
+        )
+    )
+    h1 = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    )
+    h2 = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 9, 8), 16, 10).cast("long")
+    )
+
+    def pack(hcol: str) -> "F.Column":
+        sig = None
+        for b in range(32):
+            vote = F.aggregate(
+                F.col(hcol),
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(F.shiftright(h, b).bitwiseAND(1) == 1, 1).otherwise(-1),  # noqa: B023
+            )
+            term = F.when(vote > 0, 2**b).otherwise(0)
+            sig = term if sig is None else sig + term
+        return sig.cast("long")
+
+    return docs.withColumn("__h1", h1).withColumn("__h2", h2).select(
+        F.col(id_col).alias("doc_id"),
+        pack("__h1").alias("sim_lo"),
+        pack("__h2").alias("sim_hi"),
+    )
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bits: int = 16,
     bands: int = 4,
     max_hamming: int = 3,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup PAIRS: banded blocking over the signature, then an
-    exact Hamming verify. Output: (doc_a, doc_b, hamming) for pairs with
-    popcount(xor(sig_a, sig_b)) <= max_hamming.
+    """SimHash near-dup PAIRS: banded blocking over the 64-bit signature,
+    then an exact Hamming verify. Output: (doc_a, doc_b, hamming) for
+    pairs with popcount(xor(sig_a, sig_b)) <= max_hamming.
 
     Completes the SimHash tier: ``simhash`` emits signatures but (before
     this) no pair stage existed, so SimHash could not feed
     ``connected_components`` the way MinHash-LSH does. Blocking is the
-    classic Charikar/Manku split: cut the ``bits``-bit signature into
-    ``bands`` equal slices and bucket-join on (band, slice). Pigeonhole:
-    any pair within Hamming distance ``bands - 1`` agrees exactly on at
-    least one slice, so with ``max_hamming <= bands - 1`` (default 3 <= 3)
-    the banded output EQUALS the all-pairs scan — the oracle verifies
-    that equivalence, not just plausibility.
+    classic Charikar/Manku split: cut the signature into ``bands`` equal
+    slices and bucket-join on (band, slice). Pigeonhole: any pair within
+    Hamming distance ``bands - 1`` agrees exactly on at least one slice,
+    so with ``max_hamming <= bands - 1`` (default 3 <= 3) the banded
+    output EQUALS the all-pairs scan — the oracle verifies that
+    equivalence, not just plausibility.
 
-    Scale shape (mirrors ``_band_candidates``): signatures are map-side
-    (zero-shuffle ``simhash``); banding explodes to ``bands`` rows per
-    doc carrying only (doc_id, band, slice-int, sig) — never text; ONE
-    groupBy on the (band, slice) bucket emits ordered in-bucket pairs;
-    the Hamming verify is pure integer math on the pair rows (the full
-    signature rides along in the bucket rows, so no join back to the
-    signature table). ``max_bucket_size`` caps boilerplate-collision
-    buckets exactly like the MinHash path: run ``exact_dedup`` first so
-    true duplicates never inflate a bucket.
-    """
-    assert bits % bands == 0
-    band_bits = bits // bands
+    Scale shape: signatures are map-side (zero-shuffle ``simhash64``);
+    banding explodes to ``bands`` rows per doc carrying only (doc_id,
+    band, 16-bit slice, lo, hi) — never text. Candidates come from a
+    SELF-JOIN on the (band, slice) key, NOT the collect-a-bucket-array
+    groupBy the MinHash path uses: simhash slices are SEMANTIC keys
+    (similar docs collide by construction), so bucket sizes are heavy-
+    tailed where MinHash's md5 band keys are uniform — a hot bucket of
+    N docs would materialize an N^2 struct array inside ONE aggregation
+    row (the first version of this operator spent 60 s of a 220 s bench
+    run in exactly that), while the join STREAMS the same pairs through
+    codegen and AQE's skew-join splitting distributes a hot key across
+    tasks. The Hamming verify sits in the join condition, so only
+    passing pairs (output-sized, not candidate-sized) reach the
+    pair-dedup groupBy. ``max_bucket_size`` drops boilerplate-collision
+    buckets via a tiny bucket-size side table; run ``exact_dedup``
+    first so true duplicates never inflate a bucket."""
+    assert 64 % bands == 0
+    band_bits = 64 // bands
     mask = (1 << band_bits) - 1
-    sig = simhash(docs, text_col, id_col, bits)
-    slices = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), b * band_bits)
-            .bitwiseAND(F.lit(mask))
-            .alias("key"),
+    sig = simhash64(docs, text_col, id_col)
+    slices = []
+    for b in range(bands):
+        half = F.col("sim_lo") if b < bands // 2 else F.col("sim_hi")
+        shift = (b % (bands // 2)) * band_bits
+        slices.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(half, shift).bitwiseAND(F.lit(mask)).alias("key"),
+            )
         )
-        for b in range(bands)
-    ]
     banded = sig.select(
-        "doc_id", "simhash", F.explode(F.array(*slices)).alias("bk")
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    # Sorted (id, sig) structs -> ordered in-bucket pairs, one groupBy.
-    members = F.array_sort(F.col("members"))
-    pair_structs = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + 2, F.size(members)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["simhash"].alias("sa"),
-                    y["simhash"].alias("sb"),
-                ),
-            ),
-        )
+        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*slices)).alias("bk")
+    ).select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
     )
-    bucket_ok = F.size("members") > 1
     if max_bucket_size is not None:
-        bucket_ok = bucket_ok & (F.size("members") <= max_bucket_size)
-    pairs = (
-        banded.groupBy("band", "key")
-        .agg(
-            F.collect_set(
-                F.struct(F.col("doc_id"), F.col("simhash"))
-            ).alias("members")
+        sizes = banded.groupBy("band", "key").agg(
+            F.count(F.lit(1)).alias("__bn")
         )
-        .filter(bucket_ok)
-        .select(F.explode(pair_structs).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sa", "p.sb")
+        banded = (
+            banded.join(F.broadcast(sizes), ["band", "key"])
+            .filter(F.col("__bn") <= max_bucket_size)
+            .drop("__bn")
+        )
+    a = banded.select(
+        F.col("band"),
+        F.col("key"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_lo").alias("__alo"),
+        F.col("sim_hi").alias("__ahi"),
+    )
+    b_side = banded.select(
+        F.col("band"),
+        F.col("key"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_lo").alias("__blo"),
+        F.col("sim_hi").alias("__bhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("__alo").bitwiseXOR(F.col("__blo")))
+        + F.bit_count(F.col("__ahi").bitwiseXOR(F.col("__bhi")))
+    ).cast("int")
+    return (
+        a.join(
+            b_side,
+            on=[
+                a["band"] == b_side["band"],
+                a["key"] == b_side["key"],
+                F.col("doc_a") < F.col("doc_b"),
+            ],
+        )
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
         # a pair sharing several bands appears once per shared band
         .groupBy("doc_a", "doc_b")
-        .agg(F.first("sa").alias("sa"), F.first("sb").alias("sb"))
-    )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        pairs.withColumn("hamming", hamming.cast("int"))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .agg(F.first("hamming").alias("hamming"))
     )
 
 

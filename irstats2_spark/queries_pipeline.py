@@ -305,23 +305,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, "documents", sf_dir))
 
 
+def _simhash64_cte() -> str:
+    """64-bit SimHash CTE as two 32-bit halves (ends in
+    ``sigs64(doc_id, sim_lo, sim_hi)``), mirroring
+    ``pipeline.dedup.simhash64``: per-word hashes are md5 hex slices
+    [1,8] (lo) and [9,16] (hi)."""
+    parts = []
+    for pfx, lohi in (("u", "sim_lo"), ("w", "sim_hi")):
+        votes = ",\n        ".join(
+            f"SUM(CASE WHEN (h{pfx} // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)"
+            f" AS {pfx}{b}"
+            for b in range(32)
+        )
+        sig = " + ".join(
+            f"(CASE WHEN {pfx}{b} > 0 THEN {1 << b} ELSE 0 END)"
+            for b in range(32)
+        )
+        parts.append((votes, sig, pfx, lohi))
+    return f"""
+    words64 AS (
+        SELECT DISTINCT doc_id, w AS word
+        FROM (SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS w
+              FROM documents)
+        WHERE length(w) > 0
+    ),
+    wh64 AS (
+        SELECT doc_id,
+               CAST(concat('0x', substring(md5(word), 1, 8)) AS BIGINT) AS hu,
+               CAST(concat('0x', substring(md5(word), 9, 8)) AS BIGINT) AS hw
+        FROM words64
+    ),
+    votes_lo AS (SELECT doc_id, {parts[0][0]} FROM wh64 GROUP BY doc_id),
+    votes_hi AS (SELECT doc_id, {parts[1][0]} FROM wh64 GROUP BY doc_id),
+    sigs64 AS (
+        SELECT a.doc_id,
+               CAST({parts[0][1]} AS BIGINT) AS sim_lo,
+               CAST({parts[1][1]} AS BIGINT) AS sim_hi
+        FROM votes_lo a JOIN votes_hi USING (doc_id)
+    )
+"""
+
+
 @register(
     "dedup_simhash_hamming",
     f"""
-    WITH {_simhash_cte(32)}
+    WITH {_simhash64_cte()}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+    FROM sigs64 a JOIN sigs64 b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+          + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
     """,
-    doc="SimHash near-dup pairs (32-bit): banded blocking + exact Hamming<=3 "
-    "verify; the all-pairs oracle proves the pigeonhole equivalence "
-    "(4 bands of 8 bits, d=3)",
+    doc="SimHash near-dup pairs (64-bit, two 32-bit halves): banded "
+    "blocking self-join + exact Hamming<=3 verify; the all-pairs oracle "
+    "proves the pigeonhole equivalence (4 bands of 16 bits, d=3)",
 )
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
 
-    return simhash_hamming_pairs(load_table(spark, "documents", sf_dir), bits=32)
+    return simhash_hamming_pairs(load_table(spark, "documents", sf_dir))
 
 
 @register(

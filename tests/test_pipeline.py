@@ -87,23 +87,49 @@ def test_simhash_matches_python_oracle(spark, docs):
     assert got[1] == got[2] == got[6]
 
 
+def python_simhash64(text: str) -> tuple[int, int]:
+    """(lo, hi) 64-bit signature mirroring dedup.simhash64: word hashes
+    from md5 hex slices [0:8] and [8:16]."""
+    import re
+
+    norm = re.sub(r"\s+", " ", re.sub(r"[^a-z0-9\s]", " ", text.lower())).strip()
+    words = {w for w in norm.split(" ") if w}
+    out = []
+    for sl in (slice(0, 8), slice(8, 16)):
+        votes = [0] * 32
+        for w in words:
+            h = int(hashlib.md5(w.encode()).hexdigest()[sl], 16)
+            for b in range(32):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        out.append(sum(2**b for b in range(32) if votes[b] > 0))
+    return out[0], out[1]
+
+
 def test_simhash_hamming_pairs_equal_brute_force(spark, docs):
     """Banded blocking (4 bands, d <= bands-1) must return EXACTLY the
     all-pairs Hamming<=3 set — the pigeonhole guarantee, checked against
-    a brute-force scan of the python_simhash signatures."""
+    a brute-force scan of the python_simhash64 signatures."""
     from itertools import combinations
 
-    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+    from irstats2_spark.pipeline.dedup import simhash64, simhash_hamming_pairs
 
-    sigs = {r.doc_id: python_simhash(r.text, bits=32) for r in docs.collect()}
+    sigs = {r.doc_id: python_simhash64(r.text) for r in docs.collect()}
+    got_sigs = {r.doc_id: (r.sim_lo, r.sim_hi) for r in simhash64(docs).collect()}
+    assert got_sigs == sigs
+
+    def ham(a, b):
+        return bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+            sigs[a][1] ^ sigs[b][1]
+        ).count("1")
+
     expect = {
-        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        (a, b): ham(a, b)
         for a, b in combinations(sorted(sigs), 2)
-        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+        if ham(a, b) <= 3
     }
     got = {
         (r.doc_a, r.doc_b): r.hamming
-        for r in simhash_hamming_pairs(docs, bits=32).collect()
+        for r in simhash_hamming_pairs(docs).collect()
     }
     assert got == expect
     assert got[(1, 2)] == 0  # exact dups agree bit-for-bit
@@ -116,8 +142,8 @@ def test_simhash_hamming_bucket_cap_drops_boilerplate(spark):
 
     rows = [(i, "same exact boilerplate text everywhere") for i in range(5)]
     df = spark.createDataFrame(rows, "doc_id int, text string")
-    assert simhash_hamming_pairs(df, bits=32, max_bucket_size=4).count() == 0
-    assert simhash_hamming_pairs(df, bits=32).count() == 10
+    assert simhash_hamming_pairs(df, max_bucket_size=4).count() == 0
+    assert simhash_hamming_pairs(df).count() == 10
 
 
 def test_word_shingles(spark, docs):

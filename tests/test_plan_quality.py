@@ -574,17 +574,22 @@ def test_source_stats_shuffle_never_carries_text(spark, queries):
             assert "text#" not in block, block
 
 
-def test_simhash_hamming_is_bucketed_groupby_not_selfjoin(spark, queries):
-    """SimHash Hamming pairs must come from the banded bucket groupBy
-    (pair volume ∝ |bucket|^2), never a signature-table self-join
-    (∝ |docs|^2); and no exchange may carry document text — the
-    signature scan is map-side, so only (doc_id, band, key, sig) ints
-    ever shuffle."""
+def test_simhash_hamming_streams_pairs_through_banded_join(spark, queries):
+    """SimHash Hamming pairs must come from the banded (band, key)
+    self-JOIN — which streams in-bucket pairs through codegen and lets
+    AQE split hot semantic buckets — never a CartesianProduct and never
+    the collect-a-bucket-array groupBy (a hot bucket of N docs would
+    build an N^2 struct array inside one aggregation row; that shape
+    cost 60 s of a 220 s bench run before this plan was pinned). The
+    Hamming filter must sit ON the join (join condition / post-join
+    filter), so only output-sized pairs reach the dedup groupBy; no
+    non-repartition exchange may carry document text."""
     import re
 
     plan = plan_of(queries["dedup_simhash_hamming"](spark, SF))
-    assert "SortMergeJoin" not in plan
-    assert "Join" not in plan  # groupBy-only pipeline
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan  # banded self-join, not array explosion
+    assert "collect_set" not in plan and "collect_list" not in plan
     for block in plan.split("\n\n"):
         # REPARTITION_BY_NUM is ensure_parallelism's small-input guard —
         # a no-op at real scale (inputs already >= cores partitions)
