@@ -402,3 +402,52 @@ def bloom_prefilter_stream(
         hit = F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
         keep = hit if keep is None else keep & hit
     return out.withColumn("maybe_seen", keep).drop("__bloom")
+
+
+def decontaminate_stream(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    k: int = 3,
+    max_frac: float = 0.5,
+    text_col: str = "text",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.contamination``: score every arriving
+    document's k-gram overlap against the STATIC benchmark set and tag
+    it ``contaminated`` (frac > max_frac), so a live ingest can divert
+    eval-tainted docs before they reach the training corpus.
+
+    Why this streams statelessly where the batch formulation wouldn't:
+    batch ``contamination_scores`` explodes shingles and groupBys per
+    doc — a stateful streaming aggregation. Here the doc's DISTINCT
+    shingle set stays an IN-ROW array (``dedup.shingle_array``) and the
+    benchmark's shingle set folds to ONE static row (small by contract:
+    eval sets are the broadcast side in batch too, and a set past
+    driver memory should use the batch path's key-only join); the score
+    is then a row-local ``array_intersect`` on the cross-joined row —
+    counts bit-identical to the batch operator, no streaming state at
+    all. The static side re-plans every micro-batch, so a re-built
+    benchmark list swaps in under the checkpoint between runs."""
+    from irstats2_spark.pipeline.dedup import shingle_array
+
+    bench_arr = (
+        benchmark.select(
+            F.explode(shingle_array(F.col(bench_text_col), k)).alias("shingle")
+        )
+        .agg(F.array_distinct(F.collect_list("shingle")).alias("__bench"))
+    )
+    out = docs.withColumn("__sh", shingle_array(F.col(text_col), k)).crossJoin(
+        bench_arr
+    )
+    n_sh = F.size("__sh")
+    n_hit = F.size(F.array_intersect(F.col("__sh"), F.col("__bench")))
+    frac = F.coalesce(
+        F.round(F.try_divide(n_hit, n_sh), 6), F.lit(0.0)
+    )
+    return (
+        out.withColumn("n_shingles", n_sh.cast("long"))
+        .withColumn("n_contaminated", n_hit.cast("long"))
+        .withColumn("contamination_frac", frac)
+        .withColumn("contaminated", frac > max_frac)
+        .drop("__sh", "__bench")
+    )

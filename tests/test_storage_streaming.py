@@ -523,3 +523,63 @@ def test_streaming_bloom_prefilter_matches_batch_probe(spark, tmp_path):
         for r in bloom_probe(batch, bloom, n_hashes=k, m_bits=m_bits).collect()
     }
     assert got == want  # stream == batch, bit for bit
+
+
+def test_streaming_decontamination_matches_batch_scores(spark, tmp_path):
+    """decontaminate_stream: per-row array-intersect scores must be
+    bit-identical to batch contamination_scores on the same docs, with
+    no stateful aggregation in the stream."""
+    import json
+
+    from irstats2_spark.pipeline.contamination import contamination_scores
+    from irstats2_spark.streaming.ingest import decontaminate_stream
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], "text string"
+    )
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",  # heavy overlap
+        "completely unrelated words about spark engines here",  # none
+        "the quick brown cat naps all day long",  # partial
+        "too short",  # unshingleable at k=3 -> 0.0
+    ]
+    rows = [
+        {"doc_id": i, "ts": f"2024-01-01T00:0{i}:00Z", "text": t}
+        for i, t in enumerate(texts)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = decontaminate_stream(stream, bench, k=3, max_frac=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_frac, r.contaminated)
+        for r in spark.sql(
+            "SELECT doc_id, n_shingles, n_contaminated, contamination_frac,"
+            " contaminated FROM decon_stream_out"
+        ).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expect = {
+        r.doc_id: (r.n_shingles, r.n_contaminated, r.contamination_frac)
+        for r in contamination_scores(batch_docs, bench, k=3).collect()
+    }
+    assert len(got) == 4
+    for i in range(4):
+        assert got[i][:3] == expect[i], i
+    assert got[0][3] is True and got[1][3] is False and got[3][3] is False
