@@ -63,8 +63,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_pretrain_e2e",
     "pipeline_embed_index_search_e2e",
     "similarity_pq_fit",
-    "similarity_pq_encode",
     "similarity_pq_topk",
+    # (similarity_pq_encode ceded its slot to dedup_lsh_recall_audit:
+    # the encode stage is replayed inside similarity_pq_topk's full SQL
+    # oracle, so its own row is transitive; it keeps the pytest sf0.01
+    # oracle run and heads round 5's cut.)
     "similarity_scalar_quant_error",
     "similarity_ivfpq_topk",
     "dedup_bloom_prefilter",
@@ -88,6 +91,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mix_by_temperature",
     "text_lm_nll_score",
     "dedup_ngram_containment",
+    "dedup_lsh_recall_audit",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",

@@ -401,6 +401,48 @@ def minhash_lsh_dedup(
     )
 
 
+def lsh_recall_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH recall audit — the dedup counterpart of the ANN recall audit:
+    for every TRUE near-dup pair (exact shingle Jaccard >= threshold),
+    did the banded MinHash blocking surface it as a candidate? Output:
+    (doc_a, doc_b, jaccard, found). The aggregate recall is
+    sum(found)/count — kept per-pair so the misses themselves are
+    inspectable (they cluster just above the threshold, where the
+    (1/bands)-exponent S-curve is steepest; tuning bands/n_hashes against
+    a measured recall beats trusting the closed-form curve).
+
+    Scale shape: the exact side is the one-shuffle shingle co-occurrence
+    (run it on a SAMPLE at web scale — auditing doesn't need the full
+    corpus); the candidate side is the banded signature join; both reuse
+    one cached shingle scan."""
+    sh = word_shingles(docs, text_col, id_col, k).cache()
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, k, threshold=threshold
+    )
+    # rebuild truth on the shared shingle scan instead of re-shingling
+    cand = minhash_lsh_candidates(
+        docs, text_col, id_col, k, n_hashes, bands, shingles=sh
+    )
+    flag = cand.select("doc_a", "doc_b").withColumn("__f", F.lit(1))
+    return (
+        truth.join(flag, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.col("__f").isNotNull().alias("found"),
+        )
+    )
+
+
 def simhash(
     docs: DataFrame,
     text_col: str = "text",

@@ -3041,3 +3041,60 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_containment_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.6
     )
+
+
+@register(
+    "dedup_lsh_recall_audit",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sig AS (
+        SELECT doc_id,
+               MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+               MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+               MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+               MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    banded AS (
+        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS sig FROM sig
+        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM sig
+        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM sig
+        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM sig
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.sig = b.sig
+                                    AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    all_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    truth AS (
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM all_common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    )
+    SELECT t.doc_a, t.doc_b, t.jaccard, (c.doc_a IS NOT NULL) AS found
+    FROM truth t
+    LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+    """,
+    doc="LSH recall audit: every exact-Jaccard>=0.5 pair tagged with "
+    "whether banded MinHash blocking surfaced it — measured recall for "
+    "tuning bands/n_hashes, misses inspectable per pair",
+)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import lsh_recall_audit
+
+    return lsh_recall_audit(load_table(spark, "documents", sf_dir))
