@@ -106,3 +106,41 @@ def write_fact_bucketed(
         .saveAsTable(table)
     )
     return table
+
+
+def write_corpus_snapshot_bucketed(
+    docs: DataFrame,
+    root: str,
+    table: str = "corpus_snapshot_bucketed",
+    buckets: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """Scale path for the dedup snapshot: persist (doc_id, text_hash)
+    BUCKETED BY text_hash — the join key of every incremental-dedup pass
+    (`dedup.exact_dedup_incremental`, `streaming.dedup_doc_stream`,
+    `curate.snapshot_diff`).
+
+    Incremental dedup at 100 TB is dominated by re-shuffling the
+    accumulated snapshot on every nightly run: the snapshot is
+    corpus-sized while the new batch is day-sized. Bucketing pre-hashes
+    the key at write time, so a batch bucketed the same way joins
+    bucket-to-bucket with ZERO exchange on the snapshot side (the
+    day-batch can be repartitioned to match for pennies). Only the
+    (id, hash) projection is stored — snapshot probes never need
+    document bodies, and at corpus scale storing text twice would
+    double the footprint for nothing."""
+    path = os.path.join(root, table)
+    (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(F.col(text_col)).alias("text_hash"),
+        )
+        .write.bucketBy(buckets, "text_hash")
+        .sortBy("text_hash")
+        .option("path", path)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+    return table

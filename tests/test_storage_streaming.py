@@ -583,3 +583,50 @@ def test_streaming_decontamination_matches_batch_scores(spark, tmp_path):
     for i in range(4):
         assert got[i][:3] == expect[i], i
     assert got[0][3] is True and got[1][3] is False and got[3][3] is False
+
+
+def test_bucketed_snapshot_dedup_join_without_snapshot_exchange(spark, tmp_path):
+    """write_corpus_snapshot_bucketed: an incremental-dedup join against
+    the bucketed snapshot must plan NO exchange on the snapshot side —
+    the corpus-sized table is pre-hashed at write time; only the
+    day-sized batch shuffles to match."""
+    from irstats2_spark.sources.storage import write_corpus_snapshot_bucketed
+
+    snap = spark.createDataFrame(
+        [(i, f"snapshot doc number {i}") for i in range(50)],
+        "doc_id long, text string",
+    )
+    t = write_corpus_snapshot_bucketed(snap, str(tmp_path), buckets=4)
+    batch = spark.createDataFrame(
+        [(100 + i, f"snapshot doc number {i}" if i < 3 else f"fresh {i}")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        probe = batch.select(
+            "doc_id", F.md5("text").alias("text_hash")
+        ).repartition(4, "text_hash")
+        joined = spark.table(t).join(probe, "text_hash", "inner")
+        plan = joined._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the snapshot scan must carry its bucket metadata and feed the
+        # join through a Sort only; the single Exchange in the tree is
+        # the batch side's explicit repartition-to-match
+        import re
+
+        assert "Bucketed: true" in plan
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1
+        ex_blocks = [
+            b for b in plan.split("\n\n") if re.match(r"\(\d+\) Exchange", b)
+        ]
+        assert len(ex_blocks) == 1
+        assert "REPARTITION_BY_NUM" in ex_blocks[0]  # the probe, by us
+        assert joined.count() == 3  # the three dup texts
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
