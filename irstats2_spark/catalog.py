@@ -62,12 +62,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- new in round 4 --
     "pipeline_pretrain_e2e",
     "pipeline_embed_index_search_e2e",
-    "similarity_pq_fit",
     "similarity_pq_topk",
-    # (similarity_pq_encode ceded its slot to dedup_lsh_recall_audit:
-    # the encode stage is replayed inside similarity_pq_topk's full SQL
-    # oracle, so its own row is transitive; it keeps the pytest sf0.01
-    # oracle run and heads round 5's cut.)
+    # (similarity_pq_fit and similarity_pq_encode ceded their slots to
+    # pipeline_select_e2e and dedup_lsh_recall_audit: both stages are
+    # replayed inside similarity_pq_topk's full SQL oracle — _pq_cte() +
+    # _PQ_ENC — so their own rows are transitive; they keep the pytest
+    # sf0.01 oracle runs and head round 5's cut.)
     "similarity_scalar_quant_error",
     "similarity_ivfpq_topk",
     "dedup_bloom_prefilter",
@@ -92,6 +92,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_lm_nll_score",
     "dedup_ngram_containment",
     "dedup_lsh_recall_audit",
+    "pipeline_select_e2e",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",

@@ -256,3 +256,90 @@ def snapshot_diff(
             .alias("status"),
         )
     )
+
+
+def select_corpus(
+    docs: DataFrame,
+    target: DataFrame,
+    reference: DataFrame,
+    frac: float = 0.5,
+    mix_alpha: float = 0.5,
+    mix_total: float = 100.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Model-based data SELECTION as one composition — the learned-score
+    counterpart of ``pretrain_corpus``'s rule-based chain:
+
+        score: per-TOKEN DSIR domain log-weight (how target-like) MINUS
+               the per-BIGRAM LM NLL (how fluent under the reference
+               model) — micro-nat integers divided by exact counts and
+               floored, so the combined ``select_score`` stays exact
+               integer math AND is length-invariant (raw totals grow
+               with doc length, which would bias the cut toward short
+               docs)
+        -> cut: keep the global top ``frac`` by (select_score, doc_id)
+        -> mix: temperature-balance the survivors across sources
+               (p ∝ n^mix_alpha) via computed rates
+
+    Composition is where the contracts meet: both scorers emit a row
+    for EVERY doc, but a doc neither scorer can score (no tokens / no
+    bigrams) gets a SENTINEL far below any real score — the scorers'
+    documented 0 means "cannot score", and ranking an empty doc above
+    fluent off-score docs (0 > any negative real score) was exactly the
+    bug this composition's first test caught. The mix rates are
+    computed over the survivors, not the raw corpus.
+
+    Plan shape at scale: two broadcast score-table joins + id-only
+    rollups (the scorers), one global rank window for the cut (swap in
+    ``top_fraction_binned`` semantics for 100-TB inputs), broadcast
+    rates join for the mix — document text never crosses an exchange.
+
+    Output: (doc_id, source, select_score) for the selected + mixed set.
+    """
+    from irstats2_spark.pipeline.sampling import (
+        dsir_logweights,
+        sample_by_rates,
+        temperature_mix_rates,
+        top_fraction,
+    )
+    from irstats2_spark.pipeline.textstats import lm_nll_scores
+
+    w = dsir_logweights(docs, target, text_col, id_col).select(
+        "doc_id", "n_tokens", "lw_micro"
+    )
+    q = lm_nll_scores(docs, reference, text_col, id_col).select(
+        "doc_id", "n_bigrams", "nll_micro"
+    )
+    # floor of an exact-integer double ratio: both operands are exact in
+    # double (< 2^53), so the division+floor is identical in any IEEE
+    # engine — never `div` (truncates toward zero; SQL // floors)
+    per_tok = F.floor(F.col("lw_micro") / F.col("n_tokens"))
+    per_big = F.floor(F.col("nll_micro") / F.col("n_bigrams"))
+    sentinel = F.lit(-(1 << 62))
+    scored = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(source_col).alias("source")
+        )
+        .join(w, "doc_id")
+        .join(q, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.when(
+                (F.col("n_tokens") == 0) | (F.col("n_bigrams") == 0), sentinel
+            )
+            .otherwise(per_tok - per_big)
+            .cast("long")
+            .alias("select_score"),
+        )
+    )
+    kept = top_fraction(scored, "select_score", frac, "doc_id").drop(
+        "quality_rank"
+    )
+    rates = temperature_mix_rates(kept, "source", mix_alpha, mix_total)
+    mixed = sample_by_rates(
+        kept, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
+    )
+    return mixed.select("doc_id", "source", "select_score")

@@ -2823,32 +2823,38 @@ _DSIR_TOKS = f"""
 """
 
 
-@register(
-    "select_dsir_weights",
-    f"""
-    WITH {_DSIR_TOKS},
-    raw AS (SELECT bucket, COUNT(*) AS c_raw FROM dsir_toks GROUP BY 1),
-    tgt AS (SELECT bucket, COUNT(*) AS c_t FROM dsir_toks
+# ... through dsir_scored(doc_id, n_tokens, lw_micro): reused verbatim by
+# the select_corpus e2e composition below.
+_DSIR_CTES = f"""{_DSIR_TOKS},
+    dsir_raw AS (SELECT bucket, COUNT(*) AS c_raw FROM dsir_toks GROUP BY 1),
+    dsir_tgt AS (SELECT bucket, COUNT(*) AS c_t FROM dsir_toks
             WHERE source = 'src0' GROUP BY 1),
-    tot AS (SELECT (SELECT COUNT(*) FROM dsir_toks) AS t_raw,
+    dsir_tot AS (SELECT (SELECT COUNT(*) FROM dsir_toks) AS t_raw,
                    (SELECT COUNT(*) FROM dsir_toks WHERE source = 'src0') AS t_t),
-    stats AS (
+    dsir_stats AS (
         SELECT bucket,
                CAST(FLOOR(1e6 * ln(
                    (CAST(COALESCE(c_t, 0) + 1 AS DOUBLE) * (t_raw + 1024.0))
                    / (CAST(c_raw + 1 AS DOUBLE) * (t_t + 1024.0))) + 0.5)
                AS BIGINT) AS lq
-        FROM raw LEFT JOIN tgt USING (bucket) CROSS JOIN tot
+        FROM dsir_raw LEFT JOIN dsir_tgt USING (bucket) CROSS JOIN dsir_tot
     ),
-    scored AS (
+    dsir_scored AS (
         SELECT doc_id, COUNT(*) AS n_tokens, SUM(lq) AS lw_micro
-        FROM dsir_toks JOIN stats USING (bucket) GROUP BY 1
+        FROM dsir_toks JOIN dsir_stats USING (bucket) GROUP BY 1
     )
+"""
+
+
+@register(
+    "select_dsir_weights",
+    f"""
+    WITH {_DSIR_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(n_tokens, 0) AS BIGINT) AS n_tokens,
            CAST(COALESCE(lw_micro, 0) AS BIGINT) AS lw_micro,
            ROUND(COALESCE(lw_micro, 0) / 1e6, 6) AS logweight
-    FROM documents d LEFT JOIN scored USING (doc_id)
+    FROM documents d LEFT JOIN dsir_scored USING (doc_id)
     """,
     doc="DSIR importance weights vs the src0 target domain: hashed-unigram "
     "log-likelihood ratios quantized to integer micro-nats, summed per doc",
@@ -2955,48 +2961,55 @@ def mix_by_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
-@register(
-    "text_lm_nll_score",
-    f"""
-    WITH lm_toks AS (
+# Bigram-LM CTEs through lm_scored(doc_id, n_bigrams, nll_micro): reused
+# verbatim by the select_corpus e2e composition below.
+_LM_CTES = f"""
+    lm_toks AS (
         SELECT doc_id, source,
                list_filter(string_split({_NORM_SQL}, ' '),
                            x -> length(x) > 0) AS t
         FROM documents
     ),
-    big AS (
+    lm_big AS (
         SELECT doc_id, source, t[i] AS ctx, t[i+1] AS w
         FROM (SELECT doc_id, source, t,
                      unnest(generate_series(1, len(t) - 1)) AS i
               FROM lm_toks WHERE len(t) >= 2) z
     ),
-    ref_big AS (
-        SELECT ctx, w, COUNT(*) AS c_big FROM big
+    lm_ref_big AS (
+        SELECT ctx, w, COUNT(*) AS c_big FROM lm_big
         WHERE source = 'src0' GROUP BY 1, 2
     ),
-    ref_uni AS (
+    lm_ref_uni AS (
         SELECT u AS w, COUNT(*) AS c_uni
         FROM (SELECT unnest(t) AS u FROM lm_toks WHERE source = 'src0')
         GROUP BY 1
     ),
-    vocab AS (SELECT COUNT(*) AS v FROM ref_uni),
-    scored AS (
+    lm_vocab AS (SELECT COUNT(*) AS v FROM lm_ref_uni),
+    lm_scored AS (
         SELECT b.doc_id, COUNT(*) AS n_bigrams,
                -SUM(CAST(FLOOR(1e6 * ln(
                        CAST(COALESCE(rb.c_big, 0) + 1 AS DOUBLE)
                        / CAST(COALESCE(ru.c_uni, 0) + v AS DOUBLE)) + 0.5)
                     AS BIGINT)) AS nll_micro
-        FROM big b
-        LEFT JOIN ref_big rb ON rb.ctx = b.ctx AND rb.w = b.w
-        LEFT JOIN ref_uni ru ON ru.w = b.ctx
-        CROSS JOIN vocab
+        FROM lm_big b
+        LEFT JOIN lm_ref_big rb ON rb.ctx = b.ctx AND rb.w = b.w
+        LEFT JOIN lm_ref_uni ru ON ru.w = b.ctx
+        CROSS JOIN lm_vocab
         GROUP BY 1
     )
+"""
+
+
+@register(
+    "text_lm_nll_score",
+    f"""
+    WITH {_LM_CTES}
     SELECT d.doc_id,
            CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
            CAST(COALESCE(nll_micro, 0) AS BIGINT) AS nll_micro,
            ROUND(COALESCE(nll_micro / (n_bigrams * 1e6), 0.0), 6) AS avg_nll
-    FROM documents d LEFT JOIN scored USING (doc_id)
+    FROM documents d LEFT JOIN lm_scored USING (doc_id)
     """,
     doc="bigram-LM quality scores (CCNet-style perplexity filter): add-one "
     "bigram model trained on the src0 reference slice, per-doc average "
@@ -3098,3 +3111,60 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import lsh_recall_audit
 
     return lsh_recall_audit(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "pipeline_select_e2e",
+    f"""
+    WITH {_DSIR_CTES},
+    {_LM_CTES},
+    sel_scored AS (
+        SELECT d.doc_id, d.source,
+               CAST(CASE WHEN COALESCE(ds.n_tokens, 0) = 0
+                           OR COALESCE(lm.n_bigrams, 0) = 0
+                    THEN {-(1 << 62)}
+                    ELSE FLOOR(ds.lw_micro / ds.n_tokens)
+                         - FLOOR(lm.nll_micro / lm.n_bigrams)
+                    END AS BIGINT) AS select_score
+        FROM documents d
+        LEFT JOIN dsir_scored ds USING (doc_id)
+        LEFT JOIN lm_scored lm USING (doc_id)
+    ),
+    sel_total AS (SELECT FLOOR(COUNT(*) * 0.5) AS k FROM sel_scored),
+    sel_kept AS (
+        SELECT doc_id, source, select_score FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                ORDER BY select_score DESC, doc_id ASC) AS rn
+            FROM sel_scored) ranked CROSS JOIN sel_total
+        WHERE rn <= k
+    ),
+    mix_counts AS (SELECT source, COUNT(*) AS n_docs FROM sel_kept GROUP BY 1),
+    mix_terms AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(1e6 * POWER(CAST(n_docs AS DOUBLE), 0.5) + 0.5)
+                    AS BIGINT) AS tq
+        FROM mix_counts
+    ),
+    mix_z AS (SELECT SUM(tq) AS zq FROM mix_terms),
+    mix_rates AS (
+        SELECT source,
+               FLOOR(LEAST(1.0, (100.0 * tq) / (CAST(zq AS DOUBLE) * n_docs))
+                     * 1e6 + 0.5) / 1e6 AS rate
+        FROM mix_terms CROSS JOIN mix_z
+    )
+    SELECT k.doc_id, k.source, k.select_score
+    FROM (SELECT *, {_bucket_sql('mix:')} AS b FROM sel_kept) k
+    JOIN mix_rates r ON r.source = k.source
+    WHERE k.b < r.rate * 10000
+    """,
+    doc="model-based selection e2e: per-token DSIR domain weight minus "
+    "per-bigram LM NLL (exact integer micro-nats, unscorable docs "
+    "sentinel-ranked last) -> global top-50% cut -> temperature mix over "
+    "the survivors; one oracle replays the whole composition",
+)
+def pipeline_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import select_corpus
+
+    docs = load_table(spark, "documents", sf_dir)
+    src0 = docs.filter(F.col("source") == "src0")
+    return select_corpus(docs, target=src0, reference=src0, frac=0.5)

@@ -1888,3 +1888,27 @@ def test_bpe_merge_fold_matches_reference_on_random_words(spark):
                 a,
                 b,
             )
+
+
+def test_select_corpus_composition_contracts(spark):
+    """select_corpus: the cut sees every doc (scorers emit 0 rows for
+    token-less docs), exactly floor(frac*N) docs survive the cut before
+    mixing, and survivors lean toward target-like fluent docs."""
+    from irstats2_spark.pipeline.curate import select_corpus
+    from irstats2_spark.pipeline.sampling import dsir_logweights, top_fraction
+    from irstats2_spark.pipeline.textstats import lm_nll_scores
+
+    rows = (
+        [(i, "spark query engine shuffle join", "a") for i in range(10)]
+        + [(20 + i, "gardening tomato soil seeds water", "b") for i in range(10)]
+        + [(40, "   ", "b")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    target = docs.filter(F.col("source") == "a")
+    out = select_corpus(
+        docs, target, target, frac=0.5, mix_total=1000.0
+    ).collect()
+    # mix_total >> corpus => rates cap at 1.0, so output == the cut set:
+    # floor(21 * 0.5) = 10 docs, and the target-like docs outrank
+    assert len(out) == 10
+    assert {r.source for r in out} == {"a"}
