@@ -93,14 +93,20 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_containment",
     "dedup_lsh_recall_audit",
     "pipeline_select_e2e",
+    "embedding_random_projection",
+    "similarity_rp_topk",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
-    "similarity_ivf_assign",
     "similarity_ivf_topk",
     "similarity_ivf_probe2_topk",
-    "similarity_kmeans_fit",
     "similarity_kmeans_ivf_topk",
+    # (similarity_ivf_assign and similarity_kmeans_fit ceded their slots
+    # to the two random-projection queries: the assign fold is replayed
+    # inside similarity_ivf_topk's oracle and the Lloyd fit inside
+    # similarity_kmeans_ivf_topk's {kmeans_cte} — their sentinel-change
+    # re-verification rides those gated full-chain replays; both keep
+    # their pytest sf0.01 oracle runs and head round 5's cut.)
     "dedup_embedding_ivf",
     "dedup_embedding_ivf_probe2",
     "pipeline_curation_neardup",

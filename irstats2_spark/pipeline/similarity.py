@@ -106,6 +106,69 @@ def brute_force_topk(
     )
 
 
+def rp_signs(d_out: int, d_in: int) -> list[list[int]]:
+    """Deterministic ±1 sign-projection matrix (Achlioptas-style random
+    projection, derandomized): component (j, i) is +1 iff the first byte
+    of md5("rp:j:i") is even. Salted "rp:" so the draw is independent of
+    the hyperplane-LSH matrix; seed-free and engine-portable — the SQL
+    oracle inlines the identical literals."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[:2], 16) % 2
+            == 0
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def sign_random_projection(
+    embeddings: DataFrame,
+    d_in: int,
+    d_out: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Dimensionality reduction for the ANN family: project each vector
+    onto ``d_out`` deterministic ±1 sign vectors. Output: (vec_id, proj)
+    with proj an INTEGER array — proj[j] = Σ_i ±qv[i] over the quantized
+    input, so the projection is exact integer math (order-free sums,
+    bit-identical in any engine) and downstream quantized-cosine top-k
+    over ``proj`` needs no new machinery.
+
+    This is the 100-TB pre-ANN trick the float-heavy tiers assume away:
+    cut 1536-dim embeddings to 64-128 dims before IVF/PQ and the index
+    build, candidate generation, and storage all shrink ~10x, with the
+    Johnson-Lindenstrauss guarantee bounding the distortion — and
+    unlike PQ codes, projected vectors still compose with every
+    existing operator (cosine, IVF assign, k-means) unchanged.
+
+    Plan: pure map over the corpus — zero shuffle, fuses into the scan."""
+    signs = rp_signs(d_out, d_in)
+    qv = quantize(F.col(vec_col))
+    proj = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.array(*[F.lit(s) for s in signs[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(d_out)
+        ]
+    )
+    return embeddings.withColumn("__qv", qv).select(
+        F.col(id_col).alias("vec_id"), proj.alias("proj")
+    )
+
+
 def _hyperplanes(planes: int, dim: int) -> list[list[int]]:
     """Deterministic ±1 hyperplane matrix: component (p, d) is +1 iff the
     first byte of md5("p:d") is even. Seed-free and engine-portable — a

@@ -3168,3 +3168,89 @@ def pipeline_select_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     src0 = docs.filter(F.col("source") == "src0")
     return select_corpus(docs, target=src0, reference=src0, frac=0.5)
+
+
+def _rp_proj_sql(d_in: int = 64, d_out: int = 16) -> str:
+    """SQL expression list mirroring similarity.sign_random_projection:
+    one integer sum per output dim over the quantized input, with the
+    identical md5-derived ±1 literals inlined."""
+    from irstats2_spark.pipeline.similarity import rp_signs
+
+    signs = rp_signs(d_out, d_in)
+    qv = _Q.format(v="embedding")
+    terms = []
+    for j in range(d_out):
+        lits = "[" + ", ".join(str(s) for s in signs[j]) + "]"
+        terms.append(
+            f"CAST(list_sum(list_transform(list_zip({qv}, {lits}),"
+            f" p -> p[1]*p[2])) AS BIGINT)"
+        )
+    return "[" + ",\n           ".join(terms) + "]"
+
+
+@register(
+    "embedding_random_projection",
+    f"""
+    WITH rp AS (SELECT vec_id, {_rp_proj_sql()} AS proj FROM embeddings)
+    SELECT vec_id, CAST(i - 1 AS INT) AS dim, proj[i] AS value
+    FROM (SELECT vec_id, proj, generate_subscripts(proj, 1) AS i
+          FROM rp) t
+    """,
+    doc="sign random projection 64->16 dims: exact integer sums over the "
+    "quantized input against a deterministic md5-derived ±1 matrix "
+    "(exploded to rows — the gate convention for array outputs)",
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import sign_random_projection
+
+    proj = sign_random_projection(
+        load_table(spark, "embeddings", sf_dir), d_in=64, d_out=16
+    )
+    return proj.select(
+        "vec_id", F.posexplode("proj").alias("dim", "value")
+    )
+
+
+@register(
+    "similarity_rp_topk",
+    f"""
+    WITH projected AS (
+        SELECT vec_id,
+               list_transform({_rp_proj_sql()}, x -> CAST(x AS DOUBLE)) AS proj
+        FROM embeddings
+    ),
+    rp_queries AS (
+        SELECT vec_id AS query_id, proj AS qv FROM projected WHERE vec_id < 3
+    ),
+    rp_scored AS (
+        SELECT q.query_id, e.vec_id,
+               ROUND({_qcos('e.proj', 'q.qv')}, 6) AS cosine
+        FROM projected e CROSS JOIN rp_queries q
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id ASC) AS INT) AS rank
+        FROM rp_scored
+    ) WHERE rank <= 5
+    """,
+    doc="ANN in the 16-dim projected space: exact cosine top-5 for 3 query "
+    "vectors over the sign-projection of the corpus — the reduced-dim "
+    "tier composes with the unchanged top-k machinery",
+)
+def similarity_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import (
+        brute_force_topk,
+        sign_random_projection,
+    )
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    proj = sign_random_projection(emb, d_in=64, d_out=16).select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: x.cast("double")).alias("embedding"),
+    )
+    queries = proj.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return brute_force_topk(proj, queries, k=5).select(
+        "query_id", "vec_id", "cosine", "rank"
+    )

@@ -1912,3 +1912,44 @@ def test_select_corpus_composition_contracts(spark):
     # floor(21 * 0.5) = 10 docs, and the target-like docs outrank
     assert len(out) == 10
     assert {r.source for r in out} == {"a"}
+
+
+def test_sign_projection_preserves_neighbors_roughly(spark, emb):
+    """Sign projection: exact integer determinism under repartition, and
+    the planted near-neighbor (vec 2 ~ vec 0) stays the most cosine-
+    similar pair in the projected space."""
+    from irstats2_spark.pipeline.similarity import (
+        cosine_pre_quantized,
+        sign_random_projection,
+    )
+
+    proj = sign_random_projection(emb, d_in=4, d_out=4)
+    a = {r.vec_id: list(r.proj) for r in proj.collect()}
+    b = {
+        r.vec_id: list(r.proj)
+        for r in sign_random_projection(emb.repartition(5), 4, 4).collect()
+    }
+    assert a == b
+    p = proj.select(
+        "vec_id",
+        F.transform(F.col("proj"), lambda x: x.cast("double")).alias("v"),
+    )
+    pairs = (
+        p.alias("x")
+        .crossJoin(p.alias("y"))
+        .filter(F.col("x.vec_id") < F.col("y.vec_id"))
+        .select(
+            F.col("x.vec_id").alias("a"),
+            F.col("y.vec_id").alias("b"),
+            F.round(
+                cosine_pre_quantized(
+                    F.expr("transform(x.v, t -> cast(t * 1000 as bigint))"),
+                    F.expr("transform(y.v, t -> cast(t * 1000 as bigint))"),
+                ),
+                6,
+            ).alias("cos"),
+        )
+        .collect()
+    )
+    best = max(pairs, key=lambda r: r.cos)
+    assert (best.a, best.b) == (0, 2)

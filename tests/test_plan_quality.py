@@ -661,3 +661,11 @@ def test_lm_nll_reference_tables_broadcast(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
             assert "text#" not in block, block
+
+
+def test_sign_projection_is_zero_shuffle_map(spark, queries):
+    """Random projection must fuse into the scan: no Exchange at all in
+    the projection query below the final explode."""
+    plan = plan_of(queries["embedding_random_projection"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
