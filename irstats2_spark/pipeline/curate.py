@@ -343,3 +343,47 @@ def select_corpus(
         kept, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
     )
     return mixed.select("doc_id", "source", "select_score")
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dataset manifest for a published corpus: deterministic shard
+    assignment plus per-shard stats and a CONTENT CHECKSUM — the
+    "dataset card" artifact consumers verify a download against, and
+    the precondition for reproducible training-data releases (same
+    corpus ⇒ byte-identical manifest, any engine, any partitioning).
+
+    Output per shard: (shard, n_docs, n_tokens, content_checksum) where
+    the checksum is md5 over the shard's SORTED doc hashes — order-free
+    by construction, so it is stable under repartitioning, and any
+    added/removed/changed doc flips it.
+
+    Scale shape: shard assignment is a pure hash column; ONE groupBy
+    per shard with sort_array over collected doc hashes. Collected
+    state is |shard| hashes — size shards (``n_shards`` ∝ corpus/target
+    shard size) so a shard's hash list fits a task comfortably (32-byte
+    hashes ⇒ ~30 MB per million docs); for billions of docs per shard,
+    checksum hierarchically (chunk the sorted hashes, md5 each, md5 the
+    chunk digests)."""
+    from irstats2_spark.pipeline.sampling import hash_bucket
+    from irstats2_spark.pipeline.textstats import token_count
+
+    tagged = docs.select(
+        hash_bucket(F.col(id_col), n_shards, "shard:").cast("int").alias("shard"),
+        F.md5(F.col(text_col)).alias("__h"),
+        token_count(F.col(text_col)).alias("__nt"),
+    )
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("__h")))
+            ).alias("content_checksum"),
+        )
+    )

@@ -3254,3 +3254,29 @@ def similarity_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(proj, queries, k=5).select(
         "query_id", "vec_id", "cosine", "rank"
     )
+
+
+@register(
+    "corpus_shard_manifest",
+    f"""
+    WITH tagged AS (
+        SELECT {_bucket_sql("shard:", buckets=8)} AS shard,
+               md5(text) AS h,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               x -> length(x) > 0)) AS nt
+        FROM documents
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           md5(string_agg(h, '' ORDER BY h)) AS content_checksum
+    FROM tagged GROUP BY 1
+    """,
+    doc="dataset release manifest: deterministic shard assignment with "
+    "per-shard doc/token counts and an order-free md5 content checksum "
+    "(sorted doc hashes) — byte-identical across engines/partitionings",
+)
+def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import shard_manifest
+
+    return shard_manifest(load_table(spark, "documents", sf_dir))

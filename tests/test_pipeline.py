@@ -1953,3 +1953,32 @@ def test_sign_projection_preserves_neighbors_roughly(spark, emb):
     )
     best = max(pairs, key=lambda r: r.cos)
     assert (best.a, best.b) == (0, 2)
+
+
+def test_shard_manifest_checksum_detects_any_change(spark):
+    from irstats2_spark.pipeline.curate import shard_manifest
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(40)],
+        "doc_id long, text string",
+    )
+    base = {r.shard: r for r in shard_manifest(docs, n_shards=4).collect()}
+    # partitioning-independent (sorted hashes -> order-free checksum)
+    again = {
+        r.shard: r for r in shard_manifest(docs.repartition(7), 4).collect()
+    }
+    assert {k: (v.n_docs, v.content_checksum) for k, v in base.items()} == {
+        k: (v.n_docs, v.content_checksum) for k, v in again.items()
+    }
+    assert sum(v.n_docs for v in base.values()) == 40
+    # a single changed doc flips exactly its shard's checksum
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("EDITED")).otherwise(F.col("text")),
+    )
+    after = {r.shard: r for r in shard_manifest(mutated, 4).collect()}
+    changed = [
+        s for s in base
+        if base[s].content_checksum != after[s].content_checksum
+    ]
+    assert len(changed) == 1
