@@ -557,3 +557,53 @@ def lm_nll_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the RAG /
+    embedding-pipeline chunker (``dedup.chunk_dedup_stats`` hashes
+    fixed chunks for dedup; this one PRODUCES the chunk rows an
+    embedding or retrieval index consumes). Output: one row per chunk —
+    (doc_id, chunk_idx, n_chunk_tokens, chunk_text) — with stride
+    ``chunk_tokens - overlap``, so consecutive chunks share ``overlap``
+    tokens and no token is dropped; a doc shorter than one window
+    yields exactly one chunk. Chunking is over the normalized token
+    stream, so chunk identity is stable under whitespace/punctuation
+    noise (the same canonicalization every hash in this module uses).
+
+    Plan: pure map-side array arithmetic (sequence + slice per row) —
+    zero shuffle, fuses into the scan; at 100 TB this runs embedded in
+    whatever writes or embeds the chunks."""
+    assert 0 <= overlap < chunk_tokens
+    step = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size("__toks")
+    # chunk starts: 0, step, 2*step, ... while start+overlap < n — i.e.
+    # the last chunk begins at most (n - overlap - 1); always >= 1 chunk
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil((n - F.lit(overlap)) / F.lit(step)).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_idx"),
+            F.slice(F.col("__toks"), j * step + 1, chunk_tokens).alias("__ct"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .filter(n > 0)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.size("c.__ct").alias("n_chunk_tokens"),
+            F.concat_ws(" ", "c.__ct").alias("chunk_text"),
+        )
+    )

@@ -3280,3 +3280,34 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.curate import shard_manifest
 
     return shard_manifest(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_chunk_windows",
+    f"""
+    WITH ctoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, t,
+               generate_series(0, GREATEST(1,
+                   CAST(CEIL((len(t) - 16) / 48.0) AS INT)) - 1) AS js
+        FROM ctoks WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+           CAST(len(t[j*48 + 1 : j*48 + 64]) AS INT) AS n_chunk_tokens,
+           array_to_string(t[j*48 + 1 : j*48 + 64], ' ') AS chunk_text
+    FROM (SELECT doc_id, t, unnest(js) AS j FROM idx) z
+    """,
+    doc="RAG chunking: 64-token windows with 16-token overlap (stride 48) "
+    "over the normalized token stream; short docs yield one chunk",
+)
+def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, "documents", sf_dir), chunk_tokens=64, overlap=16
+    )

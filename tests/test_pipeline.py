@@ -1982,3 +1982,30 @@ def test_shard_manifest_checksum_detects_any_change(spark):
         if base[s].content_checksum != after[s].content_checksum
     ]
     assert len(changed) == 1
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    from irstats2_spark.pipeline.textstats import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    docs = spark.createDataFrame(
+        [(1, long_text), (2, "tiny doc"), (3, "   ")],
+        "doc_id int, text string",
+    )
+    out = chunk_documents(docs, chunk_tokens=10, overlap=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # whitespace-only doc yields no rows; short doc yields exactly one
+    assert set(by_doc) == {1, 2}
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "tiny doc"
+    chunks = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    # stride 7: chunk j starts at token 7j; consecutive chunks share 3
+    for a, b in zip(chunks, chunks[1:]):
+        assert a.chunk_text.split()[-3:] == b.chunk_text.split()[:3]
+    # every token covered, in order, no gaps
+    reconstructed = chunks[0].chunk_text.split()
+    for c in chunks[1:]:
+        reconstructed += c.chunk_text.split()[3:]
+    assert reconstructed == long_text.split()
+    assert all(r.n_chunk_tokens == len(r.chunk_text.split()) for r in out)
