@@ -95,6 +95,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_select_e2e",
     "embedding_random_projection",
     "similarity_rp_topk",
+    "text_chunk_windows",
+    "pipeline_rag_index_e2e",
     # -- implementation changed this round: re-verify on today's code --
     "text_decontamination",
     "embed_text_stub",
@@ -127,12 +129,16 @@ GATE_PRIORITY: tuple[str, ...] = (
     "a10_top_values",
     "o4_alpha_listing",
     "t5_period_compare",
-    "a8_count_rows",
     "agg_cube_status_priority",
     "ctx_single_eprint",
     "browser_classification",
     "referrer_classification",
-    "anon_md5_values",
+    # (a8_count_rows and anon_md5_values — the two most trivial r1-stale
+    # entries, implementations untouched since r1 — ceded their refresh
+    # slots to first-ever rows for text_chunk_windows and
+    # pipeline_rag_index_e2e: a brand-new operator with NO driver row
+    # outranks re-verifying an unchanged COUNT/md5 one-liner. Both keep
+    # their r1 rows + pytest sf0.01 oracle runs and head round 5's cut.)
     # -- continuously-verified core anchor --
     "a1_grouped_sum",
 )

@@ -3311,3 +3311,82 @@ def text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         load_table(spark, "documents", sf_dir), chunk_tokens=64, overlap=16
     )
+
+
+@register(
+    "pipeline_rag_index_e2e",
+    f"""
+    WITH ragtoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    ragidx AS (
+        SELECT doc_id, t,
+               generate_series(0, GREATEST(1,
+                   CAST(CEIL((len(t) - 16) / 48.0) AS INT)) - 1) AS js
+        FROM ragtoks WHERE len(t) > 0
+    ),
+    ragchunks AS (
+        SELECT doc_id * 1000 + j AS vec_id,
+               array_to_string(t[j*48 + 1 : j*48 + 64], ' ') AS chunk_text
+        FROM (SELECT doc_id, t, unnest(js) AS j FROM ragidx) z
+    ),
+    ragdims AS (SELECT unnest(generate_series(0, 7)) AS dim),
+    ragx AS (
+        SELECT vec_id, dim,
+               CAST(concat('0x', substring(md5(chunk_text || ':' || dim), 1, 8))
+                    AS BIGINT) % 2000 - 1000 AS xi
+        FROM ragchunks, ragdims
+    ),
+    ragnorms AS (SELECT vec_id, sqrt(SUM(xi * xi)) AS nrm FROM ragx GROUP BY 1),
+    ragemb AS (
+        SELECT x.vec_id, x.dim,
+               ROUND(CASE WHEN nrm = 0 THEN xi ELSE xi / nrm END, 6) AS value
+        FROM ragx x JOIN ragnorms USING (vec_id)
+    ),
+    ragvecs AS (
+        SELECT vec_id, list(CAST(value AS FLOAT) ORDER BY dim) AS emb_v
+        FROM ragemb GROUP BY 1
+    ),
+    ragcents AS (
+        SELECT vec_id AS centroid_id, emb_v AS cv
+        FROM ragvecs ORDER BY vec_id LIMIT 4
+    ),
+    ragscored AS (
+        SELECT e.vec_id, c.centroid_id,
+               ROUND({_qcos('e.emb_v', 'c.cv')}, 6) AS centroid_cosine
+        FROM ragvecs e CROSS JOIN ragcents c
+    )
+    SELECT vec_id, centroid_id, centroid_cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY centroid_cosine DESC, centroid_id ASC) AS rn
+        FROM ragscored
+    ) WHERE rn = 1
+    """,
+    doc="RAG index build e2e: overlapping token-window chunking -> stubbed "
+    "chunk embedding (float32 vectors) -> IVF nearest-centroid filing, "
+    "as one composition — chunk ids, 6dp embed rounding, and float32 "
+    "storage must agree across the whole chain; one oracle replays it",
+)
+def pipeline_rag_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.embed import embed_text_stub, embedded_as_vectors
+    from irstats2_spark.pipeline.similarity import ivf_assign
+    from irstats2_spark.pipeline.textstats import chunk_documents
+
+    docs = load_table(spark, "documents", sf_dir)
+    chunks = chunk_documents(docs, chunk_tokens=64, overlap=16).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).cast("long").alias("doc_id"),
+        F.col("chunk_text").alias("text"),
+    )
+    # persist: inference is the expensive stage; centroid selection and
+    # assignment both re-read it (the parquet-materialization stand-in)
+    vecs = embedded_as_vectors(embed_text_stub(chunks, dim=8)).persist()
+    cents = vecs.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return ivf_assign(vecs, cents).select(
+        "vec_id", "centroid_id", "centroid_cosine"
+    )
