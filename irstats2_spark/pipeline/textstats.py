@@ -488,7 +488,12 @@ def lm_nll_scores(
     the (typically curated, small) reference sample and BROADCAST onto
     the corpus's exploded bigrams — for a giant reference co-partition
     both sides on the bigram key instead; the per-doc rollup's shuffle
-    carries (doc_id, long) partials, never text."""
+    carries (doc_id, long) partials, never text.
+
+    Precondition: ``reference`` must contain at least one token (V >= 1).
+    An empty reference makes the smoothing denominator 0 and the scores
+    meaningless — train the model on a curated sample, which is nonempty
+    by construction."""
 
     def bigrams(df: DataFrame) -> DataFrame:
         toks = tokens(F.col(text_col))

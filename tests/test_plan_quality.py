@@ -669,3 +669,55 @@ def test_sign_projection_is_zero_shuffle_map(spark, queries):
     plan = plan_of(queries["embedding_random_projection"](spark, SF))
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
+
+
+def test_select_e2e_shuffles_scores_not_text(spark, queries):
+    """The selection e2e moves integer scores and ids through its rank
+    window and mix join; document text must never reach a non-repartition
+    exchange anywhere in the chain."""
+    import re
+
+    plan = plan_of(queries["pipeline_select_e2e"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
+
+
+def test_containment_single_shingle_shuffle_no_text(spark, queries):
+    """Containment reuses the one-shuffle shingle co-occurrence shape;
+    exchanges carry shingles/ids/counts only."""
+    import re
+
+    plan = plan_of(queries["dedup_ngram_containment"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
+
+
+def test_chunk_windows_is_zero_shuffle_map(spark, queries):
+    """RAG chunking is pure map-side array arithmetic — no Exchange."""
+    plan = plan_of(queries["text_chunk_windows"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_shard_manifest_shuffles_hashes_not_text(spark, queries):
+    """The manifest's one groupBy moves (shard, md5, count) — document
+    bodies are projected away below the exchange."""
+    import re
+
+    plan = plan_of(queries["corpus_shard_manifest"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
+
+
+def test_rag_index_e2e_exchanges_never_carry_chunk_text(spark, queries):
+    """After the embed stage, only (vec_id, dim, value) rows shuffle —
+    neither document text nor chunk text may reach an exchange."""
+    import re
+
+    plan = plan_of(queries["pipeline_rag_index_e2e"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block and "chunk_text#" not in block, block
