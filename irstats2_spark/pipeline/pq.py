@@ -511,7 +511,12 @@ def ivfpq_topk(
 
     # -- corpus side: assign -> residual -> fit -> encode to code arrays
     assigned = ivf_assign(embeddings, centroids)
-    res = ivfpq_residuals(assigned, centroids, scale=scale)
+    # persist: the assign+residual chain is a GEMM pass over the corpus,
+    # and pq_fit's per-iteration actions plus the encode would each
+    # recompute it from the scan — the same materialize-once stand-in
+    # for the parquet write a production pipeline does between the
+    # inference/assign stage and index fitting (see the embed e2e)
+    res = ivfpq_residuals(assigned, centroids, scale=scale).persist()
     cb = pq_fit(
         res, dim, m, n_codes, max_iter, vec_col="resid", pre_quantized=True,
         scale=scale,
