@@ -612,3 +612,54 @@ def chunk_documents(
             F.concat_ws(" ", "c.__ct").alias("chunk_text"),
         )
     )
+
+
+def remove_repeated_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """In-place intra-document dedup TRANSFORM: split each doc into
+    NON-overlapping ``chunk_tokens``-token chunks, drop every chunk that
+    already occurred earlier in the same document, and reconstruct the
+    text from the survivors — the rewrite step behind
+    ``repetition_features``'s diagnostics (C4 drops whole repeated
+    lines; over token chunks the same rule catches looped boilerplate
+    with no line structure). First occurrence wins, so the rewrite is
+    deterministic and idempotent.
+
+    Output: (doc_id, n_chunks, n_kept, new_text). Empty/whitespace docs
+    emit (0, 0, "").
+
+    Plan: per-row array arithmetic only (chunk slices + a
+    preceding-window membership filter) — zero shuffle, fuses into the
+    scan like the other map-side text transforms."""
+    toks = tokens(F.col(text_col))
+    n = F.size("__toks")
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(F.col("__toks"), j * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    kept = F.filter(
+        F.col("__chunks"),
+        lambda x, i: ~F.array_contains(F.slice(F.col("__chunks"), 1, i), x),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .withColumn("__chunks", F.when(n > 0, chunks).otherwise(F.array().cast("array<string>")))
+        .select(
+            "doc_id",
+            F.size("__chunks").alias("n_chunks"),
+            kept.alias("__kept"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.size("__kept").alias("n_kept"),
+            F.concat_ws(" ", F.col("__kept")).alias("new_text"),
+        )
+    )

@@ -3390,3 +3390,43 @@ def pipeline_rag_index_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(vecs, cents).select(
         "vec_id", "centroid_id", "centroid_cosine"
     )
+
+
+@register(
+    "text_dedup_chunks_inplace",
+    f"""
+    WITH rtoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    rchunks AS (
+        SELECT doc_id,
+               CASE WHEN len(t) > 0 THEN
+                   list_transform(
+                       generate_series(0, GREATEST(
+                           CAST(CEIL(len(t) / 16.0) AS INT), 1) - 1),
+                       j -> array_to_string(t[j*16 + 1 : j*16 + 16], ' '))
+               ELSE [] END AS chunks
+        FROM rtoks
+    ),
+    rkept AS (
+        SELECT doc_id, chunks,
+               list_filter(chunks,
+                           (x, i) -> NOT list_contains(chunks[1:i-1], x)) AS kept
+        FROM rchunks
+    )
+    SELECT doc_id,
+           CAST(len(chunks) AS INT) AS n_chunks,
+           CAST(len(kept) AS INT) AS n_kept,
+           array_to_string(kept, ' ') AS new_text
+    FROM rkept
+    """,
+    doc="in-place intra-doc dedup transform: non-overlapping 16-token "
+    "chunks, first occurrence wins, text rebuilt from survivors",
+)
+def text_dedup_chunks_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import remove_repeated_chunks
+
+    return remove_repeated_chunks(load_table(spark, "documents", sf_dir))

@@ -2009,3 +2009,31 @@ def test_chunk_documents_coverage_and_overlap(spark):
         reconstructed += c.chunk_text.split()[3:]
     assert reconstructed == long_text.split()
     assert all(r.n_chunk_tokens == len(r.chunk_text.split()) for r in out)
+
+
+def test_remove_repeated_chunks_transform(spark):
+    from irstats2_spark.pipeline.textstats import remove_repeated_chunks
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    fresh = " ".join(f"f{i}" for i in range(4))
+    rows = [
+        (1, f"{boiler} {fresh} {boiler}"),   # chunk 3 repeats chunk 1
+        (2, fresh),                           # nothing repeated
+        (3, "  "),                            # empty after normalize
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r for r in remove_repeated_chunks(docs, chunk_tokens=4).collect()
+    }
+    assert (out[1].n_chunks, out[1].n_kept) == (3, 2)
+    assert out[1].new_text == f"{boiler} {fresh}"
+    assert (out[2].n_chunks, out[2].n_kept) == (1, 1)
+    assert (out[3].n_chunks, out[3].n_kept, out[3].new_text) == (0, 0, "")
+    # idempotent: rewriting the rewrite changes nothing
+    again = remove_repeated_chunks(
+        spark.createDataFrame(
+            [(1, out[1].new_text)], "doc_id int, text string"
+        ),
+        chunk_tokens=4,
+    ).collect()[0]
+    assert again.new_text == out[1].new_text and again.n_kept == again.n_chunks
