@@ -106,6 +106,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_docs_per_shingle: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard >= threshold.
 
@@ -120,8 +121,11 @@ def ngram_jaccard_pairs(
     ``max_docs_per_shingle`` caps it by dropping ultra-common shingles
     (default None = exact — capping slightly lowers Jaccard for pairs
     whose overlap includes boilerplate, the standard web-scale
-    approximation)."""
-    sh = word_shingles(docs, text_col, id_col, k).cache()
+    approximation). Pass a (cached) ``shingles`` DataFrame to share the
+    shingling scan with other consumers (the recall audit does)."""
+    sh = shingles if shingles is not None else word_shingles(
+        docs, text_col, id_col, k
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     ids = F.array_sort(F.col("ids"))
     pair_structs = F.flatten(
@@ -425,9 +429,8 @@ def lsh_recall_audit(
     one cached shingle scan."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     truth = ngram_jaccard_pairs(
-        docs, text_col, id_col, k, threshold=threshold
+        docs, text_col, id_col, k, threshold=threshold, shingles=sh
     )
-    # rebuild truth on the shared shingle scan instead of re-shingling
     cand = minhash_lsh_candidates(
         docs, text_col, id_col, k, n_hashes, bands, shingles=sh
     )
