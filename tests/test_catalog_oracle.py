@@ -38,3 +38,15 @@ def test_oracle_keys_subset():
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) > 0
+
+
+def test_gate_priority_names_all_registered_and_exactly_50():
+    """Every GATE_PRIORITY name must resolve to a registered query (a
+    typo would silently shrink the driver-verified set) and the pinned
+    gate must be exactly the driver's 50-slot window."""
+    catalog._ensure_loaded()
+    missing = [n for n in catalog.GATE_PRIORITY if n not in catalog._REGISTRY]
+    assert missing == [], missing
+    assert len(catalog.GATE_PRIORITY) == 50
+    first50 = list(catalog.queries())[:50]
+    assert first50 == list(catalog.GATE_PRIORITY)

@@ -721,3 +721,12 @@ def test_rag_index_e2e_exchanges_never_carry_chunk_text(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
             assert "text#" not in block and "chunk_text#" not in block, block
+
+
+def test_temperature_mix_broadcasts_rates(spark, queries):
+    """Temperature mixing must stay the sample_by_rates shape: the tiny
+    computed-rates side broadcasts onto the corpus; the corpus is never
+    shuffled for the join."""
+    plan = plan_of(queries["mix_by_temperature"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
