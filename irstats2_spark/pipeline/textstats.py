@@ -509,6 +509,9 @@ def lm_nll_scores(
             .select("doc_id", F.col("b.ctx").alias("ctx"), F.col("b.w").alias("w"))
         )
 
+    # the reference only contributes n-gram counts — it need not carry
+    # the id column (a bare text sample is a valid model source)
+    reference = reference.select(F.lit(0).alias(id_col), F.col(text_col))
     ref_big = bigrams(reference).groupBy("ctx", "w").agg(
         F.count(F.lit(1)).alias("c_big")
     )

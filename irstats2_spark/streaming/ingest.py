@@ -451,3 +451,95 @@ def decontaminate_stream(
         .withColumn("contaminated", frac > max_frac)
         .drop("__sh", "__bench")
     )
+
+
+def lm_quality_stream(
+    docs: DataFrame,
+    reference: DataFrame,
+    max_avg_nll: float = 10.0,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ``textstats.lm_nll_scores``: score every
+    arriving document's average bigram NLL against the STATIC reference
+    model and tag quality_fail (avg_nll > max_avg_nll), so a live ingest
+    can divert gibberish before it lands in the corpus.
+
+    Statelessness the same way ``decontaminate_stream`` gets it: the
+    batch scorer explodes bigrams and groupBys per doc (a stateful
+    streaming aggregation); here the bigram/unigram model tables fold to
+    ONE static map row each (reference models are small by contract —
+    the batch path's broadcast side), and the score is a row-local fold
+    over the doc's in-row bigram array on the cross-joined row. The
+    per-bigram micro-nat quantization is identical to the batch scorer,
+    so scores are bit-identical; a retrained reference swaps in under
+    the checkpoint between runs."""
+    from irstats2_spark.pipeline.textstats import tokens
+
+    def bigram_arr(text_col_expr):
+        t = tokens(text_col_expr)
+        n = F.size(t)
+        return F.when(
+            n >= 2,
+            F.zip_with(
+                F.slice(t, 1, n - 1),
+                F.slice(t, 2, n - 1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ref_big = (
+        reference.select(F.explode(bigram_arr(F.col(ref_text_col))).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("bg", "c"))).alias("__big"))
+    )
+    ref_uni = (
+        reference.select(F.explode(tokens(F.col(ref_text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.map_from_entries(F.collect_list(F.struct("w", "c"))).alias("__uni"),
+            F.count(F.lit(1)).alias("__v"),
+        )
+    )
+    out = (
+        docs.withColumn("__bg", bigram_arr(F.col(text_col)))
+        .crossJoin(ref_big)
+        .crossJoin(ref_uni)
+    )
+    lq = F.aggregate(
+        F.col("__bg"),
+        F.lit(0).cast("long"),
+        lambda acc, bg: acc
+        + F.floor(
+            F.lit(1e6)
+            * F.log(
+                (F.coalesce(F.element_at(F.col("__big"), bg), F.lit(0)) + 1).cast(
+                    "double"
+                )
+                / (
+                    F.coalesce(
+                        F.element_at(
+                            F.col("__uni"), F.split(bg, " ").getItem(0)
+                        ),
+                        F.lit(0),
+                    )
+                    + F.col("__v")
+                ).cast("double")
+            )
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    n_big = F.size("__bg")
+    nll_micro = F.when(n_big > 0, -lq).otherwise(F.lit(0)).cast("long")
+    avg_nll = F.coalesce(
+        F.round(F.try_divide(nll_micro, n_big * F.lit(1e6)), 6), F.lit(0.0)
+    )
+    return (
+        out.withColumn("n_bigrams", n_big.cast("long"))
+        .withColumn("nll_micro", nll_micro)
+        .withColumn("avg_nll", avg_nll)
+        .withColumn("quality_fail", avg_nll > max_avg_nll)
+        .drop("__bg", "__big", "__uni", "__v")
+    )

@@ -630,3 +630,64 @@ def test_bucketed_snapshot_dedup_join_without_snapshot_exchange(spark, tmp_path)
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_lm_quality_matches_batch_scores(spark, tmp_path):
+    """lm_quality_stream: per-row fold over broadcast model maps must be
+    bit-identical to the batch bigram-LM scorer on the same docs."""
+    import json
+
+    from irstats2_spark.pipeline.textstats import lm_nll_scores
+    from irstats2_spark.streaming.ingest import lm_quality_stream
+
+    ref = spark.createDataFrame(
+        [("the cat sat on the mat and the cat ran",)], "text string"
+    )
+    texts = [
+        "the cat sat on the mat",
+        "zx qv jj kk wq pp zz xx yy",
+        "one",
+    ]
+    rows = [
+        {"doc_id": i, "ts": f"2024-01-01T00:0{i}:00Z", "text": t}
+        for i, t in enumerate(texts)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    # uniform unseen-bigram NLL here is ln(V)=ln(7)~1.946; the cut at
+    # 1.7 separates reference-like (~1.42) from all-unseen gibberish
+    out = lm_quality_stream(stream, ref, max_avg_nll=1.7)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lmq_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_bigrams, r.nll_micro, r.avg_nll, r.quality_fail)
+        for r in spark.sql(
+            "SELECT doc_id, n_bigrams, nll_micro, avg_nll, quality_fail"
+            " FROM lmq_stream_out"
+        ).collect()
+    }
+    batch_docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    expect = {
+        r.doc_id: (r.n_bigrams, r.nll_micro, r.avg_nll)
+        for r in lm_nll_scores(batch_docs, ref).collect()
+    }
+    assert len(got) == 3
+    for i in range(3):
+        assert got[i][:3] == expect[i], i
+    assert got[0][3] is False        # reference-like: passes
+    assert got[1][3] is True         # gibberish: fails
+    assert got[2][3] is False        # unscorable: passes (cannot judge)
