@@ -439,6 +439,7 @@ def temperature_mix_rates(
     strata_col: str,
     alpha: float = 0.5,
     target_total: float = 100.0,
+    cap_at_one: bool = True,
 ) -> DataFrame:
     """Multinomial temperature-sampling rates (the multilingual-pretraining
     recipe: stratum probability ∝ n^alpha, alpha<1 up-weighting small
@@ -466,11 +467,13 @@ def temperature_mix_rates(
         .alias("__tq"),
     )
     z = terms.agg(F.sum("__tq").alias("__zq"))
-    rate = F.least(
-        F.lit(1.0),
-        (F.lit(target_total) * F.col("__tq"))
-        / (F.col("__zq").cast("double") * F.col("n_docs")),
+    rate = (F.lit(target_total) * F.col("__tq")) / (
+        F.col("__zq").cast("double") * F.col("n_docs")
     )
+    if cap_at_one:
+        # rates feed sample_by_rates (keep-probabilities); uncapped
+        # rates > 1 are fractional EPOCHS for replicate_by_rates
+        rate = F.least(F.lit(1.0), rate)
     return (
         terms.crossJoin(F.broadcast(z))
         .select(
@@ -478,4 +481,50 @@ def temperature_mix_rates(
             "n_docs",
             (F.floor(rate * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
         )
+    )
+
+
+def replicate_by_rates(
+    df: DataFrame,
+    rates: DataFrame,
+    strata_col: str,
+    id_col: str,
+    rate_col: str = "rate",
+    buckets: int = 10_000,
+    salt: str = "epoch:",
+) -> DataFrame:
+    """``sample_by_rates`` without the rate-<=-1 ceiling: UPSAMPLING by
+    fractional epochs. A stratum with rate 2.3 keeps every row twice and
+    a deterministic 30% of rows a third time — the data-recipe knob for
+    repeating small high-quality sources while big ones downsample, in
+    ONE operator (rate 0.4 behaves exactly like sample_by_rates).
+
+    Each surviving copy is tagged ``copy_idx`` (0-based) so downstream
+    packing/sharding can spread repeats deterministically (append
+    copy_idx to the shuffle key) instead of clustering them.
+
+    Determinism contract: copies 0..floor(rate)-1 always survive; the
+    fractional copy survives iff hash_bucket(id) < frac(rate)*buckets —
+    same stable-under-rerun law as the samplers, and raising a rate only
+    ever ADDS copies.
+
+    Plan: broadcast rates join + per-row sequence/explode — the corpus
+    is never shuffled; output size is sum(n_s * rate_s) by construction.
+    """
+    r = rates.select(
+        F.col(strata_col).alias("__stratum"), F.col(rate_col).alias("__rate")
+    )
+    joined = df.join(
+        F.broadcast(r), df[strata_col] == F.col("__stratum"), "inner"
+    )
+    whole = F.floor(F.col("__rate")).cast("int")
+    frac = F.col("__rate") - whole
+    extra = (
+        hash_bucket(F.col(id_col), buckets, salt) < frac * buckets
+    ).cast("int")
+    n_copies = whole + extra
+    return (
+        joined.filter(n_copies > 0)
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), n_copies - 1)))
+        .drop("__stratum", "__rate")
     )

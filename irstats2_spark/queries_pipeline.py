@@ -3430,3 +3430,51 @@ def text_dedup_chunks_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.textstats import remove_repeated_chunks
 
     return remove_repeated_chunks(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "mix_with_epochs",
+    f"""
+    WITH ep_counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    ),
+    ep_terms AS (
+        SELECT source, n_docs,
+               CAST(FLOOR(1e6 * POWER(CAST(n_docs AS DOUBLE), 0.5) + 0.5)
+                    AS BIGINT) AS tq
+        FROM ep_counts
+    ),
+    ep_z AS (SELECT SUM(tq) AS zq FROM ep_terms),
+    ep_rates AS (
+        SELECT source,
+               FLOOR(((1000.0 * tq) / (CAST(zq AS DOUBLE) * n_docs))
+                     * 1e6 + 0.5) / 1e6 AS rate
+        FROM ep_terms CROSS JOIN ep_z
+    )
+    SELECT d.doc_id, d.source, CAST(n.ci AS INT) AS copy_idx
+    FROM (SELECT doc_id, source, {_bucket_sql('epoch:')} AS b
+          FROM documents) d
+    JOIN ep_rates r ON r.source = d.source
+    JOIN (SELECT unnest(generate_series(0, 63)) AS ci) n
+      ON n.ci < FLOOR(r.rate)
+            + CASE WHEN d.b < (r.rate - FLOOR(r.rate)) * 10000
+                   THEN 1 ELSE 0 END
+    """,
+    doc="temperature mixing WITH fractional epochs: uncapped rates feed "
+    "replicate_by_rates, so small sources repeat (rate 2.3 = every doc "
+    "twice + a deterministic 30% third copy) while big ones downsample "
+    "— the data-recipe upsampling knob in one operator",
+)
+def mix_with_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import (
+        replicate_by_rates,
+        temperature_mix_rates,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    rates = temperature_mix_rates(
+        docs, "source", alpha=0.5, target_total=1000.0, cap_at_one=False
+    )
+    return replicate_by_rates(
+        docs, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
+    ).select("doc_id", "source", "copy_idx")

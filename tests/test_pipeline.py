@@ -2037,3 +2037,37 @@ def test_remove_repeated_chunks_transform(spark):
         chunk_tokens=4,
     ).collect()[0]
     assert again.new_text == out[1].new_text and again.n_kept == again.n_chunks
+
+
+def test_replicate_by_rates_fractional_epochs(spark):
+    from irstats2_spark.pipeline.sampling import replicate_by_rates
+
+    docs = spark.createDataFrame(
+        [(i, "small") for i in range(100)] + [(1000 + i, "big") for i in range(100)],
+        "doc_id int, source string",
+    )
+    rates = spark.createDataFrame(
+        [("small", 2.3), ("big", 0.4)], "source string, rate double"
+    )
+    out = replicate_by_rates(docs, rates, "source", "doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # small: everyone twice (copy 0,1) + ~30% a third copy
+    small_counts = {}
+    for r in by_src["small"]:
+        small_counts[r.doc_id] = small_counts.get(r.doc_id, 0) + 1
+    assert set(small_counts.values()) <= {2, 3}
+    assert all(v >= 2 for v in small_counts.values())
+    n_third = sum(1 for v in small_counts.values() if v == 3)
+    assert 15 <= n_third <= 45  # ~30 expected of 100
+    # big at 0.4 behaves like sample_by_rates: single copies, ~40 kept
+    assert all(r.copy_idx == 0 for r in by_src["big"])
+    assert 25 <= len(by_src["big"]) <= 55
+    # deterministic under repartition
+    again = replicate_by_rates(
+        docs.repartition(7), rates, "source", "doc_id"
+    ).collect()
+    assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
+        (r.doc_id, r.copy_idx) for r in out
+    )
