@@ -151,6 +151,13 @@ GATE_PRIORITY: tuple[str, ...] = (
 # dedup_simhash_hamming and select_dsir_weights landed: their r2 rows stand,
 # their implementations are unchanged, and a3's components were re-verified
 # inside the r3 etl_* fact rows.)
+# ROUND 5 MUST GATE FIRST (registered this round with NO driver row yet —
+# their oracle runs live only in pytest until then): bpe_train_merges
+# (rows-only), corpus_shard_manifest, mix_with_epochs,
+# text_dedup_chunks_inplace, and the three transitively-verified interior
+# stages similarity_pq_fit, similarity_pq_encode,
+# text_classifier_top_fraction.
+#
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
 # they head round 5's cut): j1_fact_join_dim, j2_grouping_join, t2_densify,
 # a6_a7_cumulative_running_avg, a5_ratio_metric,
