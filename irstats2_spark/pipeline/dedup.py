@@ -405,6 +405,41 @@ def minhash_lsh_dedup(
     )
 
 
+def cluster_keepers_by_score(
+    components: DataFrame,
+    scores: DataFrame,
+    score_col: str = "score",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware keeper selection for near-dup clusters: instead of
+    ``connected_components``' min-id keeper, keep each cluster's
+    HIGHEST-scoring member (min-id tiebreak) — the curation-correct rule
+    when duplicates differ (truncated mirrors, boilerplate-injected
+    copies): dedup should discard the worse copy, and min-id picks
+    whichever was crawled first.
+
+    ``components``: (doc_id, cluster_id) from connected_components;
+    ``scores``: (doc_id, score) — any per-doc quality signal (token
+    count, classifier margin, negated LM NLL). Output: (doc_id,
+    cluster_id, score, is_keeper).
+
+    Scale shape: one join on doc_id + a struct-max window per
+    cluster_id — both keyed by ids, ∝ the dup-pair node set, never the
+    corpus; exactly one keeper per cluster by construction (the
+    (score, -id) struct ordering is a total order)."""
+    joined = components.join(
+        scores.select(F.col(id_col).alias("doc_id"), F.col(score_col).alias("score")),
+        "doc_id",
+    )
+    from pyspark.sql import Window
+
+    pick = F.struct(F.col("score"), (-F.col("doc_id")).alias("__negid"))
+    best = F.max(pick).over(Window.partitionBy("cluster_id"))
+    return joined.select(
+        "doc_id", "cluster_id", "score", (pick == best).alias("is_keeper")
+    )
+
+
 def lsh_recall_audit(
     docs: DataFrame,
     text_col: str = "text",

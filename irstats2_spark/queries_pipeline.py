@@ -3478,3 +3478,51 @@ def mix_with_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return replicate_by_rates(
         docs, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
     ).select("doc_id", "source", "copy_idx")
+
+
+@register(
+    "dedup_cluster_quality_keepers",
+    f"""
+    WITH RECURSIVE {_LSH_VERIFIED_SQL},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+    qscore AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> length(x) > 0)) AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id, q.score,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.score DESC, c.doc_id ASC) = 1)
+           AS is_keeper
+    FROM comp c JOIN qscore q USING (doc_id)
+    """,
+    doc="quality-aware near-dup keepers: per LSH cluster keep the "
+    "highest-token-count member (min-id tiebreak) instead of min id — "
+    "dedup discards the worse copy, not the later crawl",
+)
+def dedup_cluster_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import (
+        cluster_keepers_by_score,
+        connected_components,
+        minhash_lsh_dedup,
+    )
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    scores = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return cluster_keepers_by_score(comp, scores)

@@ -2071,3 +2071,18 @@ def test_replicate_by_rates_fractional_epochs(spark):
     assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
         (r.doc_id, r.copy_idx) for r in out
     )
+
+
+def test_cluster_keepers_by_score_prefers_quality(spark):
+    from irstats2_spark.pipeline.dedup import cluster_keepers_by_score
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (7, 7), (8, 7)],
+        "doc_id long, cluster_id long",
+    )
+    scores = spark.createDataFrame(
+        [(1, 10), (2, 50), (3, 50), (7, 5), (8, 5)], "doc_id long, score long"
+    )
+    out = {r.doc_id: r.is_keeper for r in cluster_keepers_by_score(comp, scores).collect()}
+    # cluster 1: docs 2 and 3 tie on score 50 -> min id (2) wins, not min id overall (1)
+    assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
