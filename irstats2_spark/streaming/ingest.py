@@ -543,3 +543,72 @@ def lm_quality_stream(
         .withColumn("quality_fail", avg_nll > max_avg_nll)
         .drop("__bg", "__big", "__uni", "__v")
     )
+
+
+def start_corpus_stream(
+    docs: DataFrame,
+    output_root: str,
+    checkpoint_dir: str,
+    min_tokens: int = 5,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger_once: bool = True,
+):
+    """Continuously fold a document stream into a curated corpus — the
+    LLM-data analog of ``start_fact_stream``'s nightly-ETL twin:
+
+        quality gate (token floor, pure map)
+        -> within-batch exact dedup (first doc per content hash)
+        -> anti-join against the ACCUMULATED hash snapshot on disk
+        -> append survivors to ``corpus/``; append their hashes to
+           ``seen_hashes/``
+
+    foreachBatch reads the snapshot parquet fresh each micro-batch, so
+    the corpus and its dedup index grow together under one streaming
+    checkpoint — exactly-once per Spark's sink contract, and a restart
+    replays only unprocessed source files. The hash is the same
+    md5-of-raw-text as ``exact_dedup``, so the accumulated snapshot is
+    interchangeable with the batch operators' (run
+    ``exact_dedup_incremental`` offline to reconcile late duplicates
+    past the within-batch horizon; at corpus scale store the snapshot
+    via ``storage.write_corpus_snapshot_bucketed`` so this anti-join
+    plans exchange-free on the snapshot side)."""
+    import os
+
+    from irstats2_spark.pipeline.textstats import token_count
+
+    corpus_path = os.path.join(output_root, "corpus")
+    hashes_path = os.path.join(output_root, "seen_hashes")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        gated = batch_df.filter(token_count(F.col(text_col)) >= min_tokens)
+        hashed = gated.withColumn("text_hash", F.md5(F.col(text_col)))
+        # within-batch: keep the min-id doc per hash (exact_dedup's rule)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("text_hash")
+        firsts = (
+            hashed.withColumn("__keep", F.min(id_col).over(w))
+            .filter(F.col(id_col) == F.col("__keep"))
+            .drop("__keep")
+        )
+        try:
+            seen = spark.read.parquet(hashes_path).select("text_hash")
+            fresh = firsts.join(seen, "text_hash", "left_anti")
+        except Exception:  # first batch: no snapshot yet
+            fresh = firsts
+        fresh = fresh.persist()  # appended twice below
+        fresh.write.mode("append").parquet(corpus_path)
+        fresh.select("text_hash").write.mode("append").parquet(hashes_path)
+        fresh.unpersist()
+
+    writer = docs.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

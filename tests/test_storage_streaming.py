@@ -691,3 +691,50 @@ def test_streaming_lm_quality_matches_batch_scores(spark, tmp_path):
     assert got[0][3] is False        # reference-like: passes
     assert got[1][3] is True         # gibberish: fails
     assert got[2][3] is False        # unscorable: passes (cannot judge)
+
+
+def test_streaming_corpus_ingest_accumulates_and_dedups(spark, tmp_path):
+    """start_corpus_stream: two incremental runs — run 2 must skip docs
+    whose hashes run 1 already wrote, dedup within its own batch, gate
+    short docs, and grow corpus + snapshot together."""
+    import json
+
+    from irstats2_spark.streaming.ingest import start_corpus_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "corpus_root"
+    ck = tmp_path / "ck"
+
+    def write_batch(name, rows):
+        (src / name).write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    def run():
+        docs = (
+            spark.readStream.schema("doc_id long, ts string, text string")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = start_corpus_stream(docs, str(out), str(ck), min_tokens=3)
+        q.awaitTermination(120)
+
+    long1 = "a genuinely long document body here"
+    long2 = "another long and different body text"
+    write_batch("b1.json", [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z", "text": long1},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z", "text": long1},  # batch dup
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z", "text": "too short"},
+    ])
+    run()
+    corpus = spark.read.parquet(str(out / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1]
+
+    write_batch("b2.json", [
+        {"doc_id": 4, "ts": "2024-01-02T00:00:00Z", "text": long1},  # historical dup
+        {"doc_id": 5, "ts": "2024-01-02T00:01:00Z", "text": long2},  # fresh
+    ])
+    run()
+    corpus = spark.read.parquet(str(out / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 5]
+    hashes = spark.read.parquet(str(out / "seen_hashes"))
+    assert hashes.distinct().count() == 2
