@@ -144,3 +144,46 @@ def write_corpus_snapshot_bucketed(
         .saveAsTable(table)
     )
     return table
+
+
+def write_corpus_shards(
+    docs: DataFrame,
+    root: str,
+    n_shards: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Publish a corpus as deterministic shards + a manifest — the
+    physical write behind ``curate.shard_manifest``'s dataset card:
+    rows are assigned their manifest shard (hash_bucket of the id, the
+    same 'shard:' salt), repartitioned so each shard is one task's
+    output, written parquet partitioned by ``shard``, and the manifest
+    (computed from the SAME tagged rows) is written beside them at
+    ``<root>/manifest``. Returns the manifest DataFrame.
+
+    A consumer verifies a download by recomputing ``shard_manifest``
+    over the shard files and diffing checksums — any lost, duplicated,
+    or bit-flipped document surfaces as its shard's digest mismatch.
+
+    Scale shape: one repartition on the shard key sized so a shard is
+    a task-friendly file set (pick n_shards ∝ corpus/target shard
+    size); sortWithinPartitions(doc_id) makes file contents
+    byte-reproducible across reruns, not just set-equal."""
+    import os
+
+    from irstats2_spark.pipeline.curate import shard_manifest
+    from irstats2_spark.pipeline.sampling import hash_bucket
+
+    tagged = docs.withColumn(
+        "shard", hash_bucket(F.col(id_col), n_shards, "shard:").cast("int")
+    )
+    (
+        tagged.repartition(n_shards, "shard")
+        .sortWithinPartitions(id_col)
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(os.path.join(root, "shards"))
+    )
+    manifest = shard_manifest(docs, n_shards, text_col, id_col)
+    manifest.write.mode("overwrite").parquet(os.path.join(root, "manifest"))
+    return manifest

@@ -738,3 +738,37 @@ def test_streaming_corpus_ingest_accumulates_and_dedups(spark, tmp_path):
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 5]
     hashes = spark.read.parquet(str(out / "seen_hashes"))
     assert hashes.distinct().count() == 2
+
+
+def test_write_corpus_shards_roundtrip_verifies(spark, tmp_path):
+    """write_corpus_shards: reading the shard files back and recomputing
+    the manifest must reproduce the written manifest exactly (the
+    consumer's download-verification protocol), and every doc lands in
+    its manifest shard."""
+    from irstats2_spark.pipeline.curate import shard_manifest
+    from irstats2_spark.sources.storage import write_corpus_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"document body number {i}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    written = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_checksum)
+        for r in write_corpus_shards(docs, str(tmp_path), n_shards=4).collect()
+    }
+    back = spark.read.parquet(str(tmp_path / "shards"))
+    assert back.count() == 60
+    recomputed = {
+        r.shard: (r.n_docs, r.n_tokens, r.content_checksum)
+        for r in shard_manifest(
+            back.drop("shard"), n_shards=4
+        ).collect()
+    }
+    assert recomputed == written
+    # stored partition column agrees with the manifest assignment
+    from irstats2_spark.pipeline.sampling import hash_bucket
+
+    mismatch = back.filter(
+        F.col("shard") != hash_bucket(F.col("doc_id"), 4, "shard:").cast("int")
+    )
+    assert mismatch.count() == 0
