@@ -156,8 +156,8 @@ GATE_PRIORITY: tuple[str, ...] = (
 # (rows-only), corpus_shard_manifest, mix_with_epochs,
 # text_dedup_chunks_inplace, and the three transitively-verified interior
 # stages similarity_pq_fit, similarity_pq_encode,
-# text_classifier_top_fraction; plus dedup_cluster_quality_keepers
-# (landed after the cut).
+# text_classifier_top_fraction; plus dedup_cluster_quality_keepers and
+# dedup_ngram_idf_jaccard (landed after the cut).
 #
 # Displaced to stay at 50 (r2-green, implementation unchanged since;
 # they head round 5's cut): j1_fact_join_dim, j2_grouping_join, t2_densify,

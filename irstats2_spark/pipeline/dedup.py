@@ -164,6 +164,88 @@ def ngram_jaccard_pairs(
     return jac.select("doc_a", "doc_b", "jaccard")
 
 
+def ngram_idf_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_docs_per_shingle: int | None = None,
+) -> DataFrame:
+    """IDF-WEIGHTED shingle Jaccard: overlap on a rare shingle counts
+    more than overlap on corpus boilerplate —
+
+        wj(A,B) = Σ_{s ∈ A∩B} idf(s) / Σ_{s ∈ A∪B} idf(s),
+
+    idf(s) = ln(N / df(s)), N = corpus docs. Plain Jaccard scores two
+    docs sharing only the site's footer the same as two sharing a rare
+    paragraph; the weighted form suppresses the former and amplifies the
+    latter (the set-similarity analog of TF-IDF).
+
+    Engine-exact: idf quantizes ONCE per shingle to integer micro-nats
+    (floor(1e6·ln(N/df)+0.5)); intersection/union weights are integer
+    sums, one double division + 6dp round at the end. df(s) ≥ 2 for any
+    shared shingle so idf > 0 whenever it matters (a shingle unique to
+    one doc gets idf(N/1) in the union term — the maximal weight,
+    correctly penalizing unshared content).
+
+    Scale shape: ONE extra groupBy versus ``ngram_jaccard_pairs`` (the
+    per-shingle df), reusing the same cached shingle scan; the
+    co-occurrence bucket groupBy then carries (doc pairs, integer idf
+    partials) and per-doc total weights ride a doc-keyed rollup —
+    shuffles move hashes and longs, never text."""
+    n_docs = docs.count()  # one cheap scalar job; N is a model constant
+    sh = word_shingles(docs, text_col, id_col, k).cache()
+    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    idf_q = F.floor(
+        F.lit(1e6) * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = sh.join(df_t, "shingle").select(
+        "doc_id", "shingle", idf_q.alias("__w")
+    )
+    totals = weighted.groupBy("doc_id").agg(F.sum("__w").alias("__tw"))
+    ids = F.array_sort(F.col("members"))
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    x["__w"].alias("__w"),
+                ),
+            ),
+        )
+    )
+    bucket_ok = F.size("members") > 1
+    if max_docs_per_shingle is not None:
+        bucket_ok = bucket_ok & (F.size("members") <= max_docs_per_shingle)
+    common = (
+        weighted.groupBy("shingle")
+        .agg(F.collect_list(F.struct("doc_id", "__w")).alias("members"))
+        .filter(bucket_ok)
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.sum("p.__w").alias("w_common"))
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("__tw").alias("wa"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("__tw").alias("wb"))
+    wj = F.round(
+        F.col("w_common")
+        / (F.col("wa") + F.col("wb") - F.col("w_common")).cast("double"),
+        6,
+    )
+    return (
+        common.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("idf_jaccard", wj)
+        .filter(F.col("idf_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "idf_jaccard")
+    )
+
+
 def ngram_containment_pairs(
     docs: DataFrame,
     text_col: str = "text",

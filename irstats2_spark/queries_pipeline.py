@@ -3526,3 +3526,42 @@ def dedup_cluster_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", token_count(F.col("text")).cast("long").alias("score")
     )
     return cluster_keepers_by_score(comp, scores)
+
+
+@register(
+    "dedup_ngram_idf_jaccard",
+    f"""
+    WITH {_SHINGLES_SQL},
+    idf_df AS (SELECT shingle, COUNT(*) AS df FROM shingles GROUP BY 1),
+    idf_w AS (
+        SELECT s.doc_id, s.shingle,
+               CAST(FLOOR(1e6 * ln(
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents)
+                   / CAST(df AS DOUBLE)) + 0.5) AS BIGINT) AS wq
+        FROM shingles s JOIN idf_df USING (shingle)
+    ),
+    idf_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wq) AS w_common
+        FROM idf_w a JOIN idf_w b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    idf_tot AS (SELECT doc_id, SUM(wq) AS tw FROM idf_w GROUP BY 1)
+    SELECT doc_a, doc_b,
+           ROUND(w_common / CAST(ta.tw + tb.tw - w_common AS DOUBLE), 6)
+               AS idf_jaccard
+    FROM idf_common
+    JOIN idf_tot ta ON ta.doc_id = doc_a
+    JOIN idf_tot tb ON tb.doc_id = doc_b
+    WHERE ROUND(w_common / CAST(ta.tw + tb.tw - w_common AS DOUBLE), 6) >= 0.5
+    """,
+    doc="IDF-weighted shingle Jaccard >= 0.5: rare-shingle overlap "
+    "outweighs boilerplate overlap (integer micro-nat idf weights, "
+    "one extra df groupBy over the shared shingle scan)",
+)
+def dedup_ngram_idf_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import ngram_idf_jaccard_pairs
+
+    return ngram_idf_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.5
+    )

@@ -2086,3 +2086,36 @@ def test_cluster_keepers_by_score_prefers_quality(spark):
     out = {r.doc_id: r.is_keeper for r in cluster_keepers_by_score(comp, scores).collect()}
     # cluster 1: docs 2 and 3 tie on score 50 -> min id (2) wins, not min id overall (1)
     assert out == {1: False, 2: True, 3: False, 7: True, 8: False}
+
+
+def test_idf_jaccard_downweights_boilerplate_overlap(spark):
+    """Two docs sharing only corpus-wide boilerplate must score far lower
+    under IDF-weighted Jaccard than plain Jaccard; a rare-content match
+    scores higher than its plain counterpart."""
+    from irstats2_spark.pipeline.dedup import (
+        ngram_idf_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "standard footer text appears everywhere always"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c") for i in range(8)]
+    rows += [
+        (100, f"rare alpha beta gamma delta epsilon {boiler}"),
+        (101, f"rare alpha beta gamma delta epsilon {boiler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    plain = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    idf = {
+        (r.doc_a, r.doc_b): r.idf_jaccard
+        for r in ngram_idf_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    # boilerplate present in EVERY doc has idf = ln(1) = 0, so the
+    # boilerplate-only pair vanishes outright where plain Jaccard
+    # still scores it
+    assert plain[(0, 1)] > 0.2
+    assert (0, 1) not in idf
+    # identical docs stay 1.0 in both
+    assert plain[(100, 101)] == 1.0 and idf[(100, 101)] == 1.0
