@@ -730,3 +730,16 @@ def test_temperature_mix_broadcasts_rates(spark, queries):
     plan = plan_of(queries["mix_by_temperature"](spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_epoch_replication_broadcasts_rates_and_never_shuffles_corpus(spark, queries):
+    """Fractional-epoch upsampling: the rates side broadcasts, the copy
+    explosion is map-side — the corpus must reach the output with no
+    exchange at all beyond ensure_parallelism's small-input guard."""
+    import re
+
+    plan = plan_of(queries["mix_with_epochs"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    tree = plan.split("\n\n")[0]
+    assert not re.search(r"Exchange hashpartitioning.*text", tree)
