@@ -22,6 +22,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+# Default cap on |docs sharing one shingle| in the co-occurrence pair
+# expanders below. The expanders build candidate pairs by collecting each
+# shingle's doc list and expanding ordered pairs IN-ROW, so one corpus-wide
+# boilerplate shingle shared by N docs materializes an N^2 struct array
+# inside a single aggregation row — the same skewed-semantic-key blowup
+# documented (and fixed via a banded self-join) for SimHash buckets below.
+# A shingle shared by >64 docs is boilerplate by definition (site chrome,
+# license headers), not near-duplication evidence — dropping those buckets
+# is the standard web-scale approximation (same contract as
+# ``minhash_lsh_dedup``'s band caps). Pass ``max_docs_per_shingle=None``
+# explicitly for the exact uncapped form on corpora known to be clean.
+DEFAULT_MAX_DOCS_PER_SHINGLE = 64
+
+
 def normalize_text(col):
     """Canonical form for hashing: lowercase, punctuation stripped,
     whitespace collapsed + trimmed."""
@@ -105,7 +119,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard >= threshold.
@@ -116,13 +130,14 @@ def ngram_jaccard_pairs(
     The co-occurrence count groups docs per shingle and emits ordered
     pairs from the sorted id array — ONE shuffle of the shingle set,
     where the equivalent self-join on shingle shuffles it twice. The
-    per-shingle pair blowup (|docs sharing a shingle|^2) is identical in
-    both formulations and lands on the same reducer key either way;
-    ``max_docs_per_shingle`` caps it by dropping ultra-common shingles
-    (default None = exact — capping slightly lowers Jaccard for pairs
-    whose overlap includes boilerplate, the standard web-scale
-    approximation). Pass a (cached) ``shingles`` DataFrame to share the
-    shingling scan with other consumers (the recall audit does)."""
+    per-shingle pair blowup (|docs sharing a shingle|^2) materializes
+    IN-ROW here, so ``max_docs_per_shingle`` (default
+    ``DEFAULT_MAX_DOCS_PER_SHINGLE`` = 64) drops ultra-common shingles
+    before the expansion: a >64-doc shingle is boilerplate, and counting
+    it would both blow up one reducer row and inflate Jaccard for pairs
+    whose only overlap is site chrome. ``None`` = exact uncapped form.
+    Pass a (cached) ``shingles`` DataFrame to share the shingling scan
+    with other consumers (the recall audit does)."""
     sh = shingles if shingles is not None else word_shingles(
         docs, text_col, id_col, k
     ).cache()
@@ -170,7 +185,7 @@ def ngram_idf_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
 ) -> DataFrame:
     """IDF-WEIGHTED shingle Jaccard: overlap on a rare shingle counts
     more than overlap on corpus boilerplate —
@@ -193,7 +208,11 @@ def ngram_idf_jaccard_pairs(
     per-shingle df), reusing the same cached shingle scan; the
     co-occurrence bucket groupBy then carries (doc pairs, integer idf
     partials) and per-doc total weights ride a doc-keyed rollup —
-    shuffles move hashes and longs, never text."""
+    shuffles move hashes and longs, never text. ``max_docs_per_shingle``
+    (default 64) drops boilerplate buckets before the in-row pair
+    expansion — such shingles carry near-zero idf weight anyway, so the
+    cap here barely moves scores while removing the N^2 hot-row risk;
+    ``None`` = exact."""
     n_docs = docs.count()  # one cheap scalar job; N is a model constant
     sh = word_shingles(docs, text_col, id_col, k).cache()
     df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
@@ -252,7 +271,7 @@ def ngram_containment_pairs(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.8,
-    max_docs_per_shingle: int | None = None,
+    max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle containment
     C(A in B) = |A ∩ B| / |A| — the sub-document-duplication detector
@@ -265,7 +284,8 @@ def ngram_containment_pairs(
     Same one-shuffle co-occurrence shape as ``ngram_jaccard_pairs``
     (shared shingle -> ordered pairs -> per-pair n_common), then BOTH
     directed containments are checked from the one undirected pair row.
-    ``max_docs_per_shingle`` caps boilerplate blowup identically."""
+    ``max_docs_per_shingle`` (default 64) caps boilerplate blowup
+    identically; ``None`` = exact."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     ids = F.array_sort(F.col("ids"))
@@ -696,7 +716,15 @@ def simhash_hamming_pairs(
     pair-dedup groupBy. ``max_bucket_size`` drops boilerplate-collision
     buckets via a tiny bucket-size side table; run ``exact_dedup``
     first so true duplicates never inflate a bucket."""
-    assert 64 % bands == 0
+    # the signature is stored as two 32-bit halves (sim_lo/sim_hi), and
+    # each band slices one half — so the band count must split evenly
+    # across the two halves: bands ∈ {2, 4, 8, 16, 32, 64}. bands=1
+    # would need a single 64-bit slice spanning both columns (and
+    # divides by bands//2 == 0 below); odd counts straddle the boundary.
+    assert bands >= 2 and bands % 2 == 0 and 64 % bands == 0, (
+        "bands must be one of {2, 4, 8, 16, 32, 64}: the 64-bit signature "
+        "is sliced per-band out of two 32-bit halves"
+    )
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
     sig = simhash64(docs, text_col, id_col)

@@ -175,8 +175,20 @@ def pq_fit(
     Output: (subspace, code, dim, value) exploded — ``dim`` is the
     LOCAL dimension index within the subspace; value rounded 6dp at the
     end only (intermediates stay full doubles, mirrored by the oracle).
+
+    The quantized-subvector scan is persisted for the duration of the
+    fit: init + every Lloyd round reads it (max_iter+1 passes), and
+    without the persist each pass re-runs scan+quantize+slice — at
+    sf0.1 that was ~half the cost of every pq_fit-headed chain (the
+    same lesson as ``ivfpq_topk``'s persisted residual chain, which
+    halved that query). At 100 TB the fit runs on a bounded sample by
+    standard practice, so the persisted slice is sample-sized, not
+    corpus-sized; it is unpersisted before returning (the returned
+    codebook is a contract-tiny LocalRelation with no lineage on it).
     """
-    sub = pq_subvectors(embeddings, dim, m, id_col, vec_col, scale, pre_quantized)
+    sub = pq_subvectors(
+        embeddings, dim, m, id_col, vec_col, scale, pre_quantized
+    ).persist()
 
     # init: n_codes lowest-id vectors; code = rank among the seeds
     seeds = (
@@ -226,6 +238,9 @@ def pq_fit(
         cb = embeddings.sparkSession.createDataFrame(
             cb.collect(), schema="subspace int, code int, dim int, value double"
         )
+    if max_iter > 0:
+        # cb is a LocalRelation now; nothing downstream reads sub
+        sub.unpersist()
     return cb.select(
         "subspace", "code", "dim", F.round("value", 6).alias("value")
     )

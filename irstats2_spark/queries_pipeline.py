@@ -69,9 +69,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    -- mirror the engine's default max_docs_per_shingle=64 boilerplate cap:
+    -- co-occurrence counts only shingles shared by <= 64 docs
+    capped AS (SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= 64),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM shingles a JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN capped c ON c.shingle = a.shingle
         GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -3027,10 +3031,13 @@ def text_lm_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_SQL},
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    -- mirror the engine's default max_docs_per_shingle=64 boilerplate cap
+    capped AS (SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= 64),
     common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM shingles a
         JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN capped c ON c.shingle = a.shingle
         GROUP BY 1, 2
     ),
     both_dirs AS (
@@ -3085,10 +3092,13 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    -- truth side mirrors ngram_jaccard_pairs' default boilerplate cap
+    capped AS (SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= 64),
     all_common AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM shingles a
         JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN capped c ON c.shingle = a.shingle
         GROUP BY 1, 2
     ),
     truth AS (
@@ -3455,7 +3465,11 @@ def text_dedup_chunks_inplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM (SELECT doc_id, source, {_bucket_sql('epoch:')} AS b
           FROM documents) d
     JOIN ep_rates r ON r.source = d.source
-    JOIN (SELECT unnest(generate_series(0, 63)) AS ci) n
+    -- series bound derived from the actual max rate (a fixed literal cap
+    -- silently diverged from the engine's unbounded sequence() whenever a
+    -- stratum was small enough to push its rate past the cap)
+    JOIN (SELECT unnest(generate_series(0,
+              (SELECT CAST(CEIL(MAX(rate)) AS BIGINT) FROM ep_rates))) AS ci) n
       ON n.ci < FLOOR(r.rate)
             + CASE WHEN d.b < (r.rate - FLOOR(r.rate)) * 10000
                    THEN 1 ELSE 0 END
@@ -3541,9 +3555,12 @@ def dedup_cluster_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM shingles s JOIN idf_df USING (shingle)
     ),
     idf_common AS (
+        -- mirror the engine's default max_docs_per_shingle=64 cap:
+        -- co-occurrence weight sums only shingles shared by <= 64 docs
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.wq) AS w_common
         FROM idf_w a JOIN idf_w b
           ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN idf_df d ON d.shingle = a.shingle AND d.df <= 64
         GROUP BY 1, 2
     ),
     idf_tot AS (SELECT doc_id, SUM(wq) AS tw FROM idf_w GROUP BY 1)

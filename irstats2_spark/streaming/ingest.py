@@ -566,15 +566,29 @@ def start_corpus_stream(
 
     foreachBatch reads the snapshot parquet fresh each micro-batch, so
     the corpus and its dedup index grow together under one streaming
-    checkpoint — exactly-once per Spark's sink contract, and a restart
-    replays only unprocessed source files. The hash is the same
-    md5-of-raw-text as ``exact_dedup``, so the accumulated snapshot is
-    interchangeable with the batch operators' (run
-    ``exact_dedup_incremental`` offline to reconcile late duplicates
-    past the within-batch horizon; at corpus scale store the snapshot
-    via ``storage.write_corpus_snapshot_bucketed`` so this anti-join
-    plans exchange-free on the snapshot side)."""
+    checkpoint, and a restart replays only unprocessed source files.
+
+    Exactly-once mechanics: foreachBatch alone is AT-LEAST-once — a
+    failure between the corpus write and the hash write would replay the
+    whole micro-batch on restart. The sink therefore makes the replay
+    IDEMPOTENT instead of trusting the contract: each micro-batch writes
+    into its own ``batch_id=<N>`` directory with mode=overwrite, so a
+    replayed batch (same source offsets => same rows, and the
+    anti-join reads only batch_id < N of the snapshot => same survivors)
+    overwrites its own previous partial output rather than appending a
+    duplicate copy. Readers see plain partitioned parquet —
+    ``spark.read.parquet(corpus/)`` works unchanged, with ``batch_id``
+    surfaced as a provenance partition column.
+
+    The hash is the same md5-of-raw-text as ``exact_dedup``, so the
+    accumulated snapshot is interchangeable with the batch operators'
+    (run ``exact_dedup_incremental`` offline to reconcile late
+    duplicates past the within-batch horizon; at corpus scale store the
+    snapshot via ``storage.write_corpus_snapshot_bucketed`` so this
+    anti-join plans exchange-free on the snapshot side)."""
     import os
+
+    from pyspark.errors import AnalysisException
 
     from irstats2_spark.pipeline.textstats import token_count
 
@@ -596,14 +610,35 @@ def start_corpus_stream(
             .filter(F.col(id_col) == F.col("__keep"))
             .drop("__keep")
         )
+        # missing snapshot == first batch; ANY OTHER read failure
+        # (corrupt/partial parquet, transient IO) must propagate — a
+        # swallowed error here would silently disable cross-batch dedup
+        # for this micro-batch and admit duplicates.
         try:
-            seen = spark.read.parquet(hashes_path).select("text_hash")
+            seen = spark.read.parquet(hashes_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            seen = None
+        if seen is not None:
+            # exclude this batch's own directory: a replayed batch must
+            # not anti-join against its previous partial attempt (it
+            # would drop every row, then overwrite its dir with nothing)
+            seen = seen.filter(F.col("batch_id") < F.lit(batch_id)).select(
+                "text_hash"
+            )
             fresh = firsts.join(seen, "text_hash", "left_anti")
-        except Exception:  # first batch: no snapshot yet
+        else:
             fresh = firsts
-        fresh = fresh.persist()  # appended twice below
-        fresh.write.mode("append").parquet(corpus_path)
-        fresh.select("text_hash").write.mode("append").parquet(hashes_path)
+        fresh = fresh.persist()  # written twice below
+        if not fresh.isEmpty():
+            # per-batch overwrite dirs => replay-idempotent (docstring)
+            fresh.write.mode("overwrite").parquet(
+                os.path.join(corpus_path, f"batch_id={batch_id}")
+            )
+            fresh.select("text_hash").write.mode("overwrite").parquet(
+                os.path.join(hashes_path, f"batch_id={batch_id}")
+            )
         fresh.unpersist()
 
     writer = docs.writeStream.foreachBatch(sink).option(

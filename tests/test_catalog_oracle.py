@@ -40,6 +40,26 @@ def test_oracle_keys_subset():
     assert len(q) > 0
 
 
+def test_readme_counts_match_catalog():
+    """The README's 'N of the M catalog queries carry a value oracle'
+    claim is derived from the catalog here so it can't drift again (it
+    sat three versions stale before this check existed)."""
+    import re
+    from pathlib import Path
+
+    readme = (Path(__file__).parent.parent / "README.md").read_text()
+    m = re.search(r"(\d+) of\s*\n?the (\d+) catalog queries", readme)
+    assert m, "README no longer states the oracle-coverage counts"
+    catalog._ensure_loaded()
+    n_oracled = sum(
+        1 for s in catalog._REGISTRY.values() if s.oracle is not None
+    )
+    assert (int(m.group(1)), int(m.group(2))) == (
+        n_oracled,
+        len(catalog._REGISTRY),
+    ), "update README's catalog-query counts"
+
+
 def test_gate_priority_names_all_registered_and_exactly_50():
     """Every GATE_PRIORITY name must resolve to a registered query (a
     typo would silently shrink the driver-verified set) and the pinned

@@ -1848,6 +1848,80 @@ def test_containment_catches_quoted_subdocument(spark):
     assert ngram_jaccard_pairs(docs, threshold=0.8).count() == 0
 
 
+def test_pair_expanders_cap_hot_shingle_by_default(spark):
+    """One boilerplate shingle shared by >64 docs (site chrome) must NOT
+    expand into a 100^2 in-row pair array under the DEFAULT cap: pairs
+    whose only shared evidence is the hot shingle disappear, pairs that
+    also share rare shingles survive with the hot shingle excluded from
+    n_common — exactly the uncapped result computed over the corpus with
+    the boilerplate shingle deleted. max_docs_per_shingle=None restores
+    the exact uncapped form (the hot-only pairs reappear)."""
+    from irstats2_spark.pipeline.dedup import (
+        ngram_containment_pairs,
+        ngram_idf_jaccard_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    hot = "shared footer boilerplate"  # one 3-shingle in every doc
+    rare = "alpha beta gamma delta"  # two 3-shingles, docs 0 and 1 only
+    rows = [(0, f"{rare} {hot}"), (1, f"{rare} {hot}")] + [
+        (i, f"unique{i}a unique{i}b unique{i}c {hot}") for i in range(2, 100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    # capped (default): only the rare-overlap pair survives — the hot
+    # shingle's bucket is dropped BEFORE pair expansion, so the 98
+    # hot-only docs produce zero pair rows (uncapped they produce
+    # C(100,2) rows, 100^2 structs inside one aggregation row).
+    # idf threshold 0.0: the hot shingle has idf=ln(100/100)=0, so
+    # hot-only pairs score exactly 0.0 uncapped and vanish capped.
+    for fn, thresh in [
+        (ngram_jaccard_pairs, 0.01),
+        (ngram_idf_jaccard_pairs, 0.0),
+    ]:
+        capped = {
+            (r.doc_a, r.doc_b) for r in fn(docs, threshold=thresh).collect()
+        }
+        uncapped = {
+            (r.doc_a, r.doc_b)
+            for r in fn(
+                docs, threshold=thresh, max_docs_per_shingle=None
+            ).collect()
+        }
+        # hot-only pairs (98 docs x each other + vs 0/1) exist only uncapped
+        assert (2, 3) in uncapped and (2, 3) not in capped
+        assert capped == {(0, 1)}
+        assert len(uncapped) == 100 * 99 // 2
+    cont_capped = {
+        (r.doc_id, r.contained_in)
+        for r in ngram_containment_pairs(docs, threshold=0.01).collect()
+    }
+    assert cont_capped == {(0, 1), (1, 0)}
+
+    # exact capped value: docs 0/1 ("alpha beta gamma delta shared footer
+    # boilerplate") have 5 sliding 3-shingles each, all shared; the hot
+    # one (df=100) is dropped, the two rare-hot bridge shingles (df=2)
+    # are kept -> n_common = 4, sizes still 5/5 -> jaccard = 4/(5+5-4).
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.01).collect()
+    }
+    assert got == {(0, 1): round(4 / 6, 6)}
+
+
+def test_simhash_hamming_pairs_rejects_odd_or_unit_bands(spark):
+    """bands=1 used to pass the 64%bands assert then ZeroDivisionError in
+    the two-half slicing; now every non-{2,4,8,16,32} count fails fast."""
+    import pytest as _pytest
+
+    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id int, text string")
+    for bad in (1, 3, 6):
+        with _pytest.raises(AssertionError, match="bands"):
+            simhash_hamming_pairs(docs, bands=bad)
+
+
 def test_bpe_merge_fold_matches_reference_on_random_words(spark):
     """Property-style pin: the JVM fold and the sequential python merge
     agree on 300 random {a,b,c} words for every pair over the alphabet —
@@ -2071,6 +2145,21 @@ def test_replicate_by_rates_fractional_epochs(spark):
     assert sorted((r.doc_id, r.copy_idx) for r in again) == sorted(
         (r.doc_id, r.copy_idx) for r in out
     )
+    # rates past any fixed series cap (a tiny stratum under a large
+    # target_total can push rate >= 64): every doc gets floor(rate) or
+    # floor(rate)+1 copies — the engine's sequence is unbounded, and the
+    # catalog oracle now derives its series bound from CEIL(MAX(rate))
+    big_rate = spark.createDataFrame(
+        [("small", 70.3)], "source string, rate double"
+    )
+    hi = replicate_by_rates(
+        docs.filter(F.col("source") == "small"), big_rate, "source", "doc_id"
+    ).collect()
+    per_doc = {}
+    for r in hi:
+        per_doc[r.doc_id] = per_doc.get(r.doc_id, 0) + 1
+    assert set(per_doc.values()) <= {70, 71}
+    assert len(per_doc) == 100
 
 
 def test_cluster_keepers_by_score_prefers_quality(spark):

@@ -740,6 +740,72 @@ def test_streaming_corpus_ingest_accumulates_and_dedups(spark, tmp_path):
     assert hashes.distinct().count() == 2
 
 
+def test_streaming_corpus_ingest_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay safety: foreachBatch is at-least-once, so the sink
+    must be idempotent. Simulate a failure AFTER the corpus write but
+    BEFORE the hash write (the worst interleaving: the replayed batch
+    must not anti-join itself away against its own partial output, nor
+    append a second copy): delete the checkpoint commit marker + the
+    hash dir and restart — the replayed batch overwrites its own
+    ``batch_id=0`` dirs and the corpus still holds exactly one copy.
+    (Replay is simulated with a FRESH checkpoint over the same source
+    files — identical offsets => identical batch 0 — because Spark 4's
+    checkpoint concurrency guard refuses a commit log mutated behind
+    its back.)"""
+    import json
+    import shutil
+
+    from irstats2_spark.streaming.ingest import start_corpus_stream
+
+    src = tmp_path / "in"
+    src.mkdir()
+    out = tmp_path / "corpus_root"
+    ck = tmp_path / "ck"
+    ck2 = tmp_path / "ck_replay"
+
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"doc_id": 1, "ts": "2024-01-01T00:00:00Z",
+                 "text": "a genuinely long document body here"},
+                {"doc_id": 2, "ts": "2024-01-01T00:01:00Z",
+                 "text": "another long and different body text"},
+            ]
+        )
+        + "\n"
+    )
+
+    def run(checkpoint):
+        docs = (
+            spark.readStream.schema("doc_id long, ts string, text string")
+            .json(str(src))
+            .withColumn("ts", F.to_timestamp("ts"))
+        )
+        q = start_corpus_stream(docs, str(out), str(checkpoint), min_tokens=3)
+        q.awaitTermination(120)
+
+    run(ck)
+    corpus = spark.read.parquet(str(out / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2]
+
+    # simulate the partial failure: batch 0 wrote corpus/ but "crashed"
+    # before the hash write — then batch 0 replays (fresh checkpoint,
+    # same source files => same rows, same batch_id 0)
+    shutil.rmtree(out / "seen_hashes")
+    run(ck2)
+    corpus = spark.read.parquet(str(out / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2]  # no dups
+    hashes = spark.read.parquet(str(out / "seen_hashes"))
+    assert hashes.select("text_hash").distinct().count() == 2
+
+    # and a replay where BOTH writes landed before the crash (worst
+    # case for self-anti-join): everything already on disk, replay again
+    run(tmp_path / "ck_replay2")
+    corpus = spark.read.parquet(str(out / "corpus"))
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 2]
+
+
 def test_write_corpus_shards_roundtrip_verifies(spark, tmp_path):
     """write_corpus_shards: reading the shard files back and recomputing
     the manifest must reproduce the written manifest exactly (the
