@@ -136,7 +136,17 @@ def bpe_train(
     deterministic across partitionings and engines.
 
     Stops early if no pair occurs at least twice (merging singletons is
-    pointless and the reference trainer stops there too)."""
+    pointless and the reference trainer stops there too).
+
+    SCALE CONTRACT: each merge is one distributed groupBy + a 1-row
+    collect, i.e. one Spark job per merge — exact and auditable for the
+    few-dozen-merge regime this function targets, but NOT the plan for
+    a production 32k-merge vocab (32k sequential jobs). For realistic
+    vocab sizes use ``bpe_train_sampled`` below: one distributed
+    word-table pass, a driver-side merge loop over a size-bounded
+    deterministic head of it, and ``bpe_merge_usage`` as the
+    distributed full-corpus audit — identical semantics, pytest-pinned
+    equal on a covering sample."""
     spark = docs.sparkSession
     words = word_table(docs, text_col)
     sym = words.select("freq", symbolize(F.col("word")).alias("symbols"))
@@ -215,4 +225,139 @@ def bpe_segment(
         "n_words",
         F.size("tokens").alias("n_tokens"),
         "tokens",
+    )
+
+
+def bpe_train_sampled(
+    docs: DataFrame,
+    n_merges: int = 16,
+    sample_words: int = 200_000,
+    text_col: str = "text",
+) -> DataFrame:
+    """BPE training for REALISTIC vocab sizes (32k+ merges): bound the
+    working set, not the merge loop.
+
+    ``bpe_train`` above runs one distributed pair-count groupBy plus a
+    1-row collect PER MERGE — exact, and the right shape for a few
+    dozen merges, but a production 32k-merge vocab would mean 32k
+    sequential Spark jobs: not a 100 TB plan. The standard production
+    factoring (SentencePiece and HF tokenizers train the same way):
+
+    1. ONE distributed pass compresses the corpus to its word-frequency
+       table — the only stage that reads the 100 TB;
+    2. a deterministic size-bounded head of that table — the top
+       ``sample_words`` words by (freq DESC, word ASC) — is collected.
+       Word frequencies are zipfian, so the head carries virtually all
+       pair mass and truncation barely moves the learned merges (the
+       pytest pins: sample >= vocab reproduces ``bpe_train`` exactly);
+    3. the classic in-memory merge loop runs DRIVER-side over the
+       sampled table: n_merges pure-python iterations, zero Spark jobs
+       — microseconds per merge at a bounded vocab, so 32k merges are
+       seconds, not hours;
+    4. ``bpe_merge_usage`` below is the distributed audit: one
+       segmentation pass scoring the learned table against the FULL
+       corpus.
+
+    Semantics are identical to ``bpe_train`` by construction: same
+    freq-weighted adjacent-pair counts, same (count DESC, left ASC,
+    right ASC) tie-break, same greedy non-overlapping merge application,
+    same stop-below-pair-count-2 rule. Output schema matches
+    ``bpe_train`` so ``bpe_segment`` consumes either artifact."""
+    spark = docs.sparkSession
+    head = (
+        word_table(docs, text_col)
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(sample_words)
+        .collect()
+    )
+    sym: dict[str, tuple] = {
+        r.word: tuple(list(r.word) + [END_OF_WORD]) for r in head
+    }
+    freq = {r.word: r.freq for r in head}
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(n_merges):
+        counts: dict[tuple, int] = {}
+        for w, f in freq.items():
+            s = sym[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        top = max(counts.values())
+        left, right = min(p for p, c in counts.items() if c == top)
+        if top < 2:
+            break
+        merges.append((rank, left, right, top))
+        for w, s in sym.items():
+            out: list = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == left and s[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            sym[w] = tuple(out)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_merge_usage(
+    docs: DataFrame,
+    merges: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Distributed audit of a learned merge table against the FULL
+    corpus, in ONE pass: segment every document with the table
+    (zero-shuffle map, the ``bpe_segment`` expression) and count how
+    often each merge's output symbol survives in the final token stream
+    — the coverage check that a sample-trained vocab (``
+    bpe_train_sampled``) is actually used at corpus scale. A merged
+    symbol swallowed entirely by later merges (its uses folded into a
+    longer token) legitimately reports 0 final uses.
+
+    Output: (merge_rank, left_sym, right_sym, merged_sym, corpus_uses),
+    one row per learned merge — corpus_uses is the full-corpus count of
+    the merged symbol among final tokens."""
+    ranked = sorted(merges.collect(), key=lambda r: r.merge_rank)  # tiny
+    from irstats2_spark.pipeline.textstats import tokens
+
+    def segment_word(word: Column) -> Column:
+        s = symbolize(word)
+        for r in ranked:
+            s = merge_pair_expr(s, r.left_sym, r.right_sym)
+        return s
+
+    toks = docs.select(
+        F.explode(
+            F.flatten(
+                F.transform(tokens(F.col(text_col)), segment_word)
+            )
+        ).alias("tok")
+    )
+    uses = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("corpus_uses"))
+    table = merges.sparkSession.createDataFrame(
+        [
+            (r.merge_rank, r.left_sym, r.right_sym, r.left_sym + r.right_sym)
+            for r in ranked
+        ],
+        "merge_rank int, left_sym string, right_sym string, merged_sym string",
+    )
+    return (
+        table.join(
+            F.broadcast(uses.withColumnRenamed("tok", "merged_sym")),
+            "merged_sym",
+            "left",
+        )
+        .select(
+            "merge_rank",
+            "left_sym",
+            "right_sym",
+            "merged_sym",
+            F.coalesce("corpus_uses", F.lit(0)).cast("long").alias("corpus_uses"),
+        )
     )

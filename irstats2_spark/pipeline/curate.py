@@ -367,8 +367,9 @@ def shard_manifest(
     state is |shard| hashes — size shards (``n_shards`` ∝ corpus/target
     shard size) so a shard's hash list fits a task comfortably (32-byte
     hashes ⇒ ~30 MB per million docs); for billions of docs per shard,
-    checksum hierarchically (chunk the sorted hashes, md5 each, md5 the
-    chunk digests)."""
+    use ``shard_manifest_hierarchical`` below (chunk the sorted hashes,
+    md5 each, md5 the chunk digests — no task ever holds more than one
+    chunk)."""
     from irstats2_spark.pipeline.sampling import hash_bucket
     from irstats2_spark.pipeline.textstats import token_count
 
@@ -386,4 +387,69 @@ def shard_manifest(
                 F.concat_ws("", F.sort_array(F.collect_list("__h")))
             ).alias("content_checksum"),
         )
+    )
+
+
+def shard_manifest_hierarchical(
+    docs: DataFrame,
+    n_shards: int = 8,
+    chunk_size: int = 1_000_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``shard_manifest`` for shards too large to checksum in one task:
+    the sorted doc-hash list is cut into rank-order chunks of
+    ``chunk_size``, each chunk is md5'd independently, and the shard
+    checksum is the md5 over the chunk digests in chunk order (md5 of
+    md5s). No task ever materializes more than ``chunk_size`` hashes —
+    a billion-doc shard is 1000 chunk rows of 32 bytes at the default —
+    so the manifest scales to any shard size.
+
+    Agreement contract (pytest-pinned): a shard that fits in ONE chunk
+    emits its chunk digest directly (no second md5), so with
+    ``chunk_size`` >= every shard's doc count this function is
+    byte-identical to the flat ``shard_manifest`` — consumers can
+    verify a small download against either form. Chunk boundaries are
+    ranks in the SORTED hash order, so the checksum is independent of
+    input partitioning and row order (equal hashes are interchangeable
+    strings — a boundary splitting a tie still concatenates the same
+    bytes), and any added/removed/changed doc flips it.
+
+    Scale shape: one hash+count map over the corpus; rank via a
+    per-shard window sort (the same sort a shard file write needs
+    anyway); one groupBy per (shard, chunk) bounded by ``chunk_size``;
+    one groupBy per shard bounded by the chunk-digest count."""
+    from irstats2_spark.pipeline.sampling import hash_bucket
+    from irstats2_spark.pipeline.textstats import token_count
+
+    tagged = docs.select(
+        hash_bucket(F.col(id_col), n_shards, "shard:").cast("int").alias("shard"),
+        F.md5(F.col(text_col)).alias("__h"),
+        token_count(F.col(text_col)).alias("__nt"),
+    )
+    ranked = tagged.withColumn(
+        "__chunk",
+        F.floor(
+            (F.row_number().over(Window.partitionBy("shard").orderBy("__h")) - 1)
+            / chunk_size
+        ).cast("int"),
+    )
+    chunks = ranked.groupBy("shard", "__chunk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__nt").cast("long").alias("__t"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("__h")))).alias("__cd"),
+    )
+    one_chunk = F.count(F.lit(1)) == 1
+    digest_in_order = F.array_sort(
+        F.collect_list(F.struct(F.col("__chunk"), F.col("__cd")))
+    )
+    concat_digests = F.array_join(
+        F.transform(digest_in_order, lambda s: s["__cd"]), ""
+    )
+    return chunks.groupBy("shard").agg(
+        F.sum("__n").alias("n_docs"),
+        F.sum("__t").cast("long").alias("n_tokens"),
+        F.when(one_chunk, F.min("__cd"))
+        .otherwise(F.md5(concat_digests))
+        .alias("content_checksum"),
     )

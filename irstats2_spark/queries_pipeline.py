@@ -3582,3 +3582,117 @@ def dedup_ngram_idf_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_idf_jaccard_pairs(
         load_table(spark, "documents", sf_dir), threshold=0.5
     )
+
+
+@register(
+    "pipeline_neardup_maintenance_e2e",
+    f"""
+    WITH RECURSIVE {_simhash64_cte()},
+    nd_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs64 a JOIN sigs64 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM nd_pairs
+        UNION
+        SELECT doc_b, doc_a FROM nd_pairs
+    ),
+    reach(node, m) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.node, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (SELECT node AS doc_id, MIN(m) AS cluster_id FROM reach GROUP BY node),
+    qscore AS (
+        SELECT doc_id,
+               CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> length(x) > 0)) AS BIGINT) AS score
+        FROM documents
+    )
+    SELECT c.doc_id, c.cluster_id, q.score,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY q.score DESC, c.doc_id ASC) = 1)
+           AS is_keeper
+    FROM comp c JOIN qscore q USING (doc_id)
+    """,
+    doc="near-dup maintenance composition: SimHash banded pairs -> "
+    "connected components -> quality-aware keepers, as ONE chain — the "
+    "nightly corpus-maintenance job. The oracle replays the whole chain "
+    "(all-pairs Hamming, recursive closure, windowed keeper cut), so the "
+    "contract seams BETWEEN the three green operators are what's gated: "
+    "keeper uniqueness under multi-band pair dedup and score ties, and "
+    "cluster ids stable across the banded/all-pairs equivalence.",
+)
+def pipeline_neardup_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """simhash_hamming_pairs -> connected_components ->
+    cluster_keepers_by_score over ``documents`` — the operators are
+    individually green (dedup_simhash_hamming, dedup_clusters,
+    dedup_cluster_quality_keepers); this entry gates their composition.
+
+    Scale shape: the banded self-join streams pairs (no bucket
+    collect), CC state is ∝ dup-pair nodes, keeper choice is one join +
+    one struct-max window per cluster — nothing here touches the
+    full corpus after the signature map."""
+    from irstats2_spark.pipeline.dedup import (
+        cluster_keepers_by_score,
+        connected_components,
+        simhash_hamming_pairs,
+    )
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = simhash_hamming_pairs(docs)
+    comp = connected_components(pairs)
+    scores = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("score")
+    )
+    return cluster_keepers_by_score(comp, scores)
+
+
+@register(
+    "corpus_shard_manifest_hierarchical",
+    f"""
+    WITH tagged AS (
+        SELECT {_bucket_sql("shard:", buckets=8)} AS shard,
+               md5(text) AS h,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               x -> length(x) > 0)) AS nt
+        FROM documents
+    ),
+    ranked AS (
+        SELECT shard, h, nt,
+               CAST(FLOOR((ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h)
+                           - 1) / 64.0) AS INT) AS ck
+        FROM tagged
+    ),
+    chunks AS (
+        SELECT shard, ck, COUNT(*) AS n, SUM(nt) AS t,
+               md5(string_agg(h, '' ORDER BY h)) AS cd
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS n_tokens,
+           CASE WHEN COUNT(*) = 1 THEN MIN(cd)
+                ELSE md5(string_agg(cd, '' ORDER BY ck)) END
+               AS content_checksum
+    FROM chunks GROUP BY 1
+    """,
+    doc="hierarchical (md5-of-md5s) release manifest: sorted doc hashes "
+    "chunked at rank boundaries, chunk digests hashed in order — the "
+    "billion-doc-shard form of corpus_shard_manifest (no task holds more "
+    "than one chunk); one-chunk shards degrade to the flat checksum "
+    "byte-identically",
+)
+def corpus_shard_manifest_hierarchical(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.curate import shard_manifest_hierarchical
+
+    # chunk_size=64: a few hundred docs per shard at sf0.01 => several
+    # chunks, so the gate exercises the two-level digest path
+    return shard_manifest_hierarchical(
+        load_table(spark, "documents", sf_dir), n_shards=8, chunk_size=64
+    )

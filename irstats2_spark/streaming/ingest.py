@@ -647,3 +647,30 @@ def start_corpus_stream(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def replicate_stream(
+    docs: DataFrame,
+    rates: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    rate_col: str = "rate",
+) -> DataFrame:
+    """Streaming twin of ``sampling.replicate_by_rates`` — fractional-
+    epoch upsampling applied to a LIVE document stream: each arriving
+    doc is emitted floor(rate) times plus a deterministic fractional
+    copy, tagged ``copy_idx``, so a streaming ingest can apply a data
+    recipe's repeat factors as documents arrive instead of in a nightly
+    batch.
+
+    Unlike the other twins (decontaminate/LM-scoring, whose batch forms
+    aggregate and had to be refolded per-row), the batch operator is
+    ALREADY stateless — a broadcast stream-static rates join plus a
+    per-row sequence/explode — so the twin IS the batch code path; this
+    wrapper pins that contract (and the pytest pins stream == batch
+    bit-identically) so a future stateful change to the batch form
+    can't silently break the streaming use."""
+    from irstats2_spark.pipeline.sampling import replicate_by_rates
+
+    assert docs.isStreaming, "replicate_stream expects a streaming DataFrame"
+    return replicate_by_rates(docs, rates, strata_col, id_col, rate_col)

@@ -2058,6 +2058,161 @@ def test_shard_manifest_checksum_detects_any_change(spark):
     assert len(changed) == 1
 
 
+def test_bpe_train_sampled_matches_distributed_trainer(spark):
+    """The production-scale trainer (one distributed word-table pass +
+    driver-side merge loop over a size-bounded head) must reproduce the
+    per-merge distributed trainer EXACTLY when the sample covers the
+    vocab, and its segmentation artifact must be interchangeable; a
+    truncated sample still learns the head merges (zipfian mass)."""
+    from irstats2_spark.pipeline.bpe import (
+        bpe_merge_usage,
+        bpe_segment,
+        bpe_train,
+        bpe_train_sampled,
+        word_table,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown cat naps under the warm sun"),
+        (3, "the brown dog and the brown fox play in the sun"),
+        (4, "quick quick brown brown the the the fox dog cat"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    dist = [tuple(r) for r in bpe_train(docs, n_merges=10).collect()]
+    n_vocab = word_table(docs).count()
+    samp = [
+        tuple(r)
+        for r in bpe_train_sampled(
+            docs, n_merges=10, sample_words=n_vocab + 5
+        ).collect()
+    ]
+    assert samp == dist
+
+    seg_d = {
+        r.doc_id: r.tokens
+        for r in bpe_segment(docs, bpe_train(docs, 10)).collect()
+    }
+    seg_s = {
+        r.doc_id: r.tokens
+        for r in bpe_segment(
+            docs, bpe_train_sampled(docs, 10, n_vocab + 5)
+        ).collect()
+    }
+    assert seg_s == seg_d
+
+    # truncated sample: top words by freq are 'the'/'brown'/'quick' —
+    # the first merges (head of the zipf mass) must still be learned
+    trunc = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_train_sampled(docs, 10, sample_words=4).collect()
+    ]
+    assert len(trunc) > 0
+    assert trunc[0] == (dist[0][1], dist[0][2])
+
+    # distributed usage audit: one row per merge; a merge whose symbol
+    # survives segmentation must show positive full-corpus uses
+    merges = bpe_train_sampled(docs, 10, n_vocab + 5)
+    usage = {r.merged_sym: r.corpus_uses for r in bpe_merge_usage(docs, merges).collect()}
+    assert len(usage) == len(samp)
+    final_tokens = [t for toks in seg_s.values() for t in toks]
+    for sym_, uses in usage.items():
+        assert uses == final_tokens.count(sym_), sym_
+
+
+def test_shard_manifest_hierarchical_agrees_with_flat(spark):
+    """The chunked md5-of-md5s variant: with chunk_size >= every shard
+    it must be BYTE-IDENTICAL to the flat manifest (a one-chunk shard
+    emits its chunk digest directly); multi-chunk it must match a
+    hand-computed md5-of-md5s over the sorted hash chunks, stay
+    partitioning-independent, and flip on any doc change."""
+    import hashlib
+
+    from irstats2_spark.pipeline.curate import (
+        shard_manifest,
+        shard_manifest_hierarchical,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(40)],
+        "doc_id long, text string",
+    )
+    flat = {r.shard: r for r in shard_manifest(docs, n_shards=4).collect()}
+    big = {
+        r.shard: r
+        for r in shard_manifest_hierarchical(
+            docs, n_shards=4, chunk_size=1000
+        ).collect()
+    }
+    assert {k: tuple(v) for k, v in flat.items()} == {
+        k: tuple(v) for k, v in big.items()
+    }
+
+    # multi-chunk: chunk_size=3 forces several chunks per shard — check
+    # against an independent python md5-of-md5s on the same grouping
+    small = {
+        r.shard: r
+        for r in shard_manifest_hierarchical(
+            docs, n_shards=4, chunk_size=3
+        ).collect()
+    }
+
+    def py_hash(texts, chunk_size):
+        hashes = sorted(
+            hashlib.md5(t.encode()).hexdigest() for t in texts
+        )
+        chunks = [
+            hashes[i : i + chunk_size]
+            for i in range(0, len(hashes), chunk_size)
+        ]
+        digests = [
+            hashlib.md5("".join(c).encode()).hexdigest() for c in chunks
+        ]
+        if len(digests) == 1:
+            return digests[0]
+        return hashlib.md5("".join(digests).encode()).hexdigest()
+
+    # recover each shard's texts via the same bucket rule the engine uses
+    from irstats2_spark.pipeline.sampling import hash_bucket
+
+    assign = {
+        r.doc_id: r.shard
+        for r in docs.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), 4, "shard:").cast("int").alias("shard"),
+        ).collect()
+    }
+    texts_by_shard = {}
+    for i in range(40):
+        texts_by_shard.setdefault(assign[i], []).append(
+            f"document number {i} body text"
+        )
+    for s, r in small.items():
+        assert r.content_checksum == py_hash(texts_by_shard[s], 3), s
+        assert r.content_checksum != flat[s].content_checksum  # 2nd level
+
+    # partitioning-independent and change-sensitive, like the flat form
+    again = {
+        r.shard: r.content_checksum
+        for r in shard_manifest_hierarchical(
+            docs.repartition(7), 4, chunk_size=3
+        ).collect()
+    }
+    assert again == {s: r.content_checksum for s, r in small.items()}
+    mutated = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("EDITED")).otherwise(F.col("text")),
+    )
+    after = {
+        r.shard: r.content_checksum
+        for r in shard_manifest_hierarchical(mutated, 4, chunk_size=3).collect()
+    }
+    assert (
+        sum(1 for s in small if small[s].content_checksum != after[s]) == 1
+    )
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from irstats2_spark.pipeline.textstats import chunk_documents
 
@@ -2111,6 +2266,33 @@ def test_remove_repeated_chunks_transform(spark):
         chunk_tokens=4,
     ).collect()[0]
     assert again.new_text == out[1].new_text and again.n_kept == again.n_chunks
+
+
+def test_remove_repeated_chunks_idempotent_at_gate(spark):
+    """Gate-level idempotency property over the REAL documents table:
+    applying the rewrite to its own output changes nothing. This holds
+    structurally — every non-final chunk is exactly chunk_tokens tokens,
+    so removing a full chunk keeps all later boundaries aligned and the
+    kept chunks (distinct by construction) re-chunk to themselves — but
+    the property is pinned on real data, where boundary-shift bugs
+    would actually surface."""
+    from irstats2_spark.pipeline.textstats import remove_repeated_chunks
+    from irstats2_spark.sources.testdata import load_table
+    from tests.oracle_utils import SF_ORACLE
+
+    docs = load_table(spark, "documents", SF_ORACLE)
+    once = remove_repeated_chunks(docs).cache()
+    rebuilt = once.select("doc_id", F.col("new_text").alias("text"))
+    twice = remove_repeated_chunks(rebuilt)
+    joined = once.select("doc_id", F.col("new_text").alias("t1")).join(
+        twice.select(
+            "doc_id", F.col("new_text").alias("t2"), "n_chunks", "n_kept"
+        ),
+        "doc_id",
+    )
+    assert joined.filter(F.col("t1") != F.col("t2")).count() == 0
+    assert twice.filter(F.col("n_kept") != F.col("n_chunks")).count() == 0
+    once.unpersist()
 
 
 def test_replicate_by_rates_fractional_epochs(spark):

@@ -712,6 +712,18 @@ def test_shard_manifest_shuffles_hashes_not_text(spark, queries):
             assert "text#" not in block, block
 
 
+def test_shard_manifest_hierarchical_shuffles_hashes_not_text(spark, queries):
+    """The chunked variant adds a per-shard window sort and a second
+    (chunk-digest-sized) groupBy — every exchange still carries only
+    (shard, md5, count): document bodies never cross the wire."""
+    import re
+
+    plan = plan_of(queries["corpus_shard_manifest_hierarchical"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "text#" not in block, block
+
+
 def test_rag_index_e2e_exchanges_never_carry_chunk_text(spark, queries):
     """After the embed stage, only (vec_id, dim, value) rows shuffle —
     neither document text nor chunk text may reach an exchange."""

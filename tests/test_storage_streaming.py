@@ -740,6 +740,63 @@ def test_streaming_corpus_ingest_accumulates_and_dedups(spark, tmp_path):
     assert hashes.distinct().count() == 2
 
 
+def test_replicate_stream_matches_batch(spark, tmp_path):
+    """replicate_stream: fractional-epoch upsampling on a live stream
+    must emit exactly the batch operator's (doc_id, copy_idx) multiset —
+    the stream-static rates join + per-row explode is stateless, so the
+    twin is bit-identical, including rates past 1 (every doc at 2.3
+    appears 2 or 3 times in the STREAM output)."""
+    import json
+
+    from irstats2_spark.pipeline.sampling import replicate_by_rates
+    from irstats2_spark.streaming.ingest import replicate_stream
+
+    rows = [
+        {"doc_id": i, "ts": f"2024-01-01T00:00:{i:02d}Z",
+         "source": "small" if i < 10 else "big"}
+        for i in range(30)
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    rates = spark.createDataFrame(
+        [("small", 2.3), ("big", 0.4)], "source string, rate double"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, source string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = replicate_stream(stream, rates, "source", "doc_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("replicate_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.doc_id, r.copy_idx)
+        for r in spark.sql(
+            "SELECT doc_id, copy_idx FROM replicate_stream_out"
+        ).collect()
+    )
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["source"]) for r in rows], "doc_id long, source string"
+    )
+    want = sorted(
+        (r.doc_id, r.copy_idx)
+        for r in replicate_by_rates(
+            batch_docs, rates, "source", "doc_id"
+        ).collect()
+    )
+    assert got == want
+    # upsampling actually happened in the stream
+    assert len([1 for d, c in got if c >= 1]) >= 10
+
+
 def test_streaming_corpus_ingest_replay_is_idempotent(spark, tmp_path):
     """Crash-replay safety: foreachBatch is at-least-once, so the sink
     must be idempotent. Simulate a failure AFTER the corpus write but
