@@ -80,6 +80,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- new this round --
     "pipeline_neardup_maintenance_e2e",
     "corpus_shard_manifest_hierarchical",
+    "text_frequent_chunks",
+    "text_remove_frequent_chunks",
+    "text_vocab_encode",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -117,12 +120,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "sample_split_assign",
     "sample_stratified",
     "text_token_counts",
-    "text_quality_features",
-    "text_lang_id",
-    "text_fingerprint",
 )
-# ROUND 6 SHOULD GATE FIRST: robots_filter_outcome and dedup_simhash (the
-# two r2-green rows that could not fit round 5's 50), then rotate the
+# ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
+# text_quality_features, text_lang_id, and text_fingerprint (the five
+# r2-green rows that could not fit round 5's 50 — each ceded its slot
+# to a first-ever row for an operator new this round), then rotate the
 # oldest remaining r2/r3 rows as usual.
 
 

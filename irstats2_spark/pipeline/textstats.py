@@ -617,6 +617,23 @@ def chunk_documents(
     )
 
 
+def fixed_chunk_array(toks: Column, chunk_tokens: int) -> Column:
+    """Per-row array of NON-overlapping ``chunk_tokens``-token chunks of
+    a token array (last chunk may be partial; an empty token array
+    yields an empty chunk array). Shared by the intra-doc rewrite, the
+    cross-doc frequent-chunk miner, and the cross-doc rewrite so all
+    three agree on chunk boundaries by construction."""
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+        lambda j: F.concat_ws(
+            " ", F.slice(toks, j * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
+
+
 def remove_repeated_chunks(
     docs: DataFrame,
     chunk_tokens: int = 16,
@@ -639,21 +656,15 @@ def remove_repeated_chunks(
     preceding-window membership filter) — zero shuffle, fuses into the
     scan like the other map-side text transforms."""
     toks = tokens(F.col(text_col))
-    n = F.size("__toks")
-    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
-        lambda j: F.concat_ws(
-            " ", F.slice(F.col("__toks"), j * chunk_tokens + 1, chunk_tokens)
-        ),
-    )
     kept = F.filter(
         F.col("__chunks"),
         lambda x, i: ~F.array_contains(F.slice(F.col("__chunks"), 1, i), x),
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
-        .withColumn("__chunks", F.when(n > 0, chunks).otherwise(F.array().cast("array<string>")))
+        .withColumn(
+            "__chunks", fixed_chunk_array(F.col("__toks"), chunk_tokens)
+        )
         .select(
             "doc_id",
             F.size("__chunks").alias("n_chunks"),
@@ -665,4 +676,164 @@ def remove_repeated_chunks(
             F.size("__kept").alias("n_kept"),
             F.concat_ws(" ", F.col("__kept")).alias("new_text"),
         )
+    )
+
+
+def corpus_frequent_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document repeated-passage miner: which exact
+    ``chunk_tokens``-token passages appear in ``min_docs``+ distinct
+    documents — the corpus-level boilerplate report (license headers,
+    site chrome, templated paragraphs) that intra-doc
+    ``remove_repeated_chunks`` and whole-doc dedup both structurally
+    miss (a passage can recur across thousands of docs that are
+    pairwise nothing alike).
+
+    Output: (chunk_hash, chunk, n_docs, n_total) — n_docs is DISTINCT
+    documents, n_total all occurrences (n_total > n_docs means the
+    passage also loops within docs).
+
+    Scale shape: chunking is the shared map-side array expression;
+    the count is one groupBy keyed by md5(chunk) with Spark's two-phase
+    distinct (partial agg on (hash, doc_id) first — a corpus-wide
+    boilerplate chunk shrinks to |docs| rows before the per-hash
+    shuffle, the same skew shape ``vocab_top_k`` documents). The chunk
+    text rides the shuffle as a min() exemplar for the report; at
+    100 TB drop the exemplar column and join hashes back to a sample
+    instead."""
+    chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
+        ).alias("chunk"),
+    )
+    return (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min("chunk").alias("chunk"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_corpus_frequent_chunks(
+    docs: DataFrame,
+    chunk_tokens: int = 16,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CROSS-document boilerplate removal TRANSFORM: rewrite every doc
+    dropping each ``chunk_tokens``-token chunk that occurs in
+    ``min_docs``+ distinct documents corpus-wide — the C4 "repeated
+    line" filter generalized to token chunks and applied at corpus (not
+    document) scope. Deterministic: the frequent set is a pure function
+    of the corpus, and every occurrence is dropped (unlike the
+    intra-doc rewrite there is no first-occurrence privilege — a
+    passage shared by N docs is boilerplate in all N).
+
+    Output: (doc_id, n_chunks, n_kept, new_text) — same contract as
+    ``remove_repeated_chunks`` (empty docs emit (0, 0, "")), so the two
+    rewrites compose in either order.
+
+    Scale shape: pass 1 mines frequent chunk HASHES (the
+    ``corpus_frequent_chunks`` groupBy, hash-keyed); with a boilerplate-
+    grade ``min_docs`` the frequent set is small by contract and
+    broadcast. Pass 2 explodes (doc_id, pos, chunk), drops members via
+    a broadcast LeftAnti on the hash, and rebuilds each doc with one
+    doc-keyed groupBy — the corpus text crosses an exchange once, the
+    unavoidable cost of any corpus-wide rewrite (the intra-doc rewrite
+    stays zero-shuffle because its decision is row-local). Docs whose
+    every chunk is boilerplate are restored via a left join from the
+    id spine so they emit n_kept=0 rather than vanishing."""
+    frequent = (
+        corpus_frequent_chunks(docs, chunk_tokens, min_docs, text_col, id_col)
+        .select("chunk_hash")
+    )
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
+        ).alias("pos", "chunk"),
+    )
+    kept = exploded.join(
+        F.broadcast(frequent),
+        F.md5(F.col("chunk")) == F.col("chunk_hash"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda s: s["chunk"],
+            ),
+        ).alias("new_text"),
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
+        ).alias("n_chunks"),
+    )
+    return totals.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+def vocab_encode(
+    docs: DataFrame,
+    vocab_size: int = 1024,
+    oov_id: int = 0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-id encoding against a BOUNDED frequency vocabulary: ids
+    1..vocab_size are assigned by (corpus count DESC, token ASC) — the
+    standard most-frequent-first numbering — and every out-of-vocabulary
+    token maps to ``oov_id``. Output is the EXPLODED form
+    (doc_id, pos, token_id), the id stream a packing/training consumer
+    reads in (doc_id, pos) order.
+
+    Bounding the vocab is what makes the ranking scale: an UNbounded
+    rank over the corpus vocabulary would need a global sort of a
+    possibly-billions-row table, but the top-``vocab_size`` cut is a
+    TakeOrdered (per-partition top-k, merged on the driver — the same
+    contract as ``vocab_top_k``), and the id table is then
+    vocab_size rows by construction: the broadcast side of a map-side
+    encode join. The encode itself is posexplode + broadcast join —
+    the corpus never shuffles.
+
+    Determinism: (count DESC, token ASC) is a total order, so ids are
+    stable across partitionings and engines (pytest + oracle pin)."""
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.orderBy(F.desc("__c"), F.asc("token")).limit(vocab_size)
+    # vocab_size rows by contract: the single-partition window is legal
+    from pyspark.sql import Window
+
+    vocab = top.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("__c"), F.asc("token")))
+        .alias("__tid"),
+    )
+    return ex.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id",
+        "pos",
+        F.coalesce("__tid", F.lit(oov_id)).cast("int").alias("token_id"),
     )

@@ -3696,3 +3696,125 @@ def corpus_shard_manifest_hierarchical(
     return shard_manifest_hierarchical(
         load_table(spark, "documents", sf_dir), n_shards=8, chunk_size=64
     )
+
+
+# Shared chunking fragment (ends in CTE ``cchunks(doc_id, j, chunk)`` of
+# non-overlapping 16-token chunks, empty docs contributing no rows) —
+# mirrors ``textstats.fixed_chunk_array`` for the cross-doc chunk family.
+_CHUNKS16_SQL = f"""
+    ctoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    cchunks AS (
+        SELECT doc_id, j,
+               array_to_string(t[j*16 + 1 : j*16 + 16], ' ') AS chunk
+        FROM ctoks,
+             LATERAL (SELECT unnest(generate_series(0, GREATEST(
+                 CAST(CEIL(len(t) / 16.0) AS INT), 1) - 1)) AS j) s
+        WHERE len(t) > 0
+    )
+"""
+
+
+@register(
+    "text_frequent_chunks",
+    f"""
+    WITH {_CHUNKS16_SQL}
+    SELECT md5(chunk) AS chunk_hash,
+           MIN(chunk) AS chunk,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_total
+    FROM cchunks
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="cross-document repeated-passage miner: exact 16-token chunks "
+    "appearing in >= 2 distinct docs, with doc and occurrence counts — "
+    "the corpus-level boilerplate report whole-doc dedup misses",
+)
+def text_frequent_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import corpus_frequent_chunks
+
+    return corpus_frequent_chunks(
+        load_table(spark, "documents", sf_dir), chunk_tokens=16, min_docs=2
+    )
+
+
+@register(
+    "text_remove_frequent_chunks",
+    f"""
+    WITH {_CHUNKS16_SQL},
+    cfreq AS (
+        SELECT md5(chunk) AS h FROM cchunks
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    ckept AS (
+        SELECT doc_id, j, chunk FROM cchunks
+        WHERE md5(chunk) NOT IN (SELECT h FROM cfreq)
+    ),
+    crebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_kept,
+               array_to_string(list(chunk ORDER BY j), ' ') AS new_text
+        FROM ckept GROUP BY 1
+    ),
+    ctotals AS (
+        SELECT doc_id,
+               CASE WHEN len(t) > 0 THEN GREATEST(
+                   CAST(CEIL(len(t) / 16.0) AS INT), 1)
+               ELSE 0 END AS n_chunks
+        FROM ctoks
+    )
+    SELECT t.doc_id, CAST(t.n_chunks AS INT) AS n_chunks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.new_text, '') AS new_text
+    FROM ctotals t LEFT JOIN crebuilt r USING (doc_id)
+    """,
+    doc="cross-document boilerplate removal: rewrite every doc dropping "
+    "16-token chunks shared by >= 2 distinct docs (C4's repeated-line "
+    "rule at corpus scope); frequent set broadcast, one doc-keyed "
+    "rebuild shuffle",
+)
+def text_remove_frequent_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import remove_corpus_frequent_chunks
+
+    return remove_corpus_frequent_chunks(
+        load_table(spark, "documents", sf_dir), chunk_tokens=16, min_docs=2
+    )
+
+
+@register(
+    "text_vocab_encode",
+    f"""
+    WITH vtoks AS (
+        SELECT doc_id, j - 1 AS pos, t[j] AS token
+        FROM (SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) s
+        WHERE len(t) > 0
+    ),
+    vcounts AS (SELECT token, COUNT(*) AS c FROM vtoks GROUP BY 1),
+    vvocab AS (
+        SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC)
+                           AS INT) AS tid
+        FROM vcounts ORDER BY c DESC, token ASC LIMIT 16
+    )
+    SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+           COALESCE(v.tid, 0) AS token_id
+    FROM vtoks t LEFT JOIN vvocab v USING (token)
+    """,
+    doc="bounded-vocabulary token-id encoding: ids 1..16 by (count DESC, "
+    "token ASC), OOV -> 0, exploded (doc_id, pos, token_id) id stream; "
+    "vocab is a TakeOrdered broadcast side, the corpus never shuffles",
+)
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import vocab_encode
+
+    # vocab_size=16 < the synthetic corpus vocabulary, so the gate
+    # exercises BOTH the in-vocab id path and the OOV->0 path
+    return vocab_encode(load_table(spark, "documents", sf_dir), vocab_size=16)

@@ -2295,6 +2295,93 @@ def test_remove_repeated_chunks_idempotent_at_gate(spark):
     once.unpersist()
 
 
+def test_corpus_frequent_chunks_and_removal(spark):
+    """Cross-doc chunk family: the miner finds exactly the passages
+    shared by >= min_docs distinct docs (intra-doc repeats inflate
+    n_total, not n_docs); the rewrite drops EVERY occurrence of a
+    frequent chunk, keeps rare ones, emits (0,0,'') for empty docs and
+    n_kept=0 (not a missing row) for all-boilerplate docs; and the
+    cross-doc and intra-doc rewrites compose."""
+    from irstats2_spark.pipeline.textstats import (
+        corpus_frequent_chunks,
+        remove_corpus_frequent_chunks,
+        remove_repeated_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    rows = [
+        (1, f"{boiler} one unique tail here"),
+        (2, f"{boiler} another different tail text"),
+        (3, f"{boiler} {boiler}"),  # boilerplate only, twice
+        (4, "completely fresh standalone document body"),
+        (5, "   "),  # empty after normalize
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+
+    mined = {
+        r.chunk: (r.n_docs, r.n_total)
+        for r in corpus_frequent_chunks(
+            docs, chunk_tokens=4, min_docs=2
+        ).collect()
+    }
+    assert mined == {boiler: (3, 4)}  # 3 docs, 4 occurrences (doc 3 x2)
+
+    out = {
+        r.doc_id: r
+        for r in remove_corpus_frequent_chunks(
+            docs, chunk_tokens=4, min_docs=2
+        ).collect()
+    }
+    assert (out[1].n_chunks, out[1].n_kept) == (2, 1)
+    assert out[1].new_text == "one unique tail here"
+    assert (out[3].n_chunks, out[3].n_kept, out[3].new_text) == (2, 0, "")
+    assert (out[4].n_chunks, out[4].n_kept) == (2, 2)
+    assert out[4].new_text == "completely fresh standalone document body"
+    assert (out[5].n_chunks, out[5].n_kept, out[5].new_text) == (0, 0, "")
+
+    # composes with the intra-doc rewrite: doc 3 is already empty either
+    # way; doc 1's surviving text has no intra-doc repeats
+    rebuilt = spark.createDataFrame(
+        [(r.doc_id, r.new_text) for r in out.values()],
+        "doc_id int, text string",
+    )
+    intra = {
+        r.doc_id: r.new_text
+        for r in remove_repeated_chunks(rebuilt, chunk_tokens=4).collect()
+    }
+    assert intra[1] == out[1].new_text
+
+
+def test_vocab_encode_ids_and_oov(spark):
+    """Bounded-vocab encoding: ids follow (count DESC, token ASC), OOV
+    maps to 0, positions index the normalized token stream, and the
+    output is invariant under repartitioning."""
+    from irstats2_spark.pipeline.textstats import vocab_encode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "cat cat cat dog dog bird"),
+            (2, "dog cat rare"),
+        ],
+        "doc_id int, text string",
+    )
+    # counts: cat=4, dog=3, bird=1, rare=1 -> vocab_size=3:
+    # cat->1, dog->2, bird->3 (tie bird<rare alphabetically), rare->OOV 0
+    out = {
+        (r.doc_id, r.pos): r.token_id
+        for r in vocab_encode(docs, vocab_size=3).collect()
+    }
+    assert out == {
+        (1, 0): 1, (1, 1): 1, (1, 2): 1, (1, 3): 2, (1, 4): 2, (1, 5): 3,
+        (2, 0): 2, (2, 1): 1, (2, 2): 0,
+    }
+    again = {
+        (r.doc_id, r.pos): r.token_id
+        for r in vocab_encode(docs.repartition(5), vocab_size=3).collect()
+    }
+    assert again == out
+
+
 def test_replicate_by_rates_fractional_epochs(spark):
     from irstats2_spark.pipeline.sampling import replicate_by_rates
 

@@ -712,6 +712,29 @@ def test_shard_manifest_shuffles_hashes_not_text(spark, queries):
             assert "text#" not in block, block
 
 
+def test_remove_frequent_chunks_broadcasts_frequent_set(spark, queries):
+    """The cross-doc rewrite's membership drop must plan as a broadcast
+    LeftAnti on the chunk hash — the frequent set is small by contract
+    (boilerplate only), and a sort-merge anti here would shuffle the
+    corpus chunks a second time."""
+    plan = plan_of(queries["text_remove_frequent_chunks"](spark, SF))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_vocab_encode_probe_side_never_shuffles_positions(spark, queries):
+    """The encode join must be map-side: the vocab (TakeOrdered top-K)
+    broadcasts, and no exchange may carry the exploded (pos, token)
+    stream — only the vocab-build count partials shuffle."""
+    import re
+
+    plan = plan_of(queries["text_vocab_encode"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "pos#" not in block, block
+
+
 def test_shard_manifest_hierarchical_shuffles_hashes_not_text(spark, queries):
     """The chunked variant adds a per-shard window sort and a second
     (chunk-digest-sized) groupBy — every exchange still carries only
