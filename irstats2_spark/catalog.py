@@ -83,6 +83,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_frequent_chunks",
     "text_remove_frequent_chunks",
     "text_vocab_encode",
+    "similarity_knn_graph_ivf",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -119,13 +120,13 @@ GATE_PRIORITY: tuple[str, ...] = (
     "dedup_clusters",
     "sample_split_assign",
     "sample_stratified",
-    "text_token_counts",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
-# text_quality_features, text_lang_id, and text_fingerprint (the five
-# r2-green rows that could not fit round 5's 50 — each ceded its slot
-# to a first-ever row for an operator new this round), then rotate the
-# oldest remaining r2/r3 rows as usual.
+# text_quality_features, text_lang_id, text_fingerprint, and
+# text_token_counts (the six r2-green rows that could not fit round 5's
+# 50 — each ceded its slot to a first-ever row for an operator new this
+# round, per the brand-new-outranks-unchanged-refresh rule), then rotate
+# the oldest remaining r2/r3 rows as usual.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

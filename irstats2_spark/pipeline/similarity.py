@@ -834,3 +834,82 @@ def contrastive_pairs(
         )
     )
     return pos.unionByName(neg)
+
+
+def knn_graph_ivf(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """Corpus k-NN GRAPH under IVF blocking: each vector's top-k nearest
+    neighbors WITHIN its cluster — the primitive under SemDeDup-style
+    semantic dedup, embedding-space clustering diagnostics, and
+    graph-based curation (a near-dup pair query asks "who is closer
+    than t"; the graph asks "who are my k closest", which survives
+    threshold-free downstream use).
+
+    Output: (vec_id, neighbor_id, rank, cosine), rank 1..k by
+    (cosine DESC, neighbor_id ASC) — the same total order as a SQL
+    ROW_NUMBER, so the oracle replays it exactly. Vectors alone in
+    their cluster emit no rows; a cluster of size s emits min(k, s-1)
+    rows per member.
+
+    Scale shape: identical to ``embedding_dups_ivf`` — map-side
+    broadcast-centroid assignment, ONE shuffle keyed by centroid_id,
+    per-cluster Arrow-batched numpy GEMM — but each block emits k rows
+    per member instead of thresholded pairs, so output is exactly
+    k*|corpus| rows regardless of threshold tuning. Same approximation
+    contract: cross-cluster neighbors are unseen; probe multiple
+    assignments upstream (``ivf_multi_assign``) when recall past the
+    cluster boundary matters."""
+    import numpy as np
+    import pandas as pd
+
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    src = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), "centroid_id"
+    )
+
+    def cluster_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"vec_id": [], "neighbor_id": [], "rank": [], "cosine": []}
+            ).astype(
+                {
+                    "vec_id": "int64",
+                    "neighbor_id": "int64",
+                    "rank": "int32",
+                    "cosine": "float64",
+                }
+            )
+        ids = pdf["id"].to_numpy()
+        q = np.floor(np.stack(pdf["v"].to_numpy()).astype(np.float64) * scale + 0.5)
+        nrm = np.sqrt((q * q).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (q @ q.T) / np.outer(nrm, nrm)
+        cos = np.nan_to_num(cos, nan=-1.0)
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
+        np.fill_diagonal(cos, -np.inf)  # self is never a neighbor
+        kk = min(k, n - 1)
+        # exact (cosine DESC, neighbor_id ASC): lexsort keys are applied
+        # last-key-primary, so sort by (id asc) then (-cos) stably
+        order = np.lexsort((ids[None, :].repeat(n, 0), -cos), axis=1)[:, :kk]
+        rows = np.repeat(np.arange(n), kk)
+        cols = order.ravel()
+        return pd.DataFrame(
+            {
+                "vec_id": ids[rows],
+                "neighbor_id": ids[cols],
+                "rank": np.tile(np.arange(1, kk + 1), n).astype("int32"),
+                "cosine": cos[rows, cols],
+            }
+        )
+
+    return src.groupBy("centroid_id").applyInPandas(
+        cluster_topk,
+        schema="vec_id long, neighbor_id long, rank int, cosine double",
+    )

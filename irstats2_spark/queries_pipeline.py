@@ -3818,3 +3818,52 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocab_size=16 < the synthetic corpus vocabulary, so the gate
     # exercises BOTH the in-vocab id path and the OOV->0 path
     return vocab_encode(load_table(spark, "documents", sf_dir), vocab_size=16)
+
+
+@register(
+    "similarity_knn_graph_ivf",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    kassign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cents c
+        ) WHERE rn = 1
+    ),
+    kpairs AS (
+        SELECT sa.vec_id AS vec_id, sb.vec_id AS neighbor_id,
+               ROUND({_qcos('a.embedding', 'b.embedding')}, 6) AS cosine
+        FROM kassign sa
+        JOIN kassign sb ON sb.centroid_id = sa.centroid_id
+                       AND sb.vec_id != sa.vec_id
+        JOIN embeddings a ON a.vec_id = sa.vec_id
+        JOIN embeddings b ON b.vec_id = sb.vec_id
+    )
+    SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine FROM (
+        SELECT vec_id, neighbor_id, cosine,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+        FROM kpairs
+    ) WHERE rnk <= 5
+    """,
+    doc="corpus k-NN graph under IVF blocking: per-cluster exact "
+    "quantized GEMM emitting each vector's top-5 in-cluster neighbors "
+    "(cosine DESC, id ASC) — the SemDeDup/semantic-clustering primitive; "
+    "output is k*|corpus| rows by construction, threshold-free",
+)
+def similarity_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import knn_graph_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return knn_graph_ivf(emb, cents, k=5)

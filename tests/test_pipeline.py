@@ -2295,6 +2295,46 @@ def test_remove_repeated_chunks_idempotent_at_gate(spark):
     once.unpersist()
 
 
+def test_knn_graph_ivf_topk_and_ties(spark):
+    """k-NN graph: per-cluster top-k by (cosine DESC, neighbor ASC) —
+    exact tie order, self never a neighbor, singleton clusters emit
+    nothing, k larger than the cluster caps at size-1."""
+    from irstats2_spark.pipeline.similarity import knn_graph_ivf
+
+    # cluster A (centroid 0 direction): ids 10, 11, 12 — 11 and 12 are
+    # IDENTICAL vectors, so both tie at cosine 1.0 from each other and
+    # equal cosine from 10; cluster B: id 20 alone with its centroid
+    emb = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0, 0.1]),
+            (11, [1.0, 0.1, 0.0]),
+            (12, [1.0, 0.1, 0.0]),
+            (20, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "centroid_id int, centroid_vec array<double>",
+    )
+    rows = knn_graph_ivf(emb, cents, k=5).collect()
+    got = {
+        r.vec_id: [(r2.rank, r2.neighbor_id, r2.cosine)
+                   for r2 in sorted(rows, key=lambda x: x.rank)
+                   if r2.vec_id == r.vec_id]
+        for r in rows
+    }
+    # 20 is alone in cluster B: no rows
+    assert 20 not in got
+    # k=5 caps at cluster_size-1 = 2
+    assert all(len(v) == 2 for v in got.values())
+    # 10's neighbors: 11 and 12 tie on cosine -> id ASC breaks it
+    assert [n for _, n, _ in got[10]] == [11, 12]
+    # 11's top neighbor is its identical twin 12 at cosine 1.0
+    assert got[11][0][1:] == (12, 1.0)
+    assert got[12][0][1:] == (11, 1.0)
+
+
 def test_corpus_frequent_chunks_and_removal(spark):
     """Cross-doc chunk family: the miner finds exactly the passages
     shared by >= min_docs distinct docs (intra-doc repeats inflate
