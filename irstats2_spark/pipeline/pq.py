@@ -163,14 +163,20 @@ def pq_fit(
     - empty codes keep their previous codeword; fixed ``max_iter``
       rounds, no driver-side convergence COLLECT-AND-TEST.
 
-    The codebook is materialized to a LocalRelation after every update:
-    it is m*n_codes*sub_dim rows BY CONTRACT (parameters, not data
-    size — 256 rows at the defaults), i.e. the broadcast build side,
-    and without materialization each iteration's lineage embeds the
-    previous one's whole DAG, doubling the plan per round and
-    re-running the entire fit for every downstream consumer (encode +
-    ADC both read it). Same pattern as the accepted centroid collects
-    in ``ivf_assign_gemm``.
+    The codebook lives DRIVER-side between rounds: it is
+    m*n_codes*sub_dim values BY CONTRACT (parameters, not data size —
+    2048 doubles at the defaults), the same accepted pattern as the
+    centroid collects in ``ivf_assign_gemm``. Each Lloyd round is
+    therefore exactly ONE distributed job — assign (pure map over the
+    persisted subvector scan, codebook broadcast) -> per-dim integer
+    sum/count groupBy -> contract-tiny collect — with the mean, the
+    empty-code carry-over, and the requantization done in plain python
+    on the collected integers. (The previous formulation round-tripped
+    the codebook through two broadcast joins + a groupBy per round; at
+    sf0.1 those fixed exchange latencies were ~half of every
+    pq_fit-headed chain. The arithmetic is bit-identical: double
+    division of exact integer sums is IEEE-defined the same in python
+    and the JVM, and the oracle replays it in SQL.)
 
     Output: (subspace, code, dim, value) exploded — ``dim`` is the
     LOCAL dimension index within the subspace; value rounded 6dp at the
@@ -178,14 +184,17 @@ def pq_fit(
 
     The quantized-subvector scan is persisted for the duration of the
     fit: init + every Lloyd round reads it (max_iter+1 passes), and
-    without the persist each pass re-runs scan+quantize+slice — at
-    sf0.1 that was ~half the cost of every pq_fit-headed chain (the
-    same lesson as ``ivfpq_topk``'s persisted residual chain, which
-    halved that query). At 100 TB the fit runs on a bounded sample by
-    standard practice, so the persisted slice is sample-sized, not
-    corpus-sized; it is unpersisted before returning (the returned
-    codebook is a contract-tiny LocalRelation with no lineage on it).
+    without the persist each pass re-runs scan+quantize+slice (the
+    same lesson as ``ivfpq_topk``'s persisted residual chain). At
+    100 TB the fit runs on a bounded sample by standard practice, so
+    the persisted slice is sample-sized, not corpus-sized; it is
+    unpersisted before returning (the returned codebook is a
+    contract-tiny LocalRelation with no lineage on it).
     """
+    import math
+
+    spark = embeddings.sparkSession
+    sub_dim = dim // m
     sub = pq_subvectors(
         embeddings, dim, m, id_col, vec_col, scale, pre_quantized
     ).persist()
@@ -202,45 +211,45 @@ def pq_fit(
             ).cast("int").alias("code"),
         )
     )
-    cb = (
+    init_rows = (
         sub.join(F.broadcast(seeds), "vec_id")
         .select("subspace", "code", F.posexplode("qsub").alias("dim", "q"))
-        .select(
-            "subspace",
-            "code",
-            "dim",
-            (F.col("q").cast("double") / scale).alias("value"),
-        )
+        .collect()
     )
+    # driver-side codebook: (subspace, code) -> per-dim double values
+    book: dict[tuple[int, int], list[float]] = {}
+    for r in init_rows:
+        book.setdefault((r.subspace, r.code), [0.0] * sub_dim)[r.dim] = (
+            r.q / scale
+        )
     for _ in range(max_iter):
-        assigned = _assign_codes(sub, _codebook_qarrays(cb, scale))
-        per_dim = (
-            assigned.select(
-                "subspace", "code", F.posexplode("qsub").alias("dim", "q")
-            )
+        cb_q = spark.createDataFrame(
+            [
+                (s, c, [math.floor(v * scale + 0.5) for v in vals])
+                for (s, c), vals in sorted(book.items())
+            ],
+            "subspace int, code int, qv array<bigint>",
+        )
+        stats = (
+            _assign_codes(sub, cb_q)
+            .select("subspace", "code", F.posexplode("qsub").alias("dim", "q"))
             .groupBy("subspace", "code", "dim")
-            .agg((F.sum("q") / F.count(F.lit(1)) / scale).alias("value"))
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # ONE distributed job per Lloyd round
         )
-        # empty codes keep their previous codeword; both sides are
-        # codebook-sized (m*n_codes*sub_dim rows) — broadcast, never
-        # let a statsless 256-row join degrade to sort-merge
-        cb = (
-            cb.select("subspace", "code", "dim", F.col("value").alias("__old"))
-            .join(F.broadcast(per_dim), ["subspace", "code", "dim"], "left")
-            .select(
-                "subspace",
-                "code",
-                "dim",
-                F.coalesce("value", "__old").alias("value"),
-            )
-        )
-        # materialize the contract-tiny codebook (see docstring)
-        cb = embeddings.sparkSession.createDataFrame(
-            cb.collect(), schema="subspace int, code int, dim int, value double"
-        )
-    if max_iter > 0:
-        # cb is a LocalRelation now; nothing downstream reads sub
-        sub.unpersist()
+        # mean of member quantized values; codes with no members are
+        # absent from stats and keep their previous codeword
+        for r in stats:
+            book[(r.subspace, r.code)][r.dim] = r.s / r.n / scale
+    sub.unpersist()
+    cb = spark.createDataFrame(
+        [
+            (s, c, d, v)
+            for (s, c), vals in sorted(book.items())
+            for d, v in enumerate(vals)
+        ],
+        "subspace int, code int, dim int, value double",
+    )
     return cb.select(
         "subspace", "code", "dim", F.round("value", 6).alias("value")
     )
