@@ -607,28 +607,36 @@ def kmeans_fit(
 
     Per round: the map-side assign plus ONE shuffle keyed by
     (centroid_id, dim) for the update — k*dim result rows, so the
-    reduce side is trivially small at any corpus size.
+    reduce side is trivially small at any corpus size. The centroid
+    table lives DRIVER-side between rounds (k*dim doubles — the same
+    accepted contract-tiny collect as ``ivf_assign_gemm`` and
+    ``pq_fit``), so each round is exactly ONE distributed job: assign
+    -> per-dim integer sum/count groupBy -> tiny collect, with the
+    mean, the empty-cluster carry-over, and the array rebuild done in
+    plain python on the collected integers. (The join-back formulation
+    cost two extra codebook-sized exchanges per round; double division
+    of exact integer sums is IEEE-identical in python and the JVM, so
+    the values are bit-for-bit unchanged — the SQL oracle pins it.)
 
     Output: (centroid_id, dim, value) exploded per dimension — join or
     pivot back to arrays as needed (``centroids_as_vectors`` below).
     """
+    spark = embeddings.sparkSession
     # NB: the quantized column must not be named __qv — ivf_assign uses
     # that name internally and would silently replace-then-drop it
     src = embeddings.select(
         F.col(id_col).alias("__id"), quantize(F.col(vec_col), scale).alias("__kq")
-    )
+    ).persist()
     # init: k lowest ids, centroid_id = the seed vector's id
-    cents = (
-        src.orderBy("__id")
-        .limit(k)
-        .select(
-            F.col("__id").alias("centroid_id"),
-            F.transform(F.col("__kq"), lambda x: x.cast("double") / scale).alias(
-                "centroid_vec"
-            ),
-        )
-    )
+    book: dict[int, list[float]] = {
+        r["__id"]: [q / scale for q in r["__kq"]]
+        for r in src.orderBy("__id").limit(k).collect()
+    }
     for _ in range(max_iter):
+        cents = spark.createDataFrame(
+            sorted(book.items()),
+            "centroid_id long, centroid_vec array<double>",
+        )
         assigned = ivf_assign(
             src.select(F.col("__id").alias("vec_id"), F.col("__kq")),
             cents,
@@ -637,38 +645,22 @@ def kmeans_fit(
         )
         # __kq is already quantized; ivf_assign re-quantizes (floor(q*scale
         # +0.5)) — harmless for integers scaled back below
-        per_dim = (
+        stats = (
             assigned.select(
                 "centroid_id", F.posexplode(F.col("__kq")).alias("dim", "q")
             )
             .groupBy("centroid_id", "dim")
-            .agg((F.sum("q") / F.count(F.lit(1)) / scale).alias("value"))
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # ONE distributed job per Lloyd round
         )
-        new_cents = per_dim.groupBy("centroid_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col("dim"), F.col("value")))
-            ).alias("__dv")
-        ).select(
-            "centroid_id",
-            F.transform(F.col("__dv"), lambda s: s["value"]).alias("centroid_vec"),
-        )
-        # empty clusters keep their previous centroid
-        cents = (
-            cents.select("centroid_id", F.col("centroid_vec").alias("__old"))
-            .join(new_cents, "centroid_id", "left")
-            .select(
-                "centroid_id", F.coalesce("centroid_vec", "__old").alias("centroid_vec")
-            )
-        )
-        # materialize the contract-tiny centroid table (k x dim values):
-        # without this each round's lineage embeds the previous round's
-        # whole DAG, doubling the plan per iteration and re-running the
-        # entire fit for every downstream consumer (assign + probe +
-        # search all read it) — the same broadcast-dimension collect
-        # pattern as ivf_assign_gemm and pq_fit
-        cents = embeddings.sparkSession.createDataFrame(
-            cents.collect(), schema=cents.schema
-        )
+        # element-wise mean; empty clusters are absent from stats and
+        # keep their previous centroid
+        for r in stats:
+            book[r.centroid_id][r.dim] = r.s / r.n / scale
+    src.unpersist()
+    cents = spark.createDataFrame(
+        sorted(book.items()), "centroid_id long, centroid_vec array<double>"
+    )
     return cents.select(
         "centroid_id", F.posexplode("centroid_vec").alias("dim", "value")
     ).select("centroid_id", "dim", F.round("value", 6).alias("value"))
