@@ -261,3 +261,135 @@ def test_report_pie_geo_grid_plugins(spark, report_store):
     assert "2_reportheader_downloads" not in out  # presentational, skipped
     grid = out["3_grid_downloads"]
     assert grid["0_counter_downloads"].head()["count"] == 21
+
+
+def test_http_parse_stats_uri_forms():
+    """Context.pm:56-105 URI routing: report name, set paths, export
+    formats, slash normalization, 'main' default."""
+    from irstats2_spark.plans.http import parse_stats_uri
+
+    assert parse_stats_uri("/cgi/stats/report") == {"irs2report": "main"}
+    assert parse_stats_uri("/cgi/stats/report/") == {"irs2report": "main"}
+    assert parse_stats_uri("/cgi/stats//report//compare") == {
+        "irs2report": "compare"
+    }
+    assert parse_stats_uri("/cgi/stats/report/divisions/div1") == {
+        "set_name": "divisions",
+        "set_value": "div1",
+        "irs2report": "main",
+    }
+    assert parse_stats_uri("/cgi/stats/report/divisions/div1/deposits") == {
+        "set_name": "divisions",
+        "set_value": "div1",
+        "irs2report": "deposits",
+    }
+    # export quirk (Context.pm:95-97): single segment doubles as format
+    assert parse_stats_uri("/cgi/stats/export/CSV") == {
+        "format": "CSV",
+        "set_name": "CSV",
+    }
+    assert parse_stats_uri("/cgi/stats/export/divisions/div1/JSON") == {
+        "set_name": "divisions",
+        "set_value": "div1",
+        "format": "JSON",
+    }
+
+
+def test_http_param_whitelist_and_context_strip():
+    """Utils.pm:52-110: malformed non-context params are dropped, never
+    echoed; context params get the bad-character strip."""
+    from irstats2_spark.plans.http import context_from_request
+
+    ctx, opts = context_from_request(
+        "/cgi/stats/report/divisions/div1",
+        {
+            "view": "Table",
+            "limit": "25",
+            "top": "eprint",
+            "date_resolution": "week",  # invalid: not day|month|year
+            "cumulative": "maybe",  # invalid
+            "evil": "1; DROP TABLE",  # unknown param: dropped
+            "datafilter": "ful<l>text",  # context param: stripped
+        },
+    )
+    assert ctx.set_name == "divisions" and ctx.set_value == "div1"
+    assert ctx.datafilter == "fulltext"
+    assert opts == {"view": "Table", "limit": "25", "top": "eprint"}
+
+
+def test_http_handle_get_views_and_exports(spark, store, tmp_path):
+    """/cgi/stats/get analog: Graph view returns densified JSON rows,
+    Table export returns CSV with the right mimetype, missing view is a
+    400, unknown view is a 400, and cache-enabled views round-trip
+    through the MD5 file cache (second call served without touching the
+    fact store)."""
+    import json
+
+    from irstats2_spark.plans.http import handle_get
+    from irstats2_spark.plans.report import ResultCache
+
+    status, mt, body = handle_get(
+        spark,
+        store,
+        "/cgi/stats/report",
+        {"view": "Graph", "from": "20240101", "to": "20240103"},
+        today=TODAY,
+    )
+    assert (status, mt) == (200, "application/json")
+    rows = {r["datestamp"]: r["count"] for r in json.loads(body)}
+    assert rows == {20240101: 10, 20240102: 0, 20240103: 5}
+
+    status, mt, body = handle_get(
+        spark,
+        store,
+        "/cgi/stats/report",
+        {"view": "Table", "top": "eprint", "limit": "1", "export": "CSV"},
+        today=TODAY,
+    )
+    assert (status, mt) == (200, "text/csv")
+    assert body.splitlines()[0] == "eprintid,count"
+
+    assert handle_get(spark, store, "/cgi/stats/report", {})[0] == 400
+    assert handle_get(
+        spark, store, "/cgi/stats/report", {"view": "Nope<script>"}
+    )[0] == 400
+
+    cache = ResultCache(str(tmp_path / "c"))
+    req = {"view": "Counter", "range": "_ALL_"}
+    # Counter is NOT cache-enabled (get:19-24): no file appears
+    handle_get(spark, store, "/cgi/stats/report", req, cache=cache, today=TODAY)
+    assert cache.get({**req, "__uri": "/cgi/stats/report"}) is None
+    req2 = {"view": "Graph", "from": "20240101", "to": "20240102"}
+    _, _, first = handle_get(
+        spark, store, "/cgi/stats/report", req2, cache=cache, today=TODAY
+    )
+    _, _, second = handle_get(
+        spark, store, "/cgi/stats/report", req2, cache=cache, today=TODAY
+    )
+    assert json.loads(first) == json.loads(second)
+    assert cache.get({**req2, "__uri": "/cgi/stats/report"}) is not None
+
+
+def test_http_handle_browse_and_fp_stats(spark, store):
+    """browse: referer /view/<id>/<key>.html -> monthly Graph for the
+    mapped set (divisions passthrough, year -> range, key suffixes
+    stripped); fp_stats: three thousands-separated counters."""
+    import json
+
+    from irstats2_spark.plans.http import handle_browse, handle_fp_stats
+
+    status, _, body = handle_browse(
+        spark, store, "https://repo.example/view/divisions/div1.html",
+        today=TODAY,
+    )
+    assert status == 200
+    total = sum(r["count"] for r in json.loads(body))
+    assert total == 18  # div1 = eprint 1: 10+5 (2024) + 3 (2023), all time
+    assert handle_browse(spark, store, None)[0] == 400
+    assert handle_browse(spark, store, "https://x/no/match")[0] == 400
+
+    status, _, body = handle_fp_stats(spark, store, today=TODAY)
+    assert status == 200
+    d = json.loads(body)
+    assert d["full_text_downloads_all"] == "25"
+    assert d["full_texts_all"] == "0"  # no eprints table in this store
