@@ -254,3 +254,33 @@ def repeat_filter_window_approx(
         .filter(F.col("__gap").isNull() | (F.col("__gap") > timeout))
         .drop("__rk", "__gap")
     )
+
+
+def find_robots_ip_duplicates(
+    local_prefixes: list[str],
+    shipped_prefixes: tuple[str, ...] | None = None,
+) -> list[tuple[str, str]]:
+    """Ops-maintenance check (bin/stats/find_local_robots_ip_duplicates:
+    32-48): which locally-configured robot IP prefixes are ALREADY
+    covered by the shipped list, via the same three probes — the /16
+    ("a.b."), the /24 ("a.b.c.") and the exact entry. Returns
+    (local_prefix, shipped_prefix_it_matches) pairs; an empty list
+    means the local config adds only new coverage.
+
+    Driver-side by design: both lists are config files (hundreds of
+    lines), not data."""
+    shipped = set(
+        shipped_prefixes if shipped_prefixes is not None else default_ip_prefixes()
+    )
+    out: list[tuple[str, str]] = []
+    for ip in local_prefixes:
+        bits = ip.split(".")
+        class_b = f"{bits[0]}.{bits[1]}." if len(bits) >= 2 else None
+        class_c = f"{bits[0]}.{bits[1]}.{bits[2]}." if len(bits) >= 3 else None
+        if class_b and class_b in shipped:
+            out.append((ip, class_b))
+        elif class_c and class_c in shipped:
+            out.append((ip, class_c))
+        elif len(bits) >= 4 and ip in shipped:
+            out.append((ip, ip))
+    return out

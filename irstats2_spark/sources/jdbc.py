@@ -68,3 +68,41 @@ def read_access_table(
 
         df = df.filter(F.col("accessid") > from_accessid)
     return df
+
+
+def tranche_bounds(
+    last_id: int, first_id: int = 1, tranche: int = 10_000_000
+) -> list[tuple[int, int]]:
+    """The (min_accessid, max_accessid) windows of the reference's
+    tranche driver (bin/stats/import_access_table_tranches:1-12): a
+    bash loop invoking one import per 10M-id window so a failed import
+    of "10's of millions" of rows resumes at window, not table,
+    granularity. Inclusive bounds, exactly the shell arithmetic
+    (maxid = i + tranche - 1)."""
+    return [
+        (i, i + tranche - 1) for i in range(first_id, last_id + 1, tranche)
+    ]
+
+
+def read_access_table_tranches(
+    spark: SparkSession,
+    url: str,
+    last_id: int,
+    first_id: int = 1,
+    tranche: int = 10_000_000,
+    table: str = "access",
+    **kwargs,
+):
+    """S3 tranche import: yields one bounded DataFrame per id window —
+    the caller runs (and checkpoints) each tranche independently, the
+    Spark analog of import_access_table_tranches' per-window process.
+    Each tranche is ITSELF a partitioned range scan (its window bounds
+    become the JDBC lowerBound/upperBound, so executors slice within
+    the tranche); the window filter stays pushed down."""
+    from pyspark.sql import functions as F
+
+    for lo, hi in tranche_bounds(last_id, first_id, tranche):
+        df = read_access_table(
+            spark, url, table, lower=lo, upper=hi + 1, **kwargs
+        ).filter(F.col("accessid").between(lo, hi))
+        yield lo, hi, df

@@ -330,6 +330,49 @@ def test_jdbc_scan_options():
     assert opts["fetchsize"] == "100000"
 
 
+def test_jdbc_tranche_bounds_match_shell_arithmetic():
+    """import_access_table_tranches:1-12 as windows: inclusive bounds,
+    last window may overshoot last_id (the shell's does too — the id
+    predicate, not the window, bounds the scan)."""
+    from irstats2_spark.sources.jdbc import tranche_bounds
+
+    assert tranche_bounds(25, first_id=1, tranche=10) == [
+        (1, 10),
+        (11, 20),
+        (21, 30),
+    ]
+    assert tranche_bounds(10, first_id=1, tranche=10) == [(1, 10)]
+    assert tranche_bounds(5, first_id=3, tranche=10) == [(3, 12)]
+
+
+def test_find_robots_ip_duplicates_three_probe_levels():
+    """find_local_robots_ip_duplicates:32-48: a local prefix is a
+    duplicate if the shipped list holds its /16, its /24, or the exact
+    ip — first match wins, non-matches are silent."""
+    from irstats2_spark.operators.filters import find_robots_ip_duplicates
+
+    shipped = ("13.52.", "66.249.64.", "192.0.2.7")
+    got = find_robots_ip_duplicates(
+        ["13.52.9.1", "66.249.64.3", "192.0.2.7", "203.0.113.5"],
+        shipped_prefixes=shipped,
+    )
+    assert got == [
+        ("13.52.9.1", "13.52."),
+        ("66.249.64.3", "66.249.64."),
+        ("192.0.2.7", "192.0.2.7"),
+    ]
+    # against the real shipped list: a known shipped /16 is flagged
+    from irstats2_spark.operators.filters import default_ip_prefixes
+
+    prefixes = default_ip_prefixes()
+    if prefixes:
+        two_level = next(
+            p for p in prefixes if p.count(".") == 2 and p.endswith(".")
+        )
+        local = two_level + "123"
+        assert find_robots_ip_duplicates([local]) == [(local, two_level)]
+
+
 def test_streaming_repeat_exact_state_across_batches(spark, tmp_path):
     """applyInPandasWithState: the anchor persists across micro-batches —
     an event in batch 2 within the timeout of batch 1's kept event is
