@@ -328,3 +328,96 @@ def handle_fp_stats(
         }
     )
     return 200, "application/json", body
+
+
+def handle_export(
+    spark: SparkSession,
+    store: StatsStore,
+    uri: str = "/cgi/stats/export",
+    params: dict[str, str] | None = None,
+    today: dt.date | None = None,
+) -> tuple[int, str, str]:
+    """The /cgi/stats/export endpoint (export:1-59): context from the
+    export URI form, the reference's set XOR quirk (export:30-35 — if
+    exactly ONE of set_name/set_value is present, both are dropped),
+    ``format`` required, full compiled selection exported in the
+    format's content type."""
+    from irstats2_spark.sources.export import to_csv, to_json, to_xml
+
+    params = dict(params or {})
+    fields = parse_stats_uri(uri)
+    for k, v in params.items():
+        if k in CONTEXT_FIELDS and v not in (None, ""):
+            fields[k] = str(v)
+    if (fields.get("set_name") is None) != (fields.get("set_value") is None):
+        fields.pop("set_name", None)
+        fields.pop("set_value", None)
+    fmt = fields.get("format") or params.get("format")
+    if fmt is None:
+        return 400, "text/html", "<p>IRStats2: missing parameters in request.</p>"
+    fmt = fmt.upper()
+    if fmt not in _EXPORT_MIMETYPES:
+        safe = re.sub(r"[<>&]", "", fmt)
+        return 400, "text/html", f"<p>IRStats2: unknown export <strong>{safe}</strong></p>"
+    ctx = Context(
+        datatype=fields.get("datatype", "downloads"),
+        set_name=fields.get("set_name"),
+        set_value=fields.get("set_value"),
+        grouping=fields.get("grouping"),
+        datafilter=fields.get("datafilter"),
+        range=fields.get("range"),
+        from_date=fields.get("from"),
+        to_date=fields.get("to"),
+    ).sanitized()
+    # the export plugins dump the context's data selection row-by-row
+    # (Export/CSV.pm:15-47) — the per-datestamp series of the selection
+    df = compile_context(
+        store, ctx, QueryOptions(fields=("datestamp",)), today=today
+    )
+    body = {"CSV": to_csv, "JSON": to_json, "XML": to_xml}[fmt](df)
+    return 200, _EXPORT_MIMETYPES[fmt], body
+
+
+def handle_set_finder(
+    spark: SparkSession,
+    store: StatsStore,
+    uri: str = "/cgi/stats/report",
+    params: dict[str, str] | None = None,
+    minimum_filter_length: int = 0,
+) -> tuple[int, str, str]:
+    """The /cgi/stats/set_finder autocomplete endpoint
+    (set_finder:27-80): requires a context ``set_name``; the ``q``
+    filter is whitelist-validated; queries shorter than the set's
+    ``minimum_filter_length`` are refused (the reference's typeahead
+    throttle); ``eprintid`` is the single-match special case. Returns
+    JSON rows of (set_value, rendered_set_value) — presentation-free,
+    the HTML link markup being the caller's concern."""
+    import json as _json
+
+    from irstats2_spark.plans.views import set_listing
+
+    params = dict(params or {})
+    ctx, opts = context_from_request(uri, params)
+    if ctx.set_name is None:
+        return 400, "text/html", "<p>IRStats2: missing parameters in request.</p>"
+    q = opts.get("q", "")
+    if ctx.set_name == "eprintid":
+        # single-match special case (set_finder:58-68)
+        if store.eprints is not None and q.isdigit():
+            hit = store.eprints.filter(
+                store.eprints["eprintid"] == int(q)
+            ).head()
+            if hit is not None:
+                return 200, "application/json", _json.dumps(
+                    [{"set_value": q, "rendered_set_value": f"eprint {q}"}]
+                )
+        return 200, "application/json", "[]"
+    if len(q) < minimum_filter_length:
+        return 400, "text/html", (
+            f"<p>IRStats2: type at least {minimum_filter_length} "
+            "characters</p>"
+        )
+    rows = [
+        r.asDict() for r in set_listing(store, ctx.set_name, q or None).collect()
+    ]
+    return 200, "application/json", _json.dumps(rows)

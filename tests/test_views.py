@@ -393,3 +393,46 @@ def test_http_handle_browse_and_fp_stats(spark, store):
     d = json.loads(body)
     assert d["full_text_downloads_all"] == "25"
     assert d["full_texts_all"] == "0"  # no eprints table in this store
+
+
+def test_http_handle_export_and_set_finder(spark, store):
+    """export: URI-form context + the set XOR quirk (one of name/value
+    missing drops both), format required/validated, CSV body; set_finder:
+    set_name required, q filters the rendered listing, minimum filter
+    length enforced, eprintid special case."""
+    import json
+
+    from irstats2_spark.plans.http import handle_export, handle_set_finder
+
+    status, mt, body = handle_export(
+        spark, store, "/cgi/stats/export/divisions/div1/CSV", today=TODAY
+    )
+    assert (status, mt) == (200, "text/csv")
+    assert body.splitlines()[0] == "datestamp,count"
+
+    # XOR quirk: set_name without set_value -> both dropped, still 200
+    status, _, body = handle_export(
+        spark, store, "/cgi/stats/export/JSON",
+        {"set_name": "divisions"}, today=TODAY,
+    )
+    assert status == 200
+    assert handle_export(spark, store, "/cgi/stats/export")[0] == 400
+    assert handle_export(spark, store, "/cgi/stats/export/EVIL<x>")[0] == 400
+
+    status, _, body = handle_set_finder(
+        spark, store, "/cgi/stats/report", {"set_name": "divisions", "q": "beta"}
+    )
+    assert status == 200
+    assert json.loads(body) == [
+        {"set_value": "div2", "rendered_set_value": "School of Beta"}
+    ]
+    assert handle_set_finder(spark, store, "/cgi/stats/report", {})[0] == 400
+    assert handle_set_finder(
+        spark, store, "/cgi/stats/report",
+        {"set_name": "divisions", "q": "b"}, minimum_filter_length=3,
+    )[0] == 400
+    # eprintid special case: no eprints table in this store -> empty hit
+    status, _, body = handle_set_finder(
+        spark, store, "/cgi/stats/report", {"set_name": "eprintid", "q": "1"}
+    )
+    assert (status, json.loads(body)) == (200, [])
