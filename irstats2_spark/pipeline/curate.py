@@ -453,3 +453,75 @@ def shard_manifest_hierarchical(
         .otherwise(F.md5(concat_digests))
         .alias("content_checksum"),
     )
+
+
+def source_shingle_overlap(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every ordered source pair,
+    what fraction of source A's distinct k-word shingles also occur in
+    source B — the corpus-composition diagnostic behind "these two
+    crawls are 40% the same text" decisions (dedup thresholds, mix
+    rates, and which source to drop wholesale). Doc-level dedup can't
+    see this: two sources can share most of their text with no single
+    doc pair crossing a near-dup threshold.
+
+    Output: (source_a, source_b, n_common, frac_of_a) — directed, so
+    a small source inside a big one reads 1.0 in one direction and
+    small in the other (the containment asymmetry, at source grain).
+
+    Scale shape: one distinct rollup to (shingle, source) — the corpus
+    collapses to its source-level shingle sets; per-shingle source
+    lists are bounded by |sources| (a handful), so the in-row pair
+    expansion that is dangerous for doc-level co-occurrence is safe by
+    construction here; per-source totals ride the same rolled-up
+    table. Shuffles carry shingle hashes and source names, never
+    documents."""
+    from irstats2_spark.pipeline.dedup import shingle_array
+
+    ss = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
+        )
+        .distinct()
+    )
+    totals = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    srcs = F.array_sort(F.collect_set("source"))
+    pair_structs = F.flatten(
+        F.transform(
+            srcs,
+            lambda a: F.filter(
+                F.transform(
+                    srcs,
+                    lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+                ),
+                lambda s: s["source_a"] != s["source_b"],
+            ),
+        )
+    )
+    common = (
+        ss.groupBy("shingle")
+        .agg(pair_structs.alias("__p"))
+        .select(F.explode("__p").alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    ta = totals.select(
+        F.col("source").alias("source_a"), F.col("n_shingles").alias("__na")
+    )
+    return (
+        common.join(F.broadcast(ta), "source_a")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("__na"), 6).alias("frac_of_a"),
+        )
+    )

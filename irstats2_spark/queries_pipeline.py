@@ -3867,3 +3867,35 @@ def similarity_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid_vec"),
     )
     return knn_graph_ivf(emb, cents, k=5)
+
+
+@register(
+    "corpus_source_overlap",
+    f"""
+    WITH {_SHINGLES_SQL},
+    src_sh AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM shingles s JOIN documents d USING (doc_id)
+    ),
+    src_tot AS (SELECT source, COUNT(*) AS n FROM src_sh GROUP BY 1),
+    src_common AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_common
+        FROM src_sh a JOIN src_sh b
+          ON a.shingle = b.shingle AND a.source != b.source
+        GROUP BY 1, 2
+    )
+    SELECT c.source_a, c.source_b, c.n_common,
+           ROUND(c.n_common / t.n, 6) AS frac_of_a
+    FROM src_common c JOIN src_tot t ON t.source = c.source_a
+    """,
+    doc="cross-source contamination matrix: directed fraction of source "
+    "A's distinct 3-shingles also present in source B — the corpus-"
+    "composition diagnostic doc-level dedup can't see; per-shingle "
+    "source lists are bounded by |sources|, so the in-row pair "
+    "expansion is safe by construction at this grain",
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import source_shingle_overlap
+
+    return source_shingle_overlap(load_table(spark, "documents", sf_dir))

@@ -2295,6 +2295,35 @@ def test_remove_repeated_chunks_idempotent_at_gate(spark):
     once.unpersist()
 
 
+def test_source_shingle_overlap_directed_containment(spark):
+    """Source-grain contamination: a small source fully inside a big one
+    reads 1.0 in the small->big direction and fractional the other way;
+    disjoint sources emit no row; distinctness is at (source, shingle)
+    so intra-source repeats don't inflate the numerator."""
+    from irstats2_spark.pipeline.curate import source_shingle_overlap
+
+    shared = "alpha beta gamma delta epsilon"  # 3 shingles at k=3
+    rows = [
+        (1, "small", shared),
+        (2, "small", shared),  # intra-source duplicate: no inflation
+        (3, "big", shared + " zeta eta theta iota"),  # contains small's
+        (4, "big", "totally different text body here now"),
+        (5, "other", "nothing in common with anyone at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, source string, text string")
+    got = {
+        (r.source_a, r.source_b): (r.n_common, r.frac_of_a)
+        for r in source_shingle_overlap(docs).collect()
+    }
+    # small: 3 distinct shingles, all inside big -> 1.0
+    assert got[("small", "big")] == (3, 1.0)
+    # big: shared(3) + 4 more from doc3's tail + 4 from doc4 = 11? compute:
+    # doc3 has 9 words -> 7 shingles; doc4 6 words -> 4 shingles; distinct
+    # big total = 11; common with small = 3
+    assert got[("big", "small")] == (3, round(3 / 11, 6))
+    assert ("other", "small") not in got and ("small", "other") not in got
+
+
 def test_knn_graph_ivf_topk_and_ties(spark):
     """k-NN graph: per-cluster top-k by (cosine DESC, neighbor ASC) —
     exact tie order, self never a neighbor, singleton clusters emit
