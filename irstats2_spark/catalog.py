@@ -85,6 +85,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_encode",
     "similarity_knn_graph_ivf",
     "corpus_source_overlap",
+    "text_gopher_quality_gate",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -119,13 +120,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "t6_f12_formatting",
     "dedup_exact",
     "dedup_clusters",
-    "sample_stratified",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
-# text_token_counts, and sample_split_assign (the seven r2-green rows
-# that could not fit round 5's 50 — each ceded its slot to a first-ever
-# row for an operator new this round, per the
+# text_token_counts, sample_split_assign, and sample_stratified (the
+# eight r2-green rows that could not fit round 5's 50 — each ceded its
+# slot to a first-ever row for an operator new this round, per the
 # brand-new-outranks-unchanged-refresh rule), then rotate the oldest
 # remaining r2/r3 rows as usual.
 

@@ -837,3 +837,77 @@ def vocab_encode(
         "pos",
         F.coalesce("__tid", F.lit(oov_id)).cast("int").alias("token_id"),
     )
+
+
+def gopher_quality_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    max_tokens: int = 100_000,
+    min_mean_token_len: float = 3.0,
+    max_mean_token_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_stopword_hits: int = 2,
+    max_dup_trigram_frac: float = 0.3,
+) -> DataFrame:
+    """The Gopher/MassiveText rule-based quality gate as ONE composite
+    decision (Rae et al. 2021 §A1.1, the standard pre-model filter):
+    token-count window, mean-token-length window, symbol-ratio cap,
+    a minimum count of common-English stopword hits, and the duplicate
+    3-gram cap from the repetition rules — with the PER-RULE verdicts
+    kept as columns so the corpus report shows WHY documents fail, not
+    just how many.
+
+    Output: (doc_id, n_tokens, mean_token_len, symbol_ratio,
+    stopword_hits, dup_trigram_frac, fail_length, fail_token_len,
+    fail_symbols, fail_stopwords, fail_repetition, quality_pass).
+
+    Entirely map-side: every rule is a per-row array expression over
+    one materialized tokenization (zero shuffle, fuses into the scan) —
+    the cheapest tier of the quality stack, meant to run before the
+    classifier votes and LM scoring tiers."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    text = F.col(text_col)
+    docs = docs.withColumn("__toks", tokens(text))
+    toks = F.col("__toks")
+    n_toks = F.size(toks)
+    n_chars = F.length(text)
+    mean_len = F.when(
+        n_toks > 0, F.round(F.length(F.concat_ws("", toks)) / n_toks, 6)
+    ).otherwise(F.lit(0.0))
+    symbols = n_chars - F.length(F.regexp_replace(text, r"[^\p{L}\p{N}\s]", ""))
+    sym_ratio = F.when(n_chars > 0, F.round(symbols / n_chars, 6)).otherwise(
+        F.lit(0.0)
+    )
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(LANG_MARKERS["en"])))
+    dup3 = _dup_ngram_frac(toks, 3)
+    fail_length = (n_toks < min_tokens) | (n_toks > max_tokens)
+    fail_token_len = (mean_len < min_mean_token_len) | (
+        mean_len > max_mean_token_len
+    )
+    fail_symbols = sym_ratio > max_symbol_ratio
+    fail_stop = stop_hits < min_stopword_hits
+    fail_rep = dup3 > max_dup_trigram_frac
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_toks.alias("n_tokens"),
+        mean_len.alias("mean_token_len"),
+        sym_ratio.alias("symbol_ratio"),
+        stop_hits.cast("long").alias("stopword_hits"),
+        dup3.alias("dup_trigram_frac"),
+        fail_length.alias("fail_length"),
+        fail_token_len.alias("fail_token_len"),
+        fail_symbols.alias("fail_symbols"),
+        fail_stop.alias("fail_stopwords"),
+        fail_rep.alias("fail_repetition"),
+        (
+            ~fail_length
+            & ~fail_token_len
+            & ~fail_symbols
+            & ~fail_stop
+            & ~fail_rep
+        ).alias("quality_pass"),
+    )

@@ -3899,3 +3899,61 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.curate import source_shingle_overlap
 
     return source_shingle_overlap(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_gopher_quality_gate",
+    f"""
+    WITH qt AS (
+        SELECT doc_id, text,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS w,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    g3q AS (
+        SELECT doc_id, COUNT(*) AS t3,
+               COUNT(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS d3
+        FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM qt) s
+        WHERE i + 2 <= len(w) GROUP BY 1
+    ),
+    feat AS (
+        SELECT qt.doc_id,
+               CAST(len(w) AS INT) AS n_tokens,
+               CASE WHEN len(w) > 0 THEN ROUND(
+                   length(list_aggregate(w, 'string_agg', '')) * 1.0 / len(w), 6)
+               ELSE 0.0 END AS mean_token_len,
+               CASE WHEN n_chars > 0 THEN ROUND(
+                   (n_chars - length(regexp_replace(text, '[^a-z0-9\\s]', '', 'g')))
+                   * 1.0 / n_chars, 6)
+               ELSE 0.0 END AS symbol_ratio,
+               CAST(len(list_filter(w, x -> x IN
+                   ('the','and','of','to','in','is','a'))) AS BIGINT)
+                   AS stopword_hits,
+               COALESCE(ROUND((g3q.t3 - g3q.d3) * 1.0 / g3q.t3, 6), 0.0)
+                   AS dup_trigram_frac
+        FROM qt LEFT JOIN g3q USING (doc_id)
+    )
+    SELECT doc_id, n_tokens, mean_token_len, symbol_ratio, stopword_hits,
+           dup_trigram_frac,
+           (n_tokens < 50 OR n_tokens > 100000) AS fail_length,
+           (mean_token_len < 3.0 OR mean_token_len > 10.0) AS fail_token_len,
+           (symbol_ratio > 0.1) AS fail_symbols,
+           (stopword_hits < 2) AS fail_stopwords,
+           (dup_trigram_frac > 0.3) AS fail_repetition,
+           (NOT (n_tokens < 50 OR n_tokens > 100000)
+            AND NOT (mean_token_len < 3.0 OR mean_token_len > 10.0)
+            AND NOT (symbol_ratio > 0.1)
+            AND NOT (stopword_hits < 2)
+            AND NOT (dup_trigram_frac > 0.3)) AS quality_pass
+    FROM feat
+    """,
+    doc="Gopher/MassiveText rule-based quality gate as one composite "
+    "decision with per-rule verdict columns (token window, mean token "
+    "length, symbol ratio, stopword floor, duplicate-3-gram cap) — the "
+    "cheapest tier of the quality stack, zero-shuffle map",
+)
+def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import gopher_quality_gate
+
+    return gopher_quality_gate(load_table(spark, "documents", sf_dir))

@@ -2546,3 +2546,36 @@ def test_idf_jaccard_downweights_boilerplate_overlap(spark):
     assert (0, 1) not in idf
     # identical docs stay 1.0 in both
     assert plain[(100, 101)] == 1.0 and idf[(100, 101)] == 1.0
+
+
+def test_gopher_quality_gate_per_rule_verdicts(spark):
+    """Each Gopher rule fires independently and the composite is their
+    conjunction: a good doc passes; too-short, gibberish-length-token,
+    symbol-heavy, stopword-free, and looping docs each fail exactly
+    their rule (plus any they also genuinely trip)."""
+    from irstats2_spark.pipeline.textstats import gopher_quality_gate
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away to find a warm place in the sun where it "
+            "sleeps all day and dreams of the big meal it will catch "
+            "in the morning when the light is soft and the air is cool "
+            "while the birds sing in the trees above the quiet field")
+    rows = [
+        (1, good),                                   # passes everything
+        (2, "the short one is a"),                   # fail_length only
+        (3, " ".join(["supercalifragilistic"] * 60)),  # long tokens + loop
+        (4, "the " + "@#$%^&*! " * 40 + "of a to in is and the end"),
+        (5, " ".join(f"w{i}" for i in range(60))),   # no stopwords
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in gopher_quality_gate(docs).collect()}
+    assert out[1].quality_pass
+    assert not any(
+        [out[1].fail_length, out[1].fail_token_len, out[1].fail_symbols,
+         out[1].fail_stopwords, out[1].fail_repetition]
+    )
+    assert out[2].fail_length and not out[2].quality_pass
+    assert out[3].fail_token_len and out[3].fail_repetition
+    assert out[4].fail_symbols and not out[4].quality_pass
+    assert out[5].fail_stopwords and not out[5].quality_pass
+    assert not out[5].fail_length  # 60 tokens: the length rule is clean
