@@ -116,6 +116,26 @@ def start_fact_stream(
     return writer.start()
 
 
+def _repeat_fold(pdf, anchor, timeout, epoch_col, cols):
+    """The Repeat filter's per-batch greedy fold (Repeat.pm:63-102),
+    shared verbatim by BOTH streaming engines (applyInPandasWithState
+    and transformWithStateInPandas) so their semantics cannot diverge:
+    events sorted by epoch; within `timeout` of the anchor => dropped
+    WITHOUT refreshing it; otherwise kept and the anchor moves."""
+    import pandas as pd  # noqa: F811
+
+    pdf = pdf.sort_values(epoch_col, kind="stable")
+    keep = []
+    for t in pdf[epoch_col]:
+        if anchor is not None and abs(t - anchor) <= timeout:
+            keep.append(False)  # dropped; anchor NOT refreshed
+        else:
+            keep.append(True)
+            anchor = float(t)
+    return pdf[pd.Series(keep, index=pdf.index)][cols], anchor
+
+
+
 def repeat_filter_stream(
     events: DataFrame,
     timeout: int = 3600,
@@ -157,15 +177,8 @@ def repeat_filter_stream(
     def fn(key, pdfs, state):
         anchor = state.get[0] if state.exists else None
         for pdf in pdfs:
-            pdf = pdf.sort_values(epoch_col, kind="stable")
-            keep = []
-            for t in pdf[epoch_col]:
-                if anchor is not None and abs(t - anchor) <= timeout:
-                    keep.append(False)  # dropped; anchor NOT refreshed
-                else:
-                    keep.append(True)
-                    anchor = float(t)
-            yield pdf[pd.Series(keep, index=pdf.index)][cols]
+            kept, anchor = _repeat_fold(pdf, anchor, timeout, epoch_col, cols)
+            yield kept
         if anchor is not None:
             state.update((float(anchor),))
 
@@ -674,3 +687,81 @@ def replicate_stream(
 
     assert docs.isStreaming, "replicate_stream expects a streaming DataFrame"
     return replicate_by_rates(docs, rates, strata_col, id_col, rate_col)
+
+
+def repeat_filter_stream_tws(
+    events: DataFrame,
+    timeout: int = 3600,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """EXACT streaming Repeat filter (P9) on the transformWithState
+    engine — the state-TTL upgrade ``repeat_filter_stream``'s docstring
+    promises: same first-kept-anchor semantics (Repeat.pm:63-102), but
+    the per-key anchor is a ``ValueState`` with ``ttlDurationMs`` =
+    timeout, so the state store ENFORCES the prune rule the older
+    operator could only describe — an anchor older than the timeout can
+    never drop another event, so expiring it is semantics-preserving
+    and state stays bounded by keys ACTIVE within the window instead of
+    all keys ever seen. At log scale (one key per
+    eprint-doc-ip) that is the difference between state ∝ traffic and
+    state ∝ history.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``), which transformWithState needs;
+    TTL uses processing time (timeMode='ProcessingTime'), matching the
+    reference's wall-clock nightly runs. Output and semantics are
+    bit-identical to ``repeat_filter_stream`` while anchors are live —
+    both engines share ``_repeat_fold`` verbatim, so they cannot
+    diverge, and the e2e pytest runs whenever the environment can (the
+    transformWithState Python protocol needs ``google.protobuf``, which
+    this build container lacks — the test skips there; the fold itself
+    stays covered through the classic operator's cross-batch test)."""
+    import pandas as pd  # noqa: F811
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from irstats2_spark.operators.filters import repeat_key
+
+    keyed = events.withColumn(
+        "__rk",
+        repeat_key(
+            F.col("referent_id"), F.col("referent_docid"), F.col("requester_id")
+        ),
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in keyed.schema.fields
+        if f.name != "__rk"
+    )
+    cols = [f.name for f in keyed.schema.fields if f.name != "__rk"]
+    ttl_ms = int(timeout) * 1000
+
+    class RepeatAnchor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._anchor = handle.getValueState(
+                "anchor", "anchor double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            anchor = self._anchor.get()[0] if self._anchor.exists() else None
+            for pdf in rows:
+                kept, anchor = _repeat_fold(
+                    pdf, anchor, timeout, epoch_col, cols
+                )
+                yield kept
+            if anchor is not None:
+                self._anchor.update((float(anchor),))
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy("__rk").transformWithStateInPandas(
+        RepeatAnchor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -424,6 +424,92 @@ def test_streaming_repeat_exact_state_across_batches(spark, tmp_path):
     assert got == [base, base + 5400]
 
 
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's Python protocol needs google.protobuf, "
+    "absent from this container; the shared _repeat_fold stays covered "
+    "via the applyInPandasWithState test",
+)
+def test_streaming_repeat_tws_ttl_matches_classic(spark, tmp_path):
+    """transformWithStateInPandas variant: identical anchor semantics
+    across micro-batches on the RocksDB state store — batch 2's 00:55
+    event is dropped against batch 1's 00:00 anchor (the 00:30 drop did
+    not refresh it), 01:30 is kept. The TTL (= timeout) bounds state by
+    construction: expiring an anchor older than the timeout cannot
+    change any future decision."""
+    from irstats2_spark.streaming.ingest import (
+        read_access_stream,
+        repeat_filter_stream_tws,
+    )
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+
+        def line(ts, ip="10.0.0.1"):
+            return "\t".join(
+                [ts, ip, "Mozilla/5.0 Chrome/1", "", "?fulltext=yes", "1", "100"]
+            )
+
+        logs = tmp_path / "cur"
+        logs.mkdir()
+        out_dir = tmp_path / "out"
+        ck = tmp_path / "ck"
+
+        def run_once():
+            stream = repeat_filter_stream_tws(
+                read_access_stream(spark, str(logs), dedup_lines=False),
+                timeout=3600,
+            )
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", str(out_dir))
+                .option("checkpointLocation", str(ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        (logs / "b1.log").write_text(
+            line("2024-01-01T00:00:00Z") + "\n"
+            + line("2024-01-01T00:30:00Z") + "\n"
+        )
+        run_once()
+        (logs / "b2.log").write_text(
+            line("2024-01-01T00:55:00Z") + "\n"
+            + line("2024-01-01T01:30:00Z") + "\n"
+        )
+        run_once()
+
+        got = sorted(
+            r.epoch for r in spark.read.parquet(str(out_dir)).collect()
+        )
+        base = 1704067200  # 2024-01-01T00:00:00Z
+        assert got == [base, base + 5400]
+    finally:
+        if prev is not None:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_streaming_session_window(spark, tmp_path):
     import datetime as dt
 
