@@ -86,6 +86,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "similarity_knn_graph_ivf",
     "corpus_source_overlap",
     "text_gopher_quality_gate",
+    "dedup_simhash_incremental",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -119,14 +120,16 @@ GATE_PRIORITY: tuple[str, ...] = (
     "o4_listing_engine",
     "t6_f12_formatting",
     "dedup_exact",
-    "dedup_clusters",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
-# text_token_counts, sample_split_assign, and sample_stratified (the
-# eight r2-green rows that could not fit round 5's 50 — each ceded its
-# slot to a first-ever row for an operator new this round, per the
-# brand-new-outranks-unchanged-refresh rule), then rotate the oldest
+# text_token_counts, sample_split_assign, sample_stratified, and
+# dedup_clusters (the nine r2-green rows that could not fit round 5's
+# 50 — each ceded its slot to a first-ever row for an operator new this
+# round, per the brand-new-outranks-unchanged-refresh rule;
+# dedup_clusters' connected-components core was additionally
+# re-verified this round inside the gated
+# pipeline_neardup_maintenance_e2e chain), then rotate the oldest
 # remaining r2/r3 rows as usual.
 
 

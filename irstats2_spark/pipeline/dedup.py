@@ -678,6 +678,36 @@ def simhash64(
     )
 
 
+def _simhash_banded(sig: DataFrame, bands: int) -> DataFrame:
+    """Explode (doc_id, sim_lo, sim_hi) signatures into per-band rows
+    (doc_id, sim_lo, sim_hi, band, key) — each band is a contiguous
+    64/bands-bit slice out of the two 32-bit halves. Shared by the
+    full self-join pair miner and the incremental snapshot join so
+    both sides band identically by construction."""
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    slices = []
+    for b in range(bands):
+        half = F.col("sim_lo") if b < bands // 2 else F.col("sim_hi")
+        shift = (b % (bands // 2)) * band_bits
+        slices.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(half, shift).bitwiseAND(F.lit(mask)).alias("key"),
+            )
+        )
+    return sig.select(
+        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*slices)).alias("bk")
+    ).select(
+        "doc_id",
+        "sim_lo",
+        "sim_hi",
+        F.col("bk.band").alias("band"),
+        F.col("bk.key").alias("key"),
+    )
+
+
+
 def simhash_hamming_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -725,28 +755,8 @@ def simhash_hamming_pairs(
         "bands must be one of {2, 4, 8, 16, 32, 64}: the 64-bit signature "
         "is sliced per-band out of two 32-bit halves"
     )
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
     sig = simhash64(docs, text_col, id_col)
-    slices = []
-    for b in range(bands):
-        half = F.col("sim_lo") if b < bands // 2 else F.col("sim_hi")
-        shift = (b % (bands // 2)) * band_bits
-        slices.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(half, shift).bitwiseAND(F.lit(mask)).alias("key"),
-            )
-        )
-    banded = sig.select(
-        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*slices)).alias("bk")
-    ).select(
-        "doc_id",
-        "sim_lo",
-        "sim_hi",
-        F.col("bk.band").alias("band"),
-        F.col("bk.key").alias("key"),
-    )
+    banded = _simhash_banded(sig, bands)
     if max_bucket_size is not None:
         sizes = banded.groupBy("band", "key").agg(
             F.count(F.lit(1)).alias("__bn")
@@ -1400,3 +1410,67 @@ def embedding_dups_pq_blocking(
         bucket_pairs, schema="doc_a long, doc_b long, cosine double"
     )
     return pairs.groupBy("doc_a", "doc_b").agg(F.max("cosine").alias("cosine"))
+
+
+def simhash_hamming_incremental(
+    new_docs: DataFrame,
+    old_sigs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Incremental SimHash near-dup: a NEW batch against the accumulated
+    SIGNATURE snapshot (``simhash64`` output persisted per batch — two
+    ints per historical doc, the cheapest possible dedup index) — the
+    historical text is never re-read, completing the incremental tier
+    for every dedup family (exact / MinHash-LSH / SimHash).
+
+    Verification is EXACT (popcount of the xor'd halves — unlike the
+    MinHash incremental, whose estimator pays for not having the old
+    shingle sets, the signature IS the full SimHash state), so
+    incremental results match what the full self-join would report for
+    the same cross pairs. Banding uses the shared ``_simhash_banded``
+    slicing, so a pair is surfaced iff some 64/bands-bit slice agrees —
+    the identical pigeonhole contract as ``simhash_hamming_pairs``
+    (guaranteed complete for Hamming <= bands-1... with the same
+    bands/max_hamming the batch miner uses). Output:
+    (old_id, new_id, hamming) for cross pairs only; run
+    ``simhash_hamming_pairs`` on the batch alongside for new-vs-new.
+
+    Scale shape: new side is a map over the batch; the snapshot side
+    can be stored bucketed by (band, key) so the daily join co-locates
+    without reshuffling history; pairs stream through the join (no
+    bucket collect), AQE splits hot slices."""
+    assert bands >= 2 and bands % 2 == 0 and 64 % bands == 0, (
+        "bands must be one of {2, 4, 8, 16, 32, 64}: the 64-bit signature "
+        "is sliced per-band out of two 32-bit halves"
+    )
+    new_banded = _simhash_banded(simhash64(new_docs, text_col, id_col), bands)
+    old_banded = _simhash_banded(old_sigs, bands)
+    o = old_banded.select(
+        "band",
+        "key",
+        F.col("doc_id").alias("old_id"),
+        F.col("sim_lo").alias("__olo"),
+        F.col("sim_hi").alias("__ohi"),
+    )
+    n = new_banded.select(
+        "band",
+        "key",
+        F.col("doc_id").alias("new_id"),
+        F.col("sim_lo").alias("__nlo"),
+        F.col("sim_hi").alias("__nhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("__olo").bitwiseXOR(F.col("__nlo")))
+        + F.bit_count(F.col("__ohi").bitwiseXOR(F.col("__nhi")))
+    ).cast("int")
+    return (
+        o.join(n, ["band", "key"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        # a pair sharing several bands appears once per shared band
+        .groupBy("old_id", "new_id")
+        .agg(F.first("hamming").alias("hamming"))
+    )

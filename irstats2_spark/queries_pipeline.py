@@ -3957,3 +3957,33 @@ def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.textstats import gopher_quality_gate
 
     return gopher_quality_gate(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_simhash_incremental",
+    f"""
+    WITH {_simhash64_cte()}
+    SELECT a.doc_id AS old_id, b.doc_id AS new_id,
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+    FROM sigs64 a JOIN sigs64 b
+      ON a.doc_id < 250 AND b.doc_id >= 250
+    WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+          + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    """,
+    doc="incremental SimHash: new batch banded against the two-int "
+    "signature snapshot, EXACT Hamming verify (the signature is the "
+    "full state, unlike the MinHash estimator) — the all-cross-pairs "
+    "oracle proves the same pigeonhole equivalence as the batch miner "
+    "(4 bands, d<=3: some 16-bit slice must agree)",
+)
+def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import (
+        simhash64,
+        simhash_hamming_incremental,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return simhash_hamming_incremental(new, simhash64(old))

@@ -1670,6 +1670,47 @@ def test_minhash_incremental_finds_cross_batch_dup(spark, docs):
     assert not any(new_id == 5 for _, new_id in out)  # unrelated doc clean
 
 
+def test_simhash_incremental_matches_full_self_join(spark):
+    """Composition law for the SimHash incremental tier: cross-batch
+    pairs from incremental(new, sigs(old)) must EQUAL the full
+    self-join's (old, new) pairs — same banding, same exact Hamming
+    verify, so unlike the MinHash estimator there is no approximation
+    gap. Hamming values included in the equality."""
+    from irstats2_spark.pipeline.dedup import (
+        simhash64,
+        simhash_hamming_incremental,
+        simhash_hamming_pairs,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the hills")
+    rows = [
+        (1, base),
+        (2, base + " tonight"),                    # near-dup of 1
+        (3, "completely different text about gardening soil and seeds"),
+        (10, base),                                # exact dup of 1, new batch
+        (11, base + " tonight maybe"),             # near-dup-ish, new batch
+        (12, "unrelated quarterly finance report with numbers"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    old = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+
+    full_cross = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(docs).collect()
+        if r.doc_a < 10 <= r.doc_b
+    }
+    inc = {
+        (r.old_id, r.new_id): r.hamming
+        for r in simhash_hamming_incremental(
+            new, simhash64(old)
+        ).collect()
+    }
+    assert inc == full_cross
+    assert (1, 10) in inc and inc[(1, 10)] == 0  # the exact dup, Hamming 0
+
+
 def test_dsir_logweights_prefer_target_like_docs(spark):
     """DSIR: docs that look like the target domain must outscore docs
     that don't; token-less docs emit an exact-zero row."""
