@@ -15,6 +15,12 @@ from pyspark.sql import DataFrame
 
 
 def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    if df.isStreaming:
+        # partition inspection is illegal on a streaming DataFrame, and
+        # micro-batch parallelism is the source's concern — a no-op lets
+        # map-side operators (simhash64, shingle_array consumers) run on
+        # streams unchanged
+        return df
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -632,6 +632,7 @@ def simhash64(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """64-bit SimHash as TWO 32-bit halves (doc_id, sim_lo, sim_hi) —
     the Manku-et-al. production width. Two halves rather than one long
@@ -641,7 +642,9 @@ def simhash64(
 
     Word hashes are the first and second 8-hex-char slices of md5(word)
     — independent 32-bit draws, engine-portable. Same zero-shuffle
-    map-side shape as ``simhash``."""
+    map-side shape as ``simhash``; being a pure projection it also runs
+    on STREAMING DataFrames unchanged (``keep_cols`` carries event-time
+    columns through for the streaming twin)."""
     from irstats2_spark.parallel import ensure_parallelism
 
     docs = ensure_parallelism(docs)
@@ -673,17 +676,21 @@ def simhash64(
 
     return docs.withColumn("__h1", h1).withColumn("__h2", h2).select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in keep_cols],
         pack("__h1").alias("sim_lo"),
         pack("__h2").alias("sim_hi"),
     )
 
 
-def _simhash_banded(sig: DataFrame, bands: int) -> DataFrame:
+def _simhash_banded(
+    sig: DataFrame, bands: int, keep_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Explode (doc_id, sim_lo, sim_hi) signatures into per-band rows
-    (doc_id, sim_lo, sim_hi, band, key) — each band is a contiguous
-    64/bands-bit slice out of the two 32-bit halves. Shared by the
-    full self-join pair miner and the incremental snapshot join so
-    both sides band identically by construction."""
+    (doc_id[, keep_cols], sim_lo, sim_hi, band, key) — each band is a
+    contiguous 64/bands-bit slice out of the two 32-bit halves. Shared
+    by the full self-join pair miner, the incremental snapshot join,
+    and the streaming twin (keep_cols carries event time through) so
+    every consumer bands identically by construction."""
     band_bits = 64 // bands
     mask = (1 << band_bits) - 1
     slices = []
@@ -697,9 +704,14 @@ def _simhash_banded(sig: DataFrame, bands: int) -> DataFrame:
             )
         )
     return sig.select(
-        "doc_id", "sim_lo", "sim_hi", F.explode(F.array(*slices)).alias("bk")
+        "doc_id",
+        *[F.col(c) for c in keep_cols],
+        "sim_lo",
+        "sim_hi",
+        F.explode(F.array(*slices)).alias("bk"),
     ).select(
         "doc_id",
+        *[F.col(c) for c in keep_cols],
         "sim_lo",
         "sim_hi",
         F.col("bk.band").alias("band"),

@@ -765,3 +765,67 @@ def repeat_filter_stream_tws(
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+def simhash_doc_stream(
+    docs: DataFrame,
+    old_sigs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``dedup.simhash_hamming_incremental``: flag
+    near-duplicate documents in a stream against the accumulated
+    SimHash SIGNATURE snapshot — the cheapest streaming dedup tier (two
+    ints per historical doc, no shingle state at all), with EXACT
+    Hamming verification where ``neardup_doc_stream``'s MinHash
+    estimator is approximate.
+
+    Output: (old_id, new_id, hamming, ``ts_col``) per flagged cross
+    pair.
+
+    Why this streams trivially: ``simhash64`` is a pure per-row array
+    expression (no aggregation), so the chain is stateless map work
+    plus a stream-static banded join against the snapshot and
+    ``dropDuplicatesWithinWatermark`` on (old_id, new_id) — a pair
+    sharing b band slices surfaces b times; state is one row per
+    DISTINCT flagged pair inside the watermark, ∝ hits, never corpus.
+    Same pigeonhole recall contract as the batch miner; new-vs-new
+    pairs are out of scope (run the batch self-join over the day's
+    accumulated batch), matching the batch incremental's contract."""
+    from irstats2_spark.pipeline.dedup import _simhash_banded, simhash64
+
+    new_banded = _simhash_banded(
+        simhash64(docs, text_col, id_col, keep_cols=(ts_col,)),
+        bands,
+        keep_cols=(ts_col,),
+    ).select(
+        F.col("doc_id").alias("new_id"),
+        F.col(ts_col),
+        F.col("sim_lo").alias("__nlo"),
+        F.col("sim_hi").alias("__nhi"),
+        "band",
+        "key",
+    )
+    old_banded = _simhash_banded(old_sigs, bands).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sim_lo").alias("__olo"),
+        F.col("sim_hi").alias("__ohi"),
+        "band",
+        "key",
+    )
+    hamming = (
+        F.bit_count(F.col("__olo").bitwiseXOR(F.col("__nlo")))
+        + F.bit_count(F.col("__ohi").bitwiseXOR(F.col("__nhi")))
+    ).cast("int")
+    return (
+        new_banded.join(old_banded, ["band", "key"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("old_id", "new_id", "hamming", ts_col)
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["old_id", "new_id"])
+    )

@@ -1024,3 +1024,69 @@ def test_write_corpus_shards_roundtrip_verifies(spark, tmp_path):
         F.col("shard") != hash_bucket(F.col("doc_id"), 4, "shard:").cast("int")
     )
     assert mismatch.count() == 0
+
+
+def test_simhash_doc_stream_matches_batch_incremental(spark, tmp_path):
+    """simhash_doc_stream: cross pairs flagged on the stream must equal
+    the batch incremental operator's (old, new, hamming) set — both run
+    the same signature map + banded join + exact Hamming verify, the
+    stream only adding the watermark pair-dedup."""
+    import json
+
+    from irstats2_spark.pipeline.dedup import (
+        simhash64,
+        simhash_hamming_incremental,
+    )
+    from irstats2_spark.streaming.ingest import simhash_doc_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the hills")
+    old_rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different text about gardening soil and seeds"),
+    ]
+    new_rows = [
+        {"doc_id": 10, "ts": "2024-01-01T00:00:00Z", "text": base},
+        {"doc_id": 11, "ts": "2024-01-01T00:01:00Z",
+         "text": base + " tonight maybe"},
+        {"doc_id": 12, "ts": "2024-01-01T00:02:00Z",
+         "text": "unrelated quarterly finance report with numbers"},
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    old_sigs = simhash64(old)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in new_rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = simhash_doc_stream(stream, old_sigs)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("simhash_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.old_id, r.new_id): r.hamming
+        for r in spark.sql(
+            "SELECT old_id, new_id, hamming FROM simhash_stream_out"
+        ).collect()
+    }
+    new_batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in new_rows], "doc_id long, text string"
+    )
+    want = {
+        (r.old_id, r.new_id): r.hamming
+        for r in simhash_hamming_incremental(new_batch, old_sigs).collect()
+    }
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)] == 0  # exact dup crosses over
