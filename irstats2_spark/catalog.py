@@ -87,6 +87,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "corpus_source_overlap",
     "text_gopher_quality_gate",
     "dedup_simhash_incremental",
+    "pack_efficiency_audit",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -119,18 +120,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "f1_f3_url_parse",
     "o4_listing_engine",
     "t6_f12_formatting",
-    "dedup_exact",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
-# text_token_counts, sample_split_assign, sample_stratified, and
-# dedup_clusters (the nine r2-green rows that could not fit round 5's
-# 50 — each ceded its slot to a first-ever row for an operator new this
-# round, per the brand-new-outranks-unchanged-refresh rule;
-# dedup_clusters' connected-components core was additionally
-# re-verified this round inside the gated
-# pipeline_neardup_maintenance_e2e chain), then rotate the oldest
-# remaining r2/r3 rows as usual.
+# text_token_counts, sample_split_assign, sample_stratified,
+# dedup_clusters, and dedup_exact (the ten r2-green rows that could not
+# fit round 5's 50 — each ceded its slot to a first-ever row for an
+# operator new this round, per the brand-new-outranks-unchanged-refresh
+# rule; dedup_clusters' connected-components core and dedup_exact's
+# hash-groupBy were both additionally re-verified this round inside
+# gated chains — pipeline_neardup_maintenance_e2e and the exact-dedup
+# stage of pipeline_pretrain_e2e's r4 row respectively), then rotate
+# the oldest remaining r2/r3 rows as usual.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

@@ -528,3 +528,42 @@ def replicate_by_rates(
         .withColumn("copy_idx", F.explode(F.sequence(F.lit(0), n_copies - 1)))
         .drop("__stratum", "__rate")
     )
+
+
+def pack_efficiency(
+    packed: DataFrame,
+    budget: int,
+    size_col: str = "n_tokens",
+    seq_col: str = "seq_id",
+) -> DataFrame:
+    """Packing-efficiency audit over ``pack_sequences`` output: per
+    sequence, how many docs landed in it, how many tokens it holds, and
+    its fill ratio against the budget — the number a data engineer
+    checks before paying for a training run (fill ~1.0 means the batch
+    tokens are real; a long tail of underfilled sequences means the
+    budget or the doc-length mix needs work). Greedy run-packing can
+    overfill a sequence by up to one doc (the doc that crosses the
+    boundary belongs to the sequence its PRECEDING mass fills), so
+    fill_ratio > 1.0 rows are expected and honest — they quantify
+    truncation-or-carry decisions the trainer must make.
+
+    Output: (seq_id, n_docs, used_tokens, fill_ratio), one row per
+    sequence. One groupBy keyed by seq_id — sequence count is
+    corpus_tokens/budget, so the result is ~3 orders of magnitude
+    smaller than the corpus and the rollup's shuffle carries three
+    ints."""
+    return (
+        packed.groupBy(seq_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(size_col).cast("long").alias("used_tokens"),
+        )
+        .select(
+            seq_col,
+            "n_docs",
+            "used_tokens",
+            F.round(F.col("used_tokens") / F.lit(float(budget)), 6).alias(
+                "fill_ratio"
+            ),
+        )
+    )

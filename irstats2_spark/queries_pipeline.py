@@ -3987,3 +3987,42 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
     return simhash_hamming_incremental(new, simhash64(old))
+
+
+@register(
+    "pack_efficiency_audit",
+    f"""
+    WITH psized AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS INT) AS n_tokens,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ),
+    ppacked AS (
+        SELECT doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY ord, doc_id
+                               ROWS UNBOUNDED PRECEDING) - n_tokens)
+                          / 2048.0) AS BIGINT) AS seq_id
+        FROM psized
+    )
+    SELECT seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS used_tokens,
+           ROUND(SUM(n_tokens) / 2048.0, 6) AS fill_ratio
+    FROM ppacked GROUP BY 1
+    """,
+    doc="packing-efficiency audit: per 2048-token training sequence, doc "
+    "count, used tokens, and fill ratio (>1.0 rows mark boundary-"
+    "crossing docs the trainer truncates or carries) — the pre-training "
+    "cost sanity check; one tiny rollup over the packed ids",
+)
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import pack_efficiency, pack_sequences
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).cast("int").alias("n_tokens")
+    )
+    packed = pack_sequences(sized, F.col("n_tokens"), "doc_id", budget=2048)
+    return pack_efficiency(packed, budget=2048)

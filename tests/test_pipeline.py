@@ -1670,6 +1670,31 @@ def test_minhash_incremental_finds_cross_batch_dup(spark, docs):
     assert not any(new_id == 5 for _, new_id in out)  # unrelated doc clean
 
 
+def test_pack_efficiency_accounts_every_token(spark):
+    """The audit's totals must reconcile exactly with the input (no doc
+    lost or double-counted), every fill ratio is used/budget, and the
+    overfill contract holds: a sequence exceeds the budget by at most
+    its boundary-crossing doc."""
+    from irstats2_spark.pipeline.sampling import pack_efficiency, pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)],
+        "doc_id int, n_tokens int",
+    )
+    packed = pack_sequences(docs, F.col("n_tokens"), "doc_id", budget=1024)
+    audit = pack_efficiency(packed, budget=1024).collect()
+    assert sum(r.n_docs for r in audit) == 200
+    total_in = sum(100 + (i * 37) % 400 for i in range(200))
+    assert sum(r.used_tokens for r in audit) == total_in
+    import math
+
+    for r in audit:
+        # half-up like SQL ROUND (python round() banker's-rounds .5)
+        assert r.fill_ratio == math.floor(r.used_tokens / 1024.0 * 1e6 + 0.5) / 1e6
+    # overfill bounded by one doc: used - budget < max doc size (499)
+    assert all(r.used_tokens - 1024 < 499 for r in audit)
+
+
 def test_simhash_incremental_matches_full_self_join(spark):
     """Composition law for the SimHash incremental tier: cross-batch
     pairs from incremental(new, sigs(old)) must EQUAL the full
