@@ -792,6 +792,103 @@ def remove_corpus_frequent_chunks(
     )
 
 
+def duplicate_span_coverage(
+    docs: DataFrame,
+    span_tokens: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document DUPLICATED-TEXT FRACTION at arbitrary alignment: the
+    share of a doc's tokens covered by at least one ``span_tokens``-token
+    window that also appears in ``min_docs - 1``+ OTHER documents — the
+    RefinedWeb/Dolma "fraction of characters in duplicated n-grams"
+    curation signal. Fixed-chunk mining (``corpus_frequent_chunks``)
+    only sees passages that land on chunk boundaries; sliding windows at
+    stride 1 catch a shared passage wherever it starts, and the
+    interval-union makes overlapping hits count each token once.
+
+    Output: (doc_id, n_tokens, n_windows, n_dup_windows, covered_tokens,
+    dup_frac) — dup_frac = covered_tokens / n_tokens rounded to 6dp
+    (0.0 for docs shorter than one window).
+
+    Scale shape: the window stream is a map-side explode (~1 row per
+    token); the document-frequency count is one hash-keyed groupBy with
+    partial aggregation on (hash, doc_id) — a corpus-wide boilerplate
+    window shrinks to |docs| rows before the per-hash shuffle. Frequent
+    hashes join back to the (persisted) window stream as a plain
+    hash-partitioned equi-join: the build side is grouped-unique per
+    key, so no skewed-key blowup — the shuffles carry (doc_id, pos,
+    16-byte hash), never text. Coverage is the classic sorted-interval
+    union, but with equal-length stride-1 windows it degenerates to one
+    LAG per doc: each kept window contributes min(span, pos - prev_pos)
+    tokens. One window-function pass per doc, state O(1)."""
+    k = span_tokens
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+    )
+    wins = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - k),
+                    lambda i: F.struct(
+                        i.alias("pos"),
+                        F.md5(F.concat_ws(" ", F.slice("t", i + 1, k))).alias(
+                            "h"
+                        ),
+                    ),
+                )
+            ).alias("w"),
+        )
+        .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    )
+    wins = wins.persist()
+    frequent = (
+        wins.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("h")
+    )
+    dup = wins.join(frequent, "h").select("doc_id", "pos")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        dup.withColumn("__prev", F.lag("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_windows"),
+            F.sum(
+                F.when(F.col("__prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("__prev"))
+                )
+            ).alias("covered_tokens"),
+        )
+    )
+    totals = toks.select(
+        "doc_id",
+        F.size("t").alias("n_tokens"),
+        F.greatest(F.size("t") - k + 1, F.lit(0)).alias("n_windows"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_windows").cast("int").alias("n_windows"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )
+
+
 def vocab_encode(
     docs: DataFrame,
     vocab_size: int = 1024,

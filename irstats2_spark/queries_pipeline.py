@@ -3787,6 +3787,60 @@ def text_remove_frequent_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_dup_span_coverage",
+    f"""
+    WITH stoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    swins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+        FROM stoks,
+             LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i) s
+        WHERE len(t) >= 8
+    ),
+    sfreq AS (
+        SELECT h FROM swins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    sdup AS (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM swins WHERE h IN (SELECT h FROM sfreq)
+    ),
+    scov AS (
+        SELECT doc_id, COUNT(*) AS n_dup_windows,
+               SUM(CASE WHEN prev IS NULL THEN 8
+                        ELSE LEAST(8, pos - prev) END) AS covered
+        FROM sdup GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INT) AS n_tokens,
+           CAST(GREATEST(len(t.t) - 7, 0) AS INT) AS n_windows,
+           CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CASE WHEN len(t.t) > 0
+                      THEN COALESCE(c.covered, 0) / CAST(len(t.t) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM stoks t LEFT JOIN scov c USING (doc_id)
+    """,
+    doc="per-doc duplicated-text fraction at ARBITRARY alignment: share "
+    "of tokens covered by a stride-1 8-token window shared with another "
+    "document (interval-union, each token counted once) — the "
+    "RefinedWeb/Dolma dup-fraction signal that boundary-aligned chunk "
+    "mining misses; shuffles carry (doc_id, pos, hash), never text",
+)
+def text_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import duplicate_span_coverage
+
+    return duplicate_span_coverage(
+        load_table(spark, "documents", sf_dir), span_tokens=8, min_docs=2
+    )
+
+
+@register(
     "text_vocab_encode",
     f"""
     WITH vtoks AS (

@@ -2487,6 +2487,46 @@ def test_corpus_frequent_chunks_and_removal(spark):
     assert intra[1] == out[1].new_text
 
 
+def test_duplicate_span_coverage_interval_union(spark):
+    """Span coverage counts each token once under overlapping hits
+    (adjacent windows merge via min(k, pos-prev)), gaps split coverage,
+    intra-doc-only repeats don't qualify (df is DISTINCT docs), and
+    sub-window docs emit zero windows and frac 0.0."""
+    from irstats2_spark.pipeline.textstats import duplicate_span_coverage
+
+    rows = [
+        (1, "a b c d e x y z"),  # shares 'a b c d e' prefix with doc 2
+        (2, "a b c d e n o w"),
+        (3, "a b c g g c d e m m a b c"),  # 3 disjoint shared spans
+        (4, "p q r s"),  # fully duplicated with doc 5
+        (5, "p q r s"),
+        (6, "t u"),  # shorter than one window
+        (7, "h i j h i j"),  # repeats only WITHIN itself
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {
+        r.doc_id: r
+        for r in duplicate_span_coverage(
+            docs, span_tokens=3, min_docs=2
+        ).collect()
+    }
+    # docs 1/2: windows at pos 0,1,2 merge into one 5-token interval
+    assert (out[1].n_dup_windows, out[1].covered_tokens) == (3, 5)
+    assert out[1].dup_frac == 0.625
+    assert (out[2].n_dup_windows, out[2].covered_tokens) == (3, 5)
+    # doc 3: 'a b c'@0, 'c d e'@5, 'a b c'@10 — three disjoint spans
+    assert (out[3].n_dup_windows, out[3].covered_tokens) == (3, 9)
+    assert (out[3].n_tokens, out[3].n_windows) == (13, 11)
+    # docs 4/5: adjacent windows at pos 0,1 union to the whole doc
+    assert (out[4].covered_tokens, out[4].dup_frac) == (4, 1.0)
+    # doc 6: shorter than one window
+    assert (out[6].n_windows, out[6].n_dup_windows, out[6].dup_frac) == (
+        0, 0, 0.0,
+    )
+    # doc 7: 'h i j' recurs but only inside doc 7 — df counts docs
+    assert (out[7].n_dup_windows, out[7].covered_tokens) == (0, 0)
+
+
 def test_vocab_encode_ids_and_oov(spark):
     """Bounded-vocab encoding: ids follow (count DESC, token ASC), OOV
     maps to 0, positions index the normalized token stream, and the
