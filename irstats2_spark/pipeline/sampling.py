@@ -567,3 +567,70 @@ def pack_efficiency(
             ),
         )
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "shuffle:",
+) -> DataFrame:
+    """Reproducible GLOBAL training-order shuffle: every row gets a
+    pseudorandom but pure-function-of-key position, materialized as
+    (shard, pos, global_pos) so a trainer can read shard files in order
+    and see the same permutation on every rerun, engine, and cluster
+    layout (Spark's ``orderBy(rand(seed))`` is none of those things —
+    the RNG stream follows partitioning).
+
+    sort_key = md5(salt || id); shard = the key's leading 32 bits
+    range-partitioned into ``n_shards`` equal slices (so shard order IS
+    key order); pos = 1-based rank within the shard; global_pos =
+    shard-size prefix offset + pos == the rank a single global sort by
+    (sort_key, id) would assign — the oracle pins exactly that
+    equivalence.
+
+    Scale shape: the key/shard columns are map-side expressions; the
+    only corpus shuffle is ONE hash exchange on shard followed by a
+    per-shard sort — the physical plan of writing sorted shard files.
+    The global offsets come from an n_shards-row count table (cumulative
+    sum on the driver-scale side, broadcast back), which is how a global
+    ROW_NUMBER is computed without a single-partition sort of the
+    corpus. Size n_shards so a shard fits a task's sort buffer:
+    100 TB / 256 MB targets ~400k shards, still a trivially tiny
+    offsets table."""
+    v = F.conv(F.substring(F.md5(F.concat(F.lit(salt),
+                                          F.col(id_col).cast("string"))),
+                           1, 8), 16, 10).cast("long")
+    keyed = df.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias(
+            "sort_key"
+        ),
+        F.shiftright(v * n_shards, 32).cast("int").alias("shard"),
+    )
+    from pyspark.sql import Window
+
+    pos = F.row_number().over(
+        Window.partitionBy("shard").orderBy("sort_key", id_col)
+    )
+    ranked = keyed.withColumn("pos", pos.cast("long"))
+    sizes = keyed.groupBy("shard").agg(F.count(F.lit(1)).alias("__n"))
+    # n_shards rows by contract: the single-partition window is legal
+    offsets = sizes.select(
+        "shard",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return ranked.join(F.broadcast(offsets), "shard").select(
+        id_col,
+        "sort_key",
+        "shard",
+        "pos",
+        (F.col("__off") + F.col("pos")).cast("long").alias("global_pos"),
+    )

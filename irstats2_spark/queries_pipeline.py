@@ -261,6 +261,40 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.select("doc_id", "lang")
 
 
+@register(
+    "corpus_deterministic_shuffle",
+    """
+    WITH dsk AS (
+        SELECT doc_id,
+               md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+               CAST(concat('0x', substring(
+                   md5('shuffle:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) AS v
+        FROM documents
+    )
+    SELECT doc_id, sort_key,
+           CAST((v * 8) >> 32 AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY (v * 8) >> 32
+                                   ORDER BY sort_key, doc_id) AS BIGINT)
+               AS pos,
+           CAST(ROW_NUMBER() OVER (ORDER BY sort_key, doc_id) AS BIGINT)
+               AS global_pos
+    FROM dsk
+    """,
+    doc="reproducible global training-order shuffle: md5 sort key, "
+    "range-sharded by its leading 32 bits, shard-local rank + prefix "
+    "offsets — the oracle's single global ROW_NUMBER pins that "
+    "shard rank + offset == one global sort, computed with one hash "
+    "exchange and an n_shards-row offsets broadcast instead",
+)
+def corpus_deterministic_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import deterministic_shuffle
+
+    return deterministic_shuffle(
+        load_table(spark, "documents", sf_dir), n_shards=8
+    )
+
+
 def _simhash_cte(bits: int) -> str:
     """SimHash signature CTE (ends in ``sigs(doc_id, simhash)``) for any
     signature width — shared by the signature query (16-bit) and the

@@ -2487,6 +2487,38 @@ def test_corpus_frequent_chunks_and_removal(spark):
     assert intra[1] == out[1].new_text
 
 
+def test_deterministic_shuffle_is_stable_global_permutation(spark):
+    """The shuffle emits a permutation: global_pos is exactly 1..N in
+    (sort_key, id) order, shard-local pos is contiguous from 1, shard
+    ranges are disjoint and ordered (concatenating shards in order
+    replays the global order), and the whole assignment is invariant
+    under input partitioning."""
+    from irstats2_spark.pipeline.sampling import deterministic_shuffle
+
+    docs = spark.range(0, 301).select(F.col("id").alias("doc_id"))
+    out = deterministic_shuffle(docs, n_shards=4).collect()
+    n = len(out)
+    assert n == 301
+    assert sorted(r.global_pos for r in out) == list(range(1, n + 1))
+    by_global = sorted(out, key=lambda r: r.global_pos)
+    assert [r.doc_id for r in by_global] == [
+        r.doc_id for r in sorted(out, key=lambda r: (r.sort_key, r.doc_id))
+    ]
+    # shard-local ranks are contiguous and shards are ordered key ranges
+    shards: dict[int, list] = {}
+    for r in out:
+        shards.setdefault(r.shard, []).append(r)
+    prev_max = ""
+    for sh in sorted(shards):
+        rows = sorted(shards[sh], key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        assert rows[0].sort_key[:8] > prev_max or prev_max == ""
+        prev_max = max(r.sort_key[:8] for r in rows)
+    # pure function of the key: repartitioning changes nothing
+    again = deterministic_shuffle(docs.repartition(7), n_shards=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
 def test_duplicate_span_coverage_interval_union(spark):
     """Span coverage counts each token once under overlapping hits
     (adjacent windows merge via min(k, pos-prev)), gaps split coverage,
