@@ -3908,10 +3908,11 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_encode(load_table(spark, "documents", sf_dir), vocab_size=16)
 
 
-@register(
-    "similarity_knn_graph_ivf",
-    f"""
-    WITH cents AS (
+# Shared k-NN-graph-under-IVF fragment (ends in CTE ``knng(vec_id,
+# neighbor_id, rank, cosine)`` plus ``cents``/``kassign`` for reuse) —
+# mirrors similarity.knn_graph_ivf with centroids = vec_id < 4.
+_KNN_IVF_SQL = f"""
+    cents AS (
         SELECT vec_id AS centroid_id, embedding AS cv
         FROM embeddings WHERE vec_id < 4
     ),
@@ -3933,13 +3934,24 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AND sb.vec_id != sa.vec_id
         JOIN embeddings a ON a.vec_id = sa.vec_id
         JOIN embeddings b ON b.vec_id = sb.vec_id
+    ),
+    knng AS (
+        SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine FROM (
+            SELECT vec_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY cosine DESC, neighbor_id ASC)
+                       AS rnk
+            FROM kpairs
+        ) WHERE rnk <= 5
     )
-    SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine FROM (
-        SELECT vec_id, neighbor_id, cosine,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY cosine DESC, neighbor_id ASC) AS rnk
-        FROM kpairs
-    ) WHERE rnk <= 5
+"""
+
+
+@register(
+    "similarity_knn_graph_ivf",
+    f"""
+    WITH {_KNN_IVF_SQL}
+    SELECT vec_id, neighbor_id, rank, cosine FROM knng
     """,
     doc="corpus k-NN graph under IVF blocking: per-cluster exact "
     "quantized GEMM emitting each vector's top-5 in-cluster neighbors "
@@ -3955,6 +3967,90 @@ def similarity_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid_vec"),
     )
     return knn_graph_ivf(emb, cents, k=5)
+
+
+@register(
+    "pipeline_semdedup_e2e",
+    f"""
+    WITH RECURSIVE {_KNN_IVF_SQL},
+    sd_pairs AS (
+        SELECT LEAST(vec_id, neighbor_id) AS a,
+               GREATEST(vec_id, neighbor_id) AS b
+        FROM knng WHERE cosine >= 0.45
+        GROUP BY 1, 2
+    ),
+    sd_edges AS (
+        SELECT a, b FROM sd_pairs UNION SELECT b, a FROM sd_pairs
+    ),
+    sd_reach(node, m) AS (
+        SELECT DISTINCT a, a FROM sd_edges
+        UNION
+        SELECT r.node, e.b FROM sd_reach r JOIN sd_edges e ON r.m = e.a
+    ),
+    sd_comp AS (
+        SELECT node AS vec_id, MIN(m) AS cluster_id FROM sd_reach GROUP BY 1
+    ),
+    sd_score AS (
+        SELECT k.vec_id,
+               ROUND(1 - ROUND({_qcos('e.embedding', 'c.cv')}, 6), 6) AS score
+        FROM kassign k
+        JOIN embeddings e ON e.vec_id = k.vec_id
+        JOIN cents c ON c.centroid_id = k.centroid_id
+    )
+    SELECT c.vec_id, c.cluster_id, s.score,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY s.score DESC, c.vec_id ASC) = 1)
+               AS is_keeper
+    FROM sd_comp c JOIN sd_score s USING (vec_id)
+    """,
+    doc="SemDeDup as ONE chain: IVF-blocked k-NN graph -> cosine-"
+    "thresholded edges -> connected components -> keep each cluster's "
+    "member FARTHEST from its centroid (the SemDeDup keeper rule; "
+    "score = 1 - centroid cosine, min-id tiebreak). The oracle replays "
+    "the full chain, so the gated seams are edge symmetrization under "
+    "the k-cut (A can list B without B listing A), cluster ids under "
+    "the banded/all-pairs closure, and the keeper cut under score ties",
+)
+def pipeline_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """knn_graph_ivf -> threshold -> connected_components ->
+    cluster_keepers_by_score with distance-from-centroid as the
+    quality signal — SemDeDup (Abbas et al. 2023) composed from four
+    individually-green operators.
+
+    Scale shape: the graph is the per-cluster GEMM (corpus shuffles
+    once, keyed by centroid); edges/components scale with near-dup
+    pairs, not the corpus; the centroid-distance score rides the
+    already-computed ivf_assign column (pure map, broadcast
+    centroids)."""
+    from irstats2_spark.pipeline.dedup import (
+        cluster_keepers_by_score,
+        connected_components,
+    )
+    from irstats2_spark.pipeline.similarity import ivf_assign, knn_graph_ivf
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    graph = knn_graph_ivf(emb, cents, k=5)
+    pairs = (
+        graph.filter(F.col("cosine") >= 0.45)
+        .select(
+            F.least("vec_id", "neighbor_id").alias("doc_a"),
+            F.greatest("vec_id", "neighbor_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    comp = connected_components(pairs)
+    scores = ivf_assign(emb, cents).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(F.lit(1.0) - F.col("centroid_cosine"), 6).alias("score"),
+    )
+    out = cluster_keepers_by_score(comp, scores)
+    return out.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id", "score", "is_keeper"
+    )
 
 
 @register(
