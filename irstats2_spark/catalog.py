@@ -91,6 +91,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_dup_span_coverage",
     "corpus_deterministic_shuffle",
     "pipeline_semdedup_e2e",
+    "text_remove_frequent_chunks_incremental",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -119,13 +120,12 @@ GATE_PRIORITY: tuple[str, ...] = (
     "view_sparkline",
     "s7_sets_build",
     "s7_groupings_build",
-    "f9_subject_closure",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
 # text_token_counts, sample_split_assign, sample_stratified,
 # dedup_clusters, dedup_exact, t6_f12_formatting, o4_listing_engine,
-# and f1_f3_url_parse (the r2-green rows that could not
+# f1_f3_url_parse, and f9_subject_closure (the r2-green rows that could not
 # fit round 5's 50 — each ceded its slot to a first-ever row for an
 # operator new this round, per the brand-new-outranks-unchanged-refresh
 # rule; dedup_clusters' connected-components core and dedup_exact's

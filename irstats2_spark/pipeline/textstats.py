@@ -792,6 +792,46 @@ def remove_corpus_frequent_chunks(
     )
 
 
+def remove_listed_chunks(
+    docs: DataFrame,
+    chunk_hashes: "list[str]",
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Boilerplate removal against a KNOWN chunk set — the incremental /
+    streaming form of ``remove_corpus_frequent_chunks``: the frequent
+    set was mined once on an earlier corpus snapshot (the
+    ``corpus_frequent_chunks`` output), and incoming documents are
+    rewritten against it without re-mining. Same output contract as the
+    batch rewrite ((doc_id, n_chunks, n_kept, new_text); empty docs emit
+    (0, 0, "")), so when the listed set equals the corpus' own mined set
+    the two rewrites agree row-for-row (pytest pins this).
+
+    Scale shape: with the set baked in as a literal array the rewrite is
+    a ZERO-SHUFFLE per-row map — no explode, no rebuild groupBy — which
+    is also why it streams stateless (``streaming.clean_chunks_stream``).
+    The membership probe is O(|set|) per chunk, the right trade for a
+    boilerplate-grade set (hundreds–thousands of hashes, the same
+    smallness contract that lets the batch form broadcast); for a set
+    past broadcast scale, fall back to the batch join form."""
+    hs = sorted(set(chunk_hashes))
+    hset = F.lit(hs) if hs else F.array().cast("array<string>")
+    with_chunks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens).alias("__ch"),
+    )
+    kept = F.filter(
+        F.col("__ch"), lambda c: ~F.array_contains(hset, F.md5(c))
+    )
+    return with_chunks.select(
+        "doc_id",
+        F.size("__ch").alias("n_chunks"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.concat_ws(" ", kept).alias("new_text"),
+    )
+
+
 def duplicate_span_coverage(
     docs: DataFrame,
     span_tokens: int = 8,

@@ -3821,6 +3821,88 @@ def text_remove_frequent_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_remove_frequent_chunks_incremental",
+    f"""
+    WITH isrc AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents WHERE doc_id < 300
+    ),
+    isrcch AS (
+        SELECT doc_id, array_to_string(t[j*16 + 1 : j*16 + 16], ' ') AS chunk
+        FROM isrc,
+             LATERAL (SELECT unnest(generate_series(0, GREATEST(
+                 CAST(CEIL(len(t) / 16.0) AS INT), 1) - 1)) AS j) s
+        WHERE len(t) > 0
+    ),
+    ifreq AS (
+        SELECT md5(chunk) AS h FROM isrcch
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    inew AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents WHERE doc_id >= 300
+    ),
+    inewch AS (
+        SELECT doc_id, j, array_to_string(t[j*16 + 1 : j*16 + 16], ' ') AS chunk
+        FROM inew,
+             LATERAL (SELECT unnest(generate_series(0, GREATEST(
+                 CAST(CEIL(len(t) / 16.0) AS INT), 1) - 1)) AS j) s
+        WHERE len(t) > 0
+    ),
+    ikept AS (
+        SELECT doc_id, j, chunk FROM inewch
+        WHERE md5(chunk) NOT IN (SELECT h FROM ifreq)
+    ),
+    irebuilt AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               array_to_string(list(chunk ORDER BY j), ' ') AS new_text
+        FROM ikept GROUP BY 1
+    ),
+    itotals AS (
+        SELECT doc_id,
+               CASE WHEN len(t) > 0 THEN GREATEST(
+                   CAST(CEIL(len(t) / 16.0) AS INT), 1)
+               ELSE 0 END AS n_chunks
+        FROM inew
+    )
+    SELECT t.doc_id, CAST(t.n_chunks AS INT) AS n_chunks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.new_text, '') AS new_text
+    FROM itotals t LEFT JOIN irebuilt r USING (doc_id)
+    """,
+    doc="incremental boilerplate removal: chunk set mined ONCE on the "
+    "historical slice (doc_id < 300), incoming docs (>= 300) rewritten "
+    "against it as a zero-shuffle per-row map — the mine-nightly/"
+    "clean-on-arrival loop; streaming twin in streaming.clean_chunks_stream",
+)
+def text_remove_frequent_chunks_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import (
+        corpus_frequent_chunks,
+        remove_listed_chunks,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    # boilerplate-grade set: small by contract, collected once offline
+    snapshot_hashes = [
+        r.chunk_hash
+        for r in corpus_frequent_chunks(
+            docs.filter(F.col("doc_id") < 300), chunk_tokens=16, min_docs=2
+        )
+        .select("chunk_hash")
+        .collect()
+    ]
+    return remove_listed_chunks(
+        docs.filter(F.col("doc_id") >= 300), snapshot_hashes, chunk_tokens=16
+    )
+
+
+@register(
     "text_dup_span_coverage",
     f"""
     WITH stoks AS (

@@ -689,6 +689,30 @@ def replicate_stream(
     return replicate_by_rates(docs, rates, strata_col, id_col, rate_col)
 
 
+def clean_chunks_stream(
+    docs: DataFrame,
+    chunk_hashes: "list[str]",
+    chunk_tokens: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``textstats.remove_listed_chunks``: strip a
+    known boilerplate-chunk set (mined offline by
+    ``corpus_frequent_chunks``) from documents AS THEY ARRIVE — the
+    ingest-time half of the mine-nightly/clean-on-arrival loop the
+    cross-doc chunk family implies.
+
+    Stateless by construction: the set is baked into the plan as a
+    literal array and the rewrite is a per-row map (no explode, no
+    rebuild groupBy — the batch form's corpus-wide shuffle exists only
+    to MINE the set, which already happened offline). No watermark, no
+    state store; stream == batch is pytest-pinned."""
+    from irstats2_spark.pipeline.textstats import remove_listed_chunks
+
+    assert docs.isStreaming, "clean_chunks_stream expects a streaming DataFrame"
+    return remove_listed_chunks(docs, chunk_hashes, chunk_tokens, text_col, id_col)
+
+
 def repeat_filter_stream_tws(
     events: DataFrame,
     timeout: int = 3600,

@@ -1090,3 +1090,75 @@ def test_simhash_doc_stream_matches_batch_incremental(spark, tmp_path):
     }
     assert got == want
     assert (1, 10) in got and got[(1, 10)] == 0  # exact dup crosses over
+
+
+def test_clean_chunks_stream_matches_batch_rewrite(spark, tmp_path):
+    """clean_chunks_stream: stripping a known boilerplate set from a live
+    stream must equal (a) the row-local batch form on the same rows and
+    (b) the full mine-and-rewrite batch operator when the listed set IS
+    the corpus' own mined set — the mine-nightly/clean-on-arrival
+    contract. Also pins the zero-state claim: the rewrite runs append-
+    mode with no watermark."""
+    import json
+
+    from irstats2_spark.pipeline.textstats import (
+        corpus_frequent_chunks,
+        remove_corpus_frequent_chunks,
+        remove_listed_chunks,
+    )
+    from irstats2_spark.streaming.ingest import clean_chunks_stream
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    rows = [
+        {"doc_id": 1, "text": f"{boiler} one unique tail here"},
+        {"doc_id": 2, "text": f"{boiler} another different tail text"},
+        {"doc_id": 3, "text": f"{boiler} {boiler}"},
+        {"doc_id": 4, "text": "completely fresh standalone document body"},
+        {"doc_id": 5, "text": "   "},
+    ]
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id int, text string"
+    )
+    hashes = [
+        r.chunk_hash
+        for r in corpus_frequent_chunks(batch_docs, chunk_tokens=4, min_docs=2)
+        .select("chunk_hash")
+        .collect()
+    ]
+    assert hashes  # the boilerplate chunk was mined
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = spark.readStream.schema("doc_id int, text string").json(str(src))
+    out = clean_chunks_stream(stream, hashes, chunk_tokens=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clean_chunks_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("SELECT * FROM clean_chunks_out").collect())
+    )
+    # (a) == row-local batch form
+    want = sorted(
+        map(tuple, remove_listed_chunks(batch_docs, hashes, chunk_tokens=4).collect())
+    )
+    assert got == want
+    # (b) == the full mine-and-rewrite operator on the same corpus
+    full = sorted(
+        map(
+            tuple,
+            remove_corpus_frequent_chunks(
+                batch_docs, chunk_tokens=4, min_docs=2
+            ).collect(),
+        )
+    )
+    assert got == full
+    # the stream really rewrote: doc 3 went all-boilerplate -> empty
+    by_id = {t[0]: t for t in got}
+    assert by_id[3][1:] == (2, 0, "")
+    assert by_id[5][1:] == (0, 0, "")
