@@ -507,6 +507,59 @@ def minhash_lsh_dedup(
     )
 
 
+def winnow_shared_pairs(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    MOSS matching step on top of ``textstats.winnow_fingerprints``:
+    docs sharing >= ``min_shared`` distinct selected fingerprints are
+    candidates, with the winnowing guarantee that any common run of
+    ``window + k - 1``+ tokens shares at least one fingerprint. Output:
+    (doc_a, doc_b, n_shared).
+
+    Scale shape: same one-shuffle co-occurrence form as
+    ``ngram_jaccard_pairs`` — group doc ids per fingerprint, expand
+    ordered pairs IN-ROW from the sorted id array — but over a gram
+    stream winnowing already cut to ~1/window density, so the shuffle
+    is proportionally smaller before any capping. The same boilerplate
+    cap applies (``max_docs_per_fp``, default 64): a fingerprint
+    shared by more docs than that is site chrome, and expanding it is
+    the skewed-key blowup the SimHash self-join rewrite documents."""
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs, k, window, text_col, id_col).select(
+        id_col, "fp"
+    ).distinct()
+    grouped = fps.groupBy("fp").agg(
+        F.array_sort(F.collect_set(id_col)).alias("ids")
+    )
+    if max_docs_per_fp is not None:
+        grouped = grouped.filter(F.size("ids") <= max_docs_per_fp)
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.doc_a"), F.col("p.doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def cluster_keepers_by_score(
     components: DataFrame,
     scores: DataFrame,

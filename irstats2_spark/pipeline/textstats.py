@@ -792,6 +792,65 @@ def remove_corpus_frequent_chunks(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprint SELECTION (Schleimer/Wilkerson/Aiken, the
+    MOSS algorithm): hash every k-token gram, then keep the minimum
+    hash of each ``window`` consecutive grams — a position-robust
+    subset ~1/window the size of the full gram set that still
+    GUARANTEES any shared run of ``window + k - 1``+ tokens contributes
+    at least one common fingerprint. The local-min rule is what makes
+    it robust: unlike stride sampling, an insertion upstream shifts
+    which windows exist but not which grams are locally minimal.
+
+    Output: (doc_id, pos, fp) — the selected gram's 0-based token
+    position and its 32-bit hash. Ties/selection are deterministic:
+    each gram is keyed by hash*2^20 + pos (docs are contracted to
+    < 2^20 tokens — split longer ones upstream), so the per-window min
+    is the LEFTMOST minimal hash and the whole selection replays in
+    SQL. Docs with fewer grams than one window contribute their single
+    overall min (below winnowing's guarantee length, documented —
+    dropping them would make short docs invisible to matching); docs
+    shorter than k contribute nothing.
+
+    Scale shape: entirely per-row array arithmetic — gram hashing,
+    windowed min, and dedup all happen inside one projection, zero
+    shuffle, fuses into the scan. The downstream matcher
+    (``dedup.winnow_shared_pairs``) inherits a gram stream 1/window
+    the size the full-shingle path would shuffle."""
+    t = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size("__t") - k),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice("__t", i + 1, k))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        * F.lit(1048576)
+        + i,
+    )
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"), t.alias("__t")
+    ).filter(F.size("__t") >= k).select("doc_id", grams.alias("__keys"))
+    wlen = F.least(F.lit(window), F.size("__keys"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size("__keys") - window, F.lit(0))),
+            lambda j: F.array_min(F.slice("__keys", j + 1, wlen)),
+        )
+    )
+    return keys.select("doc_id", F.explode(sel).alias("__k")).select(
+        "doc_id",
+        (F.col("__k") % 1048576).cast("int").alias("pos"),
+        F.shiftright("__k", 20).alias("fp"),
+    )
+
+
 def remove_listed_chunks(
     docs: DataFrame,
     chunk_hashes: "list[str]",

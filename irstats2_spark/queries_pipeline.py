@@ -3902,6 +3902,90 @@ def text_remove_frequent_chunks_incremental(
     )
 
 
+# Winnowing fragment (ends in CTE ``wfps(doc_id, pos, fp)``) — mirrors
+# textstats.winnow_fingerprints with k=4, window=4: gram keys are
+# hash*2^20+pos so the per-window min is the leftmost minimal hash.
+_WINNOW_SQL = f"""
+    wtoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    wgrams AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, len(t) - 4),
+                   i -> CAST(concat('0x', substring(
+                            md5(array_to_string(t[i+1 : i+4], ' ')), 1, 8))
+                        AS BIGINT) * 1048576 + i) AS keys
+        FROM wtoks WHERE len(t) >= 4
+    ),
+    wsel AS (
+        SELECT DISTINCT doc_id, k FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, GREATEST(len(keys) - 4, 0)),
+                       j -> list_min(keys[j+1 : j + LEAST(4, len(keys))])))
+                       AS k
+            FROM wgrams
+        )
+    ),
+    wfps AS (
+        SELECT doc_id, CAST(k % 1048576 AS INT) AS pos, k >> 20 AS fp
+        FROM wsel
+    )
+"""
+
+
+@register(
+    "text_winnow_fingerprints",
+    f"""
+    WITH {_WINNOW_SQL}
+    SELECT doc_id, pos, fp FROM wfps
+    """,
+    doc="winnowing fingerprint selection (MOSS): min-hash of each 4 "
+    "consecutive 4-token grams, keyed hash*2^20+pos so selection is "
+    "deterministic (leftmost minimal) — a ~1/window-density position-"
+    "robust fingerprint set with the shared-run guarantee; pure per-row "
+    "array arithmetic, zero shuffle",
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+
+    return winnow_fingerprints(
+        load_table(spark, "documents", sf_dir), k=4, window=4
+    )
+
+
+@register(
+    "dedup_winnowing",
+    f"""
+    WITH {_WINNOW_SQL},
+    wdfp AS (SELECT DISTINCT doc_id, fp FROM wfps),
+    wcap AS (
+        SELECT fp FROM wdfp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 64
+    ),
+    wp AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.fp
+        FROM wdfp a JOIN wdfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.fp IN (SELECT fp FROM wcap)
+    )
+    SELECT doc_a, doc_b, CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_shared
+    FROM wp GROUP BY 1, 2 HAVING COUNT(DISTINCT fp) >= 2
+    """,
+    doc="MOSS matching over winnowed fingerprints: doc pairs sharing "
+    ">= 2 distinct selected fingerprints, boilerplate fingerprints "
+    "(> 64 docs) capped out — the one-shuffle co-occurrence pair form "
+    "over a gram stream winnowing already cut to ~1/window density",
+)
+def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import winnow_shared_pairs
+
+    return winnow_shared_pairs(
+        load_table(spark, "documents", sf_dir), k=4, window=4, min_shared=2
+    )
+
+
 @register(
     "text_dup_span_coverage",
     f"""

@@ -2487,6 +2487,42 @@ def test_corpus_frequent_chunks_and_removal(spark):
     assert intra[1] == out[1].new_text
 
 
+def test_winnowing_guarantee_and_matching(spark):
+    """Winnowing invariants: any shared run of window+k-1 tokens yields
+    a shared fingerprint even when its position differs between docs
+    (the MOSS guarantee); short docs degrade as documented (len < k:
+    nothing; fewer grams than one window: the single overall min); and
+    the matcher surfaces exactly the sharing pairs."""
+    from irstats2_spark.pipeline.dedup import winnow_shared_pairs
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+
+    run = "s1 s2 s3 s4 s5 s6 s7"  # window + k - 1 = 7 tokens
+    rows = [
+        (1, f"u1 u2 u3 u4 u5 {run} u6 u7"),
+        (2, f"v1 {run} v2 v3 v4 v5 v6 v7 v8"),  # same run, shifted
+        (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),  # nothing shared
+        (4, "a b c"),  # shorter than k
+        (5, "a b c d e"),  # 2 grams < window
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    fps = winnow_fingerprints(docs, k=4, window=4).collect()
+    by_doc: dict[int, set] = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    # the guarantee: docs 1 and 2 share >= 1 fingerprint despite the shift
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert 4 not in by_doc
+    assert len(by_doc[5]) == 1  # single clamped window -> one min
+    # density: selection is a strict subset of the gram set for doc 3
+    assert 1 <= len(by_doc[3]) <= 7
+    # matching step agrees
+    pairs = winnow_shared_pairs(docs, k=4, window=4, min_shared=1).collect()
+    assert {(p.doc_a, p.doc_b) for p in pairs} == {(1, 2)}
+    n12 = next(p.n_shared for p in pairs)
+    assert n12 == len(by_doc[1] & by_doc[2])
+
+
 def test_deterministic_shuffle_is_stable_global_permutation(spark):
     """The shuffle emits a permutation: global_pos is exactly 1..N in
     (sort_key, id) order, shard-local pos is contiguous from 1, shard
