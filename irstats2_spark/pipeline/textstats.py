@@ -792,6 +792,81 @@ def remove_corpus_frequent_chunks(
     )
 
 
+def cdc_chunks(
+    docs: DataFrame,
+    gram_tokens: int = 2,
+    divisor: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CONTENT-DEFINED chunking (the LBFS/rsync/restic technique, on
+    tokens): cut after token c whenever the hash of the ``gram_tokens``-
+    token gram ENDING at c is ≡ 0 mod ``divisor`` — boundaries are a
+    function of local content, not position, so an insertion upstream
+    re-chunks only the spans it touches and every later chunk hash
+    survives verbatim. Fixed chunking (``fixed_chunk_array``) shifts
+    every subsequent boundary instead, which is why cross-doc chunk
+    dedup misses shared text behind a one-token edit; CDC chunk hashes
+    are the alignment-robust unit (pytest pins exactly this: inject a
+    prefix, CDC hashes still intersect, fixed hashes don't).
+
+    Output: (doc_id, chunk_idx, start, n_tokens, chunk_hash) — start is
+    the 0-based token offset; expected chunk length is ``divisor``
+    tokens (geometric); docs shorter than one gram emit one whole-doc
+    chunk; empty docs emit nothing.
+
+    Scale shape: boundary detection, span building, and hashing are all
+    per-row array expressions — zero shuffle, fuses into the scan. The
+    natural downstream is ``corpus_frequent_chunks``-style grouping on
+    chunk_hash, which inherits the same two-phase-distinct shape."""
+    k = gram_tokens
+    gram_hash = lambda c: F.conv(  # noqa: E731 — local expression builder
+        F.substring(
+            F.md5(F.concat_ws(" ", F.slice("__t", c - k + 1, k))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    cuts = F.when(
+        F.size("__t") > k,
+        F.filter(
+            F.sequence(F.lit(k), F.size("__t") - 1),
+            lambda c: gram_hash(c) % divisor == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(0)), F.col("__cuts"), F.array(F.size("__t"))
+    )
+    spans = F.transform(
+        F.sequence(F.lit(0), F.size("__b") - 2),
+        lambda j: F.struct(
+            j.cast("int").alias("chunk_idx"),
+            F.element_at("__b", j + 1).cast("int").alias("start"),
+            (F.element_at("__b", j + 2) - F.element_at("__b", j + 1))
+            .cast("int")
+            .alias("n_tokens"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.slice(
+                        "__t",
+                        F.element_at("__b", j + 1) + 1,
+                        F.element_at("__b", j + 2) - F.element_at("__b", j + 1),
+                    ),
+                )
+            ).alias("chunk_hash"),
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
+        .filter(F.size("__t") > 0)
+        .withColumn("__cuts", cuts)
+        .withColumn("__b", bounds)
+        .select("doc_id", F.explode(spans).alias("c"))
+        .select("doc_id", "c.chunk_idx", "c.start", "c.n_tokens", "c.chunk_hash")
+    )
+
+
 def winnow_fingerprints(
     docs: DataFrame,
     k: int = 4,

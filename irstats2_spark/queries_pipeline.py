@@ -3902,6 +3902,47 @@ def text_remove_frequent_chunks_incremental(
     )
 
 
+@register(
+    "text_cdc_chunks",
+    f"""
+    WITH cdt AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    cdc AS (
+        SELECT doc_id, t,
+               list_concat(list_concat([0],
+                   CASE WHEN len(t) > 2 THEN
+                       list_filter(generate_series(2, len(t) - 1),
+                           c -> CAST(concat('0x', substring(
+                                    md5(array_to_string(t[c-1 : c], ' ')),
+                                    1, 8)) AS BIGINT) % 8 = 0)
+                   ELSE [] END), [len(t)]) AS b
+        FROM cdt WHERE len(t) > 0
+    )
+    SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+           CAST(b[j+1] AS INT) AS start,
+           CAST(b[j+2] - b[j+1] AS INT) AS n_tokens,
+           md5(array_to_string(t[b[j+1]+1 : b[j+2]], ' ')) AS chunk_hash
+    FROM cdc, LATERAL (SELECT unnest(generate_series(0, len(b) - 2)) AS j) s
+    """,
+    doc="content-defined chunking (LBFS/restic on tokens): cut after "
+    "any 2-token gram whose hash is 0 mod 8, so boundaries follow "
+    "content not position — an upstream insertion re-chunks only the "
+    "spans it touches and later chunk hashes survive verbatim (the "
+    "alignment-robust unit fixed chunking can't provide); zero-shuffle "
+    "per-row array math",
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import cdc_chunks
+
+    return cdc_chunks(
+        load_table(spark, "documents", sf_dir), gram_tokens=2, divisor=8
+    )
+
+
 # Winnowing fragment (ends in CTE ``wfps(doc_id, pos, fp)``) — mirrors
 # textstats.winnow_fingerprints with k=4, window=4: gram keys are
 # hash*2^20+pos so the per-window min is the leftmost minimal hash.

@@ -2487,6 +2487,62 @@ def test_corpus_frequent_chunks_and_removal(spark):
     assert intra[1] == out[1].new_text
 
 
+def test_cdc_chunks_survive_insertion_where_fixed_chunks_shift(spark):
+    """The CDC contract: after a prefix insertion, chunk hashes from the
+    untouched suffix survive verbatim (boundaries are content-local),
+    while fixed-size chunking shares nothing (every boundary shifted).
+    Also pins span integrity: chunks tile the doc exactly — starts are
+    cumulative, token counts sum to doc length — and short/empty docs
+    degrade as documented."""
+    from irstats2_spark.pipeline.textstats import (
+        cdc_chunks,
+        fixed_chunk_array,
+        tokens,
+    )
+
+    base = " ".join(f"t{i}" for i in range(64))
+    rows = [
+        (1, base),
+        (2, "injected " + base),  # one-token insertion up front
+        (3, "xy"),  # shorter than one gram: one whole-doc chunk
+        (4, "   "),  # empty after normalize: no rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    out = cdc_chunks(docs, gram_tokens=2, divisor=8).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for rs in by_doc.values():
+        rs.sort(key=lambda r: r.chunk_idx)
+        # tiling: starts cumulative, lengths sum to the token count
+        pos = 0
+        for r in rs:
+            assert r.start == pos
+            pos += r.n_tokens
+    assert sum(r.n_tokens for r in by_doc[1]) == 64
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_tokens == 1
+    assert 4 not in by_doc
+    # robustness: the shared 64-token run still yields mostly-shared
+    # CDC chunk hashes (only the first span absorbs the insertion)...
+    h1 = {r.chunk_hash for r in by_doc[1]}
+    h2 = {r.chunk_hash for r in by_doc[2]}
+    shared = h1 & h2
+    assert len(shared) >= len(h1) - 2
+    # ...while FIXED chunking shares nothing across the same pair
+    fixed = docs.filter("doc_id <= 2").select(
+        "doc_id",
+        F.explode(fixed_chunk_array(tokens(F.col("text")), 8)).alias("c"),
+    )
+    fh = {
+        d: {r.c for r in rs}
+        for d, rs in (
+            (1, fixed.filter("doc_id = 1").collect()),
+            (2, fixed.filter("doc_id = 2").collect()),
+        )
+    }
+    assert not (fh[1] & fh[2])
+
+
 def test_winnowing_guarantee_and_matching(spark):
     """Winnowing invariants: any shared run of window+k-1 tokens yields
     a shared fingerprint even when its position differs between docs
