@@ -473,40 +473,47 @@ def source_shingle_overlap(
     a small source inside a big one reads 1.0 in one direction and
     small in the other (the containment asymmetry, at source grain).
 
-    Scale shape: one distinct rollup to (shingle, source) — the corpus
-    collapses to its source-level shingle sets; per-shingle source
-    lists are bounded by |sources| (a handful), so the in-row pair
-    expansion that is dangerous for doc-level co-occurrence is safe by
-    construction here; per-source totals ride the same rolled-up
-    table. Shuffles carry shingle hashes and source names, never
-    documents."""
+    Scale shape: ONE corpus-scale shuffle — groupBy(shingle hash) with
+    collect_set(source) as the aggregate, so the per-source dedup
+    happens inside the same aggregation (partial sets combine map-side
+    and are bounded by |sources|, a handful) instead of a separate
+    corpus-wide distinct; the shuffle carries 16-byte hashes and
+    source names, never shingle text or documents. Per-source totals
+    and the directed pair matrix are both derived from that rolled-up
+    (|distinct shingles|-row) table by in-row expansion + tiny
+    aggregations over a <= |sources|^2 key domain — safe by
+    construction where doc-level co-occurrence expansion is not."""
     from irstats2_spark.pipeline.dedup import shingle_array
 
-    ss = (
+    sets = (
         docs.select(
             F.col(source_col).alias("source"),
             F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
         )
-        .distinct()
+        .groupBy(F.md5("shingle").alias("__sh"))
+        .agg(F.array_sort(F.collect_set("source")).alias("__srcs"))
+        .persist()
     )
-    totals = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
-    srcs = F.array_sort(F.collect_set("source"))
+    totals = (
+        sets.select(F.explode("__srcs").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    s = F.col("__srcs")
     pair_structs = F.flatten(
         F.transform(
-            srcs,
+            s,
             lambda a: F.filter(
                 F.transform(
-                    srcs,
+                    s,
                     lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
                 ),
-                lambda s: s["source_a"] != s["source_b"],
+                lambda p: p["source_a"] != p["source_b"],
             ),
         )
     )
     common = (
-        ss.groupBy("shingle")
-        .agg(pair_structs.alias("__p"))
-        .select(F.explode("__p").alias("p"))
+        sets.select(F.explode(pair_structs).alias("p"))
         .groupBy(
             F.col("p.source_a").alias("source_a"),
             F.col("p.source_b").alias("source_b"),

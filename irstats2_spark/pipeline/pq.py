@@ -96,6 +96,59 @@ def _codebook_qarrays(codebook: DataFrame, scale: int = 1000) -> DataFrame:
     )
 
 
+def _round_stats_gemm(
+    sub: DataFrame,
+    book_q: "dict[tuple[int, int], list[int]]",
+    m: int,
+    n_codes: int,
+    sub_dim: int,
+) -> DataFrame:
+    """One Lloyd round's sufficient statistics as an Arrow-batched numpy
+    pass: per batch, assign every subvector to its nearest codeword
+    (exact int64 squared-L2; argmin's first-min rule IS the lowest-code
+    tie-break because codes are array-indexed ascending) and emit the
+    PARTIAL per-(subspace, code, dim) member sums/counts. The reduce
+    that follows sums partials — integer addition, order-free — so the
+    result is bit-identical to the expression-fold formulation this
+    replaces, which evaluated interpreted per-(row, code, dim)
+    expressions: rows x codes x dims interpreter steps per round was
+    the dominant cost of every pq_fit-headed chain. Shuffle cost:
+    <= partitions x m x n_codes x sub_dim tiny partial rows, whatever
+    the corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.zeros((m, n_codes, sub_dim), dtype=np.int64)
+    for (s, c), q in book_q.items():
+        cb[s, c] = q
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows: list[tuple[int, int, int, int, int]] = []
+            for s, g in pdf.groupby("subspace"):
+                q = np.stack(g["qsub"].to_numpy()).astype(np.int64)
+                d = ((q[:, None, :] - cb[s][None, :, :]) ** 2).sum(axis=2)
+                code = d.argmin(axis=1)
+                for k in range(n_codes):
+                    mask = code == k
+                    if mask.any():
+                        ssum = q[mask].sum(axis=0)
+                        n = int(mask.sum())
+                        rows.extend(
+                            (int(s), k, dch, int(v), n)
+                            for dch, v in enumerate(ssum)
+                        )
+            yield pd.DataFrame(
+                rows, columns=["subspace", "code", "dim", "s", "n"]
+            )
+
+    return sub.mapInPandas(
+        part, schema="subspace int, code int, dim int, s long, n long"
+    )
+
+
 def _assign_codes(sub: DataFrame, cb_q: DataFrame) -> DataFrame:
     """Nearest codeword per (vector, subspace): min integer squared-L2,
     tie-break lowest code id — (vec_id, subspace, qsub, code, dist).
@@ -199,42 +252,41 @@ def pq_fit(
         embeddings, dim, m, id_col, vec_col, scale, pre_quantized
     ).persist()
 
-    # init: n_codes lowest-id vectors; code = rank among the seeds
-    seeds = (
-        embeddings.select(F.col(id_col).alias("vec_id"))
+    # init: n_codes lowest-id vectors; code = rank among the seeds.
+    # Collected straight off the base table (a TakeOrdered of n_codes
+    # rows) with the quantize+slice replayed in python — bit-identical
+    # (float32 upcast and floor(x*scale+0.5) are the same IEEE doubles
+    # either side) and one fewer pass over the persisted subvector scan.
+    seed_rows = (
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
         .orderBy("vec_id")
         .limit(n_codes)
-        .select(
-            "vec_id",
-            (
-                F.row_number().over(Window.orderBy("vec_id")) - 1
-            ).cast("int").alias("code"),
-        )
-    )
-    init_rows = (
-        sub.join(F.broadcast(seeds), "vec_id")
-        .select("subspace", "code", F.posexplode("qsub").alias("dim", "q"))
         .collect()
     )
     # driver-side codebook: (subspace, code) -> per-dim double values
     book: dict[tuple[int, int], list[float]] = {}
-    for r in init_rows:
-        book.setdefault((r.subspace, r.code), [0.0] * sub_dim)[r.dim] = (
-            r.q / scale
-        )
+    for code, row in enumerate(seed_rows):
+        vec = row.v
+        for s in range(m):
+            vals = vec[s * sub_dim : (s + 1) * sub_dim]
+            book[(s, code)] = [
+                (
+                    float(x)
+                    if pre_quantized
+                    else math.floor(float(x) * scale + 0.5)
+                )
+                / scale
+                for x in vals
+            ]
     for _ in range(max_iter):
-        cb_q = spark.createDataFrame(
-            [
-                (s, c, [math.floor(v * scale + 0.5) for v in vals])
-                for (s, c), vals in sorted(book.items())
-            ],
-            "subspace int, code int, qv array<bigint>",
-        )
+        book_q = {
+            (s, c): [math.floor(v * scale + 0.5) for v in vals]
+            for (s, c), vals in book.items()
+        }
         stats = (
-            _assign_codes(sub, cb_q)
-            .select("subspace", "code", F.posexplode("qsub").alias("dim", "q"))
+            _round_stats_gemm(sub, book_q, m, n_codes, sub_dim)
             .groupBy("subspace", "code", "dim")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # ONE distributed job per Lloyd round
         )
         # mean of member quantized values; codes with no members are
