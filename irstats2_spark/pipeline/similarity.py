@@ -582,6 +582,69 @@ def ivf_multi_assign(
     return exploded.drop("__qv", "__cents", "__probes", "__pos", "__p")
 
 
+def _kmeans_round_stats_gemm(
+    src: DataFrame, book: "dict[int, list[float]]", scale: int
+) -> DataFrame:
+    """One k-means Lloyd round's sufficient statistics as an Arrow-
+    batched numpy pass: per batch, assign every vector to its best
+    centroid and emit PARTIAL per-(centroid, dim) member sums/counts;
+    the tiny reduce that follows sums integers, so the result is
+    bit-identical to the ``ivf_assign``-fold formulation this replaces
+    (rows x centroids x dims interpreted expression steps per round —
+    the dominant cost of every kmeans-headed chain at the bench).
+
+    Exactness mirrors the fold step for step: vectors arrive already
+    quantized (int64); ``ivf_assign`` would re-quantize them
+    (floor(q*scale+0.5) == q*scale for integers), so the GEMM scores
+    q*scale against floor(centroid*scale+0.5) — int64 dot, one float64
+    sqrt-product division (IEEE-identical in numpy and the JVM), the
+    same half-up 6dp round as SQL ROUND (the ``knn_graph_ivf``
+    precedent), NaN (zero-norm) coalesced to the fold's -2.0 sentinel,
+    and argmax's first-max rule IS the lowest-centroid-id tie-break
+    because centroids are ordered by id ascending."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    cids = sorted(book)
+    cmat = np.array(
+        [[math.floor(v * scale + 0.5) for v in book[c]] for c in cids],
+        dtype=np.int64,
+    )
+    cnorm = np.sqrt((cmat * cmat).sum(axis=1).astype(np.float64))
+
+    def part(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            q = np.stack(pdf["__kq"].to_numpy()).astype(np.int64)
+            q2 = q * scale
+            qnorm = np.sqrt((q2 * q2).sum(axis=1).astype(np.float64))
+            dots = (q2 @ cmat.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (qnorm[:, None] * cnorm[None, :])
+            cos = np.floor(cos * 1e6 + 0.5) / 1e6  # half-up, like SQL ROUND
+            cos = np.nan_to_num(cos, nan=-2.0, posinf=-2.0, neginf=-2.0)
+            best = cos.argmax(axis=1)
+            rows: list[tuple[int, int, int, int]] = []
+            for j, cid in enumerate(cids):
+                mask = best == j
+                if mask.any():
+                    ssum = q[mask].sum(axis=0)
+                    n = int(mask.sum())
+                    rows.extend(
+                        (cid, d, int(v), n) for d, v in enumerate(ssum)
+                    )
+            yield pd.DataFrame(
+                rows, columns=["centroid_id", "dim", "s", "n"]
+            )
+
+    return src.mapInPandas(
+        part, schema="centroid_id long, dim int, s long, n long"
+    )
+
+
 def kmeans_fit(
     embeddings: DataFrame,
     k: int = 4,
@@ -605,18 +668,19 @@ def kmeans_fit(
     - empty clusters keep their previous centroid;
     - fixed ``max_iter`` rounds, no driver-side convergence collect.
 
-    Per round: the map-side assign plus ONE shuffle keyed by
-    (centroid_id, dim) for the update — k*dim result rows, so the
-    reduce side is trivially small at any corpus size. The centroid
-    table lives DRIVER-side between rounds (k*dim doubles — the same
-    accepted contract-tiny collect as ``ivf_assign_gemm`` and
-    ``pq_fit``), so each round is exactly ONE distributed job: assign
-    -> per-dim integer sum/count groupBy -> tiny collect, with the
-    mean, the empty-cluster carry-over, and the array rebuild done in
-    plain python on the collected integers. (The join-back formulation
-    cost two extra codebook-sized exchanges per round; double division
-    of exact integer sums is IEEE-identical in python and the JVM, so
-    the values are bit-for-bit unchanged — the SQL oracle pins it.)
+    Per round: ONE distributed job — an Arrow-batched numpy pass
+    (``_kmeans_round_stats_gemm``: assignment GEMM + in-batch partial
+    per-(centroid, dim) integer sums, replacing the interpreted
+    rows x centroids x dims ``ivf_assign`` expression fold that
+    dominated every kmeans-headed bench chain) followed by a tiny
+    groupBy over <= partitions x k x dim partial rows and a
+    contract-tiny collect. The centroid table lives DRIVER-side
+    between rounds (k*dim doubles — the same accepted collect as
+    ``ivf_assign_gemm`` and ``pq_fit``); the mean, the empty-cluster
+    carry-over, and the array rebuild happen in plain python on the
+    collected integers. Double division of exact integer sums is
+    IEEE-identical in python, numpy, and the JVM, so the values are
+    bit-for-bit unchanged — the SQL oracle pins it.
 
     Output: (centroid_id, dim, value) exploded per dimension — join or
     pivot back to arrays as needed (``centroids_as_vectors`` below).
@@ -633,24 +697,10 @@ def kmeans_fit(
         for r in src.orderBy("__id").limit(k).collect()
     }
     for _ in range(max_iter):
-        cents = spark.createDataFrame(
-            sorted(book.items()),
-            "centroid_id long, centroid_vec array<double>",
-        )
-        assigned = ivf_assign(
-            src.select(F.col("__id").alias("vec_id"), F.col("__kq")),
-            cents,
-            id_col="vec_id",
-            vec_col="__kq",
-        )
-        # __kq is already quantized; ivf_assign re-quantizes (floor(q*scale
-        # +0.5)) — harmless for integers scaled back below
         stats = (
-            assigned.select(
-                "centroid_id", F.posexplode(F.col("__kq")).alias("dim", "q")
-            )
+            _kmeans_round_stats_gemm(src, book, scale)
             .groupBy("centroid_id", "dim")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # ONE distributed job per Lloyd round
         )
         # element-wise mean; empty clusters are absent from stats and
