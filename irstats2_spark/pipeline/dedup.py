@@ -560,6 +560,59 @@ def winnow_shared_pairs(
     )
 
 
+def winnow_incremental(
+    new_docs: DataFrame,
+    old_fps: DataFrame,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental winnowing match — the nightly-batch form of the MOSS
+    matcher: fingerprint only the NEW documents and join them against
+    the accumulated fingerprint snapshot (``winnow_fingerprints``
+    output, stored exploded as (doc_id, fp)), completing the
+    incremental tier for the winnowing family the way
+    ``simhash_hamming_incremental`` does for SimHash. Output:
+    (old_id, new_id, n_shared) for cross pairs sharing >=
+    ``min_shared`` distinct fingerprints; new-vs-new pairs are out of
+    scope (run ``winnow_shared_pairs`` over the accumulated corpus).
+
+    The boilerplate cap applies to the SNAPSHOT side (a fingerprint in
+    > ``max_docs_per_fp`` historical docs is site chrome; joining it
+    fans every new occurrence out by that df — the skewed-key blowup
+    the SimHash self-join rewrite documents).
+
+    Scale shape: new-side fingerprinting is the zero-shuffle per-row
+    map; the join is hash-keyed on fp with the snapshot side grouped-
+    capped first; the pair count shuffles (old_id, new_id) ints,
+    ∝ cross hits."""
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+
+    new_fps = (
+        winnow_fingerprints(new_docs, k, window, text_col, id_col)
+        .select(F.col("doc_id").alias("new_id"), "fp")
+        .distinct()
+    )
+    old = old_fps.select(F.col(id_col).alias("old_id"), "fp").distinct()
+    if max_docs_per_fp is not None:
+        ok = (
+            old.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_docs_per_fp)
+            .select("fp")
+        )
+        old = old.join(ok, "fp", "left_semi")
+    return (
+        old.join(new_fps, "fp")
+        .groupBy("old_id", "new_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def cluster_keepers_by_score(
     components: DataFrame,
     scores: DataFrame,

@@ -898,31 +898,50 @@ def winnow_fingerprints(
     shuffle, fuses into the scan. The downstream matcher
     (``dedup.winnow_shared_pairs``) inherits a gram stream 1/window
     the size the full-shingle path would shuffle."""
-    t = tokens(F.col(text_col))
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size("__t") - k),
+    keys = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") >= k)
+    sel = winnow_key_array(F.col("__t"), k, window)
+    return keys.select("doc_id", F.explode(sel).alias("__k")).select(
+        "doc_id",
+        (F.col("__k") % 1048576).cast("int").alias("pos"),
+        F.shiftright("__k", 20).alias("fp"),
+    )
+
+
+def winnow_key_array(toks: Column, k: int = 4, window: int = 4) -> Column:
+    """Per-row array of DISTINCT winnowing keys (hash*2^20 + pos) for a
+    token array — the row-local core ``winnow_fingerprints`` explodes
+    and the streaming twin keeps in-row (a per-row fingerprint SET makes
+    the shared-count verify a row-local ``array_intersect``, which is
+    what lets the matcher stream stateless). Caller must ensure
+    size(toks) >= k (fewer tokens have no gram to fingerprint)."""
+    grams_src = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice("__t", i + 1, k))), 1, 8),
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 8),
             16,
             10,
         ).cast("long")
         * F.lit(1048576)
         + i,
     )
-    keys = docs.select(
-        F.col(id_col).alias("doc_id"), t.alias("__t")
-    ).filter(F.size("__t") >= k).select("doc_id", grams.alias("__keys"))
-    wlen = F.least(F.lit(window), F.size("__keys"))
-    sel = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.greatest(F.size("__keys") - window, F.lit(0))),
-            lambda j: F.array_min(F.slice("__keys", j + 1, wlen)),
+
+    def windowed_min(keys: Column) -> Column:
+        wlen = F.least(F.lit(window), F.size(keys))
+        return F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(keys) - window, F.lit(0))
+                ),
+                lambda j: F.array_min(F.slice(keys, j + 1, wlen)),
+            )
         )
-    )
-    return keys.select("doc_id", F.explode(sel).alias("__k")).select(
-        "doc_id",
-        (F.col("__k") % 1048576).cast("int").alias("pos"),
-        F.shiftright("__k", 20).alias("fp"),
+
+    # one pass: bind the gram array once via a higher-order let (transform
+    # over a 1-element array) so the window mins don't recompute it
+    return F.flatten(
+        F.transform(F.array(grams_src), lambda ks: windowed_min(ks))
     )
 
 

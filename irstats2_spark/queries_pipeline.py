@@ -3943,39 +3943,45 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Winnowing fragment (ends in CTE ``wfps(doc_id, pos, fp)``) — mirrors
-# textstats.winnow_fingerprints with k=4, window=4: gram keys are
-# hash*2^20+pos so the per-window min is the leftmost minimal hash.
-_WINNOW_SQL = f"""
-    wtoks AS (
+# Winnowing fragment builder (ends in CTE ``{p}fps(doc_id, pos, fp)``) —
+# mirrors textstats.winnow_fingerprints with k=4, window=4: gram keys are
+# hash*2^20+pos so the per-window min is the leftmost minimal hash. The
+# prefix + WHERE parameters let one query carry two chains (the
+# incremental matcher winnows the snapshot and new slices separately).
+def _winnow_cte(p: str, where: str = "") -> str:
+    return f"""
+    {p}toks AS (
         SELECT doc_id,
                list_filter(string_split({_NORM_SQL}, ' '),
                            x -> length(x) > 0) AS t
-        FROM documents
+        FROM documents {where}
     ),
-    wgrams AS (
+    {p}grams AS (
         SELECT doc_id,
                list_transform(generate_series(0, len(t) - 4),
                    i -> CAST(concat('0x', substring(
                             md5(array_to_string(t[i+1 : i+4], ' ')), 1, 8))
                         AS BIGINT) * 1048576 + i) AS keys
-        FROM wtoks WHERE len(t) >= 4
+        FROM {p}toks WHERE len(t) >= 4
     ),
-    wsel AS (
+    {p}sel AS (
         SELECT DISTINCT doc_id, k FROM (
             SELECT doc_id,
                    unnest(list_transform(
                        generate_series(0, GREATEST(len(keys) - 4, 0)),
                        j -> list_min(keys[j+1 : j + LEAST(4, len(keys))])))
                        AS k
-            FROM wgrams
+            FROM {p}grams
         )
     ),
-    wfps AS (
+    {p}fps AS (
         SELECT doc_id, CAST(k % 1048576 AS INT) AS pos, k >> 20 AS fp
-        FROM wsel
+        FROM {p}sel
     )
 """
+
+
+_WINNOW_SQL = _winnow_cte("w")
 
 
 @register(
@@ -4024,6 +4030,45 @@ def dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return winnow_shared_pairs(
         load_table(spark, "documents", sf_dir), k=4, window=4, min_shared=2
+    )
+
+
+@register(
+    "dedup_winnowing_incremental",
+    f"""
+    WITH {_winnow_cte('o', 'WHERE doc_id < 300')},
+    {_winnow_cte('n', 'WHERE doc_id >= 300')},
+    odfp AS (SELECT DISTINCT doc_id, fp FROM ofps),
+    ndfp AS (SELECT DISTINCT doc_id, fp FROM nfps),
+    ocap AS (
+        SELECT fp FROM odfp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 64
+    )
+    SELECT o.doc_id AS old_id, n.doc_id AS new_id,
+           CAST(COUNT(DISTINCT o.fp) AS BIGINT) AS n_shared
+    FROM odfp o JOIN ndfp n ON o.fp = n.fp
+    WHERE o.fp IN (SELECT fp FROM ocap)
+    GROUP BY 1, 2 HAVING COUNT(DISTINCT o.fp) >= 2
+    """,
+    doc="incremental MOSS matching: new docs (>= 300) fingerprinted "
+    "map-side and joined against the winnowing snapshot of the "
+    "historical slice (< 300), snapshot-side boilerplate fps capped at "
+    "64 docs — completes the incremental tier for the winnowing family; "
+    "streaming twin in streaming.winnow_doc_stream",
+)
+def dedup_winnowing_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import winnow_incremental
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+
+    docs = load_table(spark, "documents", sf_dir)
+    snapshot = winnow_fingerprints(
+        docs.filter(F.col("doc_id") < 300), k=4, window=4
+    )
+    return winnow_incremental(
+        docs.filter(F.col("doc_id") >= 300),
+        snapshot,
+        k=4,
+        window=4,
+        min_shared=2,
     )
 
 

@@ -689,6 +689,90 @@ def replicate_stream(
     return replicate_by_rates(docs, rates, strata_col, id_col, rate_col)
 
 
+def winnow_doc_stream(
+    docs: DataFrame,
+    old_fps: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
+    max_docs_per_fp: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``dedup.winnow_incremental``: flag documents
+    in a live stream that share >= ``min_shared`` winnowing
+    fingerprints with the accumulated snapshot — MOSS matching at
+    ingest time, with the winnowing guarantee (any shared run of
+    window+k-1 tokens surfaces) that the SimHash twin's global
+    signature can't give for LOCAL overlap.
+
+    Output: (old_id, new_id, n_shared, ``ts_col``) per flagged cross
+    pair.
+
+    Why this streams stateless where the batch count would need a
+    streaming aggregation: the batch form counts shared fps with a
+    groupBy; here each arriving doc carries its whole fingerprint SET
+    in-row (``winnow_key_array`` is a per-row expression), the
+    snapshot side carries each old doc's set alongside its exploded
+    fps, and the shared count is a row-local ``array_intersect`` on
+    the candidate row — the same candidates+verify shape as
+    ``simhash_doc_stream``. A pair sharing f fps surfaces f times, so
+    ``dropDuplicatesWithinWatermark`` on (old_id, new_id) dedups with
+    state ∝ flagged pairs inside the horizon, never corpus.
+    Stream == batch is pytest-pinned (intersect-of-sets == the batch
+    groupBy count by construction: both sides are distinct sets)."""
+    from irstats2_spark.pipeline.textstats import tokens, winnow_key_array
+
+    assert docs.isStreaming, "winnow_doc_stream expects a streaming DataFrame"
+    old = old_fps.select(F.col(id_col).alias("old_id"), "fp").distinct()
+    if max_docs_per_fp is not None:
+        ok = (
+            old.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_docs_per_fp)
+            .select("fp")
+        )
+        old = old.join(ok, "fp", "left_semi")
+    old_sets = old.groupBy("old_id").agg(
+        F.collect_set("fp").alias("__old_set")
+    )
+    snapshot = old.join(old_sets, "old_id")  # (old_id, fp, __old_set)
+
+    new_rows = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(ts_col),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.size("__t") >= k)
+        .withColumn(
+            "__new_set",
+            F.array_distinct(
+                F.transform(
+                    winnow_key_array(F.col("__t"), k, window),
+                    lambda x: F.shiftright(x, 20),
+                )
+            ),
+        )
+        .select(
+            "new_id", ts_col, "__new_set", F.explode("__new_set").alias("fp")
+        )
+    )
+    return (
+        new_rows.join(snapshot, "fp")
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect("__new_set", "__old_set")).cast("long"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
+        .select("old_id", "new_id", "n_shared", ts_col)
+        .dropDuplicatesWithinWatermark(["old_id", "new_id"])
+    )
+
+
 def clean_chunks_stream(
     docs: DataFrame,
     chunk_hashes: "list[str]",

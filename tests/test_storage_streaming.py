@@ -1162,3 +1162,69 @@ def test_clean_chunks_stream_matches_batch_rewrite(spark, tmp_path):
     by_id = {t[0]: t for t in got}
     assert by_id[3][1:] == (2, 0, "")
     assert by_id[5][1:] == (0, 0, "")
+
+
+def test_winnow_doc_stream_matches_batch_incremental(spark, tmp_path):
+    """winnow_doc_stream: MOSS matching of a live stream against the
+    fingerprint snapshot must emit exactly the batch incremental
+    operator's (old_id, new_id, n_shared) set — the row-local
+    array_intersect verify equals the batch groupBy count because both
+    sides are distinct fp sets. Also pins the winnowing guarantee
+    end-to-end in the stream: the shared 7-token run is flagged even
+    though it sits at different offsets."""
+    import json
+
+    from irstats2_spark.pipeline.dedup import winnow_incremental
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+    from irstats2_spark.streaming.ingest import winnow_doc_stream
+
+    run = "s1 s2 s3 s4 s5 s6 s7"
+    old_rows = [
+        (1, f"u1 u2 u3 u4 u5 {run} u6 u7"),
+        (2, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"),
+    ]
+    new_rows = [
+        {"doc_id": 10, "ts": "2024-01-01T00:00:01Z",
+         "text": f"v1 {run} v2 v3 v4 v5"},  # shares the run with doc 1
+        {"doc_id": 11, "ts": "2024-01-01T00:00:02Z",
+         "text": "x1 x2 x3 x4 x5 x6 x7 x8"},  # shares nothing
+    ]
+    old_docs = spark.createDataFrame(old_rows, "doc_id int, text string")
+    snapshot = winnow_fingerprints(old_docs, k=4, window=4)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in new_rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id int, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = winnow_doc_stream(stream, snapshot, k=4, window=4, min_shared=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("winnow_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.old_id, r.new_id, r.n_shared)
+        for r in spark.sql(
+            "SELECT old_id, new_id, n_shared FROM winnow_stream_out"
+        ).collect()
+    )
+    new_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in new_rows], "doc_id int, text string"
+    )
+    want = sorted(
+        (r.old_id, r.new_id, r.n_shared)
+        for r in winnow_incremental(
+            new_docs, snapshot, k=4, window=4, min_shared=1
+        ).collect()
+    )
+    assert got == want
+    assert [(o, n) for o, n, _ in got] == [(1, 10)]
