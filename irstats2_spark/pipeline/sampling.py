@@ -484,6 +484,58 @@ def temperature_mix_rates(
     )
 
 
+def temperature_mix_rates_by_tokens(
+    df: DataFrame,
+    strata_col: str,
+    weight_col: str,
+    alpha: float = 0.5,
+    target_tokens: float = 100_000.0,
+    cap_at_one: bool = True,
+) -> DataFrame:
+    """``temperature_mix_rates`` at TOKEN grain — the form data recipes
+    are actually written in: stratum probability ∝ (token total)^alpha
+    and rate = min(1, target_tokens * p_s / T_s), so the EXPECTED
+    SAMPLED TOKENS per stratum follow the temperature distribution.
+    Doc-grain rates silently over-sample strata with long documents
+    (a stratum's doc count and token count can disagree by an order of
+    magnitude in web corpora); pass the per-doc token count as
+    ``weight_col`` and the billing comes out in the unit the training
+    budget is denominated in. Output: (stratum, n_tokens, rate).
+
+    Same exactness recipe as the doc-grain form (integer-quantized
+    power terms, exact integer normalizer, one double expression,
+    6dp half-up), same tiny plan (one groupBy over strata + 1-row
+    normalizer crossJoin; the corpus never shuffles). A stratum whose
+    weight sums to zero (all-empty docs) emits rate 0.0 rather than a
+    0/0 NaN."""
+    counts = df.groupBy(F.col(strata_col).alias("stratum")).agg(
+        F.sum(F.col(weight_col)).cast("long").alias("n_tokens")
+    )
+    terms = counts.select(
+        "stratum",
+        "n_tokens",
+        F.floor(
+            F.lit(1e6)
+            * F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("__tq"),
+    )
+    z = terms.agg(F.sum("__tq").alias("__zq"))
+    rate = (F.lit(target_tokens) * F.col("__tq")) / (
+        F.col("__zq").cast("double") * F.col("n_tokens")
+    )
+    if cap_at_one:
+        rate = F.least(F.lit(1.0), rate)
+    rate = F.when(F.col("n_tokens") > 0, rate).otherwise(F.lit(0.0))
+    return terms.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        "n_tokens",
+        (F.floor(rate * 1e6 + F.lit(0.5)) / 1e6).alias("rate"),
+    )
+
+
 def replicate_by_rates(
     df: DataFrame,
     rates: DataFrame,

@@ -2999,6 +2999,48 @@ def mix_by_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+@register(
+    "mix_by_temperature_tokens",
+    f"""
+    WITH mtok AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                        x -> length(x) > 0))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    mterm AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(1e6 * POWER(CAST(n_tokens AS DOUBLE), 0.5) + 0.5)
+                    AS BIGINT) AS tq
+        FROM mtok
+    ),
+    mzq AS (SELECT SUM(tq) AS zq FROM mterm)
+    SELECT source AS stratum, n_tokens,
+           FLOOR(CASE WHEN n_tokens > 0
+                      THEN LEAST(1.0, (25000.0 * tq)
+                                      / (CAST(zq AS DOUBLE) * n_tokens))
+                      ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS rate
+    FROM mterm CROSS JOIN mzq
+    """,
+    doc="temperature mixing rates at TOKEN grain (p ∝ tokens^0.5, "
+    "~25k expected sampled tokens): the unit training budgets are "
+    "denominated in — doc-grain rates over-sample long-doc strata; "
+    "target sits where the cap genuinely bites (some strata 1.0, "
+    "some below); tiny strata-sized plan, corpus never shuffles",
+)
+def mix_by_temperature_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import temperature_mix_rates_by_tokens
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "source", token_count(F.col("text")).cast("long").alias("tok")
+    )
+    return temperature_mix_rates_by_tokens(
+        docs, "source", "tok", alpha=0.5, target_tokens=25000.0
+    )
+
+
 # Bigram-LM CTEs through lm_scored(doc_id, n_bigrams, nll_micro): reused
 # verbatim by the select_corpus e2e composition below.
 _LM_CTES = f"""

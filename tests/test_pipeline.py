@@ -2487,6 +2487,50 @@ def test_corpus_frequent_chunks_and_removal(spark):
     assert intra[1] == out[1].new_text
 
 
+def test_temperature_mix_rates_by_tokens_grain_and_zero_guard(spark):
+    """Token-grain temperature rates: a stratum of few LONG docs must
+    out-weigh a stratum of many short docs (where the doc-grain form
+    ranks them the other way), an all-empty stratum emits rate 0.0
+    (not NaN), and expected sampled tokens sum to ~the target when no
+    stratum caps."""
+    from irstats2_spark.pipeline.sampling import (
+        temperature_mix_rates,
+        temperature_mix_rates_by_tokens,
+    )
+
+    rows = (
+        [("long", 200) for _ in range(3)]
+        + [("short", 2) for _ in range(30)]
+        + [("empty", 0) for _ in range(2)]
+    )
+    df = spark.createDataFrame(rows, "source string, tok long")
+    out = {
+        r.stratum: r
+        for r in temperature_mix_rates_by_tokens(
+            df, "source", "tok", alpha=0.5, target_tokens=300.0
+        ).collect()
+    }
+    assert out["empty"].rate == 0.0
+    assert out["long"].n_tokens == 600 and out["short"].n_tokens == 60
+    # p ∝ sqrt(tokens): long gets the larger token share
+    doc_rates = {
+        r.stratum: r.rate
+        for r in temperature_mix_rates(
+            df, "source", alpha=0.5, target_total=20.0
+        ).collect()
+    }
+    # doc grain sees short as the BIG stratum; token grain does not
+    assert doc_rates["long"] > doc_rates["short"]  # few docs => upweighted
+    exp_long = out["long"].rate * 600
+    exp_short = out["short"].rate * 60
+    assert exp_long > exp_short
+    # short's ideal share (~72 tokens) exceeds its 60 available: capped
+    assert out["short"].rate == 1.0
+    # billing: total expected tokens = target minus only the cap
+    # shortfall (300 * p_short - 60 ≈ 12), never more than the target
+    assert 285.0 < exp_long + exp_short <= 300.0
+
+
 def test_cdc_chunks_survive_insertion_where_fixed_chunks_shift(spark):
     """The CDC contract: after a prefix insertion, chunk hashes from the
     untouched suffix survive verbatim (boundaries are content-local),
