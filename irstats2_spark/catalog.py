@@ -97,6 +97,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_cdc_chunks",
     "dedup_winnowing_incremental",
     "mix_by_temperature_tokens",
+    "text_decontamination_spans",
+    "corpus_dup_rate_by_source",
+    "similarity_ivf_balance_audit",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -117,17 +120,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     "etl_downloads_fact",
     "geoip_range_join",
     "view_monthly_graph",
-    "ctx_set_series",
-    "ctx_top_sets",
-    "ctx_grouping_top",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
 # text_token_counts, sample_split_assign, sample_stratified,
 # dedup_clusters, dedup_exact, t6_f12_formatting, o4_listing_engine,
 # f1_f3_url_parse, f9_subject_closure, s7_sets_build,
-# s7_groupings_build, view_sparkline, ctx_data_min, and
-# ctx_prelive_clamp (the r2-green rows that could not
+# s7_groupings_build, view_sparkline, ctx_data_min, ctx_prelive_clamp,
+# ctx_set_series, ctx_top_sets, and ctx_grouping_top (the r2-green
+# rows that could not
 # fit round 5's 50 — each ceded its slot to a first-ever row for an
 # operator new this round, per the brand-new-outranks-unchanged-refresh
 # rule; dedup_clusters' connected-components core and dedup_exact's

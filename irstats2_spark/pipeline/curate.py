@@ -532,3 +532,36 @@ def source_shingle_overlap(
             F.round(F.col("n_common") / F.col("__na"), 6).alias("frac_of_a"),
         )
     )
+
+
+def dup_rate_by_source(
+    docs: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exact-duplicate rate at SOURCE grain: per source, how many docs
+    are byte-copies of another doc in the SAME source — the first
+    number a curation run reports per crawl ("src7 is 40% self-copies")
+    and the denominator for judging whether near-dup thresholds are
+    even worth tuning there. Output: (source, n_docs, n_unique_texts,
+    dup_frac) with dup_frac = 1 - unique/docs, 6dp.
+
+    Scale shape: one groupBy(source) whose COUNT(DISTINCT md5(text))
+    plans as Spark's two-phase distinct — the partial pass collapses
+    per-partition copies before the exchange, and the shuffle carries
+    (source, 16-byte hash). No joins, no second pass."""
+    return (
+        docs.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct(F.md5(F.col(text_col))).alias("n_unique_texts"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_unique_texts",
+            F.round(
+                F.lit(1.0) - F.col("n_unique_texts") / F.col("n_docs"), 6
+            ).alias("dup_frac"),
+        )
+    )

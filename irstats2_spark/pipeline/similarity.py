@@ -955,3 +955,42 @@ def knn_graph_ivf(
         cluster_topk,
         schema="vec_id long, neighbor_id long, rank int, cosine double",
     )
+
+
+def ivf_balance_audit(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cluster-balance audit — the capacity-planning companion to
+    the recall audit: per centroid, its member count, corpus share, and
+    skew factor (share x n_clusters; 1.0 = perfectly balanced). A
+    skewed IVF index serves skewed probe latencies and starves recall
+    in fat clusters, so this table is what decides re-fitting with more
+    centroids (or splitting a hot cell) before an index ships.
+
+    Output: (centroid_id, n_vecs, share, skew) — centroids with zero
+    members emit (0, 0.0, 0.0) rather than vanishing (an empty cell is
+    exactly what the audit must surface).
+
+    Scale shape: the assignment is ``ivf_assign``'s pure map; the
+    rollup is one groupBy over centroid ids (k rows out); the total
+    rides a 1-row broadcast crossJoin. The corpus never shuffles."""
+    assigned = ivf_assign(embeddings, centroids, id_col=id_col, vec_col=vec_col)
+    sizes = assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    all_cents = centroids.select("centroid_id").join(
+        sizes, "centroid_id", "left"
+    ).select(
+        "centroid_id", F.coalesce("n_vecs", F.lit(0)).alias("n_vecs")
+    )
+    k = centroids.count()
+    tot = all_cents.agg(F.sum("n_vecs").alias("__tot"))
+    return all_cents.crossJoin(F.broadcast(tot)).select(
+        "centroid_id",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("__tot"), 6).alias("share"),
+        F.round(F.col("n_vecs") * F.lit(k) / F.col("__tot"), 6).alias("skew"),
+    )

@@ -1082,6 +1082,99 @@ def duplicate_span_coverage(
     )
 
 
+def span_coverage_against(
+    docs: DataFrame,
+    ref_docs: DataFrame,
+    span_tokens: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Span-level DECONTAMINATION coverage: per training document, the
+    share of tokens covered by a ``span_tokens``-token window that also
+    appears ANYWHERE in the reference/benchmark set — the span-grain
+    companion to ``contamination.shingle_overlap_fraction`` (which
+    counts distinct shingles): coverage says how much of the DOC is
+    benchmark text, which is the number a filter threshold actually
+    wants (a 5000-token doc quoting one benchmark sentence is fine; a
+    doc that IS a benchmark answer sheet is not — both can have similar
+    distinct-shingle fractions).
+
+    Output: (doc_id, n_tokens, n_windows, n_hit_windows, covered_tokens,
+    leak_frac) — same interval-union semantics as
+    ``duplicate_span_coverage`` (each token counted once).
+
+    Scale shape: the reference side collapses to DISTINCT window hashes
+    (benchmark-sized, tiny by contract — broadcast); the corpus window
+    stream joins it map-side, and the LAG-union runs per doc. The
+    corpus shuffles once, keyed by doc_id, carrying (pos, hash)."""
+    k = span_tokens
+
+    def windows(src: DataFrame) -> DataFrame:
+        toks = src.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("t")
+        )
+        return (
+            toks.filter(F.size("t") >= k)
+            .select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("t") - k),
+                        lambda i: F.struct(
+                            i.alias("pos"),
+                            F.md5(
+                                F.concat_ws(" ", F.slice("t", i + 1, k))
+                            ).alias("h"),
+                        ),
+                    )
+                ).alias("w"),
+            )
+            .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+        )
+
+    ref_hashes = windows(ref_docs).select("h").distinct()
+    hits = windows(docs).join(F.broadcast(ref_hashes), "h").select(
+        "doc_id", "pos"
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    per_doc = (
+        hits.withColumn("__prev", F.lag("pos").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hit_windows"),
+            F.sum(
+                F.when(F.col("__prev").isNull(), F.lit(k)).otherwise(
+                    F.least(F.lit(k), F.col("pos") - F.col("__prev"))
+                )
+            ).alias("covered_tokens"),
+        )
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(F.col("n_tokens") - k + 1, F.lit(0)).alias("n_windows"),
+    )
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_windows").cast("int").alias("n_windows"),
+        F.coalesce("n_hit_windows", F.lit(0)).cast("long").alias("n_hit_windows"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("leak_frac"),
+    )
+
+
 def vocab_encode(
     docs: DataFrame,
     vocab_size: int = 1024,

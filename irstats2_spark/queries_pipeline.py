@@ -3945,6 +3945,87 @@ def text_remove_frequent_chunks_incremental(
 
 
 @register(
+    "corpus_dup_rate_by_source",
+    """
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique_texts,
+           ROUND(1.0 - COUNT(DISTINCT md5(text)) / CAST(COUNT(*) AS DOUBLE),
+                 6) AS dup_frac
+    FROM documents GROUP BY 1
+    """,
+    doc="exact-dup rate at source grain: docs vs distinct text hashes "
+    "per source — the first number a curation run reports per crawl; "
+    "one groupBy, two-phase distinct, shuffle carries (source, hash)",
+)
+def corpus_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import dup_rate_by_source
+
+    return dup_rate_by_source(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_decontamination_spans",
+    f"""
+    WITH dstoks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    dsref AS (
+        SELECT DISTINCT md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+        FROM dstoks,
+             LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i) s
+        WHERE doc_id < 10 AND len(t) >= 8
+    ),
+    dswin AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+        FROM dstoks,
+             LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i) s
+        WHERE doc_id >= 10 AND len(t) >= 8
+    ),
+    dshit AS (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dswin WHERE h IN (SELECT h FROM dsref)
+    ),
+    dscov AS (
+        SELECT doc_id, COUNT(*) AS n_hit_windows,
+               SUM(CASE WHEN prev IS NULL THEN 8
+                        ELSE LEAST(8, pos - prev) END) AS covered
+        FROM dshit GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(len(t.t) AS INT) AS n_tokens,
+           CAST(GREATEST(len(t.t) - 7, 0) AS INT) AS n_windows,
+           CAST(COALESCE(c.n_hit_windows, 0) AS BIGINT) AS n_hit_windows,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CASE WHEN len(t.t) > 0
+                      THEN COALESCE(c.covered, 0) / CAST(len(t.t) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS leak_frac
+    FROM dstoks t LEFT JOIN dscov c USING (doc_id)
+    WHERE t.doc_id >= 10
+    """,
+    doc="span-level decontamination: per training doc (>= 10), the "
+    "interval-union fraction of TOKENS covered by an 8-token window "
+    "appearing anywhere in the benchmark slice (< 10) — coverage grain "
+    "where text_decontamination counts distinct shingles (a doc QUOTING "
+    "a benchmark line and a doc that IS the answer sheet separate "
+    "here); benchmark windows broadcast, corpus shuffles once by doc",
+)
+def text_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import span_coverage_against
+
+    docs = load_table(spark, "documents", sf_dir)
+    return span_coverage_against(
+        docs.filter(F.col("doc_id") >= 10),
+        docs.filter(F.col("doc_id") < 10),
+        span_tokens=8,
+    )
+
+
+@register(
     "text_cdc_chunks",
     f"""
     WITH cdt AS (
@@ -4261,6 +4342,38 @@ def similarity_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("centroid_vec"),
     )
     return knn_graph_ivf(emb, cents, k=5)
+
+
+@register(
+    "similarity_ivf_balance_audit",
+    f"""
+    WITH {_KNN_IVF_SQL},
+    bsz AS (
+        SELECT c.centroid_id, COUNT(k.vec_id) AS n_vecs
+        FROM cents c LEFT JOIN kassign k USING (centroid_id)
+        GROUP BY 1
+    ),
+    btot AS (SELECT SUM(n_vecs) AS t FROM bsz)
+    SELECT centroid_id, CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(n_vecs / CAST(t AS DOUBLE), 6) AS share,
+           ROUND(n_vecs * 4 / CAST(t AS DOUBLE), 6) AS skew
+    FROM bsz, btot
+    """,
+    doc="IVF cluster-balance audit: per-centroid member count, corpus "
+    "share, and skew factor (share x n_clusters, 1.0 = balanced) — the "
+    "capacity-planning companion to the recall audit; empty cells "
+    "surface as zero rows instead of vanishing; pure-map assign + "
+    "k-row rollup, corpus never shuffles",
+)
+def similarity_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import ivf_balance_audit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return ivf_balance_audit(emb, cents)
 
 
 @register(
