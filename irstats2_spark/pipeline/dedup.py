@@ -507,6 +507,63 @@ def minhash_lsh_dedup(
     )
 
 
+def simhash_quality_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash QUALITY audit against exact-Jaccard truth — the
+    SimHash-tier counterpart of ``lsh_recall_audit``: every true
+    near-dup pair (shingle Jaccard >= ``threshold``) tagged with its
+    actual 64-bit Hamming distance and whether the banded miner
+    (``simhash_hamming_pairs`` at ``max_hamming``) reports it. The two
+    audits measure different failure modes: MinHash-LSH estimates
+    Jaccard itself, so its misses are BLOCKING losses (band
+    granularity); SimHash approximates a different similarity (cosine
+    over the term multiset), so a miss here is a MODEL gap — the number
+    to look at before replacing the shingle tier with the two-int
+    signature index. found == (hamming <= max_hamming) exactly, because
+    the banded miner's pigeonhole guarantee (oracle-pinned on its own
+    row) surfaces every pair within Hamming bands-1.
+
+    Output: (doc_a, doc_b, jaccard, hamming, found).
+
+    Scale shape: the truth side is the one-shuffle co-occurrence pair
+    miner (sample the corpus at web scale — an audit doesn't need all
+    of it); signatures are one vectorized map pass joined twice by id —
+    pair-set-sized work after the miners."""
+    truth = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold=threshold)
+    sig = simhash64(docs, text_col, id_col)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sim_lo").alias("__alo"),
+        F.col("sim_hi").alias("__ahi"),
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sim_lo").alias("__blo"),
+        F.col("sim_hi").alias("__bhi"),
+    )
+    hamming = (
+        F.bit_count(F.col("__alo").bitwiseXOR(F.col("__blo")))
+        + F.bit_count(F.col("__ahi").bitwiseXOR(F.col("__bhi")))
+    ).cast("int")
+    return (
+        truth.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            hamming.alias("hamming"),
+            (hamming <= max_hamming).alias("found"),
+        )
+    )
+
+
 def winnow_shared_pairs(
     docs: DataFrame,
     k: int = 4,

@@ -153,6 +153,7 @@ def pack_sequences(
     salt: str = "pack:",
     out_col: str = "seq_id",
     order_buckets: int = 65536,
+    offset_col: str | None = None,
 ) -> DataFrame:
     """Deterministic global shuffle + greedy packing of rows into
     fixed-budget training sequences.
@@ -217,6 +218,17 @@ def pack_sequences(
             "long"
         ),
     )
+    if offset_col is not None:
+        # the doc's first token's offset WITHIN its sequence: global
+        # start position mod budget — pure arithmetic on columns already
+        # computed, no extra shuffle. This is the attention/position-id
+        # metadata a trainer needs to consume packed sequences without
+        # re-tokenizing: position_ids restart at `offset`, and
+        # offset + size > budget marks a doc straddling the boundary.
+        start = F.col("__lcum") + F.col("__off") - size
+        packed = packed.withColumn(
+            offset_col, (start - F.col(out_col) * budget).cast("long")
+        )
     return packed.drop("__ord", "__obk", "__lcum", "__off")
 
 

@@ -1542,6 +1542,56 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pack_sequences_offsets",
+    f"""
+    WITH posized AS (
+        SELECT doc_id,
+               CAST(len(string_split({_NORM_SQL}, ' ')) AS INT) AS n_tokens,
+               md5('pack:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ),
+    postart AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY ord, doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS st
+        FROM posized
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(st / 2048.0) AS BIGINT) AS seq_id,
+           CAST(st - CAST(FLOOR(st / 2048.0) AS BIGINT) * 2048 AS BIGINT)
+               AS offset,
+           (st - CAST(FLOOR(st / 2048.0) AS BIGINT) * 2048 + n_tokens > 2048)
+               AS crosses_boundary
+    FROM postart
+    """,
+    doc="packing with position metadata: each doc's within-sequence "
+    "token offset (global start mod budget — pure arithmetic on the "
+    "already-computed prefix sums, zero extra shuffle) plus a "
+    "straddles-the-boundary flag — what a trainer needs to restart "
+    "position ids and cut attention at doc boundaries without "
+    "re-tokenizing the packed stream",
+)
+def pack_sequences_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import pack_sequences
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    out = pack_sequences(
+        sized, F.col("n_tokens"), "doc_id", budget=2048, offset_col="offset"
+    )
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "seq_id",
+        "offset",
+        (F.col("offset") + F.col("n_tokens") > 2048).alias("crosses_boundary"),
+    )
+
+
+@register(
     "text_repetition_score",
     f"""
     WITH toks AS (
@@ -3197,6 +3247,52 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import lsh_recall_audit
 
     return lsh_recall_audit(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_simhash_quality_audit",
+    f"""
+    WITH {_SHINGLES_SQL},
+    {_simhash64_cte()},
+    qsizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    qcapped AS (
+        SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= 64
+    ),
+    qcommon AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN qcapped c ON c.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    qtruth AS (
+        SELECT doc_a, doc_b,
+               ROUND(n_common / (sa.n + sb.n - n_common), 6) AS jaccard
+        FROM qcommon
+        JOIN qsizes sa ON sa.doc_id = doc_a
+        JOIN qsizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    )
+    SELECT t.doc_a, t.doc_b, t.jaccard,
+           CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming,
+           (bit_count(xor(a.sim_lo, b.sim_lo))
+            + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3) AS found
+    FROM qtruth t
+    JOIN sigs64 a ON a.doc_id = t.doc_a
+    JOIN sigs64 b ON b.doc_id = t.doc_b
+    """,
+    doc="SimHash quality audit: every exact-Jaccard>=0.5 pair tagged "
+    "with its 64-bit Hamming distance and whether the banded miner "
+    "(hamming<=3) reports it — the MODEL-gap number (SimHash "
+    "approximates cosine, not Jaccard) to check before trusting the "
+    "two-int signature tier; the LSH audit's counterpart for the "
+    "SimHash family",
+)
+def dedup_simhash_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import simhash_quality_audit
+
+    return simhash_quality_audit(load_table(spark, "documents", sf_dir))
 
 
 @register(
