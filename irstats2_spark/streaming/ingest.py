@@ -689,6 +689,25 @@ def replicate_stream(
     return replicate_by_rates(docs, rates, strata_col, id_col, rate_col)
 
 
+def quality_gate_stream(docs: DataFrame, **gate_kwargs) -> DataFrame:
+    """Streaming twin of ``textstats.gopher_quality_gate``: the
+    Gopher/MassiveText rule gate applied to documents AS THEY ARRIVE —
+    the cheapest quality tier belongs at the FRONT of a streaming
+    ingest (every operator downstream of it processes fewer rows).
+
+    Like ``replicate_stream``, the batch operator is ALREADY stateless
+    (one composite per-row column expression, zero shuffle), so the
+    twin IS the batch code path; this wrapper pins that contract so a
+    future stateful change to the batch form (e.g. a corpus-relative
+    rule) can't silently break ingest pipelines. Stream == batch is
+    pytest-pinned. ``gate_kwargs`` pass through (min_tokens,
+    max_symbol_ratio, ...) unchanged."""
+    from irstats2_spark.pipeline.textstats import gopher_quality_gate
+
+    assert docs.isStreaming, "quality_gate_stream expects a streaming DataFrame"
+    return gopher_quality_gate(docs, **gate_kwargs)
+
+
 def winnow_doc_stream(
     docs: DataFrame,
     old_fps: DataFrame,

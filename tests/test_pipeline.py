@@ -2587,6 +2587,44 @@ def test_cdc_chunks_survive_insertion_where_fixed_chunks_shift(spark):
     assert not (fh[1] & fh[2])
 
 
+def test_remove_listed_chunks_idempotent(spark):
+    """Applying the snapshot rewrite to its own output changes nothing:
+    the listed set's chunks were already removed, and surviving chunks
+    re-chunk to themselves because removal drops whole chunks (token
+    positions shift but chunk boundaries re-derive from the surviving
+    stream) — apply-twice == apply-once, the property that makes the
+    mine-nightly/clean-on-arrival loop safe to re-run on replays."""
+    from irstats2_spark.pipeline.textstats import (
+        corpus_frequent_chunks,
+        remove_listed_chunks,
+    )
+
+    boiler = " ".join(f"b{i}" for i in range(4))
+    rows = [
+        (1, f"{boiler} one unique tail here"),
+        (2, f"{boiler} another different tail text"),
+        (3, f"{boiler} {boiler}"),
+        (4, "completely fresh standalone document body"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    hashes = [
+        r.chunk_hash
+        for r in corpus_frequent_chunks(docs, chunk_tokens=4, min_docs=2)
+        .select("chunk_hash")
+        .collect()
+    ]
+    once = remove_listed_chunks(docs, hashes, chunk_tokens=4)
+    again = remove_listed_chunks(
+        once.select("doc_id", F.col("new_text").alias("text")),
+        hashes,
+        chunk_tokens=4,
+    )
+    got_once = {r.doc_id: r.new_text for r in once.collect()}
+    got_twice = {r.doc_id: r.new_text for r in again.collect()}
+    assert got_once == got_twice
+    assert got_once[3] == ""  # the all-boilerplate doc stays empty
+
+
 def test_winnowing_guarantee_and_matching(spark):
     """Winnowing invariants: any shared run of window+k-1 tokens yields
     a shared fingerprint even when its position differs between docs

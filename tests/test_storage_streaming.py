@@ -1228,3 +1228,43 @@ def test_winnow_doc_stream_matches_batch_incremental(spark, tmp_path):
     )
     assert got == want
     assert [(o, n) for o, n, _ in got] == [(1, 10)]
+
+
+def test_quality_gate_stream_matches_batch(spark, tmp_path):
+    """quality_gate_stream: the rule gate on a live stream emits exactly
+    the batch operator's per-doc verdict rows (stateless composite
+    expression — the twin IS the batch path), including a failing and a
+    passing doc."""
+    import json
+
+    from irstats2_spark.pipeline.textstats import gopher_quality_gate
+    from irstats2_spark.streaming.ingest import quality_gate_stream
+
+    rows = [
+        {"doc_id": 1, "text": "the and of to in is a " * 10},  # passes floor
+        {"doc_id": 2, "text": "x"},  # too short
+        {"doc_id": 3, "text": "the quick brown fox jumps over lazy dog " * 8},
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    stream = spark.readStream.schema("doc_id int, text string").json(str(src))
+    out = quality_gate_stream(stream, min_tokens=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("quality_gate_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.sql("SELECT * FROM quality_gate_out").collect()))
+    batch_docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id int, text string"
+    )
+    want = sorted(
+        map(tuple, gopher_quality_gate(batch_docs, min_tokens=5).collect())
+    )
+    assert got == want
+    verdicts = {t[0]: t for t in got}
+    assert len(verdicts) == 3 and not any(v is None for v in verdicts[2])
