@@ -1082,6 +1082,48 @@ def duplicate_span_coverage(
     )
 
 
+def length_histogram(
+    docs: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Log2-bucketed document-length histogram: bucket b holds docs
+    with 2^(b-1) <= n_tokens < 2^b (bucket 0 = empty docs), with doc
+    count and token mass per bucket — the length-distribution dashboard
+    a packing/budget plan starts from, shaped to work at any corpus
+    size (a quantile needs a sort or a sketch; a log histogram is one
+    tiny groupBy whose key domain is <= 64 by construction).
+
+    Integer-exact bucketing: b = length(bin(n_tokens)) — the binary
+    digit count, floor(log2)+1 without touching floating-point LOG
+    (which disagrees between engines at exact powers of two).
+
+    Output: (bucket, lo, hi, n_docs, total_tokens), lo/hi the inclusive
+    token range."""
+    n = token_count(F.col(text_col))
+    bucket = F.when(n > 0, F.length(F.bin(n))).otherwise(F.lit(0)).cast("int")
+    agg = (
+        docs.select(bucket.alias("bucket"), n.alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+    )
+    return agg.select(
+        "bucket",
+        F.expr(
+            "CASE WHEN bucket > 0"
+            " THEN shiftleft(CAST(1 AS BIGINT), bucket - 1) ELSE 0 END"
+        ).cast("long").alias("lo"),
+        F.expr(
+            "CASE WHEN bucket > 0"
+            " THEN shiftleft(CAST(1 AS BIGINT), bucket) - 1 ELSE 0 END"
+        ).cast("long").alias("hi"),
+        "n_docs",
+        "total_tokens",
+    )
+
+
 def span_coverage_against(
     docs: DataFrame,
     ref_docs: DataFrame,

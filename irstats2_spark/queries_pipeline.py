@@ -3667,6 +3667,67 @@ def mix_with_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_with_epochs_tokens",
+    f"""
+    WITH ept AS (
+        SELECT source,
+               CAST(SUM(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                        x -> length(x) > 0))) AS BIGINT)
+                   AS n_tokens
+        FROM documents GROUP BY 1
+    ),
+    eptt AS (
+        SELECT source, n_tokens,
+               CAST(FLOOR(1e6 * POWER(CAST(n_tokens AS DOUBLE), 0.5) + 0.5)
+                    AS BIGINT) AS tq
+        FROM ept
+    ),
+    eptz AS (SELECT SUM(tq) AS zq FROM eptt),
+    eptr AS (
+        SELECT source,
+               FLOOR(CASE WHEN n_tokens > 0
+                          THEN (60000.0 * tq)
+                               / (CAST(zq AS DOUBLE) * n_tokens)
+                          ELSE 0.0 END * 1e6 + 0.5) / 1e6 AS rate
+        FROM eptt CROSS JOIN eptz
+    )
+    SELECT d.doc_id, d.source, CAST(n.ci AS INT) AS copy_idx
+    FROM (SELECT doc_id, source, {_bucket_sql('epoch:')} AS b
+          FROM documents) d
+    JOIN eptr r ON r.source = d.source
+    JOIN (SELECT unnest(generate_series(0,
+              (SELECT CAST(CEIL(MAX(rate)) AS BIGINT) FROM eptr))) AS ci) n
+      ON n.ci < FLOOR(r.rate)
+            + CASE WHEN d.b < (r.rate - FLOOR(r.rate)) * 10000
+                   THEN 1 ELSE 0 END
+    """,
+    doc="fractional epochs at TOKEN grain: uncapped token-share "
+    "temperature rates (~60k target over a ~27k corpus, so every "
+    "source upsamples past one epoch) feed replicate_by_rates — the "
+    "token-billed form of the data-recipe repeat knob; series bound "
+    "derived from CEIL(MAX(rate)) like the doc-grain row",
+)
+def mix_with_epochs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import (
+        replicate_by_rates,
+        temperature_mix_rates_by_tokens,
+    )
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "source", token_count(F.col("text")).cast("long").alias("tok")
+    )
+    rates = temperature_mix_rates_by_tokens(
+        sized, "source", "tok", alpha=0.5, target_tokens=60000.0,
+        cap_at_one=False,
+    )
+    return replicate_by_rates(
+        docs, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
+    ).select("doc_id", "source", "copy_idx")
+
+
+@register(
     "dedup_cluster_quality_keepers",
     f"""
     WITH RECURSIVE {_LSH_VERIFIED_SQL},
@@ -4038,6 +4099,37 @@ def text_remove_frequent_chunks_incremental(
     return remove_listed_chunks(
         docs.filter(F.col("doc_id") >= 300), snapshot_hashes, chunk_tokens=16
     )
+
+
+@register(
+    "corpus_length_histogram",
+    f"""
+    WITH lhn AS (
+        SELECT CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> length(x) > 0)) AS BIGINT) AS n
+        FROM documents
+    )
+    SELECT CAST(CASE WHEN n > 0 THEN length(bin(n)) ELSE 0 END AS INT)
+               AS bucket,
+           CAST(CASE WHEN n > 0
+                     THEN (CAST(1 AS BIGINT) << (length(bin(n)) - 1))
+                     ELSE 0 END AS BIGINT) AS lo,
+           CAST(CASE WHEN n > 0
+                     THEN (CAST(1 AS BIGINT) << length(bin(n))) - 1
+                     ELSE 0 END AS BIGINT) AS hi,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM lhn GROUP BY 1, 2, 3
+    """,
+    doc="log2-bucketed doc-length histogram with per-bucket token mass "
+    "(bucket = binary digit count of n_tokens — integer-exact, no "
+    "float LOG; key domain <= 64 by construction) — the length "
+    "dashboard a packing/budget plan starts from without a corpus sort",
+)
+def corpus_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import length_histogram
+
+    return length_histogram(load_table(spark, "documents", sf_dir))
 
 
 @register(
