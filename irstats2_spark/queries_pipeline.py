@@ -4213,10 +4213,11 @@ def text_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_cdc_chunks",
-    f"""
-    WITH cdt AS (
+# CDC fragment (ends in CTE ``cdchunks(doc_id, chunk_idx, start,
+# n_tokens, chunk_hash)``) — mirrors textstats.cdc_chunks with
+# gram_tokens=2, divisor=8.
+_CDC_SQL = f"""
+    cdt AS (
         SELECT doc_id,
                list_filter(string_split({_NORM_SQL}, ' '),
                            x -> length(x) > 0) AS t
@@ -4232,12 +4233,23 @@ def text_decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     1, 8)) AS BIGINT) % 8 = 0)
                    ELSE [] END), [len(t)]) AS b
         FROM cdt WHERE len(t) > 0
+    ),
+    cdchunks AS (
+        SELECT doc_id, CAST(j AS INT) AS chunk_idx,
+               CAST(b[j+1] AS INT) AS start,
+               CAST(b[j+2] - b[j+1] AS INT) AS n_tokens,
+               md5(array_to_string(t[b[j+1]+1 : b[j+2]], ' ')) AS chunk_hash
+        FROM cdc,
+             LATERAL (SELECT unnest(generate_series(0, len(b) - 2)) AS j) s
     )
-    SELECT doc_id, CAST(j AS INT) AS chunk_idx,
-           CAST(b[j+1] AS INT) AS start,
-           CAST(b[j+2] - b[j+1] AS INT) AS n_tokens,
-           md5(array_to_string(t[b[j+1]+1 : b[j+2]], ' ')) AS chunk_hash
-    FROM cdc, LATERAL (SELECT unnest(generate_series(0, len(b) - 2)) AS j) s
+"""
+
+
+@register(
+    "text_cdc_chunks",
+    f"""
+    WITH {_CDC_SQL}
+    SELECT doc_id, chunk_idx, start, n_tokens, chunk_hash FROM cdchunks
     """,
     doc="content-defined chunking (LBFS/restic on tokens): cut after "
     "any 2-token gram whose hash is 0 mod 8, so boundaries follow "
@@ -4251,6 +4263,42 @@ def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return cdc_chunks(
         load_table(spark, "documents", sf_dir), gram_tokens=2, divisor=8
+    )
+
+
+@register(
+    "text_cdc_frequent_chunks",
+    f"""
+    WITH {_CDC_SQL}
+    SELECT chunk_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_total,
+           CAST(MIN(n_tokens) AS INT) AS n_tokens
+    FROM cdchunks
+    GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    doc="shift-robust boilerplate miner: CDC chunks appearing in >= 2 "
+    "distinct docs — because boundaries are content-defined, a "
+    "passage shared at DIFFERENT offsets still yields identical chunk "
+    "hashes, which is exactly what fixed-boundary mining "
+    "(text_frequent_chunks) structurally misses; same two-phase-"
+    "distinct groupBy shape, shuffle carries hashes",
+)
+def text_cdc_frequent_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import cdc_chunks
+
+    chunks = cdc_chunks(
+        load_table(spark, "documents", sf_dir), gram_tokens=2, divisor=8
+    )
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.min("n_tokens").cast("int").alias("n_tokens"),
+        )
+        .filter(F.col("n_docs") >= 2)
     )
 
 
