@@ -4669,7 +4669,10 @@ def pipeline_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         cluster_keepers_by_score,
         connected_components,
     )
-    from irstats2_spark.pipeline.similarity import ivf_assign, knn_graph_ivf
+    from irstats2_spark.pipeline.similarity import (
+        ivf_assign_gemm,
+        knn_graph_ivf,
+    )
 
     emb = load_table(spark, "embeddings", sf_dir)
     cents = emb.filter(F.col("vec_id") < 4).select(
@@ -4686,7 +4689,10 @@ def pipeline_semdedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     comp = connected_components(pairs)
-    scores = ivf_assign(emb, cents).select(
+    # gemm variant: bit-parity with the fold is pytest-pinned, and the
+    # interpreted per-(row, centroid, dim) fold was this chain's
+    # second-largest cost after the k-NN GEMM itself
+    scores = ivf_assign_gemm(emb, cents).select(
         F.col("vec_id").alias("doc_id"),
         F.round(F.lit(1.0) - F.col("centroid_cosine"), 6).alias("score"),
     )
