@@ -798,6 +798,7 @@ def cdc_chunks(
     divisor: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    with_text: bool = False,
 ) -> DataFrame:
     """CONTENT-DEFINED chunking (the LBFS/rsync/restic technique, on
     tokens): cut after token c whenever the hash of the ``gram_tokens``-
@@ -813,7 +814,9 @@ def cdc_chunks(
     Output: (doc_id, chunk_idx, start, n_tokens, chunk_hash) — start is
     the 0-based token offset; expected chunk length is ``divisor``
     tokens (geometric); docs shorter than one gram emit one whole-doc
-    chunk; empty docs emit nothing.
+    chunk; empty docs emit nothing. ``with_text=True`` appends the
+    chunk's text (for rewrites — hashes only otherwise, so the default
+    stream stays narrow).
 
     Scale shape: boundary detection, span building, and hashing are all
     per-row array expressions — zero shuffle, fuses into the scan. The
@@ -837,33 +840,98 @@ def cdc_chunks(
     bounds = F.concat(
         F.array(F.lit(0)), F.col("__cuts"), F.array(F.size("__t"))
     )
-    spans = F.transform(
-        F.sequence(F.lit(0), F.size("__b") - 2),
-        lambda j: F.struct(
-            j.cast("int").alias("chunk_idx"),
-            F.element_at("__b", j + 1).cast("int").alias("start"),
-            (F.element_at("__b", j + 2) - F.element_at("__b", j + 1))
-            .cast("int")
-            .alias("n_tokens"),
-            F.md5(
-                F.concat_ws(
-                    " ",
-                    F.slice(
-                        "__t",
-                        F.element_at("__b", j + 1) + 1,
-                        F.element_at("__b", j + 2) - F.element_at("__b", j + 1),
-                    ),
-                )
-            ).alias("chunk_hash"),
+    chunk_text = F.concat_ws(
+        " ",
+        F.slice(
+            "__t",
+            F.element_at("__b", F.col("__j") + 1) + 1,
+            F.element_at("__b", F.col("__j") + 2)
+            - F.element_at("__b", F.col("__j") + 1),
         ),
     )
+    out_cols = [
+        "doc_id",
+        F.col("__j").cast("int").alias("chunk_idx"),
+        F.element_at("__b", F.col("__j") + 1).cast("int").alias("start"),
+        (
+            F.element_at("__b", F.col("__j") + 2)
+            - F.element_at("__b", F.col("__j") + 1)
+        )
+        .cast("int")
+        .alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    ]
+    if with_text:
+        out_cols.append(chunk_text.alias("chunk_text"))
     return (
         docs.select(F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t"))
         .filter(F.size("__t") > 0)
         .withColumn("__cuts", cuts)
         .withColumn("__b", bounds)
-        .select("doc_id", F.explode(spans).alias("c"))
-        .select("doc_id", "c.chunk_idx", "c.start", "c.n_tokens", "c.chunk_hash")
+        .select(
+            "doc_id",
+            "__t",
+            "__b",
+            F.explode(F.sequence(F.lit(0), F.size("__b") - 2)).alias("__j"),
+        )
+        .select(*out_cols)
+    )
+
+
+def remove_cdc_frequent_chunks(
+    docs: DataFrame,
+    gram_tokens: int = 2,
+    divisor: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shift-robust boilerplate REMOVAL: rewrite every doc dropping each
+    CDC chunk that occurs in ``min_docs``+ distinct documents — the
+    removal half of the content-defined family, and the rewrite the
+    fixed-chunk version (``remove_corpus_frequent_chunks``) cannot
+    express: a passage injected at different offsets in every copy
+    still chunks to identical hashes here, so all copies drop.
+
+    Output: (doc_id, n_chunks, n_kept, new_text) — the shared rewrite
+    contract (empty docs emit (0, 0, "")).
+
+    Scale shape: identical to the fixed-chunk rewrite — mine frequent
+    chunk hashes (two-phase-distinct groupBy, boilerplate-grade
+    ``min_docs`` keeps the set broadcast-small), drop members via a
+    broadcast LeftAnti, rebuild each doc with one doc-keyed groupBy
+    ordered by chunk_idx. The corpus text crosses an exchange once."""
+    chunks = cdc_chunks(
+        docs, gram_tokens, divisor, text_col, id_col, with_text=True
+    ).persist()  # mined AND rewritten from the same scan
+    frequent = (
+        chunks.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("__df"))
+        .filter(F.col("__df") >= min_docs)
+        .select("chunk_hash")
+    )
+    kept = chunks.join(F.broadcast(frequent), "chunk_hash", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                lambda s: s["chunk_text"],
+            ),
+        ).alias("new_text"),
+    )
+    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        spine.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
     )
 
 

@@ -4302,6 +4302,57 @@ def text_cdc_frequent_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_cdc_remove_frequent",
+    f"""
+    WITH {_CDC_SQL},
+    cdtext AS (
+        SELECT c.doc_id, c.chunk_idx, c.chunk_hash,
+               array_to_string(t.t[c.start + 1 : c.start + c.n_tokens], ' ')
+                   AS chunk_text
+        FROM cdchunks c JOIN cdt t USING (doc_id)
+    ),
+    cdfreq AS (
+        SELECT chunk_hash FROM cdchunks
+        GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    cdkept AS (
+        SELECT doc_id, chunk_idx, chunk_text FROM cdtext
+        WHERE chunk_hash NOT IN (SELECT chunk_hash FROM cdfreq)
+    ),
+    cdreb AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+               array_to_string(list(chunk_text ORDER BY chunk_idx), ' ')
+                   AS new_text
+        FROM cdkept GROUP BY 1
+    ),
+    cdtot AS (
+        SELECT doc_id, CAST(COUNT(*) AS INT) AS n_chunks
+        FROM cdchunks GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(t.n_chunks, 0) AS INT) AS n_chunks,
+           CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(r.new_text, '') AS new_text
+    FROM (SELECT DISTINCT doc_id FROM documents) d
+    LEFT JOIN cdtot t USING (doc_id)
+    LEFT JOIN cdreb r USING (doc_id)
+    """,
+    doc="shift-robust boilerplate REMOVAL: rewrite every doc dropping "
+    "CDC chunks shared by >= 2 distinct docs — copies injected at "
+    "different offsets all drop because content-defined boundaries "
+    "hash them identically; mine + rewrite share one persisted chunk "
+    "scan, frequent set broadcast, one doc-keyed rebuild shuffle",
+)
+def text_cdc_remove_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import remove_cdc_frequent_chunks
+
+    return remove_cdc_frequent_chunks(
+        load_table(spark, "documents", sf_dir), gram_tokens=2, divisor=8,
+        min_docs=2,
+    )
+
+
 # Winnowing fragment builder (ends in CTE ``{p}fps(doc_id, pos, fp)``) —
 # mirrors textstats.winnow_fingerprints with k=4, window=4: gram keys are
 # hash*2^20+pos so the per-window min is the leftmost minimal hash. The

@@ -2585,6 +2585,23 @@ def test_cdc_chunks_survive_insertion_where_fixed_chunks_shift(spark):
         )
     }
     assert not (fh[1] & fh[2])
+    # the removal payoff: the shared 64-token run drops from BOTH docs
+    # even though it sits at different offsets (fixed-boundary removal
+    # would see disjoint chunks and keep everything)
+    from irstats2_spark.pipeline.textstats import remove_cdc_frequent_chunks
+
+    removed = {
+        r.doc_id: r
+        for r in remove_cdc_frequent_chunks(
+            docs.filter("doc_id <= 2"), gram_tokens=2, divisor=8, min_docs=2
+        ).collect()
+    }
+    assert removed[1].n_kept < removed[1].n_chunks
+    assert removed[2].n_kept < removed[2].n_chunks
+    # only the spans the insertion touched can survive: the shared
+    # suffix is boilerplate in both docs
+    assert len(removed[1].new_text.split()) < 64
+    assert len(removed[2].new_text.split()) < 65
 
 
 def test_remove_listed_chunks_idempotent(spark):
