@@ -106,6 +106,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mix_with_epochs_tokens",
     "text_cdc_frequent_chunks",
     "text_cdc_remove_frequent",
+    "similarity_pq_balance_audit",
     # -- implementation changed this round: re-verify on today's code --
     "dedup_ngram_jaccard",
     "dedup_ngram_containment",
@@ -119,7 +120,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "j2_grouping_join",
     "t2_densify",
     "a6_a7_cumulative_running_avg",
-    "a5_ratio_metric",
 )
 # ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
@@ -129,8 +129,8 @@ GATE_PRIORITY: tuple[str, ...] = (
 # s7_groupings_build, view_sparkline, ctx_data_min, ctx_prelive_clamp,
 # ctx_set_series, ctx_top_sets, ctx_grouping_top, geoip_range_join,
 # view_monthly_graph, events_unique_visitors_approx,
-# etl_downloads_fact, events_asof_prior, and events_sessionize (the
-# r2-green rows that could not
+# etl_downloads_fact, events_asof_prior, events_sessionize, and
+# a5_ratio_metric (the r2-green rows that could not
 # fit round 5's 50 — each ceded its slot to a first-ever row for an
 # operator new this round, per the brand-new-outranks-unchanged-refresh
 # rule; dedup_clusters' connected-components core and dedup_exact's

@@ -768,3 +768,51 @@ def pq_topk_adc_vec(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_balance_audit(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+    pre_quantized: bool = False,
+) -> DataFrame:
+    """PQ codeword-usage audit — the PQ counterpart of
+    ``similarity.ivf_balance_audit``: per (subspace, code), the member
+    count, corpus share, and skew factor (share x n_codes; 1.0 =
+    perfectly balanced), with DEAD codewords surfaced as zero rows. A
+    dead codeword wastes a quantizer bit; a fat one saturates ADC
+    distances (many vectors become indistinguishable) — both mean the
+    codebook should be re-fit with different seeds or more iterations
+    before the index ships.
+
+    Scale shape: encoding is ``pq_encode``'s pure map (codebook
+    broadcast); the rollup is one groupBy whose key domain is
+    m x n_codes by construction; the spine join restoring dead codes
+    is codebook-sized."""
+    enc = pq_encode(
+        embeddings, codebook, dim, m, id_col, vec_col, scale, pre_quantized
+    )
+    sizes = enc.groupBy("subspace", "code").agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    spine = codebook.select("subspace", "code").distinct()
+    full = spine.join(sizes, ["subspace", "code"], "left").select(
+        "subspace",
+        "code",
+        F.coalesce("n_vecs", F.lit(0)).cast("long").alias("n_vecs"),
+    )
+    totals = full.groupBy("subspace").agg(F.sum("n_vecs").alias("__t"))
+    return full.join(F.broadcast(totals), "subspace").select(
+        "subspace",
+        "code",
+        "n_vecs",
+        F.round(F.col("n_vecs") / F.col("__t"), 6).alias("share"),
+        F.round(F.col("n_vecs") * F.lit(n_codes) / F.col("__t"), 6).alias(
+            "skew"
+        ),
+    )

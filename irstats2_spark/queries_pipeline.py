@@ -2072,6 +2072,40 @@ def similarity_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_pq_balance_audit",
+    f"""
+    WITH {_pq_cte()},
+    {_PQ_ENC},
+    pqb AS (
+        SELECT subspace, code, COUNT(*) AS n_vecs FROM enc GROUP BY 1, 2
+    ),
+    pqspine AS (SELECT DISTINCT subspace, code FROM cqF),
+    pqfull AS (
+        SELECT s.subspace, s.code, COALESCE(b.n_vecs, 0) AS n_vecs
+        FROM pqspine s LEFT JOIN pqb b USING (subspace, code)
+    ),
+    pqn AS (SELECT subspace, SUM(n_vecs) AS t FROM pqfull GROUP BY 1)
+    SELECT f.subspace, f.code, CAST(f.n_vecs AS BIGINT) AS n_vecs,
+           ROUND(f.n_vecs / CAST(n.t AS DOUBLE), 6) AS share,
+           ROUND(f.n_vecs * 4 / CAST(n.t AS DOUBLE), 6) AS skew
+    FROM pqfull f JOIN pqn n USING (subspace)
+    """,
+    doc="PQ codeword-usage audit: per (subspace, code) member count, "
+    "share, and skew (share x n_codes; 1.0 = balanced), dead codewords "
+    "surfaced as zero rows — completes the index-health triad beside "
+    "the IVF balance and recall audits (a dead or fat codeword means "
+    "the quantizer wastes bits and ADC distances saturate); encode is "
+    "the pure map, the rollup is m x n_codes rows",
+)
+def similarity_pq_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import pq_balance_audit, pq_fit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
+    return pq_balance_audit(emb, cb, dim=64, m=8, n_codes=4)
+
+
+@register(
     "similarity_pq_topk",
     f"""
     WITH {_pq_cte()},
