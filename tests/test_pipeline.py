@@ -2908,3 +2908,58 @@ def test_gopher_quality_gate_per_rule_verdicts(spark):
     assert out[4].fail_symbols and not out[4].quality_pass
     assert out[5].fail_stopwords and not out[5].quality_pass
     assert not out[5].fail_length  # 60 tokens: the length rule is clean
+
+
+# Property test: the Spark winnowing selection against an independent
+# pure-python reference of the Schleimer et al. algorithm (clamped-window
+# variant). Spark jobs are slow per-example, so hypothesis drives a few
+# multi-doc corpora rather than many tiny cases.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_WORDS = [f"w{i}" for i in range(24)]
+
+
+def _ref_winnow(toks: list, k: int = 4, w: int = 4) -> set:
+    import hashlib
+
+    keys = [
+        int(
+            hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:8],
+            16,
+        )
+        * 1048576
+        + i
+        for i in range(len(toks) - k + 1)
+    ]
+    if not keys:
+        return set()
+    wl = min(w, len(keys))
+    sel = set()
+    for j in range(max(len(keys) - w, 0) + 1):
+        sel.add(min(keys[j : j + wl]))
+    return {(key % 1048576, key >> 20) for key in sel}
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_winnow_fingerprints_match_python_reference(spark, docs):
+    """The distributed selection equals an independently-written python
+    winnowing (same k/w, clamped window, hash*2^20+pos keys) on random
+    small-alphabet corpora — including docs shorter than k, shorter
+    than one window, and with repeated grams."""
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got: dict[int, set] = {}
+    for r in winnow_fingerprints(df, k=4, window=4).collect():
+        got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
+    for i, toks in enumerate(docs):
+        assert got.get(i, set()) == _ref_winnow(toks), f"doc {i}: {toks}"
