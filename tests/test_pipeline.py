@@ -2963,3 +2963,61 @@ def test_winnow_fingerprints_match_python_reference(spark, docs):
         got.setdefault(r.doc_id, set()).add((r.pos, r.fp))
     for i, toks in enumerate(docs):
         assert got.get(i, set()) == _ref_winnow(toks), f"doc {i}: {toks}"
+
+
+def _ref_cdc(toks: list, k: int = 2, d: int = 8) -> list:
+    """Independent python reference of the content-defined chunker:
+    cut after token c (1-based count) when md5 of the gram ending at c
+    is 0 mod d; emit (chunk_idx, start, n_tokens, md5-of-chunk)."""
+    import hashlib
+
+    n = len(toks)
+    if n == 0:
+        return []
+    cuts = [0]
+    for c in range(k, n):  # cut positions k..n-1, gram = toks[c-k:c]
+        h = int(
+            hashlib.md5(" ".join(toks[c - k : c]).encode()).hexdigest()[:8],
+            16,
+        )
+        if h % d == 0:
+            cuts.append(c)
+    cuts.append(n)
+    out = []
+    for j in range(len(cuts) - 1):
+        lo, hi = cuts[j], cuts[j + 1]
+        out.append(
+            (
+                j,
+                lo,
+                hi - lo,
+                hashlib.md5(" ".join(toks[lo:hi]).encode()).hexdigest(),
+            )
+        )
+    return out
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=48),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_cdc_chunks_match_python_reference(spark, docs):
+    """The distributed CDC chunker equals an independently-written
+    python reference (same gram/divisor rule, same boundary indexing)
+    on random corpora — including empty docs (no rows) and docs too
+    short to cut (one whole-doc chunk)."""
+    from irstats2_spark.pipeline.textstats import cdc_chunks
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got: dict[int, list] = {}
+    for r in cdc_chunks(df, gram_tokens=2, divisor=8).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start, r.n_tokens, r.chunk_hash)
+        )
+    for i, toks in enumerate(docs):
+        assert sorted(got.get(i, [])) == _ref_cdc(toks), f"doc {i}: {toks}"
