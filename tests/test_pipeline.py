@@ -3021,3 +3021,44 @@ def test_cdc_chunks_match_python_reference(spark, docs):
         )
     for i, toks in enumerate(docs):
         assert sorted(got.get(i, [])) == _ref_cdc(toks), f"doc {i}: {toks}"
+
+
+def _ref_simhash64(text: str) -> tuple:
+    import hashlib
+
+    votes1 = [0] * 32
+    votes2 = [0] * 32
+    for w in {w for w in text.split() if w}:
+        hx = hashlib.md5(w.encode()).hexdigest()
+        h1, h2 = int(hx[:8], 16), int(hx[8:16], 16)
+        for b in range(32):
+            votes1[b] += 1 if (h1 >> b) & 1 else -1
+            votes2[b] += 1 if (h2 >> b) & 1 else -1
+    lo = sum(1 << b for b in range(32) if votes1[b] > 0)
+    hi = sum(1 << b for b in range(32) if votes2[b] > 0)
+    return lo, hi
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=0, max_size=40),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash64_matches_python_reference(spark, docs):
+    """The vectorized signature equals a word-at-a-time python
+    reference (md5 hex slices, per-bit votes, sign packing) on random
+    corpora — including empty docs (all-zero signature) and docs whose
+    words repeat (distinct-word votes)."""
+    from irstats2_spark.pipeline.dedup import simhash64
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: (r.sim_lo, r.sim_hi)
+        for r in simhash64(df).collect()
+    }
+    for i, toks in enumerate(docs):
+        assert got[i] == _ref_simhash64(" ".join(toks)), f"doc {i}"
