@@ -121,7 +121,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "t2_densify",
     "a6_a7_cumulative_running_avg",
 )
-# ROUND 6 SHOULD GATE FIRST: robots_filter_outcome, dedup_simhash,
+# ROUND 6 SHOULD GATE FIRST: the queries registered late in round 5
+# with no driver row yet (similarity_pq_rerank_topk, and any others
+# added after this comment — grep `@register` names absent from
+# CORRECTNESS_r0{1..5}), then: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
 # text_token_counts, sample_split_assign, sample_stratified,
 # dedup_clusters, dedup_exact, t6_f12_formatting, o4_listing_engine,

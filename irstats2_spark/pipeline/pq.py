@@ -816,3 +816,73 @@ def pq_balance_audit(
             "skew"
         ),
     )
+
+
+def pq_rerank_exact(
+    codes: DataFrame,
+    codebook: DataFrame,
+    queries: DataFrame,
+    embeddings: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    shortlist: int = 20,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "query_id",
+    q_vec_col: str = "query_vec",
+    scale: int = 1000,
+) -> DataFrame:
+    """Two-stage ANN search: PQ-ADC shortlist, then EXACT re-rank — the
+    standard production pattern (FAISS's ``IndexRefineFlat``): the
+    compressed index proposes ``shortlist`` candidates per query from
+    codes alone, and only those few rows hydrate their full float
+    vectors for an exact integer squared-L2 re-rank to the final top-k.
+    ADC distances are lossy (each subspace collapses to its nearest
+    codeword), so the ADC top-k ordering can be wrong near ties;
+    re-ranking a modestly larger shortlist recovers exact ordering at
+    the cost of ``n_queries x shortlist`` full-vector reads instead of
+    a brute-force corpus scan.
+
+    Output: (query_id, vec_id, adc_dist, exact_dist, rank) with rank
+    over exact_dist ASC, vec_id ASC — adc_dist is kept so the reorder
+    the re-rank performed is visible to audits.
+
+    Scale shape: stage 1 is ``pq_topk_adc_vec`` (corpus never shuffled,
+    query tables broadcast). The shortlist is n_queries x shortlist
+    rows BY CONSTRUCTION — a broadcast build side — so hydration is a
+    broadcast hash join pruning the embeddings scan, not a corpus
+    shuffle; the re-rank window partitions on query_id over
+    shortlist-sized groups. Exact distances use the same quantized
+    integer L2 as the fit/encode path, so any engine reproduces them
+    bit-for-bit."""
+    short = pq_topk_adc_vec(
+        codes, codebook, queries, dim, m, n_codes,
+        k=shortlist, q_id_col=q_id_col, q_vec_col=q_vec_col, scale=scale,
+    ).select("query_id", "vec_id", "adc_dist")
+    corp = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        quantize(F.col(vec_col), scale).alias("__cv"),
+    )
+    qv = queries.select(
+        F.col(q_id_col).alias("query_id"),
+        quantize(F.col(q_vec_col), scale).alias("__qv"),
+    )
+    exact = (
+        corp.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "adc_dist",
+            l2dist_q(F.col("__cv"), F.col("__qv")).alias("exact_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

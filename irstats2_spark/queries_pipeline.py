@@ -2145,6 +2145,62 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_pq_rerank_topk",
+    f"""
+    WITH {_pq_cte()},
+    {_PQ_ENC},
+    qsub AS (SELECT vec_id AS query_id, subspace, qsub FROM sub WHERE vec_id < 3),
+    tbl AS (
+        SELECT q.query_id, c.subspace, c.code,
+               {_pq_l2("q.qsub", "c.qv")} AS dist
+        FROM qsub q JOIN cqF c ON q.subspace = c.subspace
+    ),
+    scored AS (
+        SELECT t.query_id, e.vec_id, CAST(SUM(t.dist) AS BIGINT) AS adc_dist
+        FROM enc e JOIN tbl t ON e.subspace = t.subspace AND e.code = t.code
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, vec_id, adc_dist FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                          ORDER BY adc_dist ASC, vec_id ASC) AS srn
+            FROM scored
+        ) WHERE srn <= 20
+    ),
+    rr AS (
+        SELECT s.query_id, s.vec_id, s.adc_dist,
+               {_pq_l2("eq.qv", "qq.qv")} AS exact_dist
+        FROM short s
+        JOIN q eq ON eq.vec_id = s.vec_id
+        JOIN q qq ON qq.vec_id = s.query_id
+    )
+    SELECT query_id, vec_id, adc_dist, exact_dist, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY exact_dist ASC, vec_id ASC) AS INT) AS rank
+        FROM rr
+    ) WHERE rank <= 5
+    """,
+    doc="PQ shortlist + exact re-rank (FAISS IndexRefineFlat pattern): "
+    "ADC proposes 20 candidates per query from codes alone, only those "
+    "rows hydrate full vectors (broadcast prune of the embeddings "
+    "scan, never a corpus shuffle) for an exact integer-L2 top-5 — "
+    "adc_dist stays in the output so the reorder is auditable",
+)
+def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import pq_encode_vec, pq_fit, pq_rerank_exact
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=4, max_iter=2)
+    codes = pq_encode_vec(emb, cb, dim=64, m=8)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_rerank_exact(
+        codes, cb, queries, emb, dim=64, m=8, n_codes=4, shortlist=20, k=5
+    )
+
+
+@register(
     "similarity_scalar_quant_error",
     """
     WITH ex AS (

@@ -3062,3 +3062,80 @@ def test_simhash64_matches_python_reference(spark, docs):
     }
     for i, toks in enumerate(docs):
         assert got[i] == _ref_simhash64(" ".join(toks)), f"doc {i}"
+
+
+def test_pq_rerank_exact_recovers_true_topk(spark):
+    """pq_rerank_exact: exact_dist is the true quantized integer L2
+    (independent python recompute), ranks follow (exact_dist, vec_id),
+    and with shortlist == corpus size the re-rank output IS the exact
+    brute-force top-k regardless of how lossy the ADC ordering was."""
+    import math
+
+    import numpy as np
+
+    from irstats2_spark.pipeline.pq import (
+        pq_encode_vec,
+        pq_fit,
+        pq_rerank_exact,
+    )
+
+    dim, m, n_codes = 4, 2, 2
+    vecs = [
+        (0, [0.0, 0.0, 1.0, 1.0]),
+        (1, [1.0, 1.0, 0.0, 0.0]),
+        (2, [0.1, 0.0, 1.0, 0.9]),
+        (3, [0.9, 1.0, 0.1, 0.0]),
+        (4, [0.0, 0.1, 0.9, 1.0]),
+        (5, [1.0, 0.9, 0.0, 0.1]),
+        (6, [0.5, 0.5, 0.5, 0.5]),
+        (7, [0.2, 0.1, 0.8, 0.9]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    cb = pq_fit(df, dim, m, n_codes, max_iter=2)
+    codes = pq_encode_vec(df, cb, dim, m)
+    queries = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+
+    def q(xs):
+        return [
+            int(math.floor(float(np.float32(x)) * 1000 + 0.5)) for x in xs
+        ]
+
+    def l2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    qv = {vid: q(v) for vid, v in vecs}
+
+    # full-corpus shortlist => the re-rank must equal exact brute force
+    out = pq_rerank_exact(
+        codes, cb, queries, df, dim, m, n_codes, shortlist=len(vecs), k=3
+    ).collect()
+    assert len(out) == 2 * 3
+    for r in out:
+        assert r.exact_dist == l2(qv[r.query_id], qv[r.vec_id])
+    for qid in (0, 1):
+        got = [
+            (r.vec_id, r.exact_dist)
+            for r in sorted(
+                (r for r in out if r.query_id == qid),
+                key=lambda r: r.rank,
+            )
+        ]
+        want = sorted(
+            ((v, l2(qv[qid], qv[v])) for v, _ in vecs),
+            key=lambda t: (t[1], t[0]),
+        )[:3]
+        assert got == want
+
+    # a narrow shortlist still ranks by exact distance within it
+    narrow = pq_rerank_exact(
+        codes, cb, queries, df, dim, m, n_codes, shortlist=4, k=4
+    ).collect()
+    for qid in (0, 1):
+        rows = sorted(
+            (r for r in narrow if r.query_id == qid), key=lambda r: r.rank
+        )
+        dists = [(r.exact_dist, r.vec_id) for r in rows]
+        assert dists == sorted(dists)
