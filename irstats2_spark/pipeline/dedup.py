@@ -1674,3 +1674,66 @@ def simhash_hamming_incremental(
         .groupBy("old_id", "new_id")
         .agg(F.first("hamming").alias("hamming"))
     )
+
+
+def edit_distance_dups(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_norm: float = 0.3,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance-VERIFIED near-dup pairs: SimHash banding proposes
+    candidates, character-level Levenshtein confirms them. The sketch
+    tiers (MinHash/SimHash/shingle-Jaccard) measure token-SET overlap,
+    which misses character-level edits inside words and can't rank
+    rewrites by how much actually changed; Levenshtein is the exact
+    string metric but is O(len_a x len_b) per pair — unrunnable
+    all-pairs. This operator composes them the way production dedup
+    does: cheap recall-oriented blocking, expensive precise verify on
+    the (output-sized) candidate set only.
+
+    Output: (doc_a, doc_b, hamming, edit_distance, edit_norm) for
+    candidate pairs with edit_norm = dist / max(len_a, len_b) <=
+    ``max_norm``. The filter is integer-exact (dist * 1e6 <=
+    max_norm_micros * greatest_len), so engines agree bit-for-bit; the
+    reported edit_norm is rounded to 6 places for display.
+
+    Recall contract: candidates are ``simhash_hamming_pairs`` with its
+    pigeonhole guarantee (max_hamming <= bands - 1 => banding equals
+    the all-pairs Hamming scan), so a pair is only missed if its
+    signatures differ in more than ``max_hamming`` bits — i.e. the
+    docs' token sets already diverged; small EDITS perturb few words,
+    so near-identical strings collide by construction.
+
+    Scale shape: banding/verify inherit the self-join form (streams
+    skewed buckets, never collects them). Texts ride only the two
+    hydration joins keyed by id — the pair table carries ids, never
+    strings — and the Levenshtein verify runs JVM-side
+    (``F.levenshtein``, whole-stage codegen) on candidate pairs only."""
+    pairs = simhash_hamming_pairs(
+        docs, text_col, id_col, bands, max_hamming, max_bucket_size
+    )
+    left = docs.select(
+        F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
+    )
+    right = docs.select(
+        F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
+    )
+    dist = F.levenshtein("__ta", "__tb")
+    glen = F.greatest(F.length("__ta"), F.length("__tb"))
+    max_norm_micros = int(max_norm * 1_000_000)
+    return (
+        pairs.join(left, "doc_a")
+        .join(right, "doc_b")
+        .filter(dist.cast("long") * 1_000_000 <= F.lit(max_norm_micros) * glen)
+        .select(
+            "doc_a",
+            "doc_b",
+            "hamming",
+            dist.cast("int").alias("edit_distance"),
+            F.round(dist / glen, 6).alias("edit_norm"),
+        )
+    )

@@ -406,6 +406,42 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_distance",
+    f"""
+    WITH {_simhash64_cte()},
+    ed_cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+        FROM sigs64 a JOIN sigs64 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    )
+    SELECT doc_a, doc_b, hamming,
+           CAST(d AS INT) AS edit_distance,
+           ROUND(CAST(d AS DOUBLE) / glen, 6) AS edit_norm
+    FROM (
+        SELECT c.doc_a, c.doc_b, c.hamming,
+               levenshtein(da.text, db.text) AS d,
+               GREATEST(length(da.text), length(db.text)) AS glen
+        FROM ed_cand c
+        JOIN documents da ON c.doc_a = da.doc_id
+        JOIN documents db ON c.doc_b = db.doc_id
+    ) WHERE d * 1000000 <= 300000 * glen
+    """,
+    doc="edit-distance-verified near-dup pairs: SimHash banding proposes "
+    "(pigeonhole-complete at Hamming<=3), JVM Levenshtein confirms with "
+    "an integer-exact normalized cut (dist/max_len <= 0.3) — the sketch "
+    "tier's token-set view backstopped by the exact character metric; "
+    "texts ride only the id-keyed hydration joins, never the pair table",
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import edit_distance_dups
+
+    return edit_distance_dups(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "dedup_embedding_cosine",
     f"""
     SELECT doc_a, doc_b, cosine FROM (

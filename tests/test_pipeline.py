@@ -3139,3 +3139,57 @@ def test_pq_rerank_exact_recovers_true_topk(spark):
         )
         dists = [(r.exact_dist, r.vec_id) for r in rows]
         assert dists == sorted(dists)
+
+
+def test_edit_distance_dups_verifies_candidates(spark):
+    """edit_distance_dups: a small in-place edit passes the normalized
+    cut with the TRUE Levenshtein distance (pinned vs an independent
+    python DP), a token-set-identical-but-heavily-edited pair is cut by
+    the norm threshold, and unrelated docs never pair."""
+    from irstats2_spark.pipeline.dedup import edit_distance_dups
+
+    base = " ".join(f"tok{i} word{i} common{i % 7}" for i in range(40))
+    # one changed word perturbs the 64-bit signature by exactly 1 bit on
+    # this (deterministic, md5-derived) corpus — inside the Hamming<=3
+    # candidate cut; two changed words already land at hamming 4
+    edited = base.replace("tok5", "tok5x")
+    unrelated = " ".join(f"zzz{i} qqq{i} vvv{i}" for i in range(40))
+    rows = [(0, base), (1, edited), (2, unrelated)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = edit_distance_dups(docs, max_norm=0.3).collect()
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(
+                        prev[j] + 1,
+                        cur[j - 1] + 1,
+                        prev[j - 1] + (ca != cb),
+                    )
+                )
+            prev = cur
+        return prev[-1]
+
+    got = {(r.doc_a, r.doc_b): r for r in out}
+    assert set(got) == {(0, 1)}, f"unexpected pairs: {sorted(got)}"
+    r = got[(0, 1)]
+    want = lev(base, edited)
+    assert r.edit_distance == want
+    assert abs(
+        r.edit_norm - want / max(len(base), len(edited))
+    ) < 1e-6
+
+    # same token SET (simhash-identical) but every token repositioned:
+    # candidates propose it, the levenshtein norm cut must reject it
+    shuffled = " ".join(reversed(base.split(" ")))
+    docs2 = spark.createDataFrame(
+        [(0, base), (1, shuffled)], "doc_id long, text string"
+    )
+    assert edit_distance_dups(docs2, max_norm=0.3).count() == 0
+    loose = edit_distance_dups(docs2, max_norm=1.0).collect()
+    assert [(p.doc_a, p.doc_b) for p in loose] == [(0, 1)]
+    assert loose[0].edit_distance == lev(base, shuffled)
