@@ -1404,3 +1404,78 @@ def gopher_quality_gate(
             & ~fail_rep
         ).alias("quality_pass"),
     )
+
+
+def ccnet_perplexity_buckets(
+    docs: DataFrame,
+    reference: DataFrame,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the
+    reference bigram LM (``lm_nll_scores``), then split each language
+    into equal-count head/middle/tail tiers by ascending per-bigram NLL
+    (head = most reference-like — CCNet keeps head+middle for
+    pretraining and drops or down-weights tail). Bucketing is
+    PER-GROUP, not global, because perplexity is not comparable across
+    languages: a well-formed zh doc scores higher absolute NLL under
+    any model than a well-formed en doc, so a global cut would empty
+    entire languages out of the head tier.
+
+    The sort key is integer-exact: ``nll_per_bigram_micro =
+    (nll_micro * 1e6) DIV n_bigrams`` — pure BIGINT floor division on
+    the already-integer micro-nat sums, so every engine orders docs
+    identically; remaining ties break by doc_id. Docs with < 2 tokens
+    key at 0 (they carry no bigram evidence) and land in head by
+    construction — filter them upstream with a length gate if that
+    matters. NTILE(n) distributes remainders to the lowest tiles in
+    both Spark and DuckDB (SQL-standard), so bucket BOUNDARIES are also
+    engine-exact.
+
+    Output: (doc_id, lang, n_bigrams, nll_per_bigram_micro, bucket,
+    tier) with bucket in 1..n and tier naming the classic 3-cut
+    (head/middle/tail; for n != 3 tier is 'b<bucket>').
+
+    Scale shape: scoring inherits ``lm_nll_scores``' broadcast-model
+    map; the NTILE is one shuffle keyed on the group column followed by
+    a per-group sort of (id, two longs) rows — never text. Per-group
+    total sorts are the exactness-auditable form; at 100 TB swap the
+    NTILE for the histogram-split pattern (`classifier_top_fraction_
+    binned`): bucket the integer key, pick boundary bins from bin
+    counts, and only sort within boundary bins."""
+    from pyspark.sql import Window
+
+    scores = lm_nll_scores(docs, reference, text_col, id_col)
+    keyed = (
+        docs.select(F.col(id_col).alias("doc_id"), group_col)
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            group_col,
+            "n_bigrams",
+            F.when(F.col("n_bigrams") > 0,
+                   F.expr("(nll_micro * 1000000) DIV n_bigrams"))
+            .otherwise(F.lit(0).cast("long"))
+            .alias("nll_per_bigram_micro"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("nll_per_bigram_micro").asc(), F.col("doc_id").asc()
+    )
+    tier = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        if n_buckets == 3
+        else F.concat(F.lit("b"), F.col("bucket").cast("string"))
+    )
+    return keyed.withColumn("bucket", F.ntile(n_buckets).over(w)).select(
+        "doc_id",
+        group_col,
+        "n_bigrams",
+        "nll_per_bigram_micro",
+        "bucket",
+        tier.alias("tier"),
+    )

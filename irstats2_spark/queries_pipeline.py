@@ -3279,6 +3279,41 @@ def text_lm_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_ccnet_perplexity_buckets",
+    f"""
+    WITH {_LM_CTES},
+    cck AS (
+        SELECT d.doc_id, d.lang,
+               CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                    THEN (s.nll_micro * 1000000) // s.n_bigrams
+                    ELSE 0 END AS BIGINT) AS nll_per_bigram_micro
+        FROM documents d LEFT JOIN lm_scored s USING (doc_id)
+    ),
+    ccb AS (
+        SELECT *, NTILE(3) OVER (PARTITION BY lang
+                      ORDER BY nll_per_bigram_micro ASC, doc_id ASC) AS bucket
+        FROM cck
+    )
+    SELECT doc_id, lang, n_bigrams, nll_per_bigram_micro,
+           CAST(bucket AS INT) AS bucket,
+           CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS tier
+    FROM ccb
+    """,
+    doc="CCNet-style perplexity tiers: per-LANGUAGE head/middle/tail "
+    "NTILE over the reference-LM per-bigram NLL (global cuts would "
+    "empty whole languages); the sort key is BIGINT floor-division "
+    "micro-nats so ordering and tile boundaries are engine-exact",
+)
+def text_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import ccnet_perplexity_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    return ccnet_perplexity_buckets(docs, docs.filter(F.col("source") == "src0"))
+
+
+@register(
     "dedup_ngram_containment",
     f"""
     WITH {_SHINGLES_SQL},

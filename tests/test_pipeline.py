@@ -3193,3 +3193,53 @@ def test_edit_distance_dups_verifies_candidates(spark):
     loose = edit_distance_dups(docs2, max_norm=1.0).collect()
     assert [(p.doc_a, p.doc_b) for p in loose] == [(0, 1)]
     assert loose[0].edit_distance == lev(base, shuffled)
+
+
+def test_ccnet_buckets_equal_count_and_monotone(spark):
+    """ccnet_perplexity_buckets: per-language tiles are equal-count
+    (±1, remainder to lower tiles per SQL NTILE), tier keys are
+    monotone (every head key <= every middle key <= every tail key
+    within a language), and the integer sort key matches a python
+    recompute of micro-nats DIV bigram count."""
+    from irstats2_spark.pipeline.textstats import (
+        ccnet_perplexity_buckets,
+        lm_nll_scores,
+    )
+
+    rows = []
+    for i in range(20):
+        # en docs: increasingly reference-unlike by injecting rare toks
+        rows.append((i, "en", " ".join(["good"] * (20 - i) + [f"rare{i}"] * i)))
+    for i in range(7):
+        rows.append((100 + i, "de", " ".join(["gut"] * (7 - i) + [f"selten{i}"] * i)))
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    ref = docs.filter(F.col("doc_id").isin(0, 100))
+
+    out = ccnet_perplexity_buckets(docs, ref).collect()
+    scores = {
+        r.doc_id: (r.nll_micro, r.n_bigrams)
+        for r in lm_nll_scores(docs, ref).collect()
+    }
+    for r in out:
+        nll, nb = scores[r.doc_id]
+        assert r.nll_per_bigram_micro == (
+            (nll * 1_000_000) // nb if nb > 0 else 0
+        )
+
+    for lang, n in (("en", 20), ("de", 7)):
+        grp = [r for r in out if r.lang == lang]
+        assert len(grp) == n
+        sizes = {b: sum(1 for r in grp if r.bucket == b) for b in (1, 2, 3)}
+        base = n // 3
+        assert all(v in (base, base + 1) for v in sizes.values())
+        assert sum(sizes.values()) == n
+        # remainder tiles are the LOWER ones
+        assert sorted(sizes.values(), reverse=True) == [
+            sizes[1], sizes[2], sizes[3]
+        ]
+        for lo, hi in ((1, 2), (2, 3)):
+            mx = max(r.nll_per_bigram_micro for r in grp if r.bucket == lo)
+            mn = min(r.nll_per_bigram_micro for r in grp if r.bucket == hi)
+            assert mx <= mn
+    tiers = {r.bucket: r.tier for r in out}
+    assert tiers == {1: "head", 2: "middle", 3: "tail"}
