@@ -698,3 +698,51 @@ def deterministic_shuffle(
         "pos",
         (F.col("__off") + F.col("pos")).cast("long").alias("global_pos"),
     )
+
+
+def split_assign_leakage_safe(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: dict[str, float] | None = None,
+    buckets: int = 10_000,
+    salt: str = "split:",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: hash the doc's near-dup CLUSTER representative instead of
+    the doc id. Plain ``split_assign`` puts a doc and its near-copy in
+    independent buckets, so ~(dup_rate x val_fraction) of validation is
+    effectively training data — the classic eval-contamination bug this
+    closes. Every member of a connected near-dup component shares its
+    representative (the component's min doc id via
+    ``connected_components``), hence its bucket, hence its split;
+    singleton docs are their own representative, so with an empty pair
+    table the output EQUALS ``split_assign`` row-for-row.
+
+    Output: (doc_id, cluster_rep, bucket, split). Determinism: same
+    md5 bucketing as ``split_assign`` — stable across reruns, engines,
+    partitionings, and corpus growth (new docs never move old ones;
+    new PAIRS only move docs that just gained a lower-id near-dup).
+
+    Scale shape: CC state is ∝ dup-pair nodes, not corpus size; the
+    rep table joins back to the corpus on doc_id (dup-node-sized build
+    side, typically broadcastable); bucketing stays a pure map."""
+    from irstats2_spark.pipeline.dedup import connected_components
+
+    comp = connected_components(pairs, a_col, b_col)
+    rep = (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(comp.select("doc_id", "cluster_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_rep"),
+        )
+    )
+    return split_assign(rep, "cluster_rep", splits, buckets, salt).select(
+        "doc_id",
+        "cluster_rep",
+        hash_bucket(F.col("cluster_rep"), buckets, salt).alias("bucket"),
+        "split",
+    )

@@ -3937,6 +3937,55 @@ def dedup_cluster_quality_keepers(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "sample_split_leakage_safe",
+    f"""
+    WITH RECURSIVE {_simhash64_cte()},
+    ls_pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs64 a JOIN sigs64 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    ),
+    ls_edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM ls_pairs
+        UNION
+        SELECT doc_b, doc_a FROM ls_pairs
+    ),
+    ls_reach(node, m) AS (
+        SELECT DISTINCT a, a FROM ls_edges
+        UNION
+        SELECT r.node, e.b FROM ls_reach r JOIN ls_edges e ON r.m = e.a
+    ),
+    ls_comp AS (
+        SELECT node AS doc_id, MIN(m) AS cluster_id FROM ls_reach GROUP BY node
+    ),
+    ls_rep AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_rep
+        FROM documents d LEFT JOIN ls_comp c USING (doc_id)
+    )
+    SELECT doc_id, cluster_rep, bucket,
+           CASE WHEN bucket < 9000 THEN 'train'
+                WHEN bucket < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_rep,
+                 {_bucket_sql('split:', 'cluster_rep')} AS bucket
+          FROM ls_rep)
+    """,
+    doc="leakage-safe train/val/test split: hash the near-dup CLUSTER "
+    "representative (SimHash pairs -> connected components -> min-id "
+    "rep), so a doc and its near-copy always land in the SAME split — "
+    "closes the eval-contamination hole plain id-hash splitting leaves; "
+    "singletons reduce to sample_split_assign exactly",
+)
+def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+    from irstats2_spark.pipeline.sampling import split_assign_leakage_safe
+
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = simhash_hamming_pairs(docs)
+    return split_assign_leakage_safe(docs, pairs)
+
+@register(
     "dedup_ngram_idf_jaccard",
     f"""
     WITH {_SHINGLES_SQL},

@@ -3243,3 +3243,42 @@ def test_ccnet_buckets_equal_count_and_monotone(spark):
             assert mx <= mn
     tiers = {r.bucket: r.tier for r in out}
     assert tiers == {1: "head", 2: "middle", 3: "tail"}
+
+
+def test_split_leakage_safe_keeps_neardups_together(spark):
+    """split_assign_leakage_safe: every pair (and transitively every
+    component) shares one split; with no pairs the assignment equals
+    plain split_assign row-for-row."""
+    from irstats2_spark.pipeline.sampling import (
+        split_assign,
+        split_assign_leakage_safe,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(60)], "doc_id long"
+    )
+    # a chain component {1,2,3}, a pair {10,40}, rest singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 40)], "doc_a long, doc_b long"
+    )
+    out = {
+        r.doc_id: r
+        for r in split_assign_leakage_safe(docs, pairs).collect()
+    }
+    assert len(out) == 60
+    for comp in ({1, 2, 3}, {10, 40}):
+        splits = {out[d].split for d in comp}
+        reps = {out[d].cluster_rep for d in comp}
+        assert len(splits) == 1 and reps == {min(comp)}
+
+    plain = {r.doc_id: r for r in
+             split_assign(docs, "doc_id").collect()}
+    # singletons must agree with the plain id-hash assignment
+    for d in set(range(60)) - {1, 2, 3, 10, 40}:
+        assert out[d].split == plain[d].split
+        assert out[d].cluster_rep == d
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    eq = {r.doc_id: r.split
+          for r in split_assign_leakage_safe(docs, empty).collect()}
+    assert eq == {d: plain[d].split for d in range(60)}
