@@ -994,3 +994,39 @@ def ivf_balance_audit(
         F.round(F.col("n_vecs") / F.col("__tot"), 6).alias("share"),
         F.round(F.col("n_vecs") * F.lit(k) / F.col("__tot"), 6).alias("skew"),
     )
+
+
+def knn_mutual_graph(
+    knn_graph: DataFrame,
+) -> DataFrame:
+    """MUTUAL k-NN edge filter over a (vec_id, neighbor_id, rank,
+    cosine) graph: keep the undirected edge {a, b} only when a lists b
+    AND b lists a. Directed k-NN edges are asymmetric — a point on a
+    cluster's rim lists the cluster core, but the core's k slots fill
+    with other core points — and that asymmetry is exactly what hubness
+    looks like in high dimensions: hub points appear in everyone's
+    lists while listing only each other. Mutuality is the standard
+    cheap de-hubbing step before graph clustering or kNN-graph dedup
+    (e.g. mutual-kNN clustering, UMAP's symmetrization family): rim→
+    core one-way edges drop, genuinely-close pairs survive.
+
+    Output: (vec_id, neighbor_id, cosine, rank_fwd, rank_rev) with
+    vec_id < neighbor_id, one row per surviving undirected edge;
+    rank_fwd = b's rank in a's list, rank_rev = a's rank in b's.
+
+    Scale shape: one self-join of the k-bounded edge list on the
+    reversed (vec_id, neighbor_id) key — both sides are exactly
+    k x |corpus| rows carrying (two ids, int, double); the corpus and
+    its vectors are never touched again."""
+    fwd = knn_graph.select(
+        "vec_id", "neighbor_id",
+        F.col("rank").alias("rank_fwd"), "cosine",
+    ).filter(F.col("vec_id") < F.col("neighbor_id"))
+    rev = knn_graph.select(
+        F.col("neighbor_id").alias("vec_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("rank").alias("rank_rev"),
+    ).filter(F.col("vec_id") < F.col("neighbor_id"))
+    return fwd.join(rev, ["vec_id", "neighbor_id"]).select(
+        "vec_id", "neighbor_id", "cosine", "rank_fwd", "rank_rev"
+    )

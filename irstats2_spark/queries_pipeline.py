@@ -4842,6 +4842,32 @@ def similarity_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "similarity_knn_mutual_graph",
+    f"""
+    WITH {_KNN_IVF_SQL}
+    SELECT a.vec_id, a.neighbor_id, a.cosine,
+           a.rank AS rank_fwd, b.rank AS rank_rev
+    FROM knng a
+    JOIN knng b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+    WHERE a.vec_id < a.neighbor_id
+    """,
+    doc="mutual k-NN edges: keep {a,b} only when a lists b AND b lists "
+    "a — the standard de-hubbing symmetrization before kNN-graph "
+    "clustering/dedup (rim->core one-way edges drop); one self-join of "
+    "the k-bounded edge list, vectors never touched again",
+)
+def similarity_knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import knn_graph_ivf, knn_mutual_graph
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    return knn_mutual_graph(knn_graph_ivf(emb, cents, k=5))
+
+
+@register(
     "similarity_ivf_balance_audit",
     f"""
     WITH {_KNN_IVF_SQL},

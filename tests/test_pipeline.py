@@ -3282,3 +3282,31 @@ def test_split_leakage_safe_keeps_neardups_together(spark):
     eq = {r.doc_id: r.split
           for r in split_assign_leakage_safe(docs, empty).collect()}
     assert eq == {d: plain[d].split for d in range(60)}
+
+
+def test_knn_mutual_graph_symmetrizes(spark):
+    """knn_mutual_graph on a hand-built directed graph: one-way edges
+    drop, mutual edges emit exactly once with vec_id < neighbor_id and
+    both ranks preserved."""
+    from irstats2_spark.pipeline.similarity import knn_mutual_graph
+
+    g = spark.createDataFrame(
+        [
+            # mutual pair (1,2)
+            (1, 2, 1, 0.9),
+            (2, 1, 2, 0.9),
+            # hub: 3 lists 1, but 1 does not list 3
+            (3, 1, 1, 0.8),
+            # mutual pair (3,4) listed in both directions
+            (3, 4, 2, 0.7),
+            (4, 3, 1, 0.7),
+            # dangling one-way
+            (5, 2, 1, 0.6),
+        ],
+        "vec_id long, neighbor_id long, rank int, cosine double",
+    )
+    out = sorted(
+        (r.vec_id, r.neighbor_id, r.rank_fwd, r.rank_rev, r.cosine)
+        for r in knn_mutual_graph(g).collect()
+    )
+    assert out == [(1, 2, 1, 2, 0.9), (3, 4, 2, 1, 0.7)]
