@@ -1479,3 +1479,64 @@ def ccnet_perplexity_buckets(
         "bucket",
         tier.alias("tier"),
     )
+
+
+def vocab_coverage_curve(
+    docs: DataFrame,
+    ks: tuple[int, ...] = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024),
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocab size k, the
+    fraction of all token OCCURRENCES covered by the k most frequent
+    types — the sizing audit behind every bounded-vocab decision
+    (``vocab_encode``'s OOV rate at size k is exactly 1 - share(k)).
+    Token frequencies are Zipfian, so the curve bends hard; reading the
+    knee off this table replaces guessing the vocab size.
+
+    Output: (k, n_types, covered_occurrences, total_occurrences,
+    share) — n_types < k when the corpus has fewer types than k; ties
+    at the boundary break (count DESC, token ASC) like ``vocab_encode``
+    so the curve is engine-exact.
+
+    Scale shape: one groupBy builds type counts (shuffles (token,
+    long)); only the top max(ks) types matter for every cut, so the
+    ranked side is a TakeOrdered broadcast of <= max(ks) rows — there
+    is NO global sort of the vocabulary and NO single-partition window;
+    the k-cut join and the total are broadcasts."""
+    from pyspark.sql import Window
+
+    mk = max(ks)
+    spark = docs.sparkSession
+    counts = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    total = counts.agg(F.sum("__c").alias("__t"))
+    top = counts.orderBy(F.col("__c").desc(), F.col("token").asc()).limit(mk)
+    # the window runs over the <= max(ks)-row TakeOrdered result only
+    ranked = top.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.orderBy(F.col("__c").desc(), F.col("token").asc())
+        ),
+    )
+    ks_df = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    return (
+        ks_df.join(F.broadcast(ranked), F.col("__r") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            F.sum("__c").cast("long").alias("covered_occurrences"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n_types",
+            "covered_occurrences",
+            F.col("__t").cast("long").alias("total_occurrences"),
+            F.round(F.col("covered_occurrences") / F.col("__t"), 6).alias(
+                "share"
+            ),
+        )
+    )

@@ -4780,6 +4780,41 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_encode(load_table(spark, "documents", sf_dir), vocab_size=16)
 
 
+@register(
+    "text_vocab_coverage_curve",
+    f"""
+    WITH vct AS (
+        SELECT unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> length(x) > 0)) AS token
+        FROM documents
+    ),
+    vcc AS (SELECT token, COUNT(*) AS c FROM vct GROUP BY 1),
+    vctot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM vcc),
+    vcr AS (
+        SELECT token, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r
+        FROM vcc
+    ),
+    vck AS (SELECT unnest([1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024]) AS k)
+    SELECT CAST(k.k AS INT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(v.c) AS BIGINT) AS covered_occurrences,
+           MAX(t.t) AS total_occurrences,
+           ROUND(CAST(SUM(v.c) AS DOUBLE) / MAX(t.t), 6) AS share
+    FROM vck k JOIN vcr v ON v.r <= k.k CROSS JOIN vctot t
+    GROUP BY k.k
+    """,
+    doc="vocabulary coverage curve: occurrence share of the top-k types "
+    "for k in 1..1024 — the vocab-sizing audit (OOV rate at size k = "
+    "1 - share); only the top max(k) types are ranked (TakeOrdered "
+    "broadcast), no global vocab sort, ties (count DESC, token ASC)",
+)
+def text_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import vocab_coverage_curve
+
+    return vocab_coverage_curve(load_table(spark, "documents", sf_dir))
+
+
 # Shared k-NN-graph-under-IVF fragment (ends in CTE ``knng(vec_id,
 # neighbor_id, rank, cosine)`` plus ``cents``/``kassign`` for reuse) —
 # mirrors similarity.knn_graph_ivf with centroids = vec_id < 4.

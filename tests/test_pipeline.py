@@ -3310,3 +3310,33 @@ def test_knn_mutual_graph_symmetrizes(spark):
         for r in knn_mutual_graph(g).collect()
     )
     assert out == [(1, 2, 1, 2, 0.9), (3, 4, 2, 1, 0.7)]
+
+
+def test_vocab_coverage_curve_exact(spark):
+    """vocab_coverage_curve vs a python Counter on a corpus with known
+    Zipf-ish counts, boundary ties, and ks larger than the vocab."""
+    from collections import Counter
+
+    from irstats2_spark.pipeline.textstats import vocab_coverage_curve
+
+    rows = [
+        (0, "a a a a b b b c c d"),
+        (1, "a b c d e f"),
+        (2, "b b a e e e"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cnt = Counter(" ".join(t for _, t in rows).split())
+    order = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+
+    ks = (1, 2, 3, 4, 100)
+    out = {r.k: r for r in vocab_coverage_curve(docs, ks=ks).collect()}
+    assert set(out) == set(ks)
+    for k in ks:
+        topk = order[:k]
+        r = out[k]
+        assert r.n_types == len(topk)
+        assert r.covered_occurrences == sum(c for _, c in topk)
+        assert r.total_occurrences == total
+        assert abs(r.share - sum(c for _, c in topk) / total) < 1e-6
+    assert out[100].share == 1.0
