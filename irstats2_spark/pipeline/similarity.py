@@ -1030,3 +1030,62 @@ def knn_mutual_graph(
     return fwd.join(rev, ["vec_id", "neighbor_id"]).select(
         "vec_id", "neighbor_id", "cosine", "rank_fwd", "rank_rev"
     )
+
+
+def ivf_probe_sweep_audit(
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    probes: tuple[int, ...] = (1, 2, 3, 4),
+    k: int = 5,
+) -> DataFrame:
+    """Recall-vs-probes SWEEP: recall@k of multi-probe IVF against the
+    exact brute-force baseline, one row PER PROBE COUNT — the tuning
+    curve behind the n_probe knob (the fixed-probe ``recall audit``
+    answers "is p good enough"; the sweep answers "which p"). Completes
+    the index-health triad's tuning loop: balance says whether cells
+    are usable, recall says whether one setting works, the sweep shows
+    where the recall/latency curve flattens so p is chosen, not
+    guessed.
+
+    Output: (n_probes, n_exact, n_hit, recall_at_k) aggregated over all
+    queries; n_exact = k x |queries| by construction, monotone
+    non-decreasing n_hit in n_probes (more probes only ADD candidates).
+
+    Scale shape: each branch is ``ivf_topk``'s broadcast-probe join
+    (corpus never shuffled); the brute-force truth and the corpus
+    assignment are IDENTICAL subplans across branches, which Spark
+    dedups via ReusedExchange — the corpus is scanned once, not
+    len(probes)+1 times. The final union is len(probes) rows."""
+    from functools import reduce
+
+    bf = brute_force_topk(embeddings, queries, k=k).select(
+        "query_id", "vec_id"
+    )
+    assigned = ivf_assign(embeddings, centroids)
+    branches = []
+    for p in probes:
+        qa = ivf_probe_assign(queries, centroids, n_probe=p)
+        approx = ivf_topk(assigned, qa, k=k).select("query_id", "vec_id")
+        joined = bf.alias("b").join(
+            approx.alias("i"),
+            (F.col("b.query_id") == F.col("i.query_id"))
+            & (F.col("b.vec_id") == F.col("i.vec_id")),
+            "left",
+        )
+        branches.append(
+            joined.agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.sum(
+                    F.when(F.col("i.vec_id").isNotNull(), 1).otherwise(0)
+                ).cast("long").alias("n_hit"),
+            ).select(
+                F.lit(p).cast("int").alias("n_probes"),
+                "n_exact",
+                "n_hit",
+                F.round(F.col("n_hit") / F.col("n_exact"), 6).alias(
+                    f"recall_at_{k}"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), branches)

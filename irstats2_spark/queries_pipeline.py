@@ -4934,6 +4934,89 @@ def similarity_ivf_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_balance_audit(emb, cents)
 
 
+def _probe_sweep_branch(p: int) -> str:
+    return f"""
+    SELECT CAST({p} AS INT) AS n_probes,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(CAST(SUM(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall_at_5
+    FROM psw_bf b LEFT JOIN (
+        SELECT query_id, vec_id FROM (
+            SELECT qa.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY qa.query_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'q.qv')}, 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings e
+            JOIN psw_assign a ON e.vec_id = a.vec_id
+            JOIN (SELECT query_id, centroid_id FROM psw_probe
+                  WHERE rn <= {p}) qa ON a.centroid_id = qa.centroid_id
+            JOIN psw_q q ON q.query_id = qa.query_id
+        ) WHERE rank <= 5
+    ) i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    """
+
+
+@register(
+    "similarity_ivf_probe_sweep",
+    f"""
+    WITH psw_q AS (
+        SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 3
+    ),
+    psw_bf AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, e.vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'q.qv')}, 6) DESC,
+                                e.vec_id ASC) AS rank
+            FROM embeddings e CROSS JOIN psw_q q
+        ) WHERE rank <= 5
+    ),
+    psw_cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    psw_assign AS (
+        SELECT vec_id, centroid_id FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN psw_cents c
+        ) WHERE rn = 1
+    ),
+    psw_probe AS (
+        SELECT query_id, centroid_id, rn FROM (
+            SELECT q.query_id, c.centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY ROUND({_qcos('q.qv', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM psw_q q CROSS JOIN psw_cents c
+        ) WHERE rn <= 4
+    )
+    {" UNION ALL ".join(_probe_sweep_branch(p) for p in (1, 2, 3, 4))}
+    """,
+    doc="IVF probe-count sweep: recall@5 vs brute force at n_probes in "
+    "1..4, one row per setting — the tuning CURVE behind the n_probe "
+    "knob (n_hit is monotone in probes by construction); brute-force "
+    "truth and corpus assignment are shared subplans (ReusedExchange), "
+    "so the corpus scans once, not five times",
+)
+def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.similarity import ivf_probe_sweep_audit
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_probe_sweep_audit(emb, cents, queries, probes=(1, 2, 3, 4), k=5)
+
+
 @register(
     "pipeline_semdedup_e2e",
     f"""

@@ -3340,3 +3340,37 @@ def test_vocab_coverage_curve_exact(spark):
         assert r.total_occurrences == total
         assert abs(r.share - sum(c for _, c in topk) / total) < 1e-6
     assert out[100].share == 1.0
+
+
+def test_ivf_probe_sweep_monotone_and_full_probe_exact(spark):
+    """ivf_probe_sweep_audit: n_hit is monotone in probes, and probing
+    EVERY cluster makes IVF exhaustive => recall 1.0."""
+    from irstats2_spark.pipeline.similarity import ivf_probe_sweep_audit
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(30)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    out = {
+        r.n_probes: r
+        for r in ivf_probe_sweep_audit(
+            emb, cents, queries, probes=(1, 2, 3), k=4
+        ).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert all(r.n_exact == 2 * 4 for r in out.values())
+    assert out[1].n_hit <= out[2].n_hit <= out[3].n_hit
+    # 3 probes over 3 clusters == exhaustive search == perfect recall
+    assert out[3].n_hit == out[3].n_exact
+    assert out[3].recall_at_4 == 1.0
