@@ -565,3 +565,53 @@ def dup_rate_by_source(
             ).alias("dup_frac"),
         )
     )
+
+
+def shard_compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    shard_col: str = "shard",
+    size_col: str = "n_bytes",
+) -> DataFrame:
+    """Small-file COMPACTION plan over a shard manifest: assign
+    consecutive shards to output files by cumulative size, one plan row
+    per input shard — the maintenance step every long-lived parquet
+    corpus needs (ingest batches and per-source shards leave files far
+    under the efficient scan size; thousands of small files turn a
+    100 TB scan into a metadata stampede). Same job as Delta/Iceberg
+    OPTIMIZE's bin packing, expressed engine-exactly: file id =
+    floor(cum_bytes_before / target_bytes) over shards in shard order,
+    so a file closes as soon as the running total crosses the next
+    target boundary. Deterministic (integer bytes, stable shard order);
+    a shard larger than ``target_bytes`` gets a file to itself (its
+    successor's cum_before crosses the boundary) rather than splitting
+    — compaction merges, the SPLIT decision belongs to the writer.
+
+    Output: manifest columns + (target_file, file_bytes,
+    n_shards_in_file) — ready to drive a merge-rewrite job that reads
+    each target_file's shard group and writes one file.
+
+    Scale shape: the manifest is shard-count-sized BY CONSTRUCTION
+    (thousands of rows for a 100 TB corpus, not corpus-sized), so the
+    ordered cumulative window runs over a table that fits one task; the
+    corpus itself is never touched — the plan is metadata-only."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.orderBy(F.col(shard_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = manifest.withColumn(
+        "target_file",
+        F.floor(
+            F.coalesce(F.sum(size_col).over(w), F.lit(0))
+            / F.lit(int(target_bytes))
+        ).cast("int"),
+    )
+    wf = Window.partitionBy("target_file")
+    return planned.select(
+        *manifest.columns,
+        "target_file",
+        F.sum(size_col).over(wf).cast("long").alias("file_bytes"),
+        F.count(F.lit(1)).over(wf).cast("long").alias("n_shards_in_file"),
+    )

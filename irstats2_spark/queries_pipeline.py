@@ -4141,6 +4141,50 @@ def corpus_shard_manifest_hierarchical(
     )
 
 
+@register(
+    "corpus_compaction_plan",
+    f"""
+    WITH cp_manifest AS (
+        SELECT CAST({_bucket_sql("shard:", buckets=8)} AS INT) AS shard,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS n_bytes
+        FROM documents GROUP BY 1
+    ),
+    cp_plan AS (
+        SELECT shard, n_docs, n_bytes,
+               CAST(FLOOR(COALESCE(SUM(n_bytes) OVER (ORDER BY shard ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / 40000.0) AS INT) AS target_file
+        FROM cp_manifest
+    )
+    SELECT shard, n_docs, n_bytes, target_file,
+           CAST(SUM(n_bytes) OVER (PARTITION BY target_file) AS BIGINT)
+               AS file_bytes,
+           CAST(COUNT(*) OVER (PARTITION BY target_file) AS BIGINT)
+               AS n_shards_in_file
+    FROM cp_plan
+    """,
+    doc="small-file compaction plan (Delta/Iceberg OPTIMIZE's bin-pack, "
+    "engine-exact): file id = floor(cumulative bytes before / target) "
+    "over shards in shard order — metadata-only, the corpus is never "
+    "read; the plan drives a merge-rewrite of each target_file group",
+)
+def corpus_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import shard_compaction_plan
+    from irstats2_spark.pipeline.sampling import hash_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    manifest = docs.groupBy(
+        hash_bucket(F.col("doc_id"), 8, "shard:").cast("int").alias("shard")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("n_bytes"),
+    )
+    # target 40 kB vs ~19 kB/shard at sf0.01 => multi-shard files AND
+    # multi-file output, so both grouping directions are exercised
+    return shard_compaction_plan(manifest, target_bytes=40_000)
+
+
 # Shared chunking fragment (ends in CTE ``cchunks(doc_id, j, chunk)`` of
 # non-overlapping 16-token chunks, empty docs contributing no rows) —
 # mirrors ``textstats.fixed_chunk_array`` for the cross-doc chunk family.

@@ -3374,3 +3374,34 @@ def test_ivf_probe_sweep_monotone_and_full_probe_exact(spark):
     # 3 probes over 3 clusters == exhaustive search == perfect recall
     assert out[3].n_hit == out[3].n_exact
     assert out[3].recall_at_4 == 1.0
+
+
+def test_shard_compaction_plan_bin_packing(spark):
+    """shard_compaction_plan on hand-built manifests: sequential fill
+    closes a file when the running total crosses the target, oversized
+    shards get their own file, and file stats are consistent."""
+    from irstats2_spark.pipeline.curate import shard_compaction_plan
+
+    manifest = spark.createDataFrame(
+        [(0, 30), (1, 30), (2, 30), (3, 200), (4, 10), (5, 10)],
+        "shard int, n_bytes long",
+    )
+    out = {r.shard: r for r in
+           shard_compaction_plan(manifest, target_bytes=100).collect()}
+    # cum_before: 0,30,60,90,290,300 -> files 0,0,0,0,2,3
+    assert [out[s].target_file for s in range(6)] == [0, 0, 0, 0, 2, 3]
+    # the oversized shard 3 shares file 0's id but forces the next shard
+    # into a fresh file; file totals/counts aggregate per file id
+    assert out[0].file_bytes == 290 and out[0].n_shards_in_file == 4
+    assert out[4].file_bytes == 10 and out[4].n_shards_in_file == 1
+    assert sum(r.n_bytes for r in out.values()) == sum(
+        {r.target_file: r.file_bytes for r in out.values()}.values()
+    )
+
+    # exact-boundary fill: totals hitting the target exactly roll over
+    even = spark.createDataFrame(
+        [(i, 50) for i in range(4)], "shard int, n_bytes long"
+    )
+    got = {r.shard: r.target_file for r in
+           shard_compaction_plan(even, target_bytes=100).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 1}
