@@ -1737,3 +1737,56 @@ def edit_distance_dups(
             F.round(dist / glen, 6).alias("edit_norm"),
         )
     )
+
+
+def edit_distance_incremental(
+    new_docs: DataFrame,
+    old_sigs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_norm: float = 0.3,
+) -> DataFrame:
+    """Incremental edit-distance near-dup: the NEW batch against the
+    corpus, candidates mined from the two-int SIGNATURE snapshot
+    (``simhash_hamming_incremental``), Levenshtein-verified like
+    ``edit_distance_dups``. The snapshot keeps candidate MINING off the
+    historical text entirely; only docs that actually banded with a new
+    doc hydrate their text from the corpus store (``old_docs``) — a
+    candidate-pair-sized id lookup, not a history re-read. Output:
+    (old_id, new_id, hamming, edit_distance, edit_norm) cross pairs
+    under the same integer-exact normalized cut as the batch miner; run
+    ``edit_distance_dups`` on the batch alongside for new-vs-new.
+
+    Scale shape: mining inherits the incremental band join (snapshot
+    storable bucketed by (band, key)); the old-text hydration join is
+    keyed by id with a candidate-sized probe side — when the corpus
+    store is id-bucketed (``sources/storage.py``) it plans without a
+    corpus-side exchange; the verify is JVM ``levenshtein`` on
+    candidate pairs only."""
+    cand = simhash_hamming_incremental(
+        new_docs, old_sigs, text_col, id_col, bands, max_hamming
+    )
+    o = old_docs.select(
+        F.col(id_col).alias("old_id"), F.col(text_col).alias("__to")
+    )
+    n = new_docs.select(
+        F.col(id_col).alias("new_id"), F.col(text_col).alias("__tn")
+    )
+    dist = F.levenshtein("__to", "__tn")
+    glen = F.greatest(F.length("__to"), F.length("__tn"))
+    max_norm_micros = int(max_norm * 1_000_000)
+    return (
+        cand.join(o, "old_id")
+        .join(n, "new_id")
+        .filter(dist.cast("long") * 1_000_000 <= F.lit(max_norm_micros) * glen)
+        .select(
+            "old_id",
+            "new_id",
+            "hamming",
+            dist.cast("int").alias("edit_distance"),
+            F.round(dist / glen, 6).alias("edit_norm"),
+        )
+    )

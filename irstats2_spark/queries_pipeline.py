@@ -5272,6 +5272,48 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_edit_distance_incremental",
+    f"""
+    WITH {_simhash64_cte()},
+    edi_cand AS (
+        SELECT a.doc_id AS old_id, b.doc_id AS new_id,
+               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
+                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
+        FROM sigs64 a JOIN sigs64 b
+          ON a.doc_id < 250 AND b.doc_id >= 250
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    )
+    SELECT old_id, new_id, hamming,
+           CAST(d AS INT) AS edit_distance,
+           ROUND(CAST(d AS DOUBLE) / glen, 6) AS edit_norm
+    FROM (
+        SELECT c.old_id, c.new_id, c.hamming,
+               levenshtein(da.text, db.text) AS d,
+               GREATEST(length(da.text), length(db.text)) AS glen
+        FROM edi_cand c
+        JOIN documents da ON c.old_id = da.doc_id
+        JOIN documents db ON c.new_id = db.doc_id
+    ) WHERE d * 1000000 <= 300000 * glen
+    """,
+    doc="incremental edit-distance near-dup: new batch bands against the "
+    "two-int signature snapshot (history text untouched for MINING), "
+    "then only actual candidates hydrate old text for the JVM "
+    "Levenshtein verify under the batch miner's integer-exact cut",
+)
+def dedup_edit_distance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import (
+        edit_distance_incremental,
+        simhash64,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = docs.filter(F.col("doc_id") < 250)
+    new = docs.filter(F.col("doc_id") >= 250)
+    return edit_distance_incremental(new, simhash64(old), old)
+
+
+@register(
     "pack_efficiency_audit",
     f"""
     WITH psized AS (

@@ -3405,3 +3405,37 @@ def test_shard_compaction_plan_bin_packing(spark):
     got = {r.shard: r.target_file for r in
            shard_compaction_plan(even, target_bytes=100).collect()}
     assert got == {0: 0, 1: 0, 2: 1, 3: 1}
+
+
+def test_edit_distance_incremental_matches_batch_cross_pairs(spark):
+    """edit_distance_incremental == the cross-(old,new) subset of the
+    full batch miner on old ∪ new, for the same bands/thresholds."""
+    from irstats2_spark.pipeline.dedup import (
+        edit_distance_dups,
+        edit_distance_incremental,
+        simhash64,
+    )
+
+    base = " ".join(f"tok{i} word{i} common{i % 7}" for i in range(40))
+    rows = [
+        (0, base),
+        (1, " ".join(f"zzz{i} qqq{i}" for i in range(30))),
+        # new batch: a near-copy of an OLD doc and an unrelated doc
+        (10, base.replace("tok5", "tok5x")),
+        (11, " ".join(f"mmm{i} nnn{i}" for i in range(30))),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    old = docs.filter(F.col("doc_id") < 10)
+    new = docs.filter(F.col("doc_id") >= 10)
+
+    inc = sorted(
+        (r.old_id, r.new_id, r.hamming, r.edit_distance, r.edit_norm)
+        for r in edit_distance_incremental(new, simhash64(old), old).collect()
+    )
+    full = sorted(
+        (r.doc_a, r.doc_b, r.hamming, r.edit_distance, r.edit_norm)
+        for r in edit_distance_dups(docs).collect()
+        if r.doc_a < 10 <= r.doc_b
+    )
+    assert inc == full and len(inc) == 1
+    assert inc[0][:2] == (0, 10)
