@@ -102,6 +102,51 @@ def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '_ALL_') AS o_orderstatus,
+           COALESCE(o_orderpriority, '_ALL_') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS INT) AS lvl,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderpriority), ())
+    """,
+    doc="GROUPING SETS — the asymmetric marginal list neither ROLLUP nor "
+    "CUBE expresses ((status, priority), (priority), ()): the detail "
+    "grid, one chosen marginal, and the grand total in ONE pass "
+    "(completes the multi-grain aggregation family)",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    grouped = orders.groupingSets(
+        [
+            [F.col("o_orderstatus"), F.col("o_orderpriority")],
+            [F.col("o_orderpriority")],
+            [],
+        ],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("lvl"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return grouped.select(
+        F.coalesce("o_orderstatus", F.lit("_ALL_")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("_ALL_")).alias("o_orderpriority"),
+        "lvl",
+        "sum_price",
+        "n_orders",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Distinct aggregate — daily unique visitors. The reference counts rows,
 # never distinct entities; unique-visitor counting is the first question a
