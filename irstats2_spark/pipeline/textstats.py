@@ -1540,3 +1540,42 @@ def vocab_coverage_curve(
             ),
         )
     )
+
+
+def lang_confusion_audit(
+    docs: DataFrame,
+    label_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Language-ID CONFUSION MATRIX against the corpus's labeled
+    language: one row per (labeled, detected) cell with the doc count
+    and the within-label share (the diagonal's share = per-language
+    recall). Every classifier in the curation stack ships with an
+    accuracy audit before its output becomes a filter key — this is
+    ``lang_id``'s: it turns "the heuristic looks right" into a number
+    per language, and off-diagonal hot cells name exactly which marker
+    lists need work (e.g. es/fr sharing 'la'/'de' markers).
+
+    Scale shape: the detector is the same zero-shuffle token map as
+    ``lang_id``; the rollup is one groupBy over a key domain of
+    |langs|^2 cells, and the within-label totals ride a broadcast of
+    |langs| rows — nothing corpus-sized shuffles."""
+    detected = docs.select(
+        F.col(label_col).alias("labeled_lang"),
+        lang_id_from_tokens(
+            F.array_distinct(tokens(F.col(text_col)))
+        ).alias("detected_lang"),
+    )
+    cells = detected.groupBy("labeled_lang", "detected_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    totals = cells.groupBy("labeled_lang").agg(
+        F.sum("n_docs").alias("__lt")
+    )
+    return cells.join(F.broadcast(totals), "labeled_lang").select(
+        "labeled_lang",
+        "detected_lang",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__lt"), 6).alias("label_share"),
+        (F.col("labeled_lang") == F.col("detected_lang")).alias("is_correct"),
+    )

@@ -833,6 +833,56 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_lang_confusion_audit",
+    """
+    WITH lct AS (
+        SELECT doc_id, lang,
+               list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')), ' ')) AS toks
+        FROM documents
+    ),
+    lch AS (
+        SELECT doc_id, lang,
+          len(list_filter(toks, w -> w IN ('the','and','of','to','in','is','a'))) AS h_en,
+          len(list_filter(toks, w -> w IN ('der','die','das','und','nicht','ist'))) AS h_de,
+          len(list_filter(toks, w -> w IN ('el','la','de','que','los','una'))) AS h_es,
+          len(list_filter(toks, w -> w IN ('le','la','les','des','est','une'))) AS h_fr
+        FROM lct
+    ),
+    lcd AS (
+        SELECT lang AS labeled_lang,
+               CASE WHEN GREATEST(h_en, h_de, h_es, h_fr) = 0 THEN 'und'
+                    WHEN h_de > h_en AND h_de > h_es AND h_de > h_fr THEN 'de'
+                    WHEN h_es > h_en AND h_es > h_fr AND h_es >= h_de THEN 'es'
+                    WHEN h_fr > h_en AND h_fr >= h_de AND h_fr >= h_es THEN 'fr'
+                    ELSE 'en' END AS detected_lang
+        FROM lch
+    ),
+    lcc AS (
+        SELECT labeled_lang, detected_lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM lcd GROUP BY 1, 2
+    )
+    SELECT labeled_lang, detected_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) /
+                 SUM(n_docs) OVER (PARTITION BY labeled_lang), 6)
+               AS label_share,
+           labeled_lang = detected_lang AS is_correct
+    FROM lcc
+    """,
+    doc="language-ID confusion matrix vs the labeled language: per "
+    "(labeled, detected) cell counts and within-label share (diagonal "
+    "= per-language recall) — the accuracy audit that must exist "
+    "before a classifier's output becomes a filter key; |langs|^2 "
+    "rollup, nothing corpus-sized shuffles",
+)
+def text_lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import lang_confusion_audit
+
+    return lang_confusion_audit(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id,

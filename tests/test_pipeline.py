@@ -3439,3 +3439,30 @@ def test_edit_distance_incremental_matches_batch_cross_pairs(spark):
     )
     assert inc == full and len(inc) == 1
     assert inc[0][:2] == (0, 10)
+
+
+def test_lang_confusion_audit_cells(spark):
+    """lang_confusion_audit on a corpus with known detector outcomes:
+    correct en/de cells, one engineered es->fr confusion, shares sum to
+    1 per label, diagonal flagged is_correct."""
+    from irstats2_spark.pipeline.textstats import lang_confusion_audit
+
+    rows = [
+        (0, "en", "the cat and the dog of a house"),
+        (1, "en", "to be in the garden is a joy"),
+        (2, "de", "der hund und die katze ist nicht da"),
+        # 'le'/'les'/'est'/'une' outvote the es markers => detected fr
+        (3, "es", "le les est une la"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = {(r.labeled_lang, r.detected_lang): r
+           for r in lang_confusion_audit(docs).collect()}
+    assert out[("en", "en")].n_docs == 2
+    assert out[("en", "en")].label_share == 1.0
+    assert out[("en", "en")].is_correct
+    assert out[("de", "de")].n_docs == 1
+    cell = out[("es", "fr")]
+    assert cell.n_docs == 1 and not cell.is_correct
+    for label in ("en", "de", "es"):
+        assert abs(sum(r.label_share for k, r in out.items()
+                       if k[0] == label) - 1.0) < 1e-6
