@@ -746,3 +746,38 @@ def split_assign_leakage_safe(
         hash_bucket(F.col("cluster_rep"), buckets, salt).alias("bucket"),
         "split",
     )
+
+
+def temperature_sweep_rates(
+    df: DataFrame,
+    strata_col: str,
+    alphas: tuple[float, ...] = (0.25, 0.5, 0.75, 1.0),
+    target_total: float = 100.0,
+) -> DataFrame:
+    """Temperature SWEEP: ``temperature_mix_rates`` at several alphas in
+    one result, one row per (alpha, stratum) — the tuning table behind
+    the temperature knob (the probe-sweep analog for data mixing). At
+    alpha=1 rates are uniform across strata (proportional sampling,
+    big sources dominate); lowering alpha shifts budget toward small
+    strata until the rate cap bites. Reading where head-stratum rates
+    collapse and tail-stratum rates saturate picks alpha from evidence,
+    not folklore.
+
+    Output: (alpha, stratum, n_docs, rate) with alpha echoed as a
+    column. expected_docs = n_docs * rate recovers the budget split.
+
+    Scale shape: every branch shares the identical per-stratum count
+    subplan (ReusedExchange — the corpus aggregates once, not
+    len(alphas) times); each branch adds only a strata-sized map +
+    1-row normalizer; the union is |alphas| x |strata| rows."""
+    from functools import reduce
+
+    branches = [
+        temperature_mix_rates(
+            df, strata_col, alpha=a, target_total=target_total
+        ).select(
+            F.lit(float(a)).alias("alpha"), "stratum", "n_docs", "rate"
+        )
+        for a in alphas
+    ]
+    return reduce(lambda a, b: a.unionByName(b), branches)

@@ -3225,6 +3225,50 @@ def mix_by_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def _temp_sweep_branch(alpha: float) -> str:
+    return f"""
+    SELECT CAST({alpha} AS DOUBLE) AS alpha, source AS stratum,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           FLOOR(LEAST(1.0, (100.0 * tq) / (CAST(zq AS DOUBLE) * n_docs))
+                 * 1e6 + 0.5) / 1e6 AS rate
+    FROM (
+        SELECT source, n_docs,
+               CAST(FLOOR(1e6 * POWER(CAST(n_docs AS DOUBLE), {alpha}) + 0.5)
+                    AS BIGINT) AS tq
+        FROM tsw_counts
+    ) t CROSS JOIN (
+        SELECT SUM(CAST(FLOOR(1e6 * POWER(CAST(n_docs AS DOUBLE), {alpha})
+                              + 0.5) AS BIGINT)) AS zq
+        FROM tsw_counts
+    ) z
+    """
+
+
+@register(
+    "mix_temperature_sweep",
+    f"""
+    WITH tsw_counts AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+    )
+    {" UNION ALL ".join(_temp_sweep_branch(a) for a in (0.25, 0.5, 0.75, 1.0))}
+    """,
+    doc="temperature sweep: per-source sampling rates at alpha in "
+    "{{0.25, 0.5, 0.75, 1.0}} in one table — the tuning curve behind "
+    "the mixing temperature (at alpha=1 rates are uniform; lower alpha "
+    "shifts budget to small sources until the cap bites); the stratum "
+    "count subplan is shared across branches (ReusedExchange)",
+)
+def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import temperature_sweep_rates
+
+    return temperature_sweep_rates(
+        load_table(spark, "documents", sf_dir),
+        "source",
+        alphas=(0.25, 0.5, 0.75, 1.0),
+        target_total=100.0,
+    )
+
+
 @register(
     "mix_by_temperature_tokens",
     f"""

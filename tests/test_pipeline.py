@@ -3466,3 +3466,41 @@ def test_lang_confusion_audit_cells(spark):
     for label in ("en", "de", "es"):
         assert abs(sum(r.label_share for k, r in out.items()
                        if k[0] == label) - 1.0) < 1e-6
+
+
+def test_temperature_sweep_limits_and_consistency(spark):
+    """temperature_sweep_rates: each alpha's branch equals a direct
+    temperature_mix_rates call; at alpha=1 every stratum's expected
+    doc count (n * rate) is proportional to n (uniform rate) and sums
+    to the target when no cap bites."""
+    from irstats2_spark.pipeline.sampling import (
+        temperature_mix_rates,
+        temperature_sweep_rates,
+    )
+
+    rows = [(i, "big") for i in range(400)] + [
+        (1000 + i, "small") for i in range(100)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    sweep = temperature_sweep_rates(
+        docs, "source", alphas=(0.5, 1.0), target_total=50.0
+    ).collect()
+    got = {(r.alpha, r.stratum): r for r in sweep}
+    assert len(got) == 4
+
+    for a in (0.5, 1.0):
+        direct = {
+            r.stratum: r.rate
+            for r in temperature_mix_rates(
+                docs, "source", alpha=a, target_total=50.0
+            ).collect()
+        }
+        for s in ("big", "small"):
+            assert got[(a, s)].rate == direct[s]
+
+    # alpha=1: p ∝ n  =>  identical keep-rate everywhere, total = 50
+    r1 = got[(1.0, "big")].rate
+    assert abs(got[(1.0, "small")].rate - r1) < 1e-6
+    assert abs(400 * r1 + 100 * got[(1.0, "small")].rate - 50.0) < 0.01
+    # alpha<1 up-weights the small stratum
+    assert got[(0.5, "small")].rate > got[(0.5, "big")].rate
