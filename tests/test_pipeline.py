@@ -3504,3 +3504,56 @@ def test_temperature_sweep_limits_and_consistency(spark):
     assert abs(400 * r1 + 100 * got[(1.0, "small")].rate - 50.0) < 0.01
     # alpha<1 up-weights the small stratum
     assert got[(0.5, "small")].rate > got[(0.5, "big")].rate
+
+
+def _ref_levenshtein(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=30),
+        min_size=2,
+        max_size=5,
+    ),
+)
+def test_edit_distance_dups_match_python_dp(spark, docs):
+    """Every pair edit_distance_dups returns carries the TRUE DP
+    Levenshtein distance and respects the integer-exact norm cut; an
+    injected repeat of doc 0 (same token SET, one token doubled — the
+    signature is set-based, so every band collides) is always found,
+    with the DP distance of the actual string edit."""
+    from irstats2_spark.pipeline.dedup import edit_distance_dups
+
+    # repeat an existing token: token SET unchanged => identical
+    # signature => guaranteed candidate; string edit distance > 0
+    near = list(docs[0]) + [docs[0][0]]
+    rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+    copy_id = len(docs)
+    rows.append((copy_id, " ".join(near)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    texts = dict(rows)
+
+    out = edit_distance_dups(df, max_norm=1.0, max_hamming=6).collect()
+    seen = set()
+    for r in out:
+        want = _ref_levenshtein(texts[r.doc_a], texts[r.doc_b])
+        assert r.edit_distance == want, (r.doc_a, r.doc_b)
+        glen = max(len(texts[r.doc_a]), len(texts[r.doc_b]))
+        assert abs(r.edit_norm - want / glen) < 1e-6
+        seen.add((r.doc_a, r.doc_b))
+    assert (0, copy_id) in seen
+    assert any(
+        r.edit_distance == len(docs[0][0]) + 1
+        for r in out
+        if (r.doc_a, r.doc_b) == (0, copy_id)
+    )
