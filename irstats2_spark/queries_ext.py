@@ -633,3 +633,70 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+    WITH rc_first AS (
+        SELECT user_id,
+               CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                    MIN(CAST(ts AS DATE))) / 7) AS INT)
+                   AS cohort_week
+        FROM events GROUP BY 1
+    ),
+    rc_activity AS (
+        SELECT DISTINCT user_id,
+               CAST(FLOOR(date_diff('day', DATE '2024-01-01',
+                                    CAST(ts AS DATE)) / 7) AS INT) AS week
+        FROM events
+    ),
+    rc_size AS (
+        SELECT cohort_week, COUNT(*) AS cohort_size FROM rc_first GROUP BY 1
+    ),
+    rc_cells AS (
+        SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_users
+        FROM rc_activity a JOIN rc_first f USING (user_id)
+        GROUP BY 1, 2
+    )
+    SELECT c.cohort_week, CAST(c.week_offset AS INT) AS week_offset,
+           CAST(c.n_users AS BIGINT) AS n_users,
+           CAST(s.cohort_size AS BIGINT) AS cohort_size,
+           ROUND(CAST(c.n_users AS DOUBLE) / s.cohort_size, 6) AS retention
+    FROM rc_cells c JOIN rc_size s USING (cohort_week)
+    """,
+    doc="weekly retention cohorts: users grouped by first-event week, "
+    "per (cohort, week-offset) active-user counts and retention share "
+    "— the classic product-analytics matrix (offset 0 = 1.0 by "
+    "construction); two user-keyed aggregations + a cohort-sized join, "
+    "the events table never shuffles twice",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    epoch = F.lit("2024-01-01").cast("date")
+    week = lambda c: F.floor(F.datediff(c, epoch) / 7).cast("int")  # noqa: E731
+    first = events.groupBy("user_id").agg(
+        week(F.min(F.col("ts").cast("date"))).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", week(F.col("ts").cast("date")).alias("week")
+    ).distinct()
+    size = first.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    )
+    return cells.join(F.broadcast(size), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        "cohort_size",
+        F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
+    )

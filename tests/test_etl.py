@@ -266,3 +266,35 @@ def test_context_unknown_field_warned_and_skipped(store, caplog):
         )
     assert "nonsense" in caplog.text
     assert out.columns == ["datestamp", "count"]
+
+
+def test_retention_cohorts_matrix(spark):
+    """events_retention_cohorts semantics on a hand-built event log:
+    cohort = first-event week, offsets count distinct active users,
+    offset 0 is always retention 1.0."""
+    from irstats2_spark.queries_ext import events_retention_cohorts  # noqa: F401
+    from irstats2_spark import catalog
+
+    catalog._ensure_loaded()
+    import pyspark.sql.functions as F  # noqa: F811
+
+    rows = [
+        # user 1: weeks 0 and 1; user 2: week 0 only; user 3: weeks 1, 3
+        (1, "2024-01-01 10:00:00"), (1, "2024-01-09 10:00:00"),
+        (2, "2024-01-02 10:00:00"),
+        (3, "2024-01-10 10:00:00"), (3, "2024-01-24 10:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {(r.cohort_week, r.week_offset): r
+           for r in catalog._REGISTRY["events_retention_cohorts"]
+           .spark(spark, d).collect()}
+    assert out[(0, 0)].n_users == 2 and out[(0, 0)].retention == 1.0
+    assert out[(0, 1)].n_users == 1 and out[(0, 1)].cohort_size == 2
+    assert out[(1, 0)].n_users == 1 and out[(1, 0)].retention == 1.0
+    assert out[(1, 2)].n_users == 1
+    assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 2)}
