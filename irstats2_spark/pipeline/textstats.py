@@ -1579,3 +1579,43 @@ def lang_confusion_audit(
         F.round(F.col("n_docs") / F.col("__lt"), 6).alias("label_share"),
         (F.col("labeled_lang") == F.col("detected_lang")).alias("is_correct"),
     )
+
+
+def quality_calibration_audit(
+    docs: DataFrame,
+    pos_seed: DataFrame,
+    neg_seed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Agreement matrix between the two quality tiers: the LEARNED
+    seed-set classifier (``classifier_vote_scores`` label pos/tie/neg)
+    against the RULE-BASED Gopher gate (``gopher_quality_gate``
+    quality_pass) — one row per (label, quality_pass) cell with counts
+    and within-label share. The signals are built from different
+    evidence (token likelihoods vs surface statistics), so their
+    DISAGREEMENT cells are the actionable output: pos-but-gate-fail
+    docs show where the seed set imports the reference's quirks;
+    neg-but-gate-pass docs are surface-clean text the classifier
+    dislikes — exactly what gets hand-reviewed before a filter ships.
+
+    Scale shape: both inputs are existing zero-/one-shuffle scores;
+    the join is doc-keyed; the rollup's key domain is 3 x 2 cells and
+    within-label totals ride a broadcast — nothing corpus-sized moves
+    after the score maps."""
+    votes = classifier_vote_scores(docs, pos_seed, neg_seed).select(
+        id_col, "label"
+    )
+    gate = gopher_quality_gate(docs).select(id_col, "quality_pass")
+    cells = (
+        votes.join(gate, id_col)
+        .groupBy("label", "quality_pass")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    totals = cells.groupBy("label").agg(F.sum("n_docs").alias("__lt"))
+    return cells.join(F.broadcast(totals), "label").select(
+        "label",
+        "quality_pass",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("__lt"), 6).alias("label_share"),
+    )

@@ -5336,6 +5336,106 @@ def text_gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_quality_calibration_audit",
+    f"""
+    WITH qa_toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+                   string_split({_NORM_SQL}, ' '), w -> length(w) > 0)) AS tok
+        FROM documents
+    ),
+    qa_seed AS (
+        SELECT tok, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+        FROM qa_toks WHERE source IN ('src0', 'src1')
+    ),
+    qa_vocab AS (
+        SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+        FROM qa_seed GROUP BY 1
+    ),
+    qa_totals AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg
+        FROM qa_vocab
+    ),
+    qa_votes AS (
+        SELECT t.doc_id,
+               CASE WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         > COALESCE(v.c_neg, 0) * tt.t_pos THEN 1
+                    WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         < COALESCE(v.c_neg, 0) * tt.t_pos THEN -1
+                    ELSE 0 END AS vote
+        FROM qa_toks t LEFT JOIN qa_vocab v ON t.tok = v.tok
+        CROSS JOIN qa_totals tt
+    ),
+    qa_label AS (
+        SELECT doc_id,
+               CASE WHEN SUM(vote) > 0 THEN 'pos'
+                    WHEN SUM(vote) < 0 THEN 'neg'
+                    ELSE 'tie' END AS label
+        FROM qa_votes GROUP BY 1
+    ),
+    qg_t AS (
+        SELECT doc_id, text,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS w,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    qg_3 AS (
+        SELECT doc_id, COUNT(*) AS t3,
+               COUNT(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS d3
+        FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM qg_t) s
+        WHERE i + 2 <= len(w) GROUP BY 1
+    ),
+    qg_pass AS (
+        SELECT qg_t.doc_id,
+               (NOT (len(w) < 50 OR len(w) > 100000)
+                AND NOT (CASE WHEN len(w) > 0 THEN ROUND(
+                        length(list_aggregate(w, 'string_agg', ''))
+                        * 1.0 / len(w), 6) ELSE 0.0 END < 3.0
+                     OR CASE WHEN len(w) > 0 THEN ROUND(
+                        length(list_aggregate(w, 'string_agg', ''))
+                        * 1.0 / len(w), 6) ELSE 0.0 END > 10.0)
+                AND NOT (CASE WHEN n_chars > 0 THEN ROUND(
+                        (n_chars - length(regexp_replace(text,
+                            '[^a-z0-9\\s]', '', 'g'))) * 1.0 / n_chars, 6)
+                        ELSE 0.0 END > 0.1)
+                AND NOT (len(list_filter(w, x -> x IN
+                        ('the','and','of','to','in','is','a'))) < 2)
+                AND NOT (COALESCE(ROUND((qg_3.t3 - qg_3.d3) * 1.0
+                                        / qg_3.t3, 6), 0.0) > 0.3))
+                   AS quality_pass
+        FROM qg_t LEFT JOIN qg_3 USING (doc_id)
+    ),
+    qa_cells AS (
+        SELECT l.label, g.quality_pass,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM qa_label l JOIN qg_pass g USING (doc_id)
+        GROUP BY 1, 2
+    )
+    SELECT label, quality_pass, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE) /
+                 SUM(n_docs) OVER (PARTITION BY label), 6) AS label_share
+    FROM qa_cells
+    """,
+    doc="quality-tier calibration: agreement matrix between the learned "
+    "seed-set classifier (pos/tie/neg) and the rule-based Gopher gate "
+    "(pass/fail) — the disagreement cells are what gets hand-reviewed "
+    "before a filter ships; 3x2 rollup, nothing corpus-sized moves "
+    "after the score maps",
+)
+def text_quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import quality_calibration_audit
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_calibration_audit(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    )
+
+
+@register(
     "dedup_simhash_incremental",
     f"""
     WITH {_simhash64_cte()}

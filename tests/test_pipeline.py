@@ -3557,3 +3557,34 @@ def test_edit_distance_dups_match_python_dp(spark, docs):
         for r in out
         if (r.doc_a, r.doc_b) == (0, copy_id)
     )
+
+
+def test_quality_calibration_audit_cells(spark):
+    """quality_calibration_audit on a corpus engineered to hit both
+    agreement and disagreement cells; shares sum to 1 per label."""
+    from irstats2_spark.pipeline.textstats import quality_calibration_audit
+
+    # 60 tokens, all trigrams distinct (no repetition fail), stopwords
+    # present, mean token length in-range
+    good = " ".join(f"the word{i} of tree{i}" for i in range(15))
+    rows = [
+        (0, "pos_seed", good + " alpha bravo"),
+        (1, "neg_seed", " ".join(f"junkk{i} blurb{i}" for i in range(30))),
+        # classifier-pos (seed words) AND gate-pass (long, stopwords)
+        (2, "c", good + " delta echo"),
+        # classifier-neg AND gate-fail (short, no stopwords)
+        (3, "c", "junkk1 blurb2"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {(r.label, r.quality_pass): r
+           for r in quality_calibration_audit(
+               docs,
+               docs.filter(F.col("source") == "pos_seed"),
+               docs.filter(F.col("source") == "neg_seed"),
+           ).collect()}
+    # doc 0 and 2 are pos+pass; doc 1 and 3 neg+fail
+    assert out[("pos", True)].n_docs == 2
+    assert out[("neg", False)].n_docs == 2
+    for label in {k[0] for k in out}:
+        assert abs(sum(r.label_share for k, r in out.items()
+                       if k[0] == label) - 1.0) < 1e-6
