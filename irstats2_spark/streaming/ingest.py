@@ -956,3 +956,93 @@ def simhash_doc_stream(
         .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["old_id", "new_id"])
     )
+
+
+def edit_distance_doc_stream(
+    docs: DataFrame,
+    old_sigs: DataFrame,
+    old_docs: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    max_hamming: int = 3,
+    max_norm: float = 0.3,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``dedup.edit_distance_incremental``: flag
+    stream documents whose text is a small EDIT of an accumulated-
+    corpus doc — SimHash banding against the two-int signature snapshot
+    proposes candidates, a stream-static join hydrates the old TEXT for
+    only those candidates, and JVM Levenshtein confirms under the batch
+    miner's integer-exact normalized cut. The sketch streaming tiers
+    (MinHash estimate / SimHash Hamming / winnowing overlap) measure
+    token-set or span overlap; this is the tier that answers "how MUCH
+    changed", at ingest time.
+
+    Output: (old_id, new_id, hamming, edit_distance, edit_norm,
+    ``ts_col``) per flagged cross pair.
+
+    Why this streams stateless: the signature is a per-row expression
+    and both snapshot joins are stream-static (banded sigs, then
+    old-text hydration keyed by old_id — candidate-sized, not
+    corpus-sized, probe traffic); the Levenshtein verify is a row-local
+    expression, so the only state is ``dropDuplicatesWithinWatermark``
+    on (old_id, new_id) — ∝ flagged pairs inside the horizon. A pair
+    sharing b bands verifies b times before the dedup; acceptable
+    because verified pairs are output-sized. Stream == batch is
+    pytest-pinned against ``edit_distance_incremental``."""
+    from irstats2_spark.pipeline.dedup import _simhash_banded, simhash64
+
+    assert docs.isStreaming, (
+        "edit_distance_doc_stream expects a streaming DataFrame"
+    )
+    new_banded = _simhash_banded(
+        simhash64(docs, text_col, id_col, keep_cols=(ts_col, text_col)),
+        bands,
+        keep_cols=(ts_col, text_col),
+    ).select(
+        F.col("doc_id").alias("new_id"),
+        F.col(ts_col),
+        F.col(text_col).alias("__tn"),
+        F.col("sim_lo").alias("__nlo"),
+        F.col("sim_hi").alias("__nhi"),
+        "band",
+        "key",
+    )
+    old_banded = _simhash_banded(old_sigs, bands).select(
+        F.col("doc_id").alias("old_id"),
+        F.col("sim_lo").alias("__olo"),
+        F.col("sim_hi").alias("__ohi"),
+        "band",
+        "key",
+    )
+    old_text = old_docs.select(
+        F.col(id_col).alias("old_id"), F.col(text_col).alias("__to")
+    )
+    hamming = (
+        F.bit_count(F.col("__olo").bitwiseXOR(F.col("__nlo")))
+        + F.bit_count(F.col("__ohi").bitwiseXOR(F.col("__nhi")))
+    ).cast("int")
+    dist = F.levenshtein("__to", "__tn")
+    glen = F.greatest(F.length("__to"), F.length("__tn"))
+    max_norm_micros = int(max_norm * 1_000_000)
+    return (
+        new_banded.join(old_banded, ["band", "key"])
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .join(old_text, "old_id")
+        .filter(
+            dist.cast("long") * 1_000_000 <= F.lit(max_norm_micros) * glen
+        )
+        .select(
+            "old_id",
+            "new_id",
+            "hamming",
+            dist.cast("int").alias("edit_distance"),
+            F.round(dist / glen, 6).alias("edit_norm"),
+            ts_col,
+        )
+        .withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["old_id", "new_id"])
+    )

@@ -1268,3 +1268,74 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path):
     assert got == want
     verdicts = {t[0]: t for t in got}
     assert len(verdicts) == 3 and not any(v is None for v in verdicts[2])
+
+
+def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
+    """edit_distance_doc_stream: flagged cross pairs (with distances)
+    must equal edit_distance_incremental's output — same candidates,
+    same old-text hydration, same integer-exact norm cut; the stream
+    only adds the watermark pair-dedup."""
+    import json
+
+    from irstats2_spark.pipeline.dedup import (
+        edit_distance_incremental,
+        simhash64,
+    )
+    from irstats2_spark.streaming.ingest import edit_distance_doc_stream
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs "
+            "far away to the hills")
+    old_rows = [
+        (1, base),
+        (2, base + " tonight"),
+        (3, "completely different text about gardening soil and seeds"),
+    ]
+    new_rows = [
+        {"doc_id": 10, "ts": "2024-01-01T00:00:00Z", "text": base},
+        {"doc_id": 11, "ts": "2024-01-01T00:01:00Z",
+         "text": base + " tonight maybe"},
+        {"doc_id": 12, "ts": "2024-01-01T00:02:00Z",
+         "text": "unrelated quarterly finance report with numbers"},
+    ]
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    old_sigs = simhash64(old)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in new_rows) + "\n"
+    )
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = edit_distance_doc_stream(stream, old_sigs, old)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("editdist_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck_ed"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.old_id, r.new_id): (r.hamming, r.edit_distance, r.edit_norm)
+        for r in spark.sql(
+            "SELECT old_id, new_id, hamming, edit_distance, edit_norm "
+            "FROM editdist_stream_out"
+        ).collect()
+    }
+    new_batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in new_rows],
+        "doc_id long, text string",
+    )
+    want = {
+        (r.old_id, r.new_id): (r.hamming, r.edit_distance, r.edit_norm)
+        for r in edit_distance_incremental(
+            new_batch, old_sigs, old
+        ).collect()
+    }
+    assert got == want
+    assert (1, 10) in got and got[(1, 10)][1] == 0  # exact copy
+    assert (3, 12) not in got
