@@ -1790,3 +1790,72 @@ def edit_distance_incremental(
             F.round(dist / glen, 6).alias("edit_norm"),
         )
     )
+
+
+def lsh_band_sweep_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    band_options: tuple[int, ...] = (2, 4, 8),
+    threshold: float = 0.5,
+) -> DataFrame:
+    """LSH banding SWEEP: candidate volume and recall against the exact
+    Jaccard truth for several (bands, rows-per-band) splits of the SAME
+    signature — the measured S-curve behind the banding knob, closing
+    the tuning-curve trilogy (IVF probes, mixing temperature, LSH
+    bands). Theory says P(candidate) = 1 - (1 - j^r)^b; practice tunes
+    against the corpus because real Jaccard mass clusters near the
+    threshold where that curve is steepest. More bands (fewer rows per
+    band) = looser blocking: recall rises, candidate volume (the verify
+    bill) rises with it — this table shows both so the cheapest
+    band count hitting target recall is read off, not derived.
+
+    Output: (bands, rows_per_band, n_candidates, n_found, n_truth,
+    recall) with recall = found/truth (NULL when the corpus has no true
+    pairs at the threshold). n_found counts true pairs that banding
+    surfaced; verified output being truth ∩ candidates makes recall
+    the end-to-end miss rate, not just a blocking statistic.
+
+    Scale shape: ONE cached shingle scan feeds the truth side and every
+    branch's signatures (signatures differ only in band GROUPING, so
+    the expensive minima reuse the same aggregation subplan across
+    branches); each branch adds a banded bucket groupBy and three
+    count-aggregates over pair-sized tables. At web scale, run on a
+    sample — the audit needs the curve, not the census."""
+    from functools import reduce
+
+    sh = word_shingles(docs, text_col, id_col, k).cache()
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, k, threshold=threshold, shingles=sh
+    ).select("doc_a", "doc_b")
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    branches = []
+    for b in band_options:
+        assert n_hashes % b == 0
+        cand = minhash_lsh_candidates(
+            docs, text_col, id_col, k, n_hashes, b, shingles=sh
+        ).select("doc_a", "doc_b")
+        nc = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates")
+        )
+        nf = truth.join(cand, ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_found")
+        )
+        branches.append(
+            nc.crossJoin(nf)
+            .crossJoin(nt)
+            .select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(n_hashes // b).cast("int").alias("rows_per_band"),
+                "n_candidates",
+                "n_found",
+                "n_truth",
+                F.when(
+                    F.col("n_truth") > 0,
+                    F.round(F.col("n_found") / F.col("n_truth"), 6),
+                ).alias("recall"),
+            )
+        )
+    return reduce(lambda a, c: a.unionByName(c), branches)

@@ -181,6 +181,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lsh_sweep_banded(b: int, n_hashes: int = 8) -> str:
+    r = n_hashes // b
+    sep = " || '|' || "
+    rows = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"md5({sep.join(f'mh_{i * r + j}' for j in range(r))}) AS sig "
+        "FROM lsw_sig"
+        for i in range(b)
+    )
+    return f"lsw_banded_{b} AS ({rows})"
+
+
+def _lsh_sweep_branch(b: int, n_hashes: int = 8) -> str:
+    return f"""
+    SELECT bands, rows_per_band, n_candidates, n_found, n_truth,
+           CASE WHEN n_truth > 0
+                THEN ROUND(CAST(n_found AS DOUBLE) / n_truth, 6)
+           END AS recall
+    FROM (SELECT CAST({b} AS INT) AS bands,
+                 CAST({n_hashes // b} AS INT) AS rows_per_band,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lsw_cand_{b})
+                     AS n_candidates,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lsw_truth t
+                  JOIN lsw_cand_{b} c
+                    ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b) AS n_found,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM lsw_truth) AS n_truth)
+    """
+
+
+@register(
+    "dedup_lsh_band_sweep",
+    f"""
+    WITH {_SHINGLES_SQL},
+    lsw_sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    lsw_capped AS (SELECT shingle FROM shingles GROUP BY 1 HAVING COUNT(*) <= 64),
+    lsw_common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM shingles a
+        JOIN shingles b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN lsw_capped c ON c.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    lsw_truth AS (
+        SELECT doc_a, doc_b FROM lsw_common
+        JOIN lsw_sizes sa ON sa.doc_id = doc_a
+        JOIN lsw_sizes sb ON sb.doc_id = doc_b
+        WHERE ROUND(n_common / (sa.n + sb.n - n_common), 6) >= 0.5
+    ),
+    lsw_sig AS (
+        SELECT doc_id,
+               MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+               MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+               MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+               MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    {", ".join(_lsh_sweep_banded(b) for b in (2, 4, 8))},
+    {", ".join(
+        f'''lsw_cand_{b} AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM lsw_banded_{b} a JOIN lsw_banded_{b} b
+          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)''' for b in (2, 4, 8)
+    )}
+    {" UNION ALL ".join(_lsh_sweep_branch(b) for b in (2, 4, 8))}
+    """,
+    doc="LSH banding sweep: candidate volume + recall vs exact-Jaccard "
+    "truth for (bands, rows) splits (2x4, 4x2, 8x1) of ONE 8-hash "
+    "signature — the measured S-curve behind the banding knob; one "
+    "cached shingle scan feeds truth and every branch's signatures",
+)
+def dedup_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import lsh_band_sweep_audit
+
+    return lsh_band_sweep_audit(
+        load_table(spark, "documents", sf_dir),
+        band_options=(2, 4, 8),
+        threshold=0.5,
+    )
+
+
 @register(
     "dedup_clusters",
     f"""

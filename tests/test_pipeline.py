@@ -3588,3 +3588,40 @@ def test_quality_calibration_audit_cells(spark):
     for label in {k[0] for k in out}:
         assert abs(sum(r.label_share for k, r in out.items()
                        if k[0] == label) - 1.0) < 1e-6
+
+
+def test_lsh_band_sweep_monotone_and_exact_counts(spark):
+    """lsh_band_sweep_audit: more bands (fewer rows each) never lowers
+    candidate volume or recall; identical docs are found at every
+    config; counts match a direct candidates/truth recompute."""
+    from irstats2_spark.pipeline.dedup import (
+        lsh_band_sweep_audit,
+        minhash_lsh_candidates,
+        ngram_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (0, base),
+        (1, base),  # exact dup: jaccard 1.0, every band agrees
+        (2, base + " tonight"),
+        (3, "totally different words about gardening soil and compost"),
+        (4, "another unrelated sentence mentioning finance and taxes"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.bands: r for r in lsh_band_sweep_audit(
+        docs, band_options=(2, 4, 8), threshold=0.5).collect()}
+    assert set(out) == {2, 4, 8}
+    assert out[2].rows_per_band == 4 and out[8].rows_per_band == 1
+    assert out[2].n_candidates <= out[4].n_candidates <= out[8].n_candidates
+    assert out[2].n_found <= out[4].n_found <= out[8].n_found
+    truth = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(
+        docs, threshold=0.5).select("doc_a", "doc_b").collect()}
+    for b in (2, 4, 8):
+        cand = {(r.doc_a, r.doc_b) for r in minhash_lsh_candidates(
+            docs, n_hashes=8, bands=b).select("doc_a", "doc_b").collect()}
+        assert out[b].n_candidates == len(cand)
+        assert out[b].n_found == len(truth & cand)
+        assert out[b].n_truth == len(truth)
+        assert (0, 1) in cand  # identical docs collide in every band
+    assert (0, 1) in truth
