@@ -615,3 +615,103 @@ def shard_compaction_plan(
         F.sum(size_col).over(wf).cast("long").alias("file_bytes"),
         F.count(F.lit(1)).over(wf).cast("long").alias("n_shards_in_file"),
     )
+
+
+def quality_funnel(
+    docs: DataFrame,
+    pos_seed: DataFrame,
+    neg_seed: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curation FUNNEL: survivor counts through the standard filter
+    cascade as one tiny table — the before/after accounting every
+    curation run publishes (and the first thing reviewed when a
+    training set shrinks unexpectedly). Stages are CUMULATIVE:
+
+      0 ingested     — corpus size
+      1 quality_gate — + Gopher rule gate passes
+      2 classifier   — + seed-set classifier label is not 'neg'
+      3 exact_dedup  — + doc is its md5 group's keeper (min id)
+      4 near_dedup   — + doc is not the higher id of any SimHash
+                        Hamming<=3 pair (one-shot min-id-wins policy,
+                        evaluated on the full corpus so each stage's
+                        cut is independently auditable)
+
+    Output: (stage, stage_name, n_docs) — len-5, monotone
+    non-increasing in stage.
+
+    Scale shape: every flag is an existing audited operator (zero/one-
+    shuffle maps, the banded self-join, the md5 groupBy); flags join on
+    the id and the funnel itself is ONE conditional-sum aggregate row
+    exploded to 5 rows — nothing new shuffles beyond the component
+    operators."""
+    from irstats2_spark.pipeline.dedup import (
+        exact_dedup,
+        simhash_hamming_pairs,
+    )
+    from irstats2_spark.pipeline.textstats import (
+        classifier_vote_scores,
+        gopher_quality_gate,
+    )
+
+    gate = gopher_quality_gate(docs, text_col=text_col).select(
+        id_col, "quality_pass"
+    )
+    votes = classifier_vote_scores(docs, pos_seed, neg_seed).select(
+        id_col, "label"
+    )
+    keep = exact_dedup(docs, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col), F.lit(True).alias("__keeper")
+    )
+    losers = (
+        simhash_hamming_pairs(docs, text_col, id_col)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+        .withColumn("__neardup_loser", F.lit(True))
+    )
+    flags = (
+        docs.select(id_col)
+        .join(gate, id_col)
+        .join(votes, id_col)
+        .join(keep, id_col, "left")
+        .join(losers, id_col, "left")
+        .select(
+            F.col("quality_pass").alias("__s1"),
+            (F.col("quality_pass") & (F.col("label") != "neg")).alias("__s2"),
+            (
+                F.col("quality_pass")
+                & (F.col("label") != "neg")
+                & F.coalesce("__keeper", F.lit(False))
+            ).alias("__s3"),
+            (
+                F.col("quality_pass")
+                & (F.col("label") != "neg")
+                & F.coalesce("__keeper", F.lit(False))
+                & F.coalesce("__neardup_loser", F.lit(False)).__invert__()
+            ).alias("__s4"),
+        )
+    )
+    cnt = lambda c: F.sum(F.when(F.col(c), 1).otherwise(0)).cast("long")  # noqa: E731
+    one = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        cnt("__s1").alias("n1"),
+        cnt("__s2").alias("n2"),
+        cnt("__s3").alias("n3"),
+        cnt("__s4").alias("n4"),
+    )
+    names = ("ingested", "quality_gate", "classifier", "exact_dedup",
+             "near_dedup")
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(i).cast("int").alias("stage"),
+                F.lit(names[i]).alias("stage_name"),
+                F.col(f"n{i}").alias("n_docs"),
+            )
+            for i in range(5)
+        ]
+    )
+    return one.select(F.explode(stages).alias("s")).select(
+        "s.stage", "s.stage_name", "s.n_docs"
+    )

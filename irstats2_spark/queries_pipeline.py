@@ -5521,6 +5521,132 @@ def text_quality_calibration_audit(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "pipeline_quality_funnel_e2e",
+    f"""
+    WITH fn_toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+                   string_split({_NORM_SQL}, ' '), w -> length(w) > 0)) AS tok
+        FROM documents
+    ),
+    fn_seed AS (
+        SELECT tok, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+        FROM fn_toks WHERE source IN ('src0', 'src1')
+    ),
+    fn_vocab AS (
+        SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+        FROM fn_seed GROUP BY 1
+    ),
+    fn_totals AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg
+        FROM fn_vocab
+    ),
+    fn_label AS (
+        SELECT doc_id, CASE WHEN SUM(vote) < 0 THEN 'neg'
+                            WHEN SUM(vote) > 0 THEN 'pos'
+                            ELSE 'tie' END AS label
+        FROM (
+            SELECT t.doc_id,
+                   CASE WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                             > COALESCE(v.c_neg, 0) * tt.t_pos THEN 1
+                        WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                             < COALESCE(v.c_neg, 0) * tt.t_pos THEN -1
+                        ELSE 0 END AS vote
+            FROM fn_toks t LEFT JOIN fn_vocab v ON t.tok = v.tok
+            CROSS JOIN fn_totals tt
+        ) GROUP BY 1
+    ),
+    fn_t AS (
+        SELECT doc_id, text,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS w,
+               length(text) AS n_chars
+        FROM documents
+    ),
+    fn_3 AS (
+        SELECT doc_id, COUNT(*) AS t3,
+               COUNT(DISTINCT w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS d3
+        FROM (SELECT doc_id, w, generate_subscripts(w, 1) AS i FROM fn_t) s
+        WHERE i + 2 <= len(w) GROUP BY 1
+    ),
+    fn_gate AS (
+        SELECT fn_t.doc_id,
+               (NOT (len(w) < 50 OR len(w) > 100000)
+                AND NOT (CASE WHEN len(w) > 0 THEN ROUND(
+                        length(list_aggregate(w, 'string_agg', ''))
+                        * 1.0 / len(w), 6) ELSE 0.0 END < 3.0
+                     OR CASE WHEN len(w) > 0 THEN ROUND(
+                        length(list_aggregate(w, 'string_agg', ''))
+                        * 1.0 / len(w), 6) ELSE 0.0 END > 10.0)
+                AND NOT (CASE WHEN n_chars > 0 THEN ROUND(
+                        (n_chars - length(regexp_replace(text,
+                            '[^a-z0-9\\s]', '', 'g'))) * 1.0 / n_chars, 6)
+                        ELSE 0.0 END > 0.1)
+                AND NOT (len(list_filter(w, x -> x IN
+                        ('the','and','of','to','in','is','a'))) < 2)
+                AND NOT (COALESCE(ROUND((fn_3.t3 - fn_3.d3) * 1.0
+                                        / fn_3.t3, 6), 0.0) > 0.3))
+                   AS quality_pass
+        FROM fn_t LEFT JOIN fn_3 USING (doc_id)
+    ),
+    fn_keep AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                   AS is_keeper
+        FROM documents
+    ),
+    {_simhash64_cte()},
+    fn_losers AS (
+        SELECT DISTINCT b.doc_id
+        FROM sigs64 a JOIN sigs64 b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
+              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+    ),
+    fn_flags AS (
+        SELECT g.quality_pass AS s1,
+               g.quality_pass AND l.label <> 'neg' AS s2,
+               g.quality_pass AND l.label <> 'neg' AND k.is_keeper AS s3,
+               g.quality_pass AND l.label <> 'neg' AND k.is_keeper
+                   AND d.doc_id IS NULL AS s4
+        FROM documents doc
+        JOIN fn_gate g USING (doc_id)
+        JOIN fn_label l USING (doc_id)
+        JOIN fn_keep k USING (doc_id)
+        LEFT JOIN fn_losers d USING (doc_id)
+    ),
+    fn_counts AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+               CAST(SUM(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+               CAST(SUM(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+               CAST(SUM(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+               CAST(SUM(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+        FROM fn_flags
+    )
+    SELECT CAST(0 AS INT) AS stage, 'ingested' AS stage_name, n0 AS n_docs FROM fn_counts
+    UNION ALL SELECT 1, 'quality_gate', n1 FROM fn_counts
+    UNION ALL SELECT 2, 'classifier', n2 FROM fn_counts
+    UNION ALL SELECT 3, 'exact_dedup', n3 FROM fn_counts
+    UNION ALL SELECT 4, 'near_dedup', n4 FROM fn_counts
+    """,
+    doc="curation funnel e2e: cumulative survivor counts through Gopher "
+    "gate -> seed classifier -> exact dedup keeper -> SimHash near-dup "
+    "cut, as ONE 5-row table — the before/after accounting a curation "
+    "run publishes; the oracle replays all four component chains, so "
+    "the gated seam is their CONJUNCTION per doc, not each flag alone",
+)
+def pipeline_quality_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import quality_funnel
+
+    docs = load_table(spark, "documents", sf_dir)
+    return quality_funnel(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    )
+
+
+@register(
     "dedup_simhash_incremental",
     f"""
     WITH {_simhash64_cte()}

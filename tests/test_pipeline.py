@@ -3625,3 +3625,40 @@ def test_lsh_band_sweep_monotone_and_exact_counts(spark):
         assert out[b].n_truth == len(truth)
         assert (0, 1) in cand  # identical docs collide in every band
     assert (0, 1) in truth
+
+
+def test_quality_funnel_every_stage_bites(spark):
+    """quality_funnel on an engineered corpus where each cascade stage
+    removes a known doc: counts are monotone and each cut is exact."""
+    from irstats2_spark.pipeline.curate import quality_funnel
+
+    good = " ".join(f"the word{i} of tree{i}" for i in range(15))
+    good2 = " ".join(f"the item{i} of bush{i}" for i in range(15))
+    rows = [
+        (0, "pos_seed", good + " alpha bravo"),
+        (1, "neg_seed", " ".join(f"junkk{i} blurb{i}" for i in range(30))),
+        (2, "c", good2),                         # survives everything
+        (3, "c", "too short"),                   # dies at quality_gate
+        # gate-pass (62 tokens, 2 stopword hits) but classifier-neg:
+        # 60 neg-seed tokens outvote the 2 'the's
+        (4, "c", "the the " + " ".join(f"junkk{i} blurb{i}"
+                                       for i in range(30))),
+        (5, "c", good2),                          # exact dup of 2 -> dropped
+        (6, "c", good2 + " qq"),                  # near-dup of 2 -> dropped
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r.stage: r for r in quality_funnel(
+        docs,
+        docs.filter(F.col("source") == "pos_seed"),
+        docs.filter(F.col("source") == "neg_seed"),
+    ).collect()}
+    assert [out[i].stage_name for i in range(5)] == [
+        "ingested", "quality_gate", "classifier", "exact_dedup", "near_dedup"
+    ]
+    ns = [out[i].n_docs for i in range(5)]
+    assert ns[0] == 7
+    assert ns == sorted(ns, reverse=True)
+    # doc 3 dies at the gate; 1 and 4 at the classifier; 5 at exact
+    # dedup; 6 at near-dedup — leaving {0, 2}
+    assert ns[4] == 2
+    assert ns[3] - ns[4] >= 1 and ns[2] - ns[3] >= 1
