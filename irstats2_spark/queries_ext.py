@@ -700,3 +700,92 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cohort_size",
         F.round(F.col("n_users") / F.col("cohort_size"), 6).alias("retention"),
     )
+
+
+@register(
+    "events_funnel_conversion",
+    """
+    WITH fv AS (
+        SELECT user_id, MIN(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    fc AS (
+        SELECT e.user_id, MIN(e.ts) AS c_ts
+        FROM events e JOIN fv ON e.user_id = fv.user_id
+        WHERE e.event_type = 'click' AND e.ts > fv.v_ts
+        GROUP BY 1
+    ),
+    fp AS (
+        SELECT e.user_id, MIN(e.ts) AS p_ts
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > fc.c_ts
+        GROUP BY 1
+    ),
+    fn AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM fv) AS n1,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fc) AS n2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM fp) AS n3
+    )
+    SELECT CAST(1 AS INT) AS step, 'view' AS step_name, n1 AS n_users,
+           CAST(NULL AS DOUBLE) AS conversion FROM fn
+    UNION ALL SELECT 2, 'click_after_view', n2,
+           CASE WHEN n1 > 0 THEN ROUND(CAST(n2 AS DOUBLE) / n1, 6) END FROM fn
+    UNION ALL SELECT 3, 'purchase_after_click', n3,
+           CASE WHEN n2 > 0 THEN ROUND(CAST(n3 AS DOUBLE) / n2, 6) END FROM fn
+    """,
+    doc="ordered conversion funnel: users whose first view precedes a "
+    "click precedes a purchase (strict event-order, first-touch "
+    "timestamps — not mere type co-occurrence), with step-over-step "
+    "conversion; three user-keyed min-aggregations, each join keyed on "
+    "user_id so the event log never shuffles on anything wider",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = (
+        events.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("v_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("c_ts"))
+    )
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("c_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("p_ts"))
+    )
+    n1 = v.agg(F.count(F.lit(1)).cast("long").alias("n1"))
+    n2 = c.agg(F.count(F.lit(1)).cast("long").alias("n2"))
+    n3 = p.agg(F.count(F.lit(1)).cast("long").alias("n3"))
+    fn = n1.crossJoin(n2).crossJoin(n3)
+    rows = F.array(
+        F.struct(
+            F.lit(1).cast("int").alias("step"),
+            F.lit("view").alias("step_name"),
+            F.col("n1").alias("n_users"),
+            F.lit(None).cast("double").alias("conversion"),
+        ),
+        F.struct(
+            F.lit(2).cast("int").alias("step"),
+            F.lit("click_after_view").alias("step_name"),
+            F.col("n2").alias("n_users"),
+            F.when(F.col("n1") > 0, F.round(F.col("n2") / F.col("n1"), 6))
+            .alias("conversion"),
+        ),
+        F.struct(
+            F.lit(3).cast("int").alias("step"),
+            F.lit("purchase_after_click").alias("step_name"),
+            F.col("n3").alias("n_users"),
+            F.when(F.col("n2") > 0, F.round(F.col("n3") / F.col("n2"), 6))
+            .alias("conversion"),
+        ),
+    )
+    return fn.select(F.explode(rows).alias("s")).select(
+        "s.step", "s.step_name", "s.n_users", "s.conversion"
+    )

@@ -298,3 +298,41 @@ def test_retention_cohorts_matrix(spark):
     assert out[(1, 0)].n_users == 1 and out[(1, 0)].retention == 1.0
     assert out[(1, 2)].n_users == 1
     assert set(out) == {(0, 0), (0, 1), (1, 0), (1, 2)}
+
+
+def test_events_funnel_conversion_strict_order(spark, tmp_path):
+    """events_funnel_conversion: type co-occurrence without the right
+    ORDER does not convert; strict order does; ratios are exact."""
+    from irstats2_spark import catalog
+    import pyspark.sql.functions as F  # noqa: F811
+    import os
+
+    catalog._ensure_loaded()
+    rows = [
+        # user 1: view -> click -> purchase (full funnel)
+        (1, "view", "2024-01-01 10:00:00"),
+        (1, "click", "2024-01-01 10:01:00"),
+        (1, "purchase", "2024-01-01 10:02:00"),
+        # user 2: click BEFORE first view -> no conversion at step 2
+        (2, "click", "2024-01-01 09:00:00"),
+        (2, "view", "2024-01-01 10:00:00"),
+        (2, "purchase", "2024-01-01 11:00:00"),
+        # user 3: view -> click, purchase before click -> stops at 2
+        (3, "view", "2024-01-01 08:00:00"),
+        (3, "purchase", "2024-01-01 08:30:00"),
+        (3, "click", "2024-01-01 09:00:00"),
+        # user 4: view only
+        (4, "view", "2024-01-01 07:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts string"
+    ).select("user_id", "event_type", F.col("ts").cast("timestamp").alias("ts"))
+    d = str(tmp_path)
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {r.step: r for r in catalog._REGISTRY["events_funnel_conversion"]
+           .spark(spark, d).collect()}
+    assert out[1].n_users == 4 and out[1].conversion is None
+    assert out[2].n_users == 2            # users 1 and 3
+    assert out[2].conversion == 0.5
+    assert out[3].n_users == 1            # only user 1
+    assert out[3].conversion == 0.5
