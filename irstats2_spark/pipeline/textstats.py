@@ -1619,3 +1619,62 @@ def quality_calibration_audit(
         "n_docs",
         F.round(F.col("n_docs") / F.col("__lt"), 6).alias("label_share"),
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc token Shannon ENTROPY in nats — the diversity signal the
+    ratio features miss: H = ln(n) - (1/n) * sum_t c_t * ln(c_t) over
+    token counts c_t. Low entropy = a few tokens dominate (keyword
+    stuffing, boilerplate loops — high `repetition_score` catches exact
+    n-gram repeats, entropy also catches shuffled repetition); max
+    entropy = every token distinct (ln n). A standard cheap feature in
+    quality stacks next to length/stopword/symbol ratios.
+
+    Engine-exact: each ln quantizes ONCE to integer micro-nats
+    (floor(1e6*ln(x)+0.5)); sum_c_lnc_micro is an exact integer, and
+    the reported entropy is one double expression over integers,
+    rounded to 6dp — so any engine reproduces it bit-for-bit.
+
+    Scale shape: entirely per-row array expressions (distinct tokens,
+    per-type counts via in-row filters, one fold) — ZERO shuffle, fuses
+    into the scan like `quality_features`. Per-row cost is
+    O(types x tokens); fine for documents, not for megabyte blobs."""
+
+    def lnq(c):
+        return F.floor(F.lit(1e6) * F.log(c.cast("double")) + F.lit(0.5)).cast(
+            "long"
+        )
+
+    toks = tokens(F.col(text_col))
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.array_distinct(toks).alias("__u"),
+    )
+    cnt = lambda t: F.size(F.filter(F.col("__toks"), lambda x: x == t))  # noqa: E731
+    sum_c_lnc = F.aggregate(
+        F.transform(F.col("__u"), lambda t: cnt(t) * lnq(cnt(t))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n = F.size("__toks")
+    return base.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.size("__u").cast("int").alias("n_types"),
+        F.when(n > 0, sum_c_lnc).otherwise(F.lit(0)).cast("long").alias(
+            "sum_c_lnc_micro"
+        ),
+        F.when(
+            n > 0,
+            F.round(
+                (lnq(n) * n - sum_c_lnc) / (n.cast("double") * 1e6), 6
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )

@@ -968,6 +968,44 @@ def text_lang_confusion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_token_entropy",
+    f"""
+    WITH te AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS toks
+        FROM documents
+    ),
+    tec AS (
+        SELECT doc_id, len(toks) AS n, len(list_distinct(toks)) AS n_types,
+               CASE WHEN len(toks) > 0 THEN
+                   list_sum(list_transform(list_distinct(toks), t ->
+                       len(list_filter(toks, x -> x = t))
+                       * CAST(FLOOR(1e6 * ln(len(list_filter(toks, x -> x = t)))
+                              + 0.5) AS BIGINT)))
+               ELSE 0 END AS s
+        FROM te
+    )
+    SELECT doc_id, CAST(n AS INT) AS n_tokens, CAST(n_types AS INT) AS n_types,
+           CAST(s AS BIGINT) AS sum_c_lnc_micro,
+           CASE WHEN n > 0 THEN ROUND(
+               (CAST(FLOOR(1e6 * ln(n) + 0.5) AS BIGINT) * n - s)
+               / (CAST(n AS DOUBLE) * 1e6), 6)
+           ELSE 0.0 END AS entropy
+    FROM tec
+    """,
+    doc="per-doc token Shannon entropy (integer micro-nat quantization, "
+    "one double division at the end): the diversity signal next to the "
+    "ratio features — catches shuffled repetition that exact n-gram "
+    "repeat scores miss; zero-shuffle per-row array expressions",
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import token_entropy
+
+    return token_entropy(load_table(spark, "documents", sf_dir))
+
+
+@register(
     "text_fingerprint",
     f"""
     SELECT doc_id,

@@ -3662,3 +3662,43 @@ def test_quality_funnel_every_stage_bites(spark):
     # dedup; 6 at near-dedup — leaving {0, 2}
     assert ns[4] == 2
     assert ns[3] - ns[4] >= 1 and ns[2] - ns[3] >= 1
+
+
+def test_token_entropy_matches_python(spark):
+    """token_entropy vs a python recompute with the same micro-nat
+    quantization; limiting cases: all-same tokens => 0, all-distinct
+    => ln(n), empty => 0."""
+    import math
+    from collections import Counter
+
+    from irstats2_spark.pipeline.textstats import token_entropy
+
+    rows = [
+        (0, "a a a a a a"),
+        (1, "a b c d e f"),
+        (2, "a a b b b c"),
+        (3, ""),
+        (4, "x"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in token_entropy(docs).collect()}
+
+    def lnq(x):
+        return math.floor(1e6 * math.log(x) + 0.5)
+
+    for did, text in rows:
+        toks = [t for t in text.split() if t]
+        r = out[did]
+        assert r.n_tokens == len(toks)
+        assert r.n_types == len(set(toks))
+        if not toks:
+            assert r.sum_c_lnc_micro == 0 and r.entropy == 0.0
+            continue
+        c = Counter(toks)
+        s = sum(v * lnq(v) for v in c.values())
+        assert r.sum_c_lnc_micro == s
+        want = round((lnq(len(toks)) * len(toks) - s) / (len(toks) * 1e6), 6)
+        assert abs(r.entropy - want) < 1e-9
+    assert out[0].entropy == 0.0
+    assert abs(out[1].entropy - round(math.log(6), 6)) < 1e-5
+    assert out[4].entropy == 0.0
