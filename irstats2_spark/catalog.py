@@ -121,10 +121,18 @@ GATE_PRIORITY: tuple[str, ...] = (
     "t2_densify",
     "a6_a7_cumulative_running_avg",
 )
-# ROUND 6 SHOULD GATE FIRST: the queries registered late in round 5
-# with no driver row yet (similarity_pq_rerank_topk, and any others
-# added after this comment — grep `@register` names absent from
-# CORRECTNESS_r0{1..5}), then: robots_filter_outcome, dedup_simhash,
+# ROUND 6 SHOULD GATE FIRST: the 18 queries registered late in round
+# 5 with no driver row yet — similarity_pq_rerank_topk,
+# dedup_edit_distance, dedup_edit_distance_incremental,
+# dedup_lsh_band_sweep, text_ccnet_perplexity_buckets,
+# text_lang_confusion_audit, text_quality_calibration_audit,
+# text_token_entropy, text_vocab_coverage_curve,
+# sample_split_leakage_safe, similarity_knn_mutual_graph,
+# similarity_ivf_probe_sweep, mix_temperature_sweep,
+# corpus_compaction_plan, pipeline_quality_funnel_e2e,
+# agg_grouping_sets, events_retention_cohorts,
+# events_funnel_conversion (all green in the pytest sf0.01 oracle
+# mirror) — then: robots_filter_outcome, dedup_simhash,
 # text_quality_features, text_lang_id, text_fingerprint,
 # text_token_counts, sample_split_assign, sample_stratified,
 # dedup_clusters, dedup_exact, t6_f12_formatting, o4_listing_engine,
