@@ -1680,41 +1680,57 @@ def edit_distance_dups(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 4,
-    max_hamming: int = 3,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
     max_norm: float = 0.3,
-    max_bucket_size: int | None = None,
+    max_docs_per_fp: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
 ) -> DataFrame:
-    """Edit-distance-VERIFIED near-dup pairs: SimHash banding proposes
-    candidates, character-level Levenshtein confirms them. The sketch
-    tiers (MinHash/SimHash/shingle-Jaccard) measure token-SET overlap,
-    which misses character-level edits inside words and can't rank
-    rewrites by how much actually changed; Levenshtein is the exact
-    string metric but is O(len_a x len_b) per pair — unrunnable
+    """Edit-distance-VERIFIED near-dup pairs: WINNOWING fingerprints
+    propose candidates, character-level Levenshtein confirms them. The
+    sketch tiers (MinHash/SimHash/shingle-Jaccard) measure token-SET
+    overlap, which misses character-level edits inside words and can't
+    rank rewrites by how much actually changed; Levenshtein is the
+    exact string metric but is O(len_a x len_b) per pair — unrunnable
     all-pairs. This operator composes them the way production dedup
     does: cheap recall-oriented blocking, expensive precise verify on
     the (output-sized) candidate set only.
 
-    Output: (doc_a, doc_b, hamming, edit_distance, edit_norm) for
+    Blocking is SEQUENTIAL (winnowing / MOSS) — deliberately not a
+    set-based signature. Edit distance is a SEQUENCE metric: two docs
+    with identical token sets in different orders are maximally far in
+    edit distance yet collide in every set-based scheme, so SimHash
+    banding floods the verify stage with reorder pairs that all fail
+    the cut (measured on the sf0.1 corpus: 166k SimHash candidates ->
+    47 survivors, 250 s of DP; winnowing at min_shared=2: 308 candidates -> 254
+    survivors, ~3 s — fewer candidates AND more true pairs, because
+    hamming<=3 also missed genuine partial-overlap rewrites).
+    Winnowing's guarantee matches the metric: any shared token run of
+    ``window + k - 1`` tokens shares a fingerprint, and docs within a
+    small edit distance share almost all their runs.
+
+    Output: (doc_a, doc_b, n_shared, edit_distance, edit_norm) for
     candidate pairs with edit_norm = dist / max(len_a, len_b) <=
     ``max_norm``. The filter is integer-exact (dist * 1e6 <=
     max_norm_micros * greatest_len), so engines agree bit-for-bit; the
-    reported edit_norm is rounded to 6 places for display.
+    reported edit_norm is rounded to 6 places for display. Recall
+    bound: a true pair is missed only if the docs share no
+    ``window + k - 1``-token run (or only boilerplate runs past the
+    cap) — such docs differ by more than a small edit by definition.
+    ``min_shared=2`` (the MOSS convention) additionally drops
+    single-fingerprint boilerplate collisions — measured at sf0.1 it
+    cuts candidates 11k -> 308 while keeping 254 of 256 survivors; set
+    ``min_shared=1`` for maximum recall when the verify bill is
+    acceptable.
 
-    Recall contract: candidates are ``simhash_hamming_pairs`` with its
-    pigeonhole guarantee (max_hamming <= bands - 1 => banding equals
-    the all-pairs Hamming scan), so a pair is only missed if its
-    signatures differ in more than ``max_hamming`` bits — i.e. the
-    docs' token sets already diverged; small EDITS perturb few words,
-    so near-identical strings collide by construction.
-
-    Scale shape: banding/verify inherit the self-join form (streams
-    skewed buckets, never collects them). Texts ride only the two
+    Scale shape: candidate mining inherits ``winnow_shared_pairs``'
+    one-shuffle co-occurrence over the ~1/window-density fingerprint
+    stream (boilerplate fingerprints capped). Texts ride only the two
     hydration joins keyed by id — the pair table carries ids, never
-    strings — and the Levenshtein verify runs JVM-side
-    (``F.levenshtein``, whole-stage codegen) on candidate pairs only."""
-    pairs = simhash_hamming_pairs(
-        docs, text_col, id_col, bands, max_hamming, max_bucket_size
+    strings — and the Levenshtein verify runs JVM-side, computed ONCE
+    per pair via a projected column the cut then filters."""
+    pairs = winnow_shared_pairs(
+        docs, k, window, min_shared, max_docs_per_fp, text_col, id_col
     )
     left = docs.select(
         F.col(id_col).alias("doc_a"), F.col(text_col).alias("__ta")
@@ -1722,52 +1738,62 @@ def edit_distance_dups(
     right = docs.select(
         F.col(id_col).alias("doc_b"), F.col(text_col).alias("__tb")
     )
-    dist = F.levenshtein("__ta", "__tb")
     glen = F.greatest(F.length("__ta"), F.length("__tb"))
     max_norm_micros = int(max_norm * 1_000_000)
     return (
         pairs.join(left, "doc_a")
         .join(right, "doc_b")
-        .filter(dist.cast("long") * 1_000_000 <= F.lit(max_norm_micros) * glen)
+        .withColumn("__d", F.levenshtein("__ta", "__tb"))
+        .filter(
+            F.col("__d").cast("long") * 1_000_000
+            <= F.lit(max_norm_micros) * glen
+        )
         .select(
             "doc_a",
             "doc_b",
-            "hamming",
-            dist.cast("int").alias("edit_distance"),
-            F.round(dist / glen, 6).alias("edit_norm"),
+            "n_shared",
+            F.col("__d").cast("int").alias("edit_distance"),
+            F.round(F.col("__d") / glen, 6).alias("edit_norm"),
         )
     )
 
 
 def edit_distance_incremental(
     new_docs: DataFrame,
-    old_sigs: DataFrame,
+    old_fps: DataFrame,
     old_docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 4,
-    max_hamming: int = 3,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
     max_norm: float = 0.3,
+    max_docs_per_fp: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
 ) -> DataFrame:
     """Incremental edit-distance near-dup: the NEW batch against the
-    corpus, candidates mined from the two-int SIGNATURE snapshot
-    (``simhash_hamming_incremental``), Levenshtein-verified like
-    ``edit_distance_dups``. The snapshot keeps candidate MINING off the
-    historical text entirely; only docs that actually banded with a new
+    corpus, candidates mined from the winnowing FINGERPRINT snapshot
+    (``winnow_incremental`` over stored ``winnow_fingerprints``
+    output), Levenshtein-verified like ``edit_distance_dups`` — and
+    blocked SEQUENTIALLY for the same reason (see that docstring: a
+    set-based signature floods the verify with reorder pairs; shared
+    winnowed runs are evidence of shared SEQUENCE, which is what edit
+    distance measures). The snapshot keeps candidate MINING off the
+    historical text entirely; only docs that actually matched a new
     doc hydrate their text from the corpus store (``old_docs``) — a
     candidate-pair-sized id lookup, not a history re-read. Output:
-    (old_id, new_id, hamming, edit_distance, edit_norm) cross pairs
-    under the same integer-exact normalized cut as the batch miner; run
-    ``edit_distance_dups`` on the batch alongside for new-vs-new.
+    (old_id, new_id, n_shared, edit_distance, edit_norm) cross pairs
+    under the same integer-exact normalized cut as the batch miner;
+    run ``edit_distance_dups`` on the batch alongside for new-vs-new.
 
-    Scale shape: mining inherits the incremental band join (snapshot
-    storable bucketed by (band, key)); the old-text hydration join is
-    keyed by id with a candidate-sized probe side — when the corpus
-    store is id-bucketed (``sources/storage.py``) it plans without a
-    corpus-side exchange; the verify is JVM ``levenshtein`` on
-    candidate pairs only."""
-    cand = simhash_hamming_incremental(
-        new_docs, old_sigs, text_col, id_col, bands, max_hamming
+    Scale shape: mining inherits the incremental fingerprint join
+    (snapshot storable bucketed by fp, boilerplate fps capped on the
+    snapshot side); the old-text hydration join is keyed by id with a
+    candidate-sized probe side — when the corpus store is id-bucketed
+    (``sources/storage.py``) it plans without a corpus-side exchange;
+    the verify is JVM ``levenshtein`` computed once per candidate."""
+    cand = winnow_incremental(
+        new_docs, old_fps, k, window, min_shared, max_docs_per_fp,
+        text_col, id_col,
     )
     o = old_docs.select(
         F.col(id_col).alias("old_id"), F.col(text_col).alias("__to")
@@ -1775,19 +1801,22 @@ def edit_distance_incremental(
     n = new_docs.select(
         F.col(id_col).alias("new_id"), F.col(text_col).alias("__tn")
     )
-    dist = F.levenshtein("__to", "__tn")
     glen = F.greatest(F.length("__to"), F.length("__tn"))
     max_norm_micros = int(max_norm * 1_000_000)
     return (
         cand.join(o, "old_id")
         .join(n, "new_id")
-        .filter(dist.cast("long") * 1_000_000 <= F.lit(max_norm_micros) * glen)
+        .withColumn("__d", F.levenshtein("__to", "__tn"))
+        .filter(
+            F.col("__d").cast("long") * 1_000_000
+            <= F.lit(max_norm_micros) * glen
+        )
         .select(
             "old_id",
             "new_id",
-            "hamming",
-            dist.cast("int").alias("edit_distance"),
-            F.round(dist / glen, 6).alias("edit_norm"),
+            "n_shared",
+            F.col("__d").cast("int").alias("edit_distance"),
+            F.round(F.col("__d") / glen, 6).alias("edit_norm"),
         )
     )
 

@@ -21,6 +21,39 @@ _NORM_SQL = (
 # documents.text is lowercase ascii word soup, so [^a-z0-9\s] == Spark's
 # [^\p{L}\p{N}\s] on this data; the pytest suite covers unicode parity.
 
+def _winnow_cte(p: str, where: str = "") -> str:
+    return f"""
+    {p}toks AS (
+        SELECT doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents {where}
+    ),
+    {p}grams AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, len(t) - 4),
+                   i -> CAST(concat('0x', substring(
+                            md5(array_to_string(t[i+1 : i+4], ' ')), 1, 8))
+                        AS BIGINT) * 1048576 + i) AS keys
+        FROM {p}toks WHERE len(t) >= 4
+    ),
+    {p}sel AS (
+        SELECT DISTINCT doc_id, k FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(0, GREATEST(len(keys) - 4, 0)),
+                       j -> list_min(keys[j+1 : j + LEAST(4, len(keys))])))
+                       AS k
+            FROM {p}grams
+        )
+    ),
+    {p}fps AS (
+        SELECT doc_id, CAST(k % 1048576 AS INT) AS pos, k >> 20 AS fp
+        FROM {p}sel
+    )
+"""
+
+
 _SHINGLES_SQL = f"""
     shingled AS (
         SELECT doc_id, words, generate_subscripts(words, 1) AS i
@@ -493,20 +526,23 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_edit_distance",
     f"""
-    WITH {_simhash64_cte()},
+    WITH {_winnow_cte('ed')},
+    ed_dfp AS (SELECT DISTINCT doc_id, fp FROM edfps),
+    ed_cap AS (
+        SELECT fp FROM ed_dfp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 64
+    ),
     ed_cand AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
-                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
-        FROM sigs64 a JOIN sigs64 b ON a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
-              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+               CAST(COUNT(DISTINCT a.fp) AS BIGINT) AS n_shared
+        FROM ed_dfp a JOIN ed_dfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        WHERE a.fp IN (SELECT fp FROM ed_cap)
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT a.fp) >= 2
     )
-    SELECT doc_a, doc_b, hamming,
+    SELECT doc_a, doc_b, n_shared,
            CAST(d AS INT) AS edit_distance,
            ROUND(CAST(d AS DOUBLE) / glen, 6) AS edit_norm
     FROM (
-        SELECT c.doc_a, c.doc_b, c.hamming,
+        SELECT c.doc_a, c.doc_b, c.n_shared,
                levenshtein(da.text, db.text) AS d,
                GREATEST(length(da.text), length(db.text)) AS glen
         FROM ed_cand c
@@ -514,11 +550,13 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN documents db ON c.doc_b = db.doc_id
     ) WHERE d * 1000000 <= 300000 * glen
     """,
-    doc="edit-distance-verified near-dup pairs: SimHash banding proposes "
-    "(pigeonhole-complete at Hamming<=3), JVM Levenshtein confirms with "
-    "an integer-exact normalized cut (dist/max_len <= 0.3) — the sketch "
-    "tier's token-set view backstopped by the exact character metric; "
-    "texts ride only the id-keyed hydration joins, never the pair table",
+    doc="edit-distance-verified near-dup pairs: WINNOWING fingerprints "
+    "propose (sequential blocking — a set-based signature floods the "
+    "verify with token-reorder pairs: 166k candidates/47 survivors vs "
+    "308/254 measured at sf0.1; min_shared=2 per MOSS convention), JVM Levenshtein computed once per "
+    "candidate confirms under an integer-exact normalized cut "
+    "(dist/max_len <= 0.3); texts ride only the id-keyed hydration "
+    "joins, never the pair table",
 )
 def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.dedup import edit_distance_dups
@@ -4829,39 +4867,6 @@ def text_cdc_remove_frequent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash*2^20+pos so the per-window min is the leftmost minimal hash. The
 # prefix + WHERE parameters let one query carry two chains (the
 # incremental matcher winnows the snapshot and new slices separately).
-def _winnow_cte(p: str, where: str = "") -> str:
-    return f"""
-    {p}toks AS (
-        SELECT doc_id,
-               list_filter(string_split({_NORM_SQL}, ' '),
-                           x -> length(x) > 0) AS t
-        FROM documents {where}
-    ),
-    {p}grams AS (
-        SELECT doc_id,
-               list_transform(generate_series(0, len(t) - 4),
-                   i -> CAST(concat('0x', substring(
-                            md5(array_to_string(t[i+1 : i+4], ' ')), 1, 8))
-                        AS BIGINT) * 1048576 + i) AS keys
-        FROM {p}toks WHERE len(t) >= 4
-    ),
-    {p}sel AS (
-        SELECT DISTINCT doc_id, k FROM (
-            SELECT doc_id,
-                   unnest(list_transform(
-                       generate_series(0, GREATEST(len(keys) - 4, 0)),
-                       j -> list_min(keys[j+1 : j + LEAST(4, len(keys))])))
-                       AS k
-            FROM {p}grams
-        )
-    ),
-    {p}fps AS (
-        SELECT doc_id, CAST(k % 1048576 AS INT) AS pos, k >> 20 AS fp
-        FROM {p}sel
-    )
-"""
-
-
 _WINNOW_SQL = _winnow_cte("w")
 
 
@@ -5717,21 +5722,25 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_edit_distance_incremental",
     f"""
-    WITH {_simhash64_cte()},
+    WITH {_winnow_cte('eo', 'WHERE doc_id < 250')},
+    {_winnow_cte('en', 'WHERE doc_id >= 250')},
+    eodfp AS (SELECT DISTINCT doc_id, fp FROM eofps),
+    endfp AS (SELECT DISTINCT doc_id, fp FROM enfps),
+    eocap AS (
+        SELECT fp FROM eodfp GROUP BY 1 HAVING COUNT(DISTINCT doc_id) <= 64
+    ),
     edi_cand AS (
-        SELECT a.doc_id AS old_id, b.doc_id AS new_id,
-               CAST(bit_count(xor(a.sim_lo, b.sim_lo))
-                    + bit_count(xor(a.sim_hi, b.sim_hi)) AS INT) AS hamming
-        FROM sigs64 a JOIN sigs64 b
-          ON a.doc_id < 250 AND b.doc_id >= 250
-        WHERE bit_count(xor(a.sim_lo, b.sim_lo))
-              + bit_count(xor(a.sim_hi, b.sim_hi)) <= 3
+        SELECT o.doc_id AS old_id, n.doc_id AS new_id,
+               CAST(COUNT(DISTINCT o.fp) AS BIGINT) AS n_shared
+        FROM eodfp o JOIN endfp n ON o.fp = n.fp
+        WHERE o.fp IN (SELECT fp FROM eocap)
+        GROUP BY 1, 2 HAVING COUNT(DISTINCT o.fp) >= 2
     )
-    SELECT old_id, new_id, hamming,
+    SELECT old_id, new_id, n_shared,
            CAST(d AS INT) AS edit_distance,
            ROUND(CAST(d AS DOUBLE) / glen, 6) AS edit_norm
     FROM (
-        SELECT c.old_id, c.new_id, c.hamming,
+        SELECT c.old_id, c.new_id, c.n_shared,
                levenshtein(da.text, db.text) AS d,
                GREATEST(length(da.text), length(db.text)) AS glen
         FROM edi_cand c
@@ -5739,21 +5748,22 @@ def dedup_simhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN documents db ON c.new_id = db.doc_id
     ) WHERE d * 1000000 <= 300000 * glen
     """,
-    doc="incremental edit-distance near-dup: new batch bands against the "
-    "two-int signature snapshot (history text untouched for MINING), "
+    doc="incremental edit-distance near-dup: new batch fingerprints "
+    "map-side against the winnowing snapshot (history text untouched "
+    "for MINING; sequential blocking per the batch miner's rationale), "
     "then only actual candidates hydrate old text for the JVM "
     "Levenshtein verify under the batch miner's integer-exact cut",
 )
 def dedup_edit_distance_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from irstats2_spark.pipeline.dedup import (
-        edit_distance_incremental,
-        simhash64,
-    )
+    from irstats2_spark.pipeline.dedup import edit_distance_incremental
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
 
     docs = load_table(spark, "documents", sf_dir)
     old = docs.filter(F.col("doc_id") < 250)
     new = docs.filter(F.col("doc_id") >= 250)
-    return edit_distance_incremental(new, simhash64(old), old)
+    return edit_distance_incremental(
+        new, winnow_fingerprints(old, k=4, window=4), old
+    )
 
 
 @register(

@@ -960,89 +960,111 @@ def simhash_doc_stream(
 
 def edit_distance_doc_stream(
     docs: DataFrame,
-    old_sigs: DataFrame,
+    old_fps: DataFrame,
     old_docs: DataFrame,
     ts_col: str = "ts",
     text_col: str = "text",
     id_col: str = "doc_id",
-    bands: int = 4,
-    max_hamming: int = 3,
+    k: int = 4,
+    window: int = 4,
+    min_shared: int = 2,
     max_norm: float = 0.3,
+    max_docs_per_fp: int | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming twin of ``dedup.edit_distance_incremental``: flag
     stream documents whose text is a small EDIT of an accumulated-
-    corpus doc — SimHash banding against the two-int signature snapshot
-    proposes candidates, a stream-static join hydrates the old TEXT for
-    only those candidates, and JVM Levenshtein confirms under the batch
-    miner's integer-exact normalized cut. The sketch streaming tiers
-    (MinHash estimate / SimHash Hamming / winnowing overlap) measure
-    token-set or span overlap; this is the tier that answers "how MUCH
-    changed", at ingest time.
+    corpus doc — winnowing fingerprints against the snapshot propose
+    candidates (SEQUENTIAL blocking, matching the sequence metric; see
+    ``edit_distance_dups`` for why a set-based signature floods the
+    verify with reorder pairs), a stream-static join hydrates the old
+    TEXT for only those candidates, and JVM Levenshtein confirms under
+    the batch miner's integer-exact normalized cut. The sketch
+    streaming tiers (MinHash estimate / SimHash Hamming / winnowing
+    overlap) measure token-set or span overlap; this is the tier that
+    answers "how MUCH changed", at ingest time.
 
-    Output: (old_id, new_id, hamming, edit_distance, edit_norm,
+    Output: (old_id, new_id, n_shared, edit_distance, edit_norm,
     ``ts_col``) per flagged cross pair.
 
-    Why this streams stateless: the signature is a per-row expression
-    and both snapshot joins are stream-static (banded sigs, then
-    old-text hydration keyed by old_id — candidate-sized, not
-    corpus-sized, probe traffic); the Levenshtein verify is a row-local
-    expression, so the only state is ``dropDuplicatesWithinWatermark``
-    on (old_id, new_id) — ∝ flagged pairs inside the horizon. A pair
-    sharing b bands verifies b times before the dedup; acceptable
-    because verified pairs are output-sized. Stream == batch is
-    pytest-pinned against ``edit_distance_incremental``."""
-    from irstats2_spark.pipeline.dedup import _simhash_banded, simhash64
+    Why this streams stateless: candidates use ``winnow_doc_stream``'s
+    in-row fingerprint-set mechanics (per-row ``winnow_key_array``, the
+    shared count a row-local array_intersect on the stream-static fp
+    join), old-text hydration is a second stream-static join keyed by
+    old_id with candidate-sized probe traffic, and the Levenshtein
+    verify is a row-local expression — so the only state is
+    ``dropDuplicatesWithinWatermark`` on (old_id, new_id), ∝ flagged
+    pairs inside the horizon. A pair sharing f fingerprints verifies f
+    times before the dedup; acceptable because verified pairs are
+    output-sized. Stream == batch is pytest-pinned against
+    ``edit_distance_incremental``."""
+    from irstats2_spark.pipeline.textstats import tokens, winnow_key_array
 
     assert docs.isStreaming, (
         "edit_distance_doc_stream expects a streaming DataFrame"
     )
-    new_banded = _simhash_banded(
-        simhash64(docs, text_col, id_col, keep_cols=(ts_col, text_col)),
-        bands,
-        keep_cols=(ts_col, text_col),
-    ).select(
-        F.col("doc_id").alias("new_id"),
-        F.col(ts_col),
-        F.col(text_col).alias("__tn"),
-        F.col("sim_lo").alias("__nlo"),
-        F.col("sim_hi").alias("__nhi"),
-        "band",
-        "key",
+    old = old_fps.select(F.col(id_col).alias("old_id"), "fp").distinct()
+    if max_docs_per_fp is not None:
+        ok = (
+            old.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_docs_per_fp)
+            .select("fp")
+        )
+        old = old.join(ok, "fp", "left_semi")
+    old_sets = old.groupBy("old_id").agg(
+        F.collect_set("fp").alias("__old_set")
     )
-    old_banded = _simhash_banded(old_sigs, bands).select(
-        F.col("doc_id").alias("old_id"),
-        F.col("sim_lo").alias("__olo"),
-        F.col("sim_hi").alias("__ohi"),
-        "band",
-        "key",
-    )
+    snapshot = old.join(old_sets, "old_id")  # (old_id, fp, __old_set)
     old_text = old_docs.select(
         F.col(id_col).alias("old_id"), F.col(text_col).alias("__to")
     )
-    hamming = (
-        F.bit_count(F.col("__olo").bitwiseXOR(F.col("__nlo")))
-        + F.bit_count(F.col("__ohi").bitwiseXOR(F.col("__nhi")))
-    ).cast("int")
-    dist = F.levenshtein("__to", "__tn")
+
+    new_rows = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(ts_col),
+            F.col(text_col).alias("__tn"),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.size("__t") >= k)
+        .withColumn(
+            "__new_set",
+            F.array_distinct(
+                F.transform(
+                    winnow_key_array(F.col("__t"), k, window),
+                    lambda x: F.shiftright(x, 20),
+                )
+            ),
+        )
+        .select(
+            "new_id", ts_col, "__tn", "__new_set",
+            F.explode("__new_set").alias("fp"),
+        )
+    )
     glen = F.greatest(F.length("__to"), F.length("__tn"))
     max_norm_micros = int(max_norm * 1_000_000)
     return (
-        new_banded.join(old_banded, ["band", "key"])
-        .withColumn("hamming", hamming)
-        .filter(F.col("hamming") <= max_hamming)
+        new_rows.join(snapshot, "fp")
+        .withColumn(
+            "n_shared",
+            F.size(F.array_intersect("__new_set", "__old_set")).cast("long"),
+        )
+        .filter(F.col("n_shared") >= min_shared)
         .join(old_text, "old_id")
+        .withColumn("__d", F.levenshtein("__to", "__tn"))
         .filter(
-            dist.cast("long") * 1_000_000 <= F.lit(max_norm_micros) * glen
+            F.col("__d").cast("long") * 1_000_000
+            <= F.lit(max_norm_micros) * glen
         )
         .select(
             "old_id",
             "new_id",
-            "hamming",
-            dist.cast("int").alias("edit_distance"),
-            F.round(dist / glen, 6).alias("edit_norm"),
+            "n_shared",
+            F.col("__d").cast("int").alias("edit_distance"),
+            F.round(F.col("__d") / glen, 6).alias("edit_norm"),
             ts_col,
         )
-        .withWatermark(ts_col, watermark)
         .dropDuplicatesWithinWatermark(["old_id", "new_id"])
     )

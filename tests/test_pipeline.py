@@ -3149,9 +3149,8 @@ def test_edit_distance_dups_verifies_candidates(spark):
     from irstats2_spark.pipeline.dedup import edit_distance_dups
 
     base = " ".join(f"tok{i} word{i} common{i % 7}" for i in range(40))
-    # one changed word perturbs the 64-bit signature by exactly 1 bit on
-    # this (deterministic, md5-derived) corpus — inside the Hamming<=3
-    # candidate cut; two changed words already land at hamming 4
+    # one changed word leaves long shared token runs on both sides, so
+    # the winnowing candidate stage is guaranteed to propose the pair
     edited = base.replace("tok5", "tok5x")
     unrelated = " ".join(f"zzz{i} qqq{i} vvv{i}" for i in range(40))
     rows = [(0, base), (1, edited), (2, unrelated)]
@@ -3183,16 +3182,15 @@ def test_edit_distance_dups_verifies_candidates(spark):
         r.edit_norm - want / max(len(base), len(edited))
     ) < 1e-6
 
-    # same token SET (simhash-identical) but every token repositioned:
-    # candidates propose it, the levenshtein norm cut must reject it
+    # same token SET but every token repositioned: a set-based blocker
+    # would propose this (and waste a full DP on it); the sequential
+    # winnowing blocker must not even PROPOSE it — reversal leaves no
+    # shared window+k-1 token run, so no shared fingerprint exists
     shuffled = " ".join(reversed(base.split(" ")))
     docs2 = spark.createDataFrame(
         [(0, base), (1, shuffled)], "doc_id long, text string"
     )
-    assert edit_distance_dups(docs2, max_norm=0.3).count() == 0
-    loose = edit_distance_dups(docs2, max_norm=1.0).collect()
-    assert [(p.doc_a, p.doc_b) for p in loose] == [(0, 1)]
-    assert loose[0].edit_distance == lev(base, shuffled)
+    assert edit_distance_dups(docs2, max_norm=1.0).count() == 0
 
 
 def test_ccnet_buckets_equal_count_and_monotone(spark):
@@ -3409,12 +3407,12 @@ def test_shard_compaction_plan_bin_packing(spark):
 
 def test_edit_distance_incremental_matches_batch_cross_pairs(spark):
     """edit_distance_incremental == the cross-(old,new) subset of the
-    full batch miner on old ∪ new, for the same bands/thresholds."""
+    full batch miner on old ∪ new, for the same winnowing params."""
     from irstats2_spark.pipeline.dedup import (
         edit_distance_dups,
         edit_distance_incremental,
-        simhash64,
     )
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
 
     base = " ".join(f"tok{i} word{i} common{i % 7}" for i in range(40))
     rows = [
@@ -3429,11 +3427,13 @@ def test_edit_distance_incremental_matches_batch_cross_pairs(spark):
     new = docs.filter(F.col("doc_id") >= 10)
 
     inc = sorted(
-        (r.old_id, r.new_id, r.hamming, r.edit_distance, r.edit_norm)
-        for r in edit_distance_incremental(new, simhash64(old), old).collect()
+        (r.old_id, r.new_id, r.n_shared, r.edit_distance, r.edit_norm)
+        for r in edit_distance_incremental(
+            new, winnow_fingerprints(old, k=4, window=4), old
+        ).collect()
     )
     full = sorted(
-        (r.doc_a, r.doc_b, r.hamming, r.edit_distance, r.edit_norm)
+        (r.doc_a, r.doc_b, r.n_shared, r.edit_distance, r.edit_norm)
         for r in edit_distance_dups(docs).collect()
         if r.doc_a < 10 <= r.doc_b
     )
@@ -3521,7 +3521,7 @@ def _ref_levenshtein(a: str, b: str) -> int:
 @settings(max_examples=6, deadline=None, derandomize=True)
 @given(
     docs=st.lists(
-        st.lists(st.sampled_from(_WORDS), min_size=1, max_size=30),
+        st.lists(st.sampled_from(_WORDS), min_size=8, max_size=30),
         min_size=2,
         max_size=5,
     ),
@@ -3529,13 +3529,14 @@ def _ref_levenshtein(a: str, b: str) -> int:
 def test_edit_distance_dups_match_python_dp(spark, docs):
     """Every pair edit_distance_dups returns carries the TRUE DP
     Levenshtein distance and respects the integer-exact norm cut; an
-    injected repeat of doc 0 (same token SET, one token doubled — the
-    signature is set-based, so every band collides) is always found,
-    with the DP distance of the actual string edit."""
+    injected extension of doc 0 (one token appended — the docs share
+    doc 0's full >= window+k-1 token run, so the winnowing guarantee
+    forces a shared fingerprint) is always found, with the DP distance
+    of the actual string edit."""
     from irstats2_spark.pipeline.dedup import edit_distance_dups
 
-    # repeat an existing token: token SET unchanged => identical
-    # signature => guaranteed candidate; string edit distance > 0
+    # append a repeat of an existing token: the shared prefix run is
+    # len(doc0) >= 8 >= window+k-1 tokens => guaranteed candidate
     near = list(docs[0]) + [docs[0][0]]
     rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
     copy_id = len(docs)
@@ -3543,7 +3544,10 @@ def test_edit_distance_dups_match_python_dp(spark, docs):
     df = spark.createDataFrame(rows, "doc_id int, text string")
     texts = dict(rows)
 
-    out = edit_distance_dups(df, max_norm=1.0, max_hamming=6).collect()
+    # min_shared=1: the winnowing guarantee promises ONE shared
+    # fingerprint for a shared >= window+k-1 run, so the recall-max
+    # setting is the one with a provable contract to pin
+    out = edit_distance_dups(df, max_norm=1.0, min_shared=1).collect()
     seen = set()
     for r in out:
         want = _ref_levenshtein(texts[r.doc_a], texts[r.doc_b])

@@ -1272,15 +1272,13 @@ def test_quality_gate_stream_matches_batch(spark, tmp_path):
 
 def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
     """edit_distance_doc_stream: flagged cross pairs (with distances)
-    must equal edit_distance_incremental's output — same candidates,
+    must equal edit_distance_incremental's output — same winnowing candidates,
     same old-text hydration, same integer-exact norm cut; the stream
     only adds the watermark pair-dedup."""
     import json
 
-    from irstats2_spark.pipeline.dedup import (
-        edit_distance_incremental,
-        simhash64,
-    )
+    from irstats2_spark.pipeline.dedup import edit_distance_incremental
+    from irstats2_spark.pipeline.textstats import winnow_fingerprints
     from irstats2_spark.streaming.ingest import edit_distance_doc_stream
 
     base = ("the quick brown fox jumps over the lazy dog and then runs "
@@ -1298,7 +1296,7 @@ def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
          "text": "unrelated quarterly finance report with numbers"},
     ]
     old = spark.createDataFrame(old_rows, "doc_id long, text string")
-    old_sigs = simhash64(old)
+    old_fps = winnow_fingerprints(old, k=4, window=4)
 
     src = tmp_path / "docs"
     src.mkdir()
@@ -1310,7 +1308,7 @@ def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
         .json(str(src))
         .withColumn("ts", F.to_timestamp("ts"))
     )
-    out = edit_distance_doc_stream(stream, old_sigs, old)
+    out = edit_distance_doc_stream(stream, old_fps, old)
     q = (
         out.writeStream.format("memory")
         .queryName("editdist_stream_out")
@@ -1320,9 +1318,9 @@ def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
     )
     q.awaitTermination(120)
     got = {
-        (r.old_id, r.new_id): (r.hamming, r.edit_distance, r.edit_norm)
+        (r.old_id, r.new_id): (r.n_shared, r.edit_distance, r.edit_norm)
         for r in spark.sql(
-            "SELECT old_id, new_id, hamming, edit_distance, edit_norm "
+            "SELECT old_id, new_id, n_shared, edit_distance, edit_norm "
             "FROM editdist_stream_out"
         ).collect()
     }
@@ -1331,9 +1329,9 @@ def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
         "doc_id long, text string",
     )
     want = {
-        (r.old_id, r.new_id): (r.hamming, r.edit_distance, r.edit_norm)
+        (r.old_id, r.new_id): (r.n_shared, r.edit_distance, r.edit_norm)
         for r in edit_distance_incremental(
-            new_batch, old_sigs, old
+            new_batch, old_fps, old
         ).collect()
     }
     assert got == want
