@@ -1557,9 +1557,14 @@ def lang_confusion_audit(
     lists need work (e.g. es/fr sharing 'la'/'de' markers).
 
     Scale shape: the detector is the same zero-shuffle token map as
-    ``lang_id``; the rollup is one groupBy over a key domain of
+    ``lang_id`` (fanned out past the input's file-partitioning like
+    lang_id — a single parquet file must not serialize the map onto
+    one core); the rollup is one groupBy over a key domain of
     |langs|^2 cells, and the within-label totals ride a broadcast of
     |langs| rows — nothing corpus-sized shuffles."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
     detected = docs.select(
         F.col(label_col).alias("labeled_lang"),
         lang_id_from_tokens(
@@ -1641,8 +1646,13 @@ def token_entropy(
 
     Scale shape: entirely per-row array expressions (distinct tokens,
     per-type counts via in-row filters, one fold) — ZERO shuffle, fuses
-    into the scan like `quality_features`. Per-row cost is
-    O(types x tokens); fine for documents, not for megabyte blobs."""
+    into the scan like `quality_features`; fanned out past the input's
+    file-partitioning so a single parquet file does not serialize the
+    per-row O(types x tokens) work onto one core. Fine for documents,
+    not for megabyte blobs."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
 
     def lnq(c):
         return F.floor(F.lit(1e6) * F.log(c.cast("double")) + F.lit(0.5)).cast(
