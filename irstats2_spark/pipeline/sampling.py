@@ -767,9 +767,9 @@ def temperature_sweep_rates(
     column. expected_docs = n_docs * rate recovers the budget split.
 
     Scale shape: every branch shares the identical per-stratum count
-    subplan (ReusedExchange — the corpus aggregates once, not
-    len(alphas) times); each branch adds only a strata-sized map +
-    1-row normalizer; the union is |alphas| x |strata| rows."""
+    subplan (deduplicated at runtime by AQE exchange/stage reuse);
+    each branch adds only a strata-sized map + 1-row normalizer; the
+    union is |alphas| x |strata| rows."""
     from functools import reduce
 
     branches = [

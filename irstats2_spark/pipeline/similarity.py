@@ -1054,9 +1054,10 @@ def ivf_probe_sweep_audit(
 
     Scale shape: each branch is ``ivf_topk``'s broadcast-probe join
     (corpus never shuffled); the brute-force truth and the corpus
-    assignment are IDENTICAL subplans across branches, which Spark
-    dedups via ReusedExchange — the corpus is scanned once, not
-    len(probes)+1 times. The final union is len(probes) rows."""
+    assignment are IDENTICAL subplans across branches, deduplicated at
+    runtime by AQE's exchange/stage reuse — measured at sf0.1 the warm
+    steady state equals an explicitly .cache()'d variant, so no manual
+    persistence is carried. The final union is len(probes) rows."""
     from functools import reduce
 
     bf = brute_force_topk(embeddings, queries, k=k).select(

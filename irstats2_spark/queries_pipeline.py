@@ -3417,7 +3417,7 @@ def _temp_sweep_branch(alpha: float) -> str:
     "{{0.25, 0.5, 0.75, 1.0}} in one table — the tuning curve behind "
     "the mixing temperature (at alpha=1 rates are uniform; lower alpha "
     "shifts budget to small sources until the cap bites); the stratum "
-    "count subplan is shared across branches (ReusedExchange)",
+    "count subplan is shared across branches (AQE stage reuse)",
 )
 def mix_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.sampling import temperature_sweep_rates
@@ -5266,8 +5266,8 @@ def _probe_sweep_branch(p: int) -> str:
     doc="IVF probe-count sweep: recall@5 vs brute force at n_probes in "
     "1..4, one row per setting — the tuning CURVE behind the n_probe "
     "knob (n_hit is monotone in probes by construction); brute-force "
-    "truth and corpus assignment are shared subplans (ReusedExchange), "
-    "so the corpus scans once, not five times",
+    "truth and corpus assignment are shared subplans deduplicated by "
+    "AQE stage reuse at runtime (measured equal to a cached variant)",
 )
 def similarity_ivf_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.similarity import ivf_probe_sweep_audit
