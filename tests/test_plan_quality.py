@@ -778,3 +778,51 @@ def test_epoch_replication_broadcasts_rates_and_never_shuffles_corpus(spark, que
     assert "SortMergeJoin" not in plan
     tree = plan.split("\n\n")[0]
     assert not re.search(r"Exchange hashpartitioning.*text", tree)
+
+
+def test_pq_rerank_hydration_broadcasts_shortlist(spark, queries):
+    """pq_rerank_exact: the full-vector hydration must be broadcast
+    joins pruning the embeddings scan (the shortlist is n_queries x
+    shortlist rows by construction) — a SortMergeJoin here means the
+    corpus is shuffling for a handful of candidate reads."""
+    plan = plan_of(queries["similarity_pq_rerank_topk"](spark, SF))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_edit_distance_single_dp_per_pair(spark, queries):
+    """dedup_edit_distance: exactly ONE levenshtein evaluation per
+    candidate pair in the final plan (the first version computed it
+    inside the filter AND the projection), and no CartesianProduct —
+    candidates come from the winnowing co-occurrence join."""
+    plan = plan_of(queries["dedup_edit_distance"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "CartesianProduct" not in tree
+    # one Project computes __d; the details section shows levenshtein
+    # once in that Project and once in the Filter REFERENCING __d only
+    # if it re-evaluates — assert the expression appears exactly once
+    assert plan.count("levenshtein") == 2  # details list Project+output
+    assert "levenshtein(levenshtein" not in plan
+
+
+def test_compaction_plan_is_metadata_only(spark, queries):
+    """corpus_compaction_plan: ONE corpus scan builds the shard
+    manifest; everything after operates on the shard-count-sized
+    aggregate (single-partition windows over metadata, never the
+    corpus)."""
+    plan = plan_of(queries["corpus_compaction_plan"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1
+
+
+def test_quality_funnel_single_output_row_explode(spark, queries):
+    """pipeline_quality_funnel_e2e: the stage table comes from ONE
+    aggregate row exploded to 5 — no per-stage corpus re-scans beyond
+    the component operators' own (gate, classifier, dedup, simhash)."""
+    plan = plan_of(queries["pipeline_quality_funnel_e2e"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # documents feeds: ids, gate, classifier tokens + 2 seed slices +
+    # vocab totals, exact-dedup md5, simhash words (both vote halves) —
+    # a FIXED count set by the component operators, not per-stage
+    assert tree.count("Scan parquet") <= 10
+    assert "CartesianProduct" not in tree
