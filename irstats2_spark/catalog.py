@@ -121,7 +121,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "t2_densify",
     "a6_a7_cumulative_running_avg",
 )
-# ROUND 6 SHOULD GATE FIRST: the 18 queries registered late in round
+# ROUND 6 SHOULD GATE FIRST: the 19 queries registered late in round
 # 5 with no driver row yet — similarity_pq_rerank_topk,
 # dedup_edit_distance, dedup_edit_distance_incremental,
 # dedup_lsh_band_sweep, text_ccnet_perplexity_buckets,
@@ -130,6 +130,7 @@ GATE_PRIORITY: tuple[str, ...] = (
 # sample_split_leakage_safe, similarity_knn_mutual_graph,
 # similarity_ivf_probe_sweep, mix_temperature_sweep,
 # corpus_compaction_plan, pipeline_quality_funnel_e2e,
+# similarity_pq_m_sweep,
 # agg_grouping_sets, events_retention_cohorts,
 # events_funnel_conversion (all green in the pytest sf0.01 oracle
 # mirror) — then: robots_filter_outcome, dedup_simhash,

@@ -886,3 +886,60 @@ def pq_rerank_exact(
         exact.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def pq_m_sweep_audit(
+    embeddings: DataFrame,
+    dim: int,
+    ms: tuple[int, ...] = (4, 8, 16),
+    n_codes: int = 4,
+    max_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 1000,
+) -> DataFrame:
+    """PQ subspace-count SWEEP: reconstruction distortion vs code size
+    for several m (bytes per vector), one row per setting — the tuning
+    table behind PQ's core knob, completing the sweep family (IVF
+    probes, LSH bands, mixing temperature). More subspaces = more
+    bytes but each subspace quantizes a shorter subvector, so
+    distortion falls; the table shows where halving distortion stops
+    being worth doubling the index footprint.
+
+    Output: (m, sub_dim, code_bytes, n_vecs, total_sq_err,
+    mean_sq_err) — total_sq_err is the EXACT integer sum of the
+    per-(vector, subspace) quantized squared-L2 reconstruction errors
+    ``pq_encode`` reports, so the row is engine-reproducible
+    bit-for-bit; mean_sq_err divides once at the end.
+
+    Scale shape: each branch is the audited fit (broadcast Lloyd's) +
+    encode (map-side, broadcast codebook) + a 1-row sum; branches
+    union to len(ms) rows. Fit cost is per-branch by design — the
+    codebooks ARE different models. At web scale fit on a sample; the
+    distortion sum is the only corpus-wide pass worth keeping exact."""
+    from functools import reduce
+
+    branches = []
+    for m in ms:
+        assert dim % m == 0
+        cb = pq_fit(
+            embeddings, dim, m, n_codes, max_iter, id_col, vec_col, scale
+        )
+        enc = pq_encode(embeddings, cb, dim, m, id_col, vec_col, scale)
+        agg = enc.agg(
+            (F.count(F.lit(1)) / F.lit(m)).cast("long").alias("n_vecs"),
+            F.sum("dist").cast("long").alias("total_sq_err"),
+        )
+        branches.append(
+            agg.select(
+                F.lit(m).cast("int").alias("m"),
+                F.lit(dim // m).cast("int").alias("sub_dim"),
+                F.lit(m).cast("int").alias("code_bytes"),
+                "n_vecs",
+                "total_sq_err",
+                F.round(F.col("total_sq_err") / F.col("n_vecs"), 6).alias(
+                    "mean_sq_err"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), branches)

@@ -2447,6 +2447,40 @@ def similarity_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_m_branch(m: int, dim: int = 64) -> str:
+    sub_dim = dim // m
+    return f"""
+    SELECT CAST({m} AS INT) AS m, CAST({sub_dim} AS INT) AS sub_dim,
+           CAST({m} AS INT) AS code_bytes,
+           n_vecs, total_sq_err,
+           ROUND(CAST(total_sq_err AS DOUBLE) / n_vecs, 6) AS mean_sq_err
+    FROM (
+        WITH {_pq_cte(m, sub_dim)},
+        {_PQ_ENC}
+        SELECT CAST(COUNT(*) / {m} AS BIGINT) AS n_vecs,
+               CAST(SUM(dist) AS BIGINT) AS total_sq_err
+        FROM enc
+    ) t
+    """
+
+
+@register(
+    "similarity_pq_m_sweep",
+    " UNION ALL ".join(_pq_m_branch(m) for m in (4, 8, 16)),
+    doc="PQ subspace-count sweep: exact integer reconstruction "
+    "distortion vs code bytes at m in {4, 8, 16} — the tuning table "
+    "behind PQ's core knob (more bytes, shorter subvectors, lower "
+    "distortion), completing the sweep family; each branch is the "
+    "audited fit + map-side encode + a 1-row sum",
+)
+def similarity_pq_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.pq import pq_m_sweep_audit
+
+    return pq_m_sweep_audit(
+        load_table(spark, "embeddings", sf_dir), dim=64, ms=(4, 8, 16)
+    )
+
+
 @register(
     "similarity_scalar_quant_error",
     """

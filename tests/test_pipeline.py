@@ -3706,3 +3706,33 @@ def test_token_entropy_matches_python(spark):
     assert out[0].entropy == 0.0
     assert abs(out[1].entropy - round(math.log(6), 6)) < 1e-5
     assert out[4].entropy == 0.0
+
+
+def test_pq_m_sweep_monotone_distortion(spark):
+    """pq_m_sweep_audit: distortion decreases (weakly) as m grows —
+    more subspaces quantize shorter subvectors — and each branch's
+    total equals a direct fit+encode recompute."""
+    import numpy as np
+
+    from irstats2_spark.pipeline.pq import (
+        pq_encode,
+        pq_fit,
+        pq_m_sweep_audit,
+    )
+
+    rng = np.random.RandomState(11)
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in rng.randn(8)]) for i in range(24)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r.m: r for r in
+           pq_m_sweep_audit(emb, dim=8, ms=(2, 4), n_codes=2).collect()}
+    assert set(out) == {2, 4}
+    assert out[2].sub_dim == 4 and out[4].sub_dim == 2
+    assert all(r.n_vecs == 24 for r in out.values())
+    assert out[4].total_sq_err <= out[2].total_sq_err
+    for m in (2, 4):
+        cb = pq_fit(emb, 8, m, 2, max_iter=2)
+        want = sum(r.dist for r in pq_encode(emb, cb, 8, m).collect())
+        assert out[m].total_sq_err == want
+        assert abs(out[m].mean_sq_err - round(want / 24, 6)) < 1e-9
