@@ -121,8 +121,17 @@ GATE_PRIORITY: tuple[str, ...] = (
     "t2_densify",
     "a6_a7_cumulative_running_avg",
 )
-# ROUND 6 SHOULD GATE FIRST: the 19 queries registered late in round
-# 5 with no driver row yet — similarity_pq_rerank_topk,
+# ROUND 6 SHOULD GATE FIRST: the queries registered late in round
+# 5 with no driver row yet (session-4 adds join the list as they
+# land: events_markov_transitions, events_rolling_anomaly,
+# graph_pagerank, graph_triangles, text_cosine_pairs_inverted,
+# corpus_ngram_diversity, text_tokenizer_fertility,
+# events_attribution_windows, graph_label_propagation,
+# text_minhash_containment_asym, sample_coreset_diverse,
+# mix_doremi_proxy_reweight, text_burstiness_audit,
+# pipeline_dedup_cascade_audit, corpus_quota_pack,
+# events_session_quantiles_exact) — plus the 19 from session 3:
+# similarity_pq_rerank_topk,
 # dedup_edit_distance, dedup_edit_distance_incremental,
 # dedup_lsh_band_sweep, text_ccnet_perplexity_buckets,
 # text_lang_confusion_audit, text_quality_calibration_audit,

@@ -789,3 +789,134 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fn.select(F.explode(rows).alias("s")).select(
         "s.step", "s.step_name", "s.n_users", "s.conversion"
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov transition matrix — consecutive event-type transitions per user.
+# The reference's nearest analog is the repeat-window filter's
+# consecutive-hit scan (Logger.pm: same-user ordered record pairs); this
+# generalizes it into the full first-order transition model product
+# analytics builds funnels from.
+# ---------------------------------------------------------------------------
+@register(
+    "events_markov_transitions",
+    """
+    WITH mk_seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    ),
+    mk_trans AS (
+        SELECT event_type AS from_type, next_type AS to_type,
+               COUNT(*) AS n_transitions
+        FROM mk_seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mk_tot AS (
+        SELECT from_type, CAST(SUM(n_transitions) AS BIGINT) AS from_total
+        FROM mk_trans GROUP BY 1
+    )
+    SELECT t.from_type, t.to_type,
+           CAST(t.n_transitions AS BIGINT) AS n_transitions,
+           o.from_total,
+           ROUND(CAST(t.n_transitions AS DOUBLE) / o.from_total, 6) AS prob
+    FROM mk_trans t JOIN mk_tot o USING (from_type)
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+    "sequences: LEAD within (user, ts, event_id) total order, then one "
+    "(from, to) rollup with row-normalized probabilities — the "
+    "behavioral-model companion to the ordered funnel; one shuffle on "
+    "user_id (the sequence window), one on the 25-cell transition key",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    trans = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    tot = trans.groupBy("from_type").agg(
+        F.sum("n_transitions").cast("long").alias("from_total")
+    )
+    # 5 event types -> at most 25 transition cells; the row-total side is
+    # tiny by construction, so broadcast it
+    return trans.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        "from_total",
+        F.round(F.col("n_transitions") / F.col("from_total"), 6).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling anomaly detection — daily volumes vs a trailing window, flagged
+# in pure integer arithmetic (z^2 > 4 without ever forming a float mean or
+# stddev, so both engines agree bit-for-bit).
+# ---------------------------------------------------------------------------
+@register(
+    "events_rolling_anomaly",
+    """
+    WITH ra_daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ra_win AS (
+        SELECT event_type, day, n,
+               COUNT(*) OVER w AS w_n,
+               CAST(SUM(n) OVER w AS BIGINT) AS w_sum,
+               CAST(SUM(n * n) OVER w AS BIGINT) AS w_sumsq
+        FROM ra_daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT) AS n, CAST(w_n AS BIGINT) AS w_days, w_sum,
+           CAST(w_n = 7
+                AND (w_n * n - w_sum) * (w_n * n - w_sum)
+                    > 4 * (w_n * w_sumsq - w_sum * w_sum)
+                AS BOOLEAN) AS anomalous
+    FROM ra_win
+    """,
+    doc="trailing-window anomaly flags on daily event volumes: per "
+    "(type, day) counts, then a 7-row trailing frame (current day "
+    "excluded) and an integer-exact |z| > 2 test — (w*n - sum)^2 > "
+    "4*(w*sumsq - sum^2) is z^2 > 4 cleared of divisions, so no float "
+    "mean/stddev ever forms and the oracle matches bit-for-bit; one "
+    "shuffle to daily grain (~types x days rows), window over that",
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    daily = events.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    win = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("n").over(w).cast("long").alias("w_sum"),
+        F.sum(F.col("n") * F.col("n")).over(w).cast("long").alias("w_sumsq"),
+    )
+    dev = F.col("w_n") * F.col("n") - F.col("w_sum")
+    var_n3 = F.col("w_n") * F.col("w_sumsq") - F.col("w_sum") * F.col("w_sum")
+    return win.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n"),
+        F.col("w_n").cast("long").alias("w_days"),
+        "w_sum",
+        ((F.col("w_n") == 7) & (dev * dev > 4 * var_n3)).alias("anomalous"),
+    )
