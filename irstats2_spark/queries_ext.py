@@ -920,3 +920,207 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w_sum",
         ((F.col("w_n") == 7) & (dev * dev > 4 * var_n3)).alias("anomalous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Marketing attribution — last-touch click attribution for purchases within
+# a 24 h window. The reference's closest analog is the repeat-window filter
+# (same-user strictly-preceding record scan, Repeat.pm:89-95); this is the
+# product-analytics generalization: a per-user ordered window carrying the
+# most recent qualifying touch forward, then a daily rollup.
+# ---------------------------------------------------------------------------
+@register(
+    "events_attribution_windows",
+    """
+    WITH att AS (
+        SELECT event_id, user_id, epoch_us(ts) AS us, event_type, ts,
+               MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS prev_click_us
+        FROM events
+    ),
+    ap AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CASE WHEN prev_click_us IS NOT NULL
+                     AND us - prev_click_us <= 86400000000
+                    THEN 1 ELSE 0 END AS attr,
+               CASE WHEN prev_click_us IS NOT NULL
+                     AND us - prev_click_us <= 86400000000
+                    THEN (us - prev_click_us) // 1000000 ELSE 0 END AS lag_s
+        FROM att WHERE event_type = 'purchase'
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(SUM(attr) AS BIGINT) AS n_attributed,
+           ROUND(CAST(SUM(attr) AS DOUBLE) / COUNT(*), 6) AS attach_rate,
+           CAST(SUM(lag_s) AS BIGINT) AS total_lag_s,
+           ROUND(CASE WHEN SUM(attr) > 0
+                      THEN SUM(lag_s) / CAST(SUM(attr) AS DOUBLE)
+                      ELSE 0.0 END, 6) AS avg_lag_s
+    FROM ap GROUP BY 1
+    """,
+    doc="last-touch attribution: each purchase looks back to the most "
+    "recent click by the same user (strictly-preceding ROWS frame, so "
+    "same-timestamp self-matches are impossible) and attributes within "
+    "a 24 h window; daily rollup of attach rate + integer-exact lag "
+    "sums — one user-keyed window shuffle, then a daily-grain agg",
+)
+def events_attribution_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    events = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    att = (
+        events.withColumn("us", F.unix_micros("ts"))
+        .withColumn(
+            "prev_click_us",
+            F.max(
+                F.when(F.col("event_type") == "click", F.col("us"))
+            ).over(w),
+        )
+        .filter(F.col("event_type") == "purchase")
+    )
+    attributed = F.col("prev_click_us").isNotNull() & (
+        F.col("us") - F.col("prev_click_us") <= F.lit(86_400_000_000)
+    )
+    ap = att.select(
+        F.col("ts").cast("date").alias("day"),
+        F.when(attributed, 1).otherwise(0).alias("attr"),
+        F.when(
+            attributed, F.expr("(us - prev_click_us) DIV 1000000")
+        ).otherwise(F.lit(0)).alias("lag_s"),
+    )
+    return ap.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        F.sum("attr").cast("long").alias("n_attributed"),
+        F.round(F.sum("attr") / F.count(F.lit(1)), 6).alias("attach_rate"),
+        F.sum("lag_s").cast("long").alias("total_lag_s"),
+        F.round(
+            F.when(
+                F.sum("attr") > 0, F.sum("lag_s") / F.sum("attr")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("avg_lag_s"),
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_purchases", "n_attributed", "attach_rate",
+        "total_lag_s", "avg_lag_s",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact session-distribution quantiles via the histogram-cumsum method —
+# the scalable exact-quantile pattern: the corpus-grain table collapses to
+# (metric, value, count) rows first, the ordered cumulative window runs
+# over DISTINCT values only, and the permille thresholds compare in pure
+# integers (cum * 1000 >= p * n), so no float rank arithmetic exists to
+# disagree across engines.
+# ---------------------------------------------------------------------------
+@register(
+    "events_session_quantiles_exact",
+    """
+    WITH sq_flag AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sq_sess AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM sq_flag
+    ),
+    sq_per AS (
+        SELECT user_id, session_no,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               (MAX(us) - MIN(us)) // 1000000 AS duration_s
+        FROM sq_sess GROUP BY 1, 2
+    ),
+    sq_metrics AS (
+        SELECT 'session_events' AS metric, n_events AS value FROM sq_per
+        UNION ALL
+        SELECT 'session_duration_s' AS metric, duration_s AS value FROM sq_per
+    ),
+    sq_hist AS (
+        SELECT metric, value, COUNT(*) AS c FROM sq_metrics GROUP BY 1, 2
+    ),
+    sq_cum AS (
+        SELECT metric, value,
+               SUM(c) OVER (PARTITION BY metric ORDER BY value
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM sq_hist
+    ),
+    sq_tot AS (
+        SELECT metric, CAST(SUM(c) AS BIGINT) AS n_sessions
+        FROM sq_hist GROUP BY 1
+    )
+    SELECT c.metric, CAST(p.p AS INT) AS permille,
+           CAST(MIN(c.value) AS BIGINT) AS value, t.n_sessions
+    FROM sq_cum c
+    JOIN sq_tot t USING (metric)
+    CROSS JOIN (SELECT unnest([500, 900, 990]) AS p) p
+    WHERE c.cum * 1000 >= p.p * t.n_sessions
+    GROUP BY c.metric, p.p, t.n_sessions
+    """,
+    doc="exact session-length quantiles (p50/p90/p99 of per-session "
+    "event counts and durations) by histogram-cumsum: sessions collapse "
+    "to (value, count) rows, the running total runs over distinct "
+    "values only, and thresholds are the all-integer cum*1000 >= p*n "
+    "(type-1 quantile) — the exact-quantile shape that scales where a "
+    "global sort of raw sessions would not",
+)
+def events_session_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from irstats2_spark.operators.sessions import sessionize
+
+    events = load_table(spark, "events", sf_dir)
+    sess = sessionize(events, gap_seconds=1800).withColumn(
+        "us", F.unix_micros("ts")
+    )
+    per = sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr("(MAX(us) - MIN(us)) DIV 1000000").alias("duration_s"),
+    )
+    metrics = per.select(
+        F.lit("session_events").alias("metric"),
+        F.col("n_events").alias("value"),
+    ).unionAll(
+        per.select(
+            F.lit("session_duration_s").alias("metric"),
+            F.col("duration_s").alias("value"),
+        )
+    )
+    hist = metrics.groupBy("metric", "value").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = (
+        Window.partitionBy("metric")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("metric").agg(
+        F.sum("c").cast("long").alias("n_sessions")
+    )
+    qs = F.broadcast(
+        spark.createDataFrame([(500,), (900,), (990,)], "p int")
+    )
+    return (
+        cum.join(F.broadcast(tot), "metric")
+        .crossJoin(qs)
+        .filter(F.col("cum") * 1000 >= F.col("p") * F.col("n_sessions"))
+        .groupBy("metric", "p", "n_sessions")
+        .agg(F.min("value").cast("long").alias("value"))
+        .select(
+            "metric", F.col("p").alias("permille"), "value", "n_sessions"
+        )
+    )

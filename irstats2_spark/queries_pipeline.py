@@ -5142,7 +5142,7 @@ _KNN_IVF_SQL = f"""
         JOIN embeddings a ON a.vec_id = sa.vec_id
         JOIN embeddings b ON b.vec_id = sb.vec_id
     ),
-    knng AS (
+    knng AS MATERIALIZED (
         SELECT vec_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine FROM (
             SELECT vec_id, neighbor_id, cosine,
                    ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -5837,3 +5837,174 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences(sized, F.col("n_tokens"), "doc_id", budget=2048)
     return pack_efficiency(packed, budget=2048)
+
+
+# ---------------------------------------------------------------------------
+# Graph tier — PageRank / triangles / label propagation over the mutual-kNN
+# edge list. The reference engine has no graph analytics (closest analog:
+# the subject ancestor closure's set expansion); these are the standard
+# graph questions a curation pipeline asks of its similarity graphs.
+# All three use the bounded-round integer-exact variants (pipeline/graph.py)
+# so the oracle unrolls the identical rounds as CTEs.
+# ---------------------------------------------------------------------------
+_GRAPH_EDGES_SQL = f"""
+    {_KNN_IVF_SQL},
+    gm AS MATERIALIZED (
+        SELECT a.vec_id AS u, a.neighbor_id AS v
+        FROM knng a
+        JOIN knng b ON b.vec_id = a.neighbor_id AND b.neighbor_id = a.vec_id
+        WHERE a.vec_id < a.neighbor_id
+    ),
+    ge AS MATERIALIZED (SELECT u AS src, v AS dst FROM gm
+           UNION ALL SELECT v AS src, u AS dst FROM gm),
+    gdeg AS MATERIALIZED (SELECT src AS node_id, CAST(COUNT(*) AS BIGINT) AS degree
+             FROM ge GROUP BY 1)
+"""
+
+_PR_SCALE = 10**9
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    tele = (15 * _PR_SCALE) // 100
+    ctes = [
+        f"pr0 AS (SELECT node_id, degree, "
+        f"CAST({_PR_SCALE} AS BIGINT) AS r FROM gdeg)"
+    ]
+    for i in range(1, _PR_ITERS + 1):
+        ctes.append(f"""pr{i} AS (
+        SELECT d.node_id, d.degree,
+               CAST({tele} + (85 * COALESCE(SUM(p.r // p.degree), 0)) // 100
+                    AS BIGINT) AS r
+        FROM gdeg d
+        JOIN ge e ON e.dst = d.node_id
+        JOIN pr{i - 1} p ON p.node_id = e.src
+        GROUP BY 1, 2
+    )""")
+    return f"""
+    WITH {_GRAPH_EDGES_SQL},
+    {', '.join(ctes)}
+    SELECT node_id, degree, r AS rank_scaled,
+           ROUND(CAST(r AS DOUBLE) / {_PR_SCALE}, 6) AS rank
+    FROM pr{_PR_ITERS}
+    """
+
+
+@register(
+    "graph_pagerank",
+    _pagerank_oracle(),
+    doc="fixed-point PageRank (3 synchronous rounds, damping 0.85) over "
+    "the mutual-kNN graph: ranks are BIGINTs updated with floor "
+    "division, so integer sums make every engine bit-identical — the "
+    "centrality prior for coreset sampling / hub detection; per round "
+    "one keyed join + one groupBy, shuffles carry (id, BIGINT) only",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.graph import pagerank_integer
+    from irstats2_spark.pipeline.similarity import knn_graph_ivf, knn_mutual_graph
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    edges = knn_mutual_graph(knn_graph_ivf(emb, cents, k=5)).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return pagerank_integer(edges, iterations=_PR_ITERS, scale=_PR_SCALE)
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH {_GRAPH_EDGES_SQL},
+    tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM gm e1
+        JOIN gm e2 ON e2.u = e1.v
+        JOIN gm e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tcorn AS (
+        SELECT node_id, CAST(COUNT(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node_id FROM tri
+            UNION ALL SELECT b AS node_id FROM tri
+            UNION ALL SELECT c AS node_id FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.node_id, d.degree,
+           CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN ROUND(2.0 * COALESCE(t.n_triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6)
+                ELSE 0.0 END AS clustering_coeff
+    FROM gdeg d LEFT JOIN tcorn t USING (node_id)
+    """,
+    doc="per-node triangle counts + local clustering coefficient over "
+    "the mutual-kNN graph via the a<b<c oriented two-join enumeration "
+    "(each triangle found exactly once, no permutation dedup) — dense "
+    "local neighborhoods flag boilerplate/hub clusters; k-bounded "
+    "input caps 2-paths at k^2 per node",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.graph import triangle_counts
+    from irstats2_spark.pipeline.similarity import knn_graph_ivf, knn_mutual_graph
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    edges = knn_mutual_graph(knn_graph_ivf(emb, cents, k=5)).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return triangle_counts(edges)
+
+
+_LP_ITERS = 3
+
+
+def _label_prop_oracle() -> str:
+    ctes = ["lp0 AS (SELECT node_id, CAST(node_id AS BIGINT) AS label FROM gdeg)"]
+    for i in range(1, _LP_ITERS + 1):
+        ctes.append(f"""lp{i} AS (
+        SELECT n.node_id,
+               CAST(LEAST(n.label, COALESCE(MIN(p.label), n.label))
+                    AS BIGINT) AS label
+        FROM lp{i - 1} n
+        JOIN ge e ON e.dst = n.node_id
+        JOIN lp{i - 1} p ON p.node_id = e.src
+        GROUP BY n.node_id, n.label
+    )""")
+    return f"""
+    WITH {_GRAPH_EDGES_SQL},
+    {', '.join(ctes)},
+    lsz AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+            FROM lp{_LP_ITERS} GROUP BY 1)
+    SELECT n.node_id, n.label AS community, s.community_size
+    FROM lp{_LP_ITERS} n JOIN lsz s USING (label)
+    """
+
+
+@register(
+    "graph_label_propagation",
+    _label_prop_oracle(),
+    doc="synchronous min-label propagation (3 rounds) over the "
+    "mutual-kNN graph: the deterministic member of the LPA family "
+    "(mode-of-neighbors needs tie conventions no two engines share); "
+    "after r rounds nodes within distance r of a component minimum "
+    "share its label — community sketches for stratified mixing; per "
+    "round one keyed join + one min-agg of (id, id) rows",
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.graph import label_propagation_min
+    from irstats2_spark.pipeline.similarity import knn_graph_ivf, knn_mutual_graph
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    edges = knn_mutual_graph(knn_graph_ivf(emb, cents, k=5)).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
+    )
+    return label_propagation_min(edges, iterations=_LP_ITERS)

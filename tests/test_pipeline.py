@@ -3736,3 +3736,75 @@ def test_pq_m_sweep_monotone_distortion(spark):
         want = sum(r.dist for r in pq_encode(emb, cb, 8, m).collect())
         assert out[m].total_sq_err == want
         assert abs(out[m].mean_sq_err - round(want / 24, 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Graph tier (pipeline/graph.py)
+# ---------------------------------------------------------------------------
+
+
+def _edge_df(spark, pairs):
+    return spark.createDataFrame(list(pairs), "u long, v long")
+
+
+def test_pagerank_symmetric_graph_equal_ranks(spark):
+    """On K3 every node is symmetric, so all ranks must be identical —
+    and since in-degree flow equals out-degree flow the fixed point is
+    the initial mass (up to floor-division dust)."""
+    from irstats2_spark.pipeline.graph import pagerank_integer
+
+    k3 = _edge_df(spark, [(1, 2), (1, 3), (2, 3)])
+    rows = pagerank_integer(k3, iterations=3, scale=10**9).collect()
+    assert len(rows) == 3
+    ranks = {r.rank_scaled for r in rows}
+    assert len(ranks) == 1
+    assert all(r.degree == 2 for r in rows)
+    # mass stays near scale: teleport 0.15*s + 0.85*s_inflow
+    assert abs(rows[0].rank_scaled - 10**9) < 10
+
+
+def test_pagerank_star_center_outranks_leaves(spark):
+    from irstats2_spark.pipeline.graph import pagerank_integer
+
+    star = _edge_df(spark, [(0, 1), (0, 2), (0, 3), (0, 4)])
+    out = {r.node_id: r for r in pagerank_integer(star, iterations=3).collect()}
+    assert out[0].degree == 4
+    assert all(out[0].rank_scaled > out[i].rank_scaled for i in (1, 2, 3, 4))
+
+
+def test_triangle_counts_k3_plus_path(spark):
+    """K3 on {1,2,3} plus a pendant edge 3-4: triangle corners count 1,
+    the pendant counts 0; clustering coeff is 1.0 on degree-2 corners,
+    2/(3*2)=0.333333 on the shared vertex, 0.0 on the leaf."""
+    from irstats2_spark.pipeline.graph import triangle_counts
+
+    g = _edge_df(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    out = {r.node_id: r for r in triangle_counts(g).collect()}
+    assert [out[i].n_triangles for i in (1, 2, 3, 4)] == [1, 1, 1, 0]
+    assert out[1].clustering_coeff == 1.0
+    assert out[3].clustering_coeff == 0.333333
+    assert out[4].clustering_coeff == 0.0
+
+
+def test_label_propagation_two_components(spark):
+    """Two path components converge to their min ids within the round
+    budget; community sizes match component sizes."""
+    from irstats2_spark.pipeline.graph import label_propagation_min
+
+    g = _edge_df(spark, [(1, 2), (2, 3), (10, 11), (11, 12), (12, 13)])
+    out = {r.node_id: r for r in
+           label_propagation_min(g, iterations=3).collect()}
+    assert all(out[i].community == 1 for i in (1, 2, 3))
+    assert all(out[i].community == 10 for i in (10, 11, 12, 13))
+    assert out[1].community_size == 3 and out[10].community_size == 4
+
+
+def test_label_propagation_bounded_rounds_partial(spark):
+    """A 6-node path with 1 round: only distance-1 neighbors of a local
+    minimum adopt it — documents the bounded-round contract."""
+    from irstats2_spark.pipeline.graph import label_propagation_min
+
+    g = _edge_df(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)])
+    out = {r.node_id: r.community for r in
+           label_propagation_min(g, iterations=1).collect()}
+    assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
