@@ -1888,3 +1888,185 @@ def lsh_band_sweep_audit(
             )
         )
     return reduce(lambda a, c: a.unionByName(c), branches)
+
+
+def cosine_pairs_inverted(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 64,
+    threshold_num: int = 1,
+    threshold_den: int = 2,
+) -> DataFrame:
+    """All-pairs TF-cosine similarity by INVERTED INDEX (document-at-a-
+    time posting join) — the Bayardo-style all-pairs-similarity shape:
+    instead of comparing dense vectors pairwise, each term's posting
+    list joins against itself, and per-pair dot products assemble from
+    the per-term products in one aggregation.
+
+    Two standard prunings make it scale (and both are mirrored in the
+    oracle, so the semantics ARE the pruned semantics):
+    - terms with document frequency > ``max_df`` are dropped from the
+      vector space entirely (norms AND dots): a term in >64 docs is
+      stop-word/boilerplate mass that dominates runtime (its posting
+      self-join is df^2) while carrying no discriminative signal —
+      the same boilerplate-cap contract as DEFAULT_MAX_DOCS_PER_SHINGLE;
+    - df=1 terms stay in the NORMS (they are real vector mass that
+      must depress cosine) but skip the pair join, where they cannot
+      contribute.
+
+    The threshold is the rational ``threshold_num/threshold_den`` and
+    the cut is the cross-multiplied INTEGER predicate
+    ``den^2 * dot^2 >= num^2 * |a|^2 * |b|^2`` — no float compare at
+    the boundary; the reported cosine is one double expression over
+    exact integers, rounded to 6dp.
+
+    Scale shape: one (doc, term) count shuffle, one df rollup, one
+    posting self-join keyed by term (each term contributes <= df^2 <=
+    max_df^2 pairs, so AQE sees bounded keys), one (a, b) dot rollup,
+    two id-keyed norm joins. Shuffles carry ids + small ints, never
+    text."""
+    from irstats2_spark.parallel import ensure_parallelism
+    from irstats2_spark.pipeline.textstats import tokens
+
+    docs = ensure_parallelism(docs)
+    ex = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    df = ex.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    kept = ex.join(df, "token").filter(F.col("df") <= max_df)
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("norm_sq")
+    )
+    posts = kept.filter(F.col("df") >= 2)
+    a = posts.select(
+        "token", F.col("doc_id").alias("doc_a"), F.col("c").alias("ca")
+    )
+    b = posts.select(
+        "token", F.col("doc_id").alias("doc_b"), F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    na = norms.select(
+        F.col("doc_id").alias("doc_a"), F.col("norm_sq").alias("norm_sq_a")
+    )
+    nb = norms.select(
+        F.col("doc_id").alias("doc_b"), F.col("norm_sq").alias("norm_sq_b")
+    )
+    num2 = threshold_num * threshold_num
+    den2 = threshold_den * threshold_den
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.lit(den2) * F.col("dot") * F.col("dot")
+            >= F.lit(num2) * F.col("norm_sq_a") * F.col("norm_sq_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot",
+            "norm_sq_a",
+            "norm_sq_b",
+            F.round(
+                F.col("dot")
+                / F.sqrt(
+                    (F.col("norm_sq_a") * F.col("norm_sq_b")).cast("double")
+                ),
+                6,
+            ).alias("cosine"),
+        )
+    )
+
+
+def minhash_containment_audit(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 8,
+    bands: int = 4,
+) -> DataFrame:
+    """ASYMMETRIC containment from MinHash signatures, audited against
+    the exact value — the near-dup question Jaccard gets wrong when
+    sizes differ: a short doc fully embedded in a long one has low
+    Jaccard (union is large) but containment ~1.0 in one direction.
+    The sketch estimate needs no second pass over the text: with
+    signature agreement m of ``n_hashes``, J^ = m/n, and the standard
+    size-corrected identity |A∩B| = J(|A|+|B|)/(1+J) gives
+    I^ = m(|A|+|B|)/(n+m), so C^(A⊆B) = I^/|A| — all from the sketch
+    plus the two exact set sizes the signature pass already counts.
+    Both directions are emitted NEXT TO the exact containments
+    (intersect of the collected shingle sets), so the query is its own
+    estimator-quality audit, the same contract as
+    ``similarity_recall_audit``.
+
+    Engine-exact: m, sizes, and n_common are integers; every reported
+    ratio is one double division over integers, rounded to 6dp.
+
+    Scale shape: identical to ``minhash_lsh_dedup`` — one shingle
+    groupBy computes signatures + sets + sizes in a single pass,
+    banded self-join proposes candidates on uniform md5 keys, and the
+    verify is map-side array intersection over broadcast pairs. The
+    exact columns are the audit half: at corpus scale run the estimate
+    columns alone (drop the collect_set) and keep this audited form
+    for sampled QA."""
+    from irstats2_spark.pipeline.dedup import word_shingles
+
+    sh = word_shingles(docs, text_col, id_col, k)
+    per_doc = sh.groupBy("doc_id").agg(
+        *_minhash_aggs(n_hashes),
+        F.collect_set("shingle").alias("__set"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    per_doc = per_doc.cache()  # reused: band candidates + both pair sides
+    cand = _band_candidates(per_doc, n_hashes, bands, None)
+    mh = [f"mh_{i}" for i in range(n_hashes)]
+    a = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("__set").alias("__sa"),
+        F.col("__n").alias("size_a"),
+        *[F.col(m).alias(f"__a_{m}") for m in mh],
+    )
+    b = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("__set").alias("__sb"),
+        F.col("__n").alias("size_b"),
+        *[F.col(m).alias(f"__b_{m}") for m in mh],
+    )
+    pairs = a.join(F.broadcast(cand.select("doc_a", "doc_b")), "doc_a").join(
+        b, "doc_b"
+    )
+    m_matches = sum(
+        F.when(F.col(f"__a_{x}") == F.col(f"__b_{x}"), 1).otherwise(0)
+        for x in mh
+    )
+    n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
+    est_inter = m_matches * (F.col("size_a") + F.col("size_b"))
+    est_den = F.lit(n_hashes) + m_matches
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        m_matches.cast("int").alias("n_sig_matches"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+        n_common.cast("long").alias("n_common"),
+        F.round(m_matches / F.lit(float(n_hashes)), 6).alias("est_jaccard"),
+        F.round(est_inter / (est_den * F.col("size_a")), 6).alias(
+            "est_containment_a"
+        ),
+        F.round(n_common / F.col("size_a"), 6).alias("exact_containment_a"),
+        F.round(est_inter / (est_den * F.col("size_b")), 6).alias(
+            "est_containment_b"
+        ),
+        F.round(n_common / F.col("size_b"), 6).alias("exact_containment_b"),
+    )

@@ -781,3 +781,162 @@ def temperature_sweep_rates(
         for a in alphas
     ]
     return reduce(lambda a, b: a.unionByName(b), branches)
+
+
+def doremi_proxy_reweight(
+    scored: DataFrame,
+    by_col: str = "source",
+    loss_col: str = "nll_micro",
+    n_col: str = "n_bigrams",
+    eta: float = 1.0,
+) -> DataFrame:
+    """DoReMi-style domain reweighting from PROXY-model losses: domains
+    whose per-token loss exceeds the corpus average get their sampling
+    weight multiplicatively boosted, weights renormalized over a
+    token-share baseline — the excess-loss reweighting loop of DoReMi
+    (Xie et al. 2023) collapsed to its one-step, deterministic form
+    (the proxy loss here is any per-doc (loss, token-count) table, e.g.
+    ``lm_nll_scores``; the gated query feeds the bigram-LM NLL).
+
+    Determinism contract: per-domain and corpus loss RATES are integer
+    micro-nats per token via BIGINT floor division; the single float
+    step is the boost exp(eta * excess), immediately quantized to an
+    integer (floor(1e6*exp + 0.5), the ``temperature_mix_rates`` POWER
+    idiom), so the final weights are one double division over exact
+    integer products.
+
+    Scale shape: one domain-keyed agg of integer partials; everything
+    after runs on the |domains|-row table (the corpus never shuffles,
+    never re-scans). Output: (stratum, n_docs, n_tokens,
+    rate_micro, excess_micro, boost_q, weight)."""
+    dom = scored.groupBy(F.col(by_col).alias("stratum")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(n_col).cast("long").alias("n_tokens"),
+        F.sum(loss_col).cast("long").alias("__tot_loss"),
+    )
+    corp = dom.agg(
+        F.expr("SUM(__tot_loss) DIV SUM(n_tokens)").alias("__corp_rate")
+    )
+    boosted = dom.crossJoin(F.broadcast(corp)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        F.expr("__tot_loss DIV n_tokens").alias("rate_micro"),
+        F.greatest(
+            F.expr("__tot_loss DIV n_tokens") - F.col("__corp_rate"),
+            F.lit(0),
+        ).alias("excess_micro"),
+    )
+    boosted = boosted.withColumn(
+        "boost_q",
+        F.floor(
+            F.lit(1e6)
+            * F.exp(F.lit(eta) * F.col("excess_micro") / F.lit(1e6))
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    z = boosted.agg(
+        F.sum(F.col("n_tokens") * F.col("boost_q")).alias("__z")
+    )
+    return boosted.crossJoin(F.broadcast(z)).select(
+        "stratum",
+        "n_docs",
+        "n_tokens",
+        "rate_micro",
+        "excess_micro",
+        "boost_q",
+        F.round(
+            (F.col("n_tokens") * F.col("boost_q"))
+            / F.col("__z").cast("double"),
+            6,
+        ).alias("weight"),
+    )
+
+
+def coreset_diverse_stratified(
+    assignments: DataFrame,
+    k: int = 50,
+    id_col: str = "vec_id",
+    cell_col: str = "centroid_id",
+    score_col: str = "centroid_cosine",
+) -> DataFrame:
+    """Cluster-stratified diverse coreset: rank vectors WITHIN their IVF
+    cell (most-representative first: centroid cosine DESC, id ASC),
+    then select globally by (cell_rank, cell_id, id) until the budget —
+    so the first |cells| picks are every cell's best representative,
+    the next |cells| their runners-up, and so on. This is the scalable
+    deterministic stand-in for greedy k-center (which is inherently
+    sequential): diversity comes from round-robin interleaving across
+    clusters, representativeness from the within-cell ordering, and
+    both orderings are total, so the oracle replays the exact set.
+
+    Scale shape: the within-cell rank is one window over the
+    assignment table's existing cell partitioning; the global cut is a
+    TakeOrdered top-k by the composite key (per-partition top-k +
+    driver merge of k rows) — NO global sort. The final sel_rank
+    window runs on the k-row result only (single partition of k rows
+    by construction)."""
+    from pyspark.sql import Window
+
+    cell_w = Window.partitionBy(cell_col).orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    ranked = assignments.select(
+        id_col,
+        cell_col,
+        score_col,
+        F.row_number().over(cell_w).cast("int").alias("cell_rank"),
+    )
+    top = ranked.orderBy("cell_rank", cell_col, id_col).limit(k)
+    sel_w = Window.orderBy("cell_rank", cell_col, id_col)
+    return top.withColumn(
+        "sel_rank", F.row_number().over(sel_w).cast("int")
+    )
+
+
+def quota_pack(
+    sized: DataFrame,
+    by_col: str = "source",
+    size_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    quota: int = 4096,
+) -> DataFrame:
+    """Per-stratum quota packing: documents pack into fixed-token-quota
+    shards WITHIN their source, in a deterministic hash order (so the
+    packing is reproducible but not correlated with doc ids), emitting
+    the shard manifest grain: (stratum, shard_id, n_docs, used_tokens,
+    fill_ratio). The per-source quota shard is the unit a training
+    scheduler draws from when mixing rates are enforced per epoch —
+    this is the planning table (the analog of ``pack_efficiency`` at
+    corpus-mix grain rather than sequence grain).
+
+    Shard assignment is the running-total rule: a doc starts in the
+    shard its PRECEDING cumulative tokens fall in ((cum - size) DIV
+    quota) — identical to ``pack_sequences``' boundary contract, so a
+    doc longer than the remaining quota spills into the boundary shard
+    (fill_ratio > 1.0 marks those shards for the scheduler).
+
+    Scale shape: one window per source partition (the cumsum
+    parallelizes across sources; within a source it is the sequential
+    prefix-sum Spark's window executes in one pass), then a
+    (source, shard) rollup."""
+    from pyspark.sql import Window
+
+    ord_col = F.md5(
+        F.concat(F.lit("quota:"), F.col(id_col).cast("string"))
+    )
+    w = (
+        Window.partitionBy(by_col)
+        .orderBy(ord_col, id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        F.col(by_col).alias("stratum"),
+        F.col(size_col).alias("__sz"),
+        (F.sum(size_col).over(w) - F.col(size_col)).alias("__before"),
+    ).withColumn("shard_id", F.expr(f"__before DIV {quota}").cast("long"))
+    return packed.groupBy("stratum", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__sz").cast("long").alias("used_tokens"),
+        F.round(F.sum("__sz") / F.lit(float(quota)), 6).alias("fill_ratio"),
+    )

@@ -1688,3 +1688,193 @@ def token_entropy(
         .otherwise(F.lit(0.0))
         .alias("entropy"),
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame,
+    vocab_size: int = 64,
+    chunk_chars: int = 4,
+    by_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-fertility audit per language (or any stratum): subword
+    tokens emitted per whitespace word under a bounded word vocabulary
+    with character-chunk fallback — in-vocab words cost 1 token, OOV
+    words fall back to ceil(len / chunk_chars) chunks (the byte-fallback
+    upper bound every real BPE stays under). High fertility for a
+    language means the vocabulary under-serves it — the tokenizer-parity
+    signal multilingual pretraining audits report (tokens/word ratios
+    across languages), computable without shipping a trained tokenizer.
+
+    Engine-exact: costs are integers ((len + chunk-1) DIV chunk), the
+    two reported ratios are single double divisions over exact integer
+    sums, rounded to 6dp.
+
+    Scale shape: same as ``vocab_encode`` — the vocabulary is a
+    TakeOrdered top-k (per-partition top-k, driver merge, vocab_size
+    rows), broadcast into a map-side membership join on the exploded
+    token stream; the only corpus-wide shuffle is the final
+    stratum-keyed agg of integer partials."""
+    from pyspark.sql import Window
+
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    ex = docs.select(
+        F.col(by_col).alias("stratum"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.orderBy(F.desc("__c"), F.asc("token")).limit(vocab_size)
+    vocab = top.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("__c"), F.asc("token")))
+        .alias("__tid"),
+    )
+    joined = ex.join(F.broadcast(vocab), "token", "left")
+    cost = F.when(F.col("__tid").isNotNull(), F.lit(1)).otherwise(
+        F.expr(f"(length(token) + {chunk_chars - 1}) DIV {chunk_chars}")
+    )
+    return (
+        joined.select(
+            "stratum",
+            cost.cast("long").alias("__cost"),
+            F.when(F.col("__tid").isNull(), 1).otherwise(0).alias("__oov"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("__cost").cast("long").alias("n_subword_tokens"),
+            F.sum("__oov").cast("long").alias("n_oov_words"),
+            F.round(F.sum("__cost") / F.count(F.lit(1)), 6).alias("fertility"),
+            F.round(F.sum("__oov") / F.count(F.lit(1)), 6).alias("oov_rate"),
+        )
+    )
+
+
+def ngram_diversity(
+    docs: DataFrame,
+    by_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lexical-diversity audit per stratum: type/token ratio on unigrams
+    and distinct/total ratio on word trigrams. Boilerplate-heavy or
+    template-generated slices show low trigram diversity long before
+    near-dup pair mining runs — this is the cheap corpus-health screen
+    that decides WHERE to point the expensive dedup.
+
+    Exactness: totals are integer sums computed from per-doc token
+    counts (a doc with n tokens has max(n-2, 0) trigrams); distincts
+    are exact COUNT(DISTINCT) over the stratum. Ratios are single
+    double divisions rounded to 6dp.
+
+    Scale shape: two exact-distinct aggregations keyed by stratum —
+    Spark plans each as the standard two-phase partial-distinct
+    (expand + local distinct before the exchange), and the trigram
+    side shuffles per-doc-DISTINCT shingles only (corpus-distinct is
+    invariant to the per-doc pre-dedup, which ``word_shingles`` applies
+    map-side). At 100 TB swap the exact distincts for
+    ``approx_count_distinct`` (the ``events_unique_visitors_approx``
+    pattern: sketch in the plan, exactness asserted at audit scale)."""
+    from irstats2_spark.pipeline.dedup import word_shingles
+
+    per_doc = docs.select(
+        F.col(by_col).alias("stratum"),
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("__n_toks"),
+    )
+    uni = docs.select(
+        F.col(by_col).alias("stratum"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    uni_agg = uni.groupBy("stratum").agg(
+        F.countDistinct("token").cast("long").alias("n_types")
+    )
+    tri = word_shingles(docs, text_col, id_col, k=3).join(
+        per_doc.select("doc_id", "stratum"), "doc_id"
+    )
+    tri_agg = tri.groupBy("stratum").agg(
+        F.countDistinct("shingle").cast("long").alias("n_trigram_types")
+    )
+    base = per_doc.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__n_toks").cast("long").alias("n_tokens"),
+        F.sum(F.greatest(F.col("__n_toks") - 2, F.lit(0)))
+        .cast("long")
+        .alias("n_trigrams"),
+    )
+    return (
+        base.join(uni_agg, "stratum")
+        .join(tri_agg, "stratum")
+        .select(
+            "stratum",
+            "n_docs",
+            "n_tokens",
+            "n_types",
+            F.round(F.col("n_types") / F.col("n_tokens"), 6).alias(
+                "type_token_ratio"
+            ),
+            "n_trigrams",
+            "n_trigram_types",
+            F.round(
+                F.col("n_trigram_types") / F.col("n_trigrams"), 6
+            ).alias("trigram_diversity"),
+        )
+    )
+
+
+def burstiness_audit(
+    docs: DataFrame,
+    top_k: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Term burstiness (Fano factor) for the top-k corpus terms: the
+    variance-to-mean ratio of a term's per-document count across ALL
+    documents. Poisson-scattered terms sit near 1.0; content words
+    clump (burstiness >> 1) while function words spread evenly — and a
+    supposedly-common term with extreme burstiness is boilerplate
+    concentrated in a few templated docs, the signal TF-IDF's binary
+    doc-frequency misses (Church & Gale's burstiness observation).
+
+    Engine-exact: with N docs, term total T and per-doc-count square
+    sum S (zero-count docs add nothing to either), VMR = var/mean
+    collapses to (N*S - T^2) / (N*T) — computed as ONE double division
+    over three exact integers, rounded to 6dp.
+
+    Scale shape: explode -> (term, doc) partial counts -> per-term
+    integer moments (two keyed shuffles carrying small ints), then a
+    TakeOrdered top-k cut (count DESC, token ASC) — no global sort;
+    the N scalar joins in as a broadcast single-row aggregate."""
+    from irstats2_spark.parallel import ensure_parallelism
+
+    docs = ensure_parallelism(docs)
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("__N")
+    )
+    per_doc = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    stats = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__c").cast("long").alias("total"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__sumsq"),
+    )
+    top = stats.orderBy(F.desc("total"), F.asc("token")).limit(top_k)
+    return top.crossJoin(F.broadcast(n_docs)).select(
+        "token",
+        "n_docs",
+        "total",
+        F.round(
+            (F.col("__N") * F.col("__sumsq") - F.col("total") * F.col("total"))
+            / (F.col("__N") * F.col("total")),
+            6,
+        ).alias("burstiness"),
+    )

@@ -6008,3 +6008,547 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("u"), F.col("neighbor_id").alias("v")
     )
     return label_propagation_min(edges, iterations=_LP_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Corpus-health text audits: tokenizer fertility, n-gram diversity, term
+# burstiness (pipeline/textstats.py).
+# ---------------------------------------------------------------------------
+@register(
+    "text_tokenizer_fertility",
+    f"""
+    WITH tf_ex AS (
+        SELECT lang AS stratum,
+               unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> length(x) > 0)) AS token
+        FROM documents
+    ),
+    tf_counts AS (SELECT token, COUNT(*) AS c FROM tf_ex GROUP BY 1),
+    tf_vocab AS (SELECT token FROM tf_counts
+                 ORDER BY c DESC, token ASC LIMIT 64),
+    tf_cost AS (
+        SELECT e.stratum,
+               CASE WHEN v.token IS NOT NULL THEN 1
+                    ELSE (length(e.token) + 3) // 4 END AS cost,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tf_ex e LEFT JOIN tf_vocab v USING (token)
+    )
+    SELECT stratum, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(cost) AS BIGINT) AS n_subword_tokens,
+           CAST(SUM(oov) AS BIGINT) AS n_oov_words,
+           ROUND(CAST(SUM(cost) AS DOUBLE) / COUNT(*), 6) AS fertility,
+           ROUND(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM tf_cost GROUP BY 1
+    """,
+    doc="tokenizer-fertility audit per language: subword tokens per "
+    "whitespace word under a bounded top-64 word vocabulary with "
+    "ceil(len/4) character-chunk fallback — the tokenizer-parity "
+    "signal (tokens/word by language) without shipping a trained "
+    "tokenizer; vocab is a TakeOrdered broadcast, costs are integers, "
+    "one stratum-keyed agg of partials",
+)
+def text_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import tokenizer_fertility
+
+    return tokenizer_fertility(
+        load_table(spark, "documents", sf_dir), vocab_size=64, chunk_chars=4
+    )
+
+
+@register(
+    "corpus_ngram_diversity",
+    f"""
+    WITH nd_docs AS (
+        SELECT source AS stratum, doc_id,
+               list_filter(string_split({_NORM_SQL}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    ),
+    nd_base AS (
+        SELECT stratum, COUNT(*) AS n_docs,
+               SUM(len(t)) AS n_tokens,
+               SUM(GREATEST(len(t) - 2, 0)) AS n_trigrams
+        FROM nd_docs GROUP BY 1
+    ),
+    nd_uni AS (
+        SELECT stratum, COUNT(DISTINCT token) AS n_types FROM (
+            SELECT stratum, unnest(t) AS token FROM nd_docs
+        ) GROUP BY 1
+    ),
+    nd_tri AS (
+        SELECT stratum, COUNT(DISTINCT shingle) AS n_trigram_types FROM (
+            SELECT d.stratum,
+                   d.t[i] || ' ' || d.t[i+1] || ' ' || d.t[i+2] AS shingle
+            FROM nd_docs d,
+                 LATERAL (SELECT unnest(generate_series(1, len(d.t) - 2))
+                          AS i) s
+            WHERE len(d.t) >= 3
+        ) GROUP BY 1
+    )
+    SELECT b.stratum, CAST(b.n_docs AS BIGINT) AS n_docs,
+           CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           CAST(u.n_types AS BIGINT) AS n_types,
+           ROUND(CAST(u.n_types AS DOUBLE) / b.n_tokens, 6)
+               AS type_token_ratio,
+           CAST(b.n_trigrams AS BIGINT) AS n_trigrams,
+           CAST(t.n_trigram_types AS BIGINT) AS n_trigram_types,
+           ROUND(CAST(t.n_trigram_types AS DOUBLE) / b.n_trigrams, 6)
+               AS trigram_diversity
+    FROM nd_base b JOIN nd_uni u USING (stratum) JOIN nd_tri t USING (stratum)
+    """,
+    doc="lexical-diversity screen per source: unigram type/token ratio "
+    "+ trigram distinct/total ratio — template-generated slices show "
+    "low trigram diversity before any pair mining runs, pointing the "
+    "expensive dedup; exact two-phase distincts (swap in HLL at 100 TB "
+    "per the events_unique_visitors_approx pattern)",
+)
+def corpus_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import ngram_diversity
+
+    return ngram_diversity(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_burstiness_audit",
+    f"""
+    WITH bu_ex AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> length(x) > 0)) AS token
+        FROM documents
+    ),
+    bu_pd AS (SELECT token, doc_id, COUNT(*) AS c FROM bu_ex GROUP BY 1, 2),
+    bu_st AS (
+        SELECT token, COUNT(*) AS n_docs, SUM(c) AS total,
+               SUM(c * c) AS sumsq
+        FROM bu_pd GROUP BY 1
+    ),
+    bu_n AS (SELECT COUNT(*) AS n FROM documents),
+    bu_top AS (SELECT * FROM bu_st ORDER BY total DESC, token ASC LIMIT 32)
+    SELECT t.token, CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.total AS BIGINT) AS total,
+           ROUND((n.n * t.sumsq - t.total * t.total)
+                 / CAST(n.n * t.total AS DOUBLE), 6) AS burstiness
+    FROM bu_top t CROSS JOIN bu_n n
+    """,
+    doc="term burstiness (Fano factor) for the top-32 corpus terms: "
+    "per-doc-count variance/mean across ALL docs collapses to "
+    "(N*sumsq - T^2)/(N*T) over three exact integers — clumped "
+    "'common' terms are templated boilerplate TF-IDF's binary doc "
+    "frequency misses; two keyed int shuffles + a TakeOrdered cut",
+)
+def text_burstiness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import burstiness_audit
+
+    return burstiness_audit(load_table(spark, "documents", sf_dir), top_k=32)
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index all-pairs cosine + asymmetric MinHash containment audit
+# (pipeline/dedup.py).
+# ---------------------------------------------------------------------------
+@register(
+    "text_cosine_pairs_inverted",
+    f"""
+    WITH ci_tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> length(x) > 0)) AS token
+        FROM documents
+    ),
+    ci_ex AS (SELECT doc_id, token, COUNT(*) AS c FROM ci_tok GROUP BY 1, 2),
+    ci_df AS (SELECT token, COUNT(*) AS df FROM ci_ex GROUP BY 1),
+    ci_kept AS (
+        SELECT e.doc_id, e.token, e.c, d.df
+        FROM ci_ex e JOIN ci_df d USING (token) WHERE d.df <= 64
+    ),
+    ci_norms AS (
+        SELECT doc_id, CAST(SUM(c * c) AS BIGINT) AS norm_sq
+        FROM ci_kept GROUP BY 1
+    ),
+    ci_dot AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(a.c * b.c) AS BIGINT) AS dot
+        FROM ci_kept a
+        JOIN ci_kept b ON a.token = b.token AND a.doc_id < b.doc_id
+        WHERE a.df >= 2
+        GROUP BY 1, 2
+    )
+    SELECT d.doc_a, d.doc_b, d.dot,
+           na.norm_sq AS norm_sq_a, nb.norm_sq AS norm_sq_b,
+           ROUND(d.dot / sqrt(CAST(na.norm_sq * nb.norm_sq AS DOUBLE)), 6)
+               AS cosine
+    FROM ci_dot d
+    JOIN ci_norms na ON na.doc_id = d.doc_a
+    JOIN ci_norms nb ON nb.doc_id = d.doc_b
+    WHERE 4 * d.dot * d.dot >= na.norm_sq * nb.norm_sq
+    """,
+    doc="all-pairs TF-cosine >= 0.5 by inverted-index posting join "
+    "(Bayardo-style): per-term posting self-join assembles pair dots, "
+    "df > 64 stop-terms drop from the vector space (bounding every "
+    "term's pair fan-out at df^2), df=1 terms keep their norm mass but "
+    "skip the join; the cut is the cross-multiplied integer predicate "
+    "4*dot^2 >= |a|^2*|b|^2 — no float compare at the boundary",
+)
+def text_cosine_pairs_inverted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import cosine_pairs_inverted
+
+    return cosine_pairs_inverted(
+        load_table(spark, "documents", sf_dir),
+        max_df=64,
+        threshold_num=1,
+        threshold_den=2,
+    )
+
+
+@register(
+    "text_minhash_containment_asym",
+    f"""
+    WITH {_SHINGLES_SQL},
+    mc_sig AS (
+        SELECT doc_id,
+               MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+               MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+               MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+               MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    mc_band AS (
+        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS sig FROM mc_sig
+        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM mc_sig
+        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM mc_sig
+        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM mc_sig
+    ),
+    mc_cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mc_band a JOIN mc_band b ON a.band = b.band AND a.sig = b.sig
+                                      AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    mc_sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    mc_common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM mc_cand c
+        JOIN shingles a ON a.doc_id = c.doc_a
+        JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    mc_m AS (
+        SELECT c.doc_a, c.doc_b,
+               (CASE WHEN sa.mh_0 = sb.mh_0 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_1 = sb.mh_1 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_2 = sb.mh_2 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_3 = sb.mh_3 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_4 = sb.mh_4 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_5 = sb.mh_5 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_6 = sb.mh_6 THEN 1 ELSE 0 END +
+                CASE WHEN sa.mh_7 = sb.mh_7 THEN 1 ELSE 0 END) AS m
+        FROM mc_cand c
+        JOIN mc_sig sa ON sa.doc_id = c.doc_a
+        JOIN mc_sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT m.doc_a, m.doc_b, CAST(m.m AS INT) AS n_sig_matches,
+           CAST(za.n AS BIGINT) AS size_a, CAST(zb.n AS BIGINT) AS size_b,
+           CAST(COALESCE(co.n_common, 0) AS BIGINT) AS n_common,
+           ROUND(m.m / 8.0, 6) AS est_jaccard,
+           ROUND(m.m * (za.n + zb.n) / CAST((8 + m.m) * za.n AS DOUBLE), 6)
+               AS est_containment_a,
+           ROUND(COALESCE(co.n_common, 0) / CAST(za.n AS DOUBLE), 6)
+               AS exact_containment_a,
+           ROUND(m.m * (za.n + zb.n) / CAST((8 + m.m) * zb.n AS DOUBLE), 6)
+               AS est_containment_b,
+           ROUND(COALESCE(co.n_common, 0) / CAST(zb.n AS DOUBLE), 6)
+               AS exact_containment_b
+    FROM mc_m m
+    JOIN mc_sizes za ON za.doc_id = m.doc_a
+    JOIN mc_sizes zb ON zb.doc_id = m.doc_b
+    LEFT JOIN mc_common co ON co.doc_a = m.doc_a AND co.doc_b = m.doc_b
+    """,
+    doc="asymmetric containment from MinHash sketches, audited against "
+    "exact values: sig agreement m of 8 gives I^=m(|A|+|B|)/(8+m), so "
+    "C^(A in B)=I^/|A| — the short-doc-inside-long-doc signal Jaccard "
+    "misses; both directions emitted next to exact containments so the "
+    "query audits its own estimator, LSH-banded candidates only",
+)
+def text_minhash_containment_asym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.dedup import minhash_containment_audit
+
+    return minhash_containment_audit(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# DoReMi-style proxy reweighting, stratified diverse coreset, per-source
+# quota packing (pipeline/sampling.py), and the per-source dedup-cascade
+# attribution audit.
+# ---------------------------------------------------------------------------
+@register(
+    "mix_doremi_proxy_reweight",
+    f"""
+    WITH {_LM_CTES},
+    dr_doc AS (
+        SELECT d.doc_id, d.source,
+               COALESCE(s.n_bigrams, 0) AS n_bigrams,
+               COALESCE(s.nll_micro, 0) AS nll_micro
+        FROM documents d LEFT JOIN lm_scored s USING (doc_id)
+    ),
+    dr_dom AS (
+        SELECT source AS stratum, COUNT(*) AS n_docs,
+               CAST(SUM(n_bigrams) AS BIGINT) AS n_tokens,
+               CAST(SUM(nll_micro) AS BIGINT) AS tot_loss
+        FROM dr_doc GROUP BY 1
+    ),
+    dr_corp AS (
+        SELECT CAST(SUM(tot_loss) // SUM(n_tokens) AS BIGINT) AS corp_rate
+        FROM dr_dom
+    ),
+    dr_boost AS (
+        SELECT d.stratum, d.n_docs, d.n_tokens,
+               CAST(d.tot_loss // d.n_tokens AS BIGINT) AS rate_micro,
+               CAST(GREATEST(d.tot_loss // d.n_tokens - c.corp_rate, 0)
+                    AS BIGINT) AS excess_micro,
+               CAST(FLOOR(1e6 * EXP(
+                        GREATEST(d.tot_loss // d.n_tokens - c.corp_rate, 0)
+                        / 1e6) + 0.5) AS BIGINT) AS boost_q
+        FROM dr_dom d CROSS JOIN dr_corp c
+    ),
+    dr_z AS (SELECT SUM(n_tokens * boost_q) AS z FROM dr_boost)
+    SELECT b.stratum, CAST(b.n_docs AS BIGINT) AS n_docs, b.n_tokens,
+           b.rate_micro, b.excess_micro, b.boost_q,
+           ROUND(b.n_tokens * b.boost_q / CAST(z.z AS DOUBLE), 6) AS weight
+    FROM dr_boost b CROSS JOIN dr_z z
+    """,
+    doc="DoReMi-style domain reweighting from the bigram-LM proxy loss: "
+    "per-source loss rates in integer micro-nats/token (BIGINT floor "
+    "div), excess over the corpus rate boosts the token-share baseline "
+    "by exp(excess) quantized to an integer (the POWER idiom), weights "
+    "renormalized — one domain-keyed agg, then |domains|-row arithmetic",
+)
+def mix_doremi_proxy_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import doremi_proxy_reweight
+    from irstats2_spark.pipeline.textstats import lm_nll_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    scored = lm_nll_scores(docs, docs.filter(F.col("source") == "src0")).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return doremi_proxy_reweight(scored, by_col="source", eta=1.0)
+
+
+@register(
+    "sample_coreset_diverse",
+    f"""
+    WITH cs_cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    cs_assign AS (
+        SELECT vec_id, centroid_id, centroid_cosine FROM (
+            SELECT e.vec_id, c.centroid_id,
+                   ROUND({_qcos('e.embedding', 'c.cv')}, 6) AS centroid_cosine,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY ROUND({_qcos('e.embedding', 'c.cv')}, 6) DESC,
+                                c.centroid_id ASC) AS rn
+            FROM embeddings e CROSS JOIN cs_cents c
+        ) WHERE rn = 1
+    ),
+    cs_rank AS (
+        SELECT vec_id, centroid_id, centroid_cosine,
+               CAST(ROW_NUMBER() OVER (
+                        PARTITION BY centroid_id
+                        ORDER BY centroid_cosine DESC, vec_id ASC)
+                    AS INT) AS cell_rank
+        FROM cs_assign
+    )
+    SELECT vec_id, centroid_id, centroid_cosine, cell_rank,
+           CAST(sel_rank AS INT) AS sel_rank
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+                      ORDER BY cell_rank, centroid_id, vec_id) AS sel_rank
+        FROM cs_rank
+    ) WHERE sel_rank <= 50
+    """,
+    doc="cluster-stratified diverse coreset (budget 50): rank within "
+    "each IVF cell by representativeness (centroid cosine DESC), pick "
+    "globally by (cell_rank, cell, id) — round-robin across clusters, "
+    "the deterministic scalable stand-in for greedy k-center; global "
+    "cut is a TakeOrdered top-k, no global sort",
+)
+def sample_coreset_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import coreset_diverse_stratified
+    from irstats2_spark.pipeline.similarity import ivf_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    assigned = ivf_assign(emb, cents).select(
+        "vec_id", "centroid_id", "centroid_cosine"
+    )
+    return coreset_diverse_stratified(assigned, k=50).select(
+        "vec_id", "centroid_id", "centroid_cosine", "cell_rank", "sel_rank"
+    )
+
+
+@register(
+    "corpus_quota_pack",
+    f"""
+    WITH qp_sized AS (
+        SELECT source AS stratum, doc_id,
+               CAST(len(list_filter(string_split({_NORM_SQL}, ' '),
+                                    x -> length(x) > 0)) AS BIGINT)
+                   AS n_tokens,
+               md5('quota:' || CAST(doc_id AS VARCHAR)) AS ord
+        FROM documents
+    ),
+    qp_packed AS (
+        SELECT stratum, n_tokens,
+               (SUM(n_tokens) OVER (PARTITION BY stratum
+                                    ORDER BY ord, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+               // 4096 AS shard_id
+        FROM qp_sized
+    )
+    SELECT stratum, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS used_tokens,
+           ROUND(SUM(n_tokens) / 4096.0, 6) AS fill_ratio
+    FROM qp_packed GROUP BY 1, 2
+    """,
+    doc="per-source quota packing (4096-token shards): docs pack into "
+    "fixed-quota shards within their source in deterministic hash "
+    "order, running-total boundary rule as pack_sequences — the "
+    "scheduler's planning grain for per-epoch mixing; cumsum window "
+    "parallelizes across sources, then a (source, shard) rollup",
+)
+def corpus_quota_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import quota_pack
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    sized = docs.select(
+        "source", "doc_id",
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return quota_pack(sized, by_col="source", quota=4096)
+
+
+@register(
+    "pipeline_dedup_cascade_audit",
+    f"""
+    WITH {_SHINGLES_SQL},
+    ca_keep AS (
+        SELECT doc_id,
+               doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+        FROM documents
+    ),
+    ca_sig AS (
+        SELECT doc_id,
+               MIN(substring(md5(shingle), 1, 8)) AS mh_0,
+               MIN(substring(md5(shingle), 9, 8)) AS mh_1,
+               MIN(substring(md5(shingle), 17, 8)) AS mh_2,
+               MIN(substring(md5(shingle), 25, 8)) AS mh_3,
+               MIN(substring(md5('1:' || shingle), 1, 8)) AS mh_4,
+               MIN(substring(md5('1:' || shingle), 9, 8)) AS mh_5,
+               MIN(substring(md5('1:' || shingle), 17, 8)) AS mh_6,
+               MIN(substring(md5('1:' || shingle), 25, 8)) AS mh_7
+        FROM shingles GROUP BY doc_id
+    ),
+    ca_band AS (
+        SELECT doc_id, 0 AS band, md5(mh_0 || '|' || mh_1) AS sig FROM ca_sig
+        UNION ALL SELECT doc_id, 1, md5(mh_2 || '|' || mh_3) FROM ca_sig
+        UNION ALL SELECT doc_id, 2, md5(mh_4 || '|' || mh_5) FROM ca_sig
+        UNION ALL SELECT doc_id, 3, md5(mh_6 || '|' || mh_7) FROM ca_sig
+    ),
+    ca_cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM ca_band a JOIN ca_band b ON a.band = b.band AND a.sig = b.sig
+                                      AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    ca_sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY 1),
+    ca_pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM ca_cand c
+            JOIN shingles a ON a.doc_id = c.doc_a
+            JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+            JOIN ca_keep ka ON ka.doc_id = c.doc_a AND ka.is_keeper
+            JOIN ca_keep kb ON kb.doc_id = c.doc_b AND kb.is_keeper
+            GROUP BY 1, 2
+        ) c
+        JOIN ca_sizes sa ON sa.doc_id = c.doc_a
+        JOIN ca_sizes sb ON sb.doc_id = c.doc_b
+        WHERE ROUND(c.n_common / (sa.n + sb.n - c.n_common), 6) >= 0.5
+    ),
+    ca_flag AS (
+        SELECT d.source, d.doc_id, k.is_keeper,
+               d.doc_id IN (SELECT doc_b FROM ca_pairs) AS near_removed
+        FROM documents d JOIN ca_keep k USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT is_keeper THEN 1 ELSE 0 END) AS BIGINT)
+               AS exact_removed,
+           CAST(SUM(CASE WHEN is_keeper AND near_removed THEN 1 ELSE 0 END)
+               AS BIGINT) AS neardup_removed,
+           CAST(SUM(CASE WHEN is_keeper AND NOT near_removed THEN 1 ELSE 0
+                    END) AS BIGINT) AS survivors,
+           ROUND(CAST(SUM(CASE WHEN is_keeper AND NOT near_removed THEN 1
+                          ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS retention
+    FROM ca_flag GROUP BY 1
+    """,
+    doc="per-source dedup-cascade attribution: exact dedup first (min-id "
+    "keeper per text hash), then MinHash-LSH >= 0.5 among the exact "
+    "keepers removes the larger id of each verified pair; counts "
+    "removed at each stage and the survivor retention per source — "
+    "WHERE the dup mass lives, the audit the global funnel can't show; "
+    "removal attributes to the removed doc's source",
+)
+def pipeline_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from irstats2_spark.pipeline.dedup import minhash_lsh_dedup
+
+    docs = load_table(spark, "documents", sf_dir)
+    keep = docs.select(
+        "doc_id",
+        "source",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        ).alias("is_keeper"),
+    )
+    pairs = minhash_lsh_dedup(docs, threshold=0.5)
+    keepers = keep.filter("is_keeper").select("doc_id")
+    keeper_pairs = (
+        pairs.join(
+            keepers.withColumnRenamed("doc_id", "doc_a"), "doc_a", "leftsemi"
+        ).join(
+            keepers.withColumnRenamed("doc_id", "doc_b"), "doc_b", "leftsemi"
+        )
+    )
+    removed = keeper_pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    flag = keep.join(
+        removed.withColumn("near_removed", F.lit(True)), "doc_id", "left"
+    ).withColumn("near_removed", F.coalesce("near_removed", F.lit(False)))
+    surv = F.col("is_keeper") & ~F.col("near_removed")
+    return flag.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((~F.col("is_keeper")).cast("int")).cast("long").alias(
+            "exact_removed"
+        ),
+        F.sum((F.col("is_keeper") & F.col("near_removed")).cast("int"))
+        .cast("long")
+        .alias("neardup_removed"),
+        F.sum(surv.cast("int")).cast("long").alias("survivors"),
+        F.round(F.sum(surv.cast("int")) / F.count(F.lit(1)), 6).alias(
+            "retention"
+        ),
+    )

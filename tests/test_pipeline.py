@@ -3808,3 +3808,126 @@ def test_label_propagation_bounded_rounds_partial(spark):
     out = {r.node_id: r.community for r in
            label_propagation_min(g, iterations=1).collect()}
     assert out == {1: 1, 2: 1, 3: 2, 4: 3, 5: 4, 6: 5}
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index cosine, MinHash containment, DoReMi reweight, coreset,
+# quota pack
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_pairs_inverted_identical_and_disjoint(spark):
+    """Two identical docs → cosine 1.0; a disjoint doc pairs with
+    neither; norms count df=1 terms even though they skip the join."""
+    from irstats2_spark.pipeline.dedup import cosine_pairs_inverted
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = cosine_pairs_inverted(docs, threshold_num=1, threshold_den=2).collect()
+    assert [(r.doc_a, r.doc_b) for r in rows] == [(1, 2)]
+    assert rows[0].cosine == 1.0
+    assert rows[0].dot == 4 and rows[0].norm_sq_a == 4
+
+
+def test_cosine_pairs_inverted_df1_terms_depress_cosine(spark):
+    """A unique term in one doc keeps its norm mass: dot over shared
+    terms stays, cosine drops below 1."""
+    from irstats2_spark.pipeline.dedup import cosine_pairs_inverted
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma unique")],
+        "doc_id long, text string",
+    )
+    rows = cosine_pairs_inverted(docs, threshold_num=1, threshold_den=2).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.dot == 3 and r.norm_sq_a == 3 and r.norm_sq_b == 4
+    assert r.cosine == round(3 / (3 * 4) ** 0.5, 6)
+
+
+def test_minhash_containment_subset_doc(spark):
+    """A short doc whose shingles are a subset of a long doc's has exact
+    containment 1.0 in the a-direction and < 1.0 in the b-direction."""
+    from irstats2_spark.pipeline.dedup import minhash_containment_audit
+
+    base = "one two three four five six seven eight nine ten"
+    longer = base + " eleven twelve thirteen fourteen fifteen sixteen"
+    docs = spark.createDataFrame(
+        [(1, base), (2, longer)], "doc_id long, text string"
+    )
+    rows = minhash_containment_audit(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.doc_a, r.doc_b) == (1, 2)
+    assert r.exact_containment_a == 1.0
+    assert r.exact_containment_b < 1.0
+    assert 0 <= r.n_sig_matches <= 8
+    # estimator identity holds exactly over the integers
+    est_i = r.n_sig_matches * (r.size_a + r.size_b)
+    assert r.est_containment_a == round(
+        est_i / ((8 + r.n_sig_matches) * r.size_a), 6
+    )
+
+
+def test_doremi_reweight_boosts_lossy_domain(spark):
+    """The domain with above-average per-token loss gains weight over
+    its token-share baseline; weights sum to ~1."""
+    from irstats2_spark.pipeline.sampling import doremi_proxy_reweight
+
+    scored = spark.createDataFrame(
+        [
+            # source, n_bigrams, nll_micro  (rate 1.0 vs 3.0 nats/tok)
+            ("easy", 100, 100_000_000),
+            ("hard", 100, 300_000_000),
+        ],
+        "source string, n_bigrams long, nll_micro long",
+    )
+    out = {r.stratum: r for r in doremi_proxy_reweight(scored).collect()}
+    assert out["easy"].excess_micro == 0 and out["easy"].boost_q == 10**6
+    assert out["hard"].excess_micro == 1_000_000  # 1 nat over corp rate 2.0
+    assert out["hard"].boost_q > out["easy"].boost_q
+    assert out["hard"].weight > 0.5  # baseline share was 0.5
+    assert abs(out["easy"].weight + out["hard"].weight - 1.0) < 1e-5
+
+
+def test_coreset_round_robin_across_cells(spark):
+    """With budget 4 over two 3-member cells, the first two picks are
+    the two cell champions (rank-1s), then the runners-up."""
+    from irstats2_spark.pipeline.sampling import coreset_diverse_stratified
+
+    assigned = spark.createDataFrame(
+        [
+            (1, 10, 0.9), (2, 10, 0.8), (3, 10, 0.7),
+            (4, 20, 0.95), (5, 20, 0.5), (6, 20, 0.4),
+        ],
+        "vec_id long, centroid_id long, centroid_cosine double",
+    )
+    rows = sorted(
+        coreset_diverse_stratified(assigned, k=4).collect(),
+        key=lambda r: r.sel_rank,
+    )
+    assert [r.vec_id for r in rows] == [1, 4, 2, 5]
+    assert [r.cell_rank for r in rows] == [1, 1, 2, 2]
+
+
+def test_quota_pack_boundary_spill(spark):
+    """Shards respect the running-total boundary rule and token totals
+    are conserved."""
+    from irstats2_spark.pipeline.sampling import quota_pack
+
+    sized = spark.createDataFrame(
+        [("s", i, 3000) for i in range(4)],
+        "source string, doc_id long, n_tokens long",
+    )
+    rows = quota_pack(sized, quota=4096).collect()
+    assert sum(r.used_tokens for r in rows) == 12000
+    assert sum(r.n_docs for r in rows) == 4
+    # 3000-token docs: doc boundaries at 0,3000,6000,9000 → shards 0,0,1,2
+    by_shard = {r.shard_id: r.n_docs for r in rows}
+    assert by_shard == {0: 2, 1: 1, 2: 1}
