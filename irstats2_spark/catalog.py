@@ -122,8 +122,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "a6_a7_cumulative_running_avg",
 )
 # ROUND 6 SHOULD GATE FIRST: the queries registered late in round
-# 5 with no driver row yet (session-4 adds join the list as they
-# land: events_markov_transitions, events_rolling_anomaly,
+# 5 with no driver row yet (session-5 adds: corpus_zonemap_prune_audit,
+# corpus_zorder_layout, corpus_zorder_prune_gain, embedding_covariance,
+# embedding_pca_project (rows-only), events_top_paths,
+# events_covisit_lift; session-4 adds: events_markov_transitions,
+# events_rolling_anomaly,
 # graph_pagerank, graph_triangles, text_cosine_pairs_inverted,
 # corpus_ngram_diversity, text_tokenizer_fertility,
 # events_attribution_windows, graph_label_propagation,

@@ -80,3 +80,115 @@ def session_stats(
         F.sum("_n").alias("n_events"),
         F.max("_n").alias("max_session_events"),
     )
+
+
+def top_paths(
+    events: DataFrame,
+    prefix_len: int = 3,
+    k: int = 20,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k session-opening paths: the first ``prefix_len`` event types
+    of each session, joined with '>', counted across sessions.
+
+    The classic "where do journeys start" funnel input (no reference
+    analog; IRStats2's nearest is its referrer breakdown). Plan shape:
+    the prefix rank rides the SAME (user, time) window partitioning the
+    sessionize pass already established — one exchange total before the
+    path count, whose shuffle carries (path, 1) pairs with map-side
+    combine. The final top-k is a TakeOrdered, never a full sort.
+    """
+    sess = sessionize(events, gap_seconds, user_col, ts_col, tiebreak_col)
+    w = Window.partitionBy(user_col, "session_no").orderBy(
+        F.unix_micros(F.col(ts_col)), tiebreak_col
+    )
+    prefixed = (
+        sess.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= prefix_len)
+        .groupBy(user_col, "session_no")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("_rn"), F.col(type_col)))
+                    ),
+                    lambda s: s[type_col],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        prefixed.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(k)
+    )
+
+
+def covisit_lift(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Within-session co-occurrence lift for unordered event-type pairs.
+
+    For each pair (a < b): sessions containing both, and
+    lift = P(a,b) / (P(a) * P(b)) = n_ab * n_sessions / (n_a * n_b).
+    All counts are exact integers; the single float division happens
+    once at the end, so the value hash is stable.
+
+    Scale: the pair expansion is a self-join of DISTINCT (session, type)
+    rows — per-session distinct types are bounded by the type vocabulary
+    (not session length), and skewed popular types stream through the
+    join (the banded-self-join lesson from pipeline/dedup.py's SimHash
+    rewrite) instead of collecting into one aggregation row. Totals are
+    a broadcast-sized per-type frame.
+    """
+    sess = sessionize(events, gap_seconds, user_col, ts_col, tiebreak_col)
+    st = sess.select(
+        F.concat_ws(":", F.col(user_col), F.col("session_no")).alias("sid"),
+        F.col(type_col).alias("t"),
+    ).distinct()
+    n_sessions = st.select("sid").distinct().count()
+    per_type = st.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    a = st.select("sid", F.col("t").alias("ta"))
+    b = st.select("sid", F.col("t").alias("tb"))
+    pairs = (
+        a.join(b, "sid")
+        .filter(F.col("ta") < F.col("tb"))
+        .groupBy("ta", "tb")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(per_type.select(F.col("t").alias("ta"), F.col("n_t").alias("n_a"))),
+            "ta",
+        )
+        .join(
+            F.broadcast(per_type.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b"))),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.lit(n_sessions)
+                / F.col("n_a")
+                / F.col("n_b"),
+                9,
+            ).alias("lift"),
+        )
+        .orderBy("ta", "tb")
+    )

@@ -1,0 +1,275 @@
+"""Distributed embedding linear algebra: covariance and PCA projection.
+
+The standard pre-processing in front of a vector index (OPQ's rotation,
+PCA dimensionality reduction before IVF, whitening before cosine) needs
+exactly one distributed primitive: the d x d covariance of N vectors.
+For embedding dims (d <= a few thousand) the covariance FITS ON THE
+DRIVER while N is unbounded — so the scale shape is:
+
+    per-partition numpy GEMM partials (d x d each, Arrow-batched)
+        -> ONE tiny shuffle of (i, j, partial_sum) scalar rows
+        -> d x d result; eigendecomposition driver-side (numpy, O(d^3))
+        -> projection matrix broadcast back; projection is a PURE MAP.
+
+This is the same partial-reduce contract as the k-means Lloyd step in
+pipeline/similarity.py (reduce state ~ k x d, never ~ N) — reduce state
+here is ~ d^2 per partition regardless of corpus size.
+
+Determinism contract: inputs are quantized to integers (round(x * 1024),
+the idiom of pipeline/pq.py's scalar quantizer), all sums accumulate in
+int64 (order-invariant, exactly reproducible in DuckDB SQL), and the
+covariance is finalized from those exact integers via the algebraic form
+cov = (n*Sxy - Sx*Sy) / n^2 — so the only floating-point ops are the
+final divisions of identical integers. Overflow bound: |q| <= scale, so
+n * scale^2 must stay below 2^63 — at scale=1024, n < 8.8e12 vectors.
+
+No reference analog (IRStats2 has no vector surface); the public
+pattern is the classic two-phase covariance in MLlib's RowMatrix
+(computeCovariance) re-expressed DataFrame-first.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _quantize(vec: np.ndarray, scale: int) -> np.ndarray:
+    # floor(x*scale + 0.5): round-half-up, matching the oracle's
+    # FLOOR(x * scale + 0.5) exactly (float64 on both sides).
+    return np.floor(vec.astype(np.float64) * scale + 0.5).astype(np.int64)
+
+
+def _cov_sums(
+    emb: DataFrame, vec_col: str, dim: int | None, scale: int
+) -> DataFrame:
+    """Exact integer GEMM sums: rows (i, j, s) where (i>=0, j>=0) carry
+    sum(q_i*q_j) over the upper triangle, (i>=0, j=-1) carry sum(q_i),
+    and (-1, -1) carries the row count. One mapInPandas pass emitting
+    d*(d+1)/2 + d + 1 scalar partials per partition, one groupBy."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    d = dim
+
+    def partials(batches):
+        s_xy = np.zeros((d, d), dtype=np.int64)
+        s_x = np.zeros(d, dtype=np.int64)
+        n = 0
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = _quantize(np.stack(pdf[vec_col].to_numpy()), scale)
+            s_xy += mat.T @ mat
+            s_x += mat.sum(axis=0)
+            n += len(mat)
+        if n == 0:
+            return
+        iu, ju = np.triu_indices(d)
+        out = pd.DataFrame(
+            {"i": iu.astype(np.int32), "j": ju.astype(np.int32), "s": s_xy[iu, ju]}
+        )
+        means = pd.DataFrame(
+            {"i": np.arange(d, dtype=np.int32), "j": np.full(d, -1, np.int32), "s": s_x}
+        )
+        count = pd.DataFrame({"i": [-1], "j": [-1], "s": [n]})
+        yield pd.concat([out, means, count], ignore_index=True)
+
+    parts = emb.select(vec_col).mapInPandas(partials, schema="i int, j int, s long")
+    return parts.groupBy("i", "j").agg(F.sum("s").alias("s"))
+
+
+def embedding_covariance(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    scale: int = 1024,
+) -> DataFrame:
+    """Upper-triangle covariance of the (quantized) embedding matrix.
+
+    Output: one row per (i, j) with i <= j — ``(i int, j int, cov
+    double)`` — where cov is in ORIGINAL units (the scale^2 is divided
+    back out) rounded to 9 decimals. Single pass over the data: each
+    partition emits its integer GEMM partials (d*(d+1)/2 + d + 1 scalar
+    rows), one groupBy sums them, and the finalization joins happen on a
+    d^2-sized frame (broadcast-by-contract, like PQ codebooks).
+    """
+    sums = _cov_sums(emb, vec_col, dim, scale)
+
+    n_df = sums.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
+        F.col("s").alias("n")
+    )
+    sx = sums.filter((F.col("i") >= 0) & (F.col("j") == -1)).select(
+        F.col("i").alias("dim"), F.col("s").alias("sx")
+    )
+    sxy = sums.filter(F.col("j") >= 0)
+    return (
+        sxy.join(F.broadcast(sx.withColumnRenamed("dim", "i")), "i")
+        .withColumnRenamed("sx", "sx_i")
+        .join(
+            F.broadcast(
+                sx.select(F.col("dim").alias("j"), F.col("sx").alias("sx_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    (F.col("n") * F.col("s") - F.col("sx_i") * F.col("sx_j")).cast(
+                        "double"
+                    )
+                    / F.col("n")
+                    / F.col("n")
+                    / F.lit(float(scale * scale))
+                ),
+                9,
+            ).alias("cov"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+def covariance_matrix(
+    emb: DataFrame, vec_col: str = "embedding", scale: int = 1024
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Driver-side (cov, mean, n) from the same exact integer sums —
+    d^2 + d + 1 scalars, the legitimate collect (same contract as
+    k-means centroids). cov and mean are finalized in float64 from
+    order-invariant int64 sums, so they are bit-stable run to run."""
+    rows = _cov_sums(emb, vec_col, None, scale).collect()
+    d = max(r["i"] for r in rows) + 1
+    n = next(r["s"] for r in rows if r["i"] == -1 and r["j"] == -1)
+    s_x = np.zeros(d, dtype=np.int64)
+    s_xy = np.zeros((d, d), dtype=np.int64)
+    for r in rows:
+        if r["i"] >= 0 and r["j"] == -1:
+            s_x[r["i"]] = r["s"]
+        elif r["j"] >= 0:
+            s_xy[r["i"], r["j"]] = s_xy[r["j"], r["i"]] = r["s"]
+    cov = (n * s_xy.astype(np.float64) - np.outer(s_x, s_x)) / (
+        float(n) * n * scale * scale
+    )
+    mean = s_x.astype(np.float64) / (float(n) * scale)
+    return cov, mean, n
+
+
+def pca_components(
+    emb: DataFrame, k: int, vec_col: str = "embedding", scale: int = 1024
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Top-k principal components from the distributed covariance.
+
+    Eigendecomposition is O(d^3) on d x d — driver-side numpy by design
+    (the covariance is already small-by-contract). Sign convention: each
+    component's largest-|entry| coordinate is made positive, so results
+    are reproducible across LAPACK builds.
+
+    Returns (components k x d, eigenvalues k, mean d).
+    """
+    cov, mean, _ = covariance_matrix(emb, vec_col, scale=scale)
+    vals, vecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(vals)[::-1][:k]
+    comps = vecs[:, order].T.copy()
+    for row in comps:
+        pivot = np.argmax(np.abs(row))
+        if row[pivot] < 0:
+            row *= -1
+    return comps, vals[order], mean
+
+
+def pca_project(
+    emb: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1024,
+    decimals: int = 6,
+) -> DataFrame:
+    """Project every embedding onto the top-k principal axes.
+
+    The k x d component matrix is fit once (distributed covariance +
+    driver eigh) and closed over — an Arrow-batched pure map, zero
+    shuffles on the projection itself (asserted in
+    tests/test_plan_quality.py). Output: (id, pc array<double>) with
+    entries rounded to ``decimals``.
+
+    Not SQL-oracle-able (eigenvectors are data-dependent); registered
+    rows-only in the catalog and pinned against numpy's PCA in
+    tests/test_linalg.py instead.
+    """
+    comps, _, mean = pca_components(emb, k, vec_col, scale=scale)
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = np.round((mat - mean) @ comps.T, decimals)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "pc": list(proj)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, pc array<double>"
+    )
+
+
+def pca_rerank_topk(
+    emb: DataFrame,
+    query: np.ndarray,
+    k: int = 10,
+    shortlist: int = 50,
+    pc_dims: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1024,
+) -> DataFrame:
+    """ANN demo: PCA shortlist then exact rerank.
+
+    Distances in the pc_dims-dim PCA space pick a ``shortlist`` (cheap:
+    pc_dims << d multiplies per row), then exact full-dim L2 reranks the
+    survivors to the final top-k. Shortlisting uses the same
+    TakeOrdered top-k shape as similarity.brute_force_topk; the rerank
+    input is shortlist-sized. Verified against exact full-dim top-k in
+    tests/test_linalg.py (pytest-only: the projection is not
+    SQL-expressible).
+    """
+    comps, _, mean = pca_components(emb, pc_dims, vec_col, scale=scale)
+    q_pc = (np.asarray(query, dtype=np.float64) - mean) @ comps.T
+
+    pc = pca_project(emb, pc_dims, vec_col, id_col, scale=scale, decimals=12)
+    q_lit = F.array(*[F.lit(float(v)) for v in q_pc])
+    approx = (
+        pc.withColumn(
+            "pc_dist",
+            F.aggregate(
+                F.zip_with("pc", q_lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .orderBy("pc_dist", id_col)
+        .limit(shortlist)
+        .select(id_col)
+    )
+    q_full = F.array(*[F.lit(float(v)) for v in np.asarray(query, dtype=np.float64)])
+    exact = (
+        emb.join(F.broadcast(approx), id_col)
+        .withColumn(
+            "dist",
+            F.round(
+                F.aggregate(
+                    F.zip_with(vec_col, q_full, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                9,
+            ),
+        )
+        .orderBy("dist", id_col)
+        .limit(k)
+        .select(id_col, "dist")
+    )
+    return exact

@@ -1124,3 +1124,94 @@ def events_session_quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFram
             "metric", F.col("p").alias("permille"), "value", "n_sessions"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Session-sequence analytics (operators/sessions.py): opening paths and
+# co-visitation lift — the journey-level companions to sessionize.
+# ---------------------------------------------------------------------------
+_SESSIONS_CTE = """
+    flagged AS (
+        SELECT user_id, event_type, event_id,
+               epoch_us(ts) AS us,
+               CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    ),
+    sess AS (
+        SELECT user_id, event_type, event_id, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )"""
+
+
+@register(
+    "events_top_paths",
+    f"""
+    WITH {_SESSIONS_CTE},
+    ranked AS (
+        SELECT user_id, session_no, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY us, event_id) AS rn
+        FROM sess
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM ranked WHERE rn <= 3 GROUP BY 1, 2
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY 1
+    ORDER BY n_sessions DESC, path LIMIT 20
+    """,
+    doc="top session-opening paths: first 3 event types per 30-min-gap "
+    "session joined with '>', counted across sessions, top-20 — the "
+    "prefix rank reuses the sessionize window's (user, time) "
+    "partitioning (no extra exchange before the path count) and the "
+    "final top-k is a TakeOrdered, never a full sort",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.operators.sessions import top_paths
+
+    return top_paths(load_table(spark, "events", sf_dir), prefix_len=3, k=20)
+
+
+@register(
+    "events_covisit_lift",
+    f"""
+    WITH {_SESSIONS_CTE},
+    st AS (
+        SELECT DISTINCT
+               user_id || ':' || CAST(session_no AS BIGINT) AS sid,
+               event_type AS t
+        FROM sess
+    ),
+    tot AS (SELECT COUNT(DISTINCT sid) AS n FROM st),
+    per AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_t FROM st GROUP BY 1),
+    p AS (
+        SELECT a.t AS ta, b.t AS tb, CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM st a JOIN st b ON a.sid = b.sid AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT ta, tb, n_ab, pa.n_t AS n_a, pb.n_t AS n_b,
+           ROUND(CAST(n_ab AS DOUBLE) * tot.n / pa.n_t / pb.n_t, 9) AS lift
+    FROM p
+    JOIN per pa ON pa.t = p.ta
+    JOIN per pb ON pb.t = p.tb
+    CROSS JOIN tot
+    ORDER BY ta, tb
+    """,
+    doc="within-session co-occurrence lift for unordered event-type pairs "
+    "(n_ab * n_sessions / (n_a * n_b), exact integer counts, one final "
+    "float division) — pair expansion is a self-join of DISTINCT "
+    "(session, type) rows so popular types stream through the join "
+    "(the SimHash banded-self-join lesson) instead of collecting into "
+    "one aggregation row; per-type totals broadcast",
+)
+def events_covisit_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.operators.sessions import covisit_lift
+
+    return covisit_lift(load_table(spark, "events", sf_dir))

@@ -6552,3 +6552,215 @@ def pipeline_dedup_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-layout tier (pipeline/layout.py): zone-map pruning + Z-order
+# clustering — the lakehouse file-skipping story, measured in-engine.
+# ---------------------------------------------------------------------------
+_ZM_SHARD_SQL = (
+    "CAST(CAST(concat('0x', substring(md5('zm:' || CAST(doc_id AS VARCHAR)),"
+    " 1, 8)) AS BIGINT) % 32 AS INT)"
+)
+
+
+@register(
+    "corpus_zonemap_prune_audit",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, n_chars, {_ZM_SHARD_SQL} AS shard FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(n_chars) AS vmin,
+           MAX(n_chars) AS vmax,
+           (MAX(n_chars) < 200 OR MIN(n_chars) > 400) AS pruned,
+           CAST(SUM(CASE WHEN n_chars BETWEEN 200 AND 400 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_matching
+    FROM sh GROUP BY 1 ORDER BY 1
+    """,
+    doc="zone-map prune audit: per-shard min/max metadata + whether "
+    "n_chars BETWEEN 200 AND 400 can skip the shard, with the true "
+    "match count proving soundness (pruned => n_matching = 0); shards "
+    "are md5-hashed (the no-clustering worst case this tier's Z-order "
+    "entries then beat); one map-side-combined aggregation",
+)
+def corpus_zonemap_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.layout import zonemap_prune_audit
+
+    return zonemap_prune_audit(
+        load_table(spark, "documents", sf_dir), "n_chars", 200, 400
+    )
+
+
+def _zorder_cte(bits: int, n_files: int) -> str:
+    """Bin + interleave CTE ending in ``zed(doc_id, n_chars, zvalue,
+    file_id)`` — generated like _simhash_cte: the per-bit terms are
+    mechanical."""
+    n_bins = 1 << bits
+    z_terms = " + ".join(
+        f"((bx // {1 << b}) % 2) * {1 << (2 * b + 1)}"
+        f" + ((by // {1 << b}) % 2) * {1 << (2 * b)}"
+        for b in range(bits)
+    )
+    per_file = (1 << (2 * bits)) // n_files
+    return f"""
+    bounds AS (
+        SELECT MIN(n_chars) AS x_lo, MAX(n_chars) AS x_hi,
+               MIN(doc_id) AS y_lo, MAX(doc_id) AS y_hi
+        FROM documents
+    ),
+    binned AS (
+        SELECT doc_id, n_chars,
+               LEAST(CAST(FLOOR((n_chars - x_lo) * {n_bins}
+                          / (x_hi - x_lo + 1)) AS BIGINT), {n_bins - 1}) AS bx,
+               LEAST(CAST(FLOOR((doc_id - y_lo) * {n_bins}
+                          / (y_hi - y_lo + 1)) AS BIGINT), {n_bins - 1}) AS by
+        FROM documents CROSS JOIN bounds
+    ),
+    zed AS (
+        SELECT doc_id, n_chars, {z_terms} AS zvalue,
+               CAST(FLOOR(({z_terms}) / {per_file}) AS INT) AS file_id
+        FROM binned
+    )"""
+
+
+@register(
+    "corpus_zorder_layout",
+    f"""
+    WITH {_zorder_cte(4, 16)}
+    SELECT file_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(n_chars) AS x_min, MAX(n_chars) AS x_max,
+           MIN(doc_id) AS y_min, MAX(doc_id) AS y_max
+    FROM zed GROUP BY 1 ORDER BY 1
+    """,
+    doc="Z-order (Morton) clustering of documents on (n_chars, doc_id): "
+    "4-bit fixed-width bins per dimension interleaved into an 8-bit "
+    "Z-value, 16 equal Z-range files; output is each file's zone-map "
+    "envelope in BOTH dimensions (tight envelopes are what zone maps "
+    "prune on). Z-value is a pure projection given the broadcast "
+    "min/max bounds — the writer's only wide op is one "
+    "repartitionByRange(zvalue)",
+)
+def corpus_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.layout import zorder_layout
+
+    return zorder_layout(
+        load_table(spark, "documents", sf_dir), "n_chars", "doc_id",
+        bits=4, n_files=16,
+    )
+
+
+@register(
+    "corpus_zorder_prune_gain",
+    f"""
+    WITH {_zorder_cte(4, 16)},
+    obounds AS (SELECT MIN(doc_id) AS o_lo, MAX(doc_id) AS o_hi FROM documents),
+    laid AS (
+        SELECT z.doc_id, z.n_chars, z.file_id AS z_file,
+               CAST(LEAST(CAST(FLOOR((z.doc_id - o_lo) * 16
+                          / (o_hi - o_lo + 1)) AS BIGINT), 15) AS INT) AS i_file
+        FROM zed z CROSS JOIN obounds
+    ),
+    both_layouts AS (
+        SELECT 'insertion' AS layout, i_file AS file_id, doc_id, n_chars
+        FROM laid
+        UNION ALL
+        SELECT 'zorder' AS layout, z_file AS file_id, doc_id, n_chars
+        FROM laid
+    ),
+    per_file AS (
+        SELECT layout, file_id, COUNT(*) AS n_rows,
+               MIN(n_chars) AS x_min, MAX(n_chars) AS x_max,
+               MIN(doc_id) AS y_min, MAX(doc_id) AS y_max,
+               SUM(CASE WHEN n_chars BETWEEN 150 AND 350
+                         AND doc_id BETWEEN 0 AND 249
+                        THEN 1 ELSE 0 END) AS n_matching
+        FROM both_layouts GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS files_total,
+           CAST(SUM(CASE WHEN x_max >= 150 AND x_min <= 350
+                          AND y_max >= 0 AND y_min <= 249
+                         THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(SUM(CASE WHEN x_max >= 150 AND x_min <= 350
+                          AND y_max >= 0 AND y_min <= 249
+                         THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+           CAST(SUM(n_matching) AS BIGINT) AS n_matching
+    FROM per_file GROUP BY 1 ORDER BY 1
+    """,
+    doc="the Z-order payoff, quantified: files/rows a 2-D predicate "
+    "(n_chars BETWEEN 150 AND 350 AND doc_id <= 249) must scan under "
+    "the insertion-order layout vs the Z-ordered layout at the same "
+    "file count — n_matching is layout-invariant by construction, the "
+    "scanned counts are not; two map-side-combined aggregations, one "
+    "scan each",
+)
+def corpus_zorder_prune_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.layout import zorder_prune_gain
+
+    return zorder_prune_gain(
+        load_table(spark, "documents", sf_dir), "n_chars", "doc_id",
+        x_lo=150, x_hi=350, y_lo=0, y_hi=249, bits=4, n_files=16,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding linear algebra (pipeline/linalg.py): distributed covariance
+# (integer-exact) + PCA projection.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_covariance",
+    """
+    WITH q AS (
+        SELECT vec_id, CAST(t.i - 1 AS INT) AS dim,
+               CAST(FLOOR(CAST(t.embedding[t.i] AS DOUBLE) * 1024 + 0.5)
+                    AS BIGINT) AS qv
+        FROM (SELECT vec_id, embedding, generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+    ),
+    n AS (SELECT COUNT(DISTINCT vec_id) AS nn FROM q),
+    sx AS (SELECT dim, CAST(SUM(qv) AS BIGINT) AS s FROM q GROUP BY 1),
+    sxy AS (
+        SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS s
+        FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+        GROUP BY 1, 2
+    )
+    SELECT sxy.i AS i, sxy.j AS j,
+           ROUND(CAST(n.nn * sxy.s - si.s * sj.s AS DOUBLE)
+                 / n.nn / n.nn / 1048576.0, 9) AS cov
+    FROM sxy CROSS JOIN n
+    JOIN sx si ON si.dim = sxy.i
+    JOIN sx sj ON sj.dim = sxy.j
+    ORDER BY 1, 2
+    """,
+    doc="distributed d x d covariance, integer-exact: embeddings quantized "
+    "to round(x*1024) ints, per-partition numpy GEMM partials (the "
+    "k-means partial-reduce contract: state ~ d^2, never ~ N), ONE "
+    "shuffle of scalar partial rows, cov finalized from exact int64 "
+    "sums via (n*Sxy - Sx*Sy)/n^2 — the primitive under PCA/OPQ/"
+    "whitening; the oracle replays it by exploding dims and self-"
+    "joining, proving the GEMM == the naive sum-of-products",
+)
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.linalg import embedding_covariance as cov
+
+    return cov(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "embedding_pca_project",
+    None,  # eigenvectors are data-dependent — not SQL-expressible;
+    # rows-only here, pinned against numpy PCA (values, orthonormality,
+    # variance ordering, sign convention) in tests/test_linalg.py
+    doc="PCA projection to 8 dims: components fit from the distributed "
+    "integer-exact covariance (driver eigh on the d x d matrix — "
+    "small-by-contract like k-means centroids), then an Arrow-batched "
+    "pure-map projection with the k x d matrix closed over; zero "
+    "shuffles in the projection plan (asserted in test_plan_quality)",
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.linalg import pca_project
+
+    return pca_project(load_table(spark, "embeddings", sf_dir), k=8)

@@ -1,0 +1,217 @@
+"""Unit tests for the data-layout tier (pipeline/layout.py), the
+embedding linear-algebra tier (pipeline/linalg.py), and the
+session-journey analytics (operators/sessions.py additions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from irstats2_spark.pipeline import layout, linalg
+from irstats2_spark.operators import sessions
+
+
+# ---------------------------------------------------------------------------
+# Zone maps
+# ---------------------------------------------------------------------------
+def test_zonemap_prune_soundness(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 97).alias("n_chars")
+    )
+    audit = layout.zonemap_prune_audit(
+        df, "n_chars", lo=200, hi=400, n_shards=8
+    ).collect()
+    assert len(audit) == 8
+    # soundness: a pruned shard MUST contain zero matching rows
+    for r in audit:
+        if r["pruned"]:
+            assert r["n_matching"] == 0
+    # completeness: shard rows sum to the input, matches sum to the truth
+    assert sum(r["n_rows"] for r in audit) == 1000
+    assert sum(r["n_matching"] for r in audit) == 0  # n_chars < 97 always
+
+
+def test_zonemap_prunes_when_layout_is_clustered(spark):
+    # shard by a column correlated with the value -> pruning must happen
+    df = spark.range(320).select(
+        F.col("id").alias("doc_id"), F.col("id").alias("n_chars")
+    )
+    stats = layout.zonemap_stats(df, "n_chars", n_shards=32)
+    assert stats.count() == 32
+
+
+# ---------------------------------------------------------------------------
+# Z-order
+# ---------------------------------------------------------------------------
+def _interleave(bx: int, by: int, bits: int) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((bx >> b) & 1) << (2 * b + 1)
+        z |= ((by >> b) & 1) << (2 * b)
+    return z
+
+
+def test_zorder_values_match_python_interleave(spark):
+    rows = [(i, (i * 37) % 101, (i * 53) % 211) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    got = {
+        r["doc_id"]: r["zvalue"]
+        for r in layout.zorder_values(df, "x", "y", bits=4).collect()
+    }
+    xs = [r[1] for r in rows]
+    ys = [r[2] for r in rows]
+    x_lo, x_hi = min(xs), max(xs)
+    y_lo, y_hi = min(ys), max(ys)
+    for doc_id, x, y in rows:
+        bx = min(int((x - x_lo) * 16 / (x_hi - x_lo + 1)), 15)
+        by = min(int((y - y_lo) * 16 / (y_hi - y_lo + 1)), 15)
+        assert got[doc_id] == _interleave(bx, by, 4), (doc_id, x, y)
+
+
+def test_zorder_prune_gain_beats_insertion_on_2d_predicate(spark):
+    # x uncorrelated with insertion order -> insertion layout cannot
+    # prune on x, Z-order prunes on both dimensions.
+    df = spark.range(4096).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 2654435761) % 1000).alias("n_chars"),
+    )
+    rows = {
+        r["layout"]: r
+        for r in layout.zorder_prune_gain(
+            df, "n_chars", "doc_id", 100, 200, 0, 511, bits=4, n_files=16
+        ).collect()
+    }
+    ins, zo = rows["insertion"], rows["zorder"]
+    assert ins["n_matching"] == zo["n_matching"]  # layout-invariant truth
+    assert zo["rows_scanned"] < ins["rows_scanned"]
+    assert zo["files_scanned"] <= ins["files_scanned"]
+
+
+def test_zorder_layout_file_envelopes_cover_all_rows(spark):
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 7) % 300).alias("n_chars")
+    )
+    per_file = layout.zorder_layout(df, "n_chars", "doc_id").collect()
+    assert sum(r["n_rows"] for r in per_file) == 500
+    for r in per_file:
+        assert r["x_min"] <= r["x_max"] and r["y_min"] <= r["y_max"]
+
+
+# ---------------------------------------------------------------------------
+# Covariance / PCA
+# ---------------------------------------------------------------------------
+def _toy_embeddings(spark, n=200, d=8, seed=7):
+    rng = np.random.RandomState(seed)
+    # low-rank structure so PCA has a clear spectrum
+    base = rng.randn(n, 3) @ rng.randn(3, d) + 0.05 * rng.randn(n, d)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, base.astype(np.float32)
+
+
+def test_covariance_matches_numpy_on_quantized_values(spark):
+    df, mat = _toy_embeddings(spark)
+    q = np.floor(mat.astype(np.float64) * 1024 + 0.5)
+    expected = np.cov(q, rowvar=False, bias=True) / (1024.0 * 1024.0)
+    got = linalg.embedding_covariance(df, dim=8).collect()
+    assert len(got) == 8 * 9 // 2
+    for r in got:
+        assert abs(r["cov"] - expected[r["i"], r["j"]]) < 1e-6, (r["i"], r["j"])
+
+
+def test_covariance_matrix_driver_side_agrees(spark):
+    df, mat = _toy_embeddings(spark)
+    cov, mean, n = linalg.covariance_matrix(df)
+    q = np.floor(mat.astype(np.float64) * 1024 + 0.5)
+    assert n == len(mat)
+    np.testing.assert_allclose(mean, q.mean(axis=0) / 1024.0, atol=1e-12)
+    np.testing.assert_allclose(
+        cov, np.cov(q, rowvar=False, bias=True) / 1024.0**2, atol=1e-12
+    )
+
+
+def test_pca_components_match_numpy_eigh(spark):
+    df, mat = _toy_embeddings(spark)
+    comps, vals, mean = linalg.pca_components(df, k=3)
+    # reference: same convention (quantized cov, sign fixed by pivot)
+    q = np.floor(mat.astype(np.float64) * 1024 + 0.5)
+    cov = np.cov(q, rowvar=False, bias=True) / 1024.0**2
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:3]
+    ref = evec[:, order].T.copy()
+    for row in ref:
+        if row[np.argmax(np.abs(row))] < 0:
+            row *= -1
+    np.testing.assert_allclose(vals, ev[order], atol=1e-9)
+    np.testing.assert_allclose(comps, ref, atol=1e-7)
+    # orthonormal, descending variance
+    np.testing.assert_allclose(comps @ comps.T, np.eye(3), atol=1e-9)
+    assert vals[0] >= vals[1] >= vals[2] >= 0
+
+
+def test_pca_project_matches_numpy_projection(spark):
+    df, mat = _toy_embeddings(spark)
+    comps, _, mean = linalg.pca_components(df, k=3)
+    got = {r["vec_id"]: np.array(r["pc"]) for r in linalg.pca_project(df, k=3).collect()}
+    expected = (mat.astype(np.float64) - mean) @ comps.T
+    for i in range(len(mat)):
+        np.testing.assert_allclose(got[i], np.round(expected[i], 6), atol=1e-9)
+
+
+def test_pca_rerank_topk_matches_exact_on_lowrank_data(spark):
+    # data is rank-3 + noise; a 3-dim PCA shortlist of 40 out of 200
+    # must contain the true top-10, so the reranked result == exact.
+    df, mat = _toy_embeddings(spark)
+    query = mat[0].astype(np.float64)
+    got = [
+        r["vec_id"]
+        for r in linalg.pca_rerank_topk(
+            df, query, k=10, shortlist=40, pc_dims=3
+        ).collect()
+    ]
+    d2 = ((mat.astype(np.float64) - query) ** 2).sum(axis=1)
+    expected = list(np.lexsort((np.arange(len(mat)), np.round(d2, 9)))[:10])
+    assert got == [int(i) for i in expected]
+
+
+# ---------------------------------------------------------------------------
+# Session journeys
+# ---------------------------------------------------------------------------
+def _toy_events(spark):
+    # two users; user 1 has two sessions split by a >30min gap
+    rows = [
+        (1, 1, "2024-01-01 10:00:00", "view"),
+        (2, 1, "2024-01-01 10:05:00", "click"),
+        (3, 1, "2024-01-01 10:10:00", "purchase"),
+        (4, 1, "2024-01-01 12:00:00", "view"),
+        (5, 1, "2024-01-01 12:01:00", "view"),
+        (6, 2, "2024-01-01 09:00:00", "view"),
+        (7, 2, "2024-01-01 09:02:00", "click"),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts_s string, event_type string"
+    ).select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"), "event_type")
+
+
+def test_top_paths_counts_session_prefixes(spark):
+    got = {
+        r["path"]: r["n_sessions"]
+        for r in sessions.top_paths(_toy_events(spark), prefix_len=3).collect()
+    }
+    assert got == {"view>click>purchase": 1, "view>view": 1, "view>click": 1}
+
+
+def test_covisit_lift_exact_fractions(spark):
+    rows = {
+        (r["ta"], r["tb"]): r
+        for r in sessions.covisit_lift(_toy_events(spark)).collect()
+    }
+    # 3 sessions total; view+click co-occur in 2; view in 3, click in 2
+    r = rows[("click", "view")]
+    assert (r["n_ab"], r["n_a"], r["n_b"]) == (2, 2, 3)
+    assert r["lift"] == pytest.approx(2 * 3 / (2 * 3), abs=1e-9)
+    r2 = rows[("purchase", "view")]
+    assert (r2["n_ab"], r2["n_a"], r2["n_b"]) == (1, 1, 3)
+    assert r2["lift"] == pytest.approx(1 * 3 / (1 * 3), abs=1e-9)

@@ -826,3 +826,80 @@ def test_quality_funnel_single_output_row_explode(spark, queries):
     # a FIXED count set by the component operators, not per-stage
     assert tree.count("Scan parquet") <= 10
     assert "CartesianProduct" not in tree
+
+
+def test_zonemap_audit_is_one_mapside_aggregation(spark, queries):
+    """Zone-map metadata + selectivity reduce in ONE hash aggregation:
+    a partial HashAggregate below the exchange (map-side combine), one
+    exchange carrying n_shards scalar rows, plus the output sort."""
+    plan = plan_of(queries["corpus_zonemap_prune_audit"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    # one hash exchange for the groupBy + one range exchange for ORDER BY
+    assert tree.count("Exchange") == 2
+    assert "hashpartitioning(shard" in plan
+
+
+def test_zorder_value_is_pure_projection(spark, queries):
+    """The Z-value and file assignment are projections given broadcast
+    bounds — the layout stats plan has only the stats groupBy exchange
+    (+ output sort); no exchange may carry document text."""
+    import re
+
+    plan = plan_of(queries["corpus_zorder_layout"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 2  # groupBy(file_id) + ORDER BY
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
+
+
+def test_zorder_prune_gain_reads_metadata_sized_rows(spark, queries):
+    """Both layout audits aggregate map-side; no exchange carries text,
+    and there is no join at all (the union is of two independent
+    aggregations)."""
+    import re
+
+    plan = plan_of(queries["corpus_zorder_prune_gain"](spark, SF))
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
+
+
+def test_covariance_shuffles_scalar_partials_only(spark, queries):
+    """The covariance's single wide op is the (i, j) partial-sum groupBy;
+    the finalization joins on the d^2-sized frame must broadcast, and no
+    exchange may carry the embedding arrays."""
+    import re
+
+    plan = plan_of(queries["embedding_covariance"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "embedding#" not in block, block
+
+
+def test_pca_projection_is_zero_shuffle_map(spark, queries):
+    """With the component matrix fit eagerly (driver eigh over the
+    distributed covariance) and closed over, the projection itself is
+    scan -> Arrow map: no Exchange anywhere in the projection plan."""
+    plan = plan_of(queries["embedding_pca_project"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+    assert "ArrowEvalPython" in tree or "MapInPandas" in tree
+
+
+def test_top_paths_is_takeordered_over_one_session_window(spark, queries):
+    """The prefix rank rides the sessionize window's partitioning and the
+    top-k never materializes a full sort."""
+    plan = plan_of(queries["events_top_paths"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_covisit_totals_broadcast(spark, queries):
+    """Per-type totals and the session count are broadcast-sized; only
+    the (session, type) self-join is allowed to plan wide."""
+    plan = plan_of(queries["events_covisit_lift"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
