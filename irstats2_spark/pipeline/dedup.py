@@ -1847,25 +1847,35 @@ def lsh_band_sweep_audit(
     surfaced; verified output being truth ∩ candidates makes recall
     the end-to-end miss rate, not just a blocking statistic.
 
-    Scale shape: ONE cached shingle scan feeds the truth side and every
-    branch's signatures (signatures differ only in band GROUPING, so
-    the expensive minima reuse the same aggregation subplan across
-    branches); each branch adds a banded bucket groupBy and three
-    count-aggregates over pair-sized tables. At web scale, run on a
-    sample — the audit needs the curve, not the census."""
+    Scale shape: ONE cached shingle scan feeds the truth side and the
+    signature aggregation, which is computed ONCE and persisted (the
+    branches differ only in how the same mh_* columns are GROUPED into
+    bands, so re-running the expensive minima per branch would triple
+    the dominant aggregation); the truth pair set and each branch's
+    candidate pair set are persisted too — both are pair-sized (bounded
+    by real dup mass, not the corpus) and are each consumed by two or
+    more count-aggregates. At web scale, run on a sample — the audit
+    needs the curve, not the census."""
     from functools import reduce
 
     sh = word_shingles(docs, text_col, id_col, k).cache()
-    truth = ngram_jaccard_pairs(
-        docs, text_col, id_col, k, threshold=threshold, shingles=sh
-    ).select("doc_a", "doc_b")
+    truth = (
+        ngram_jaccard_pairs(
+            docs, text_col, id_col, k, threshold=threshold, shingles=sh
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    sig = minhash_signatures(sh, n_hashes).persist()
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     branches = []
     for b in band_options:
         assert n_hashes % b == 0
-        cand = minhash_lsh_candidates(
-            docs, text_col, id_col, k, n_hashes, b, shingles=sh
-        ).select("doc_a", "doc_b")
+        cand = (
+            _band_candidates(sig, n_hashes, b)
+            .select("doc_a", "doc_b")
+            .persist()
+        )
         nc = cand.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates")
         )

@@ -913,33 +913,43 @@ def pq_m_sweep_audit(
     bit-for-bit; mean_sq_err divides once at the end.
 
     Scale shape: each branch is the audited fit (broadcast Lloyd's) +
-    encode (map-side, broadcast codebook) + a 1-row sum; branches
-    union to len(ms) rows. Fit cost is per-branch by design — the
-    codebooks ARE different models. At web scale fit on a sample; the
+    encode (map-side, broadcast codebook) + a 1-row sum; the branches
+    are INDEPENDENT models, so they run as CONCURRENT Spark jobs from
+    driver threads (Lloyd's is inherently sequential WITHIN a branch —
+    each round's collect feeds the next broadcast — so the only
+    parallelism left between its fixed job latencies is across
+    branches; the scheduler interleaves their stages on the same
+    executors). Each branch reduces to one scalar row; the final
+    division + rounding stays a Spark expression so the value contract
+    is identical to the oracle's. At web scale fit on a sample; the
     distortion sum is the only corpus-wide pass worth keeping exact."""
-    from functools import reduce
+    from concurrent.futures import ThreadPoolExecutor
 
-    branches = []
+    spark = embeddings.sparkSession
     for m in ms:
         assert dim % m == 0
+
+    def branch(m: int):
         cb = pq_fit(
             embeddings, dim, m, n_codes, max_iter, id_col, vec_col, scale
         )
         enc = pq_encode(embeddings, cb, dim, m, id_col, vec_col, scale)
-        agg = enc.agg(
+        row = enc.agg(
             (F.count(F.lit(1)) / F.lit(m)).cast("long").alias("n_vecs"),
             F.sum("dist").cast("long").alias("total_sq_err"),
-        )
-        branches.append(
-            agg.select(
-                F.lit(m).cast("int").alias("m"),
-                F.lit(dim // m).cast("int").alias("sub_dim"),
-                F.lit(m).cast("int").alias("code_bytes"),
-                "n_vecs",
-                "total_sq_err",
-                F.round(F.col("total_sq_err") / F.col("n_vecs"), 6).alias(
-                    "mean_sq_err"
-                ),
-            )
-        )
-    return reduce(lambda a, b: a.unionByName(b), branches)
+        ).first()
+        return (m, dim // m, m, row["n_vecs"], row["total_sq_err"])
+
+    with ThreadPoolExecutor(max_workers=len(ms)) as pool:
+        rows = list(pool.map(branch, ms))
+    base = spark.createDataFrame(
+        rows, "m int, sub_dim int, code_bytes int, n_vecs long, total_sq_err long"
+    )
+    return base.select(
+        "m",
+        "sub_dim",
+        "code_bytes",
+        "n_vecs",
+        "total_sq_err",
+        F.round(F.col("total_sq_err") / F.col("n_vecs"), 6).alias("mean_sq_err"),
+    )
