@@ -123,9 +123,11 @@ GATE_PRIORITY: tuple[str, ...] = (
 )
 # ROUND 6 SHOULD GATE FIRST: the queries registered late in round
 # 5 with no driver row yet (session-5 adds: corpus_zonemap_prune_audit,
-# corpus_zorder_layout, corpus_zorder_prune_gain, embedding_covariance,
-# embedding_pca_project (rows-only), events_top_paths,
-# events_covisit_lift; session-4 adds: events_markov_transitions,
+# corpus_zorder_layout, corpus_zorder_prune_gain, corpus_zonemap_merge,
+# embedding_covariance, embedding_pca_project (rows-only),
+# similarity_opq_distortion (rows-only), events_top_paths,
+# events_covisit_lift, events_interval_overlap;
+# session-4 adds: events_markov_transitions,
 # events_rolling_anomaly,
 # graph_pagerank, graph_triangles, text_cosine_pairs_inverted,
 # corpus_ngram_diversity, text_tokenizer_fertility,

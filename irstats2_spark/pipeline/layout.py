@@ -276,3 +276,24 @@ def zorder_prune_gain(
         (F.col("zvalue") / (z_space // n_files)).cast("int"), "zorder"
     )
     return insertion.unionByName(zordered).orderBy("layout")
+
+
+def zonemap_merge(*stats: DataFrame) -> DataFrame:
+    """Merge per-shard zone-map stats tables (``zonemap_stats`` outputs)
+    into one — min of mins, max of maxes, summed counts.
+
+    This is the maintenance path at scale: zone maps are MERGEABLE
+    metadata, so an incremental writer computes stats for NEW files only
+    and folds them into the stored manifest — the old 100 TB is never
+    rescanned (same incremental contract as dedup's snapshot hash
+    tables). The merge itself runs over metadata-sized inputs.
+    """
+    assert stats, "need at least one stats table"
+    merged = stats[0]
+    for s in stats[1:]:
+        merged = merged.unionByName(s)
+    return merged.groupBy("shard").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.min("vmin").alias("vmin"),
+        F.max("vmax").alias("vmax"),
+    )

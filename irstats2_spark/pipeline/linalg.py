@@ -273,3 +273,121 @@ def pca_rerank_topk(
         .select(id_col, "dist")
     )
     return exact
+
+
+def opq_eigen_allocation(eigenvalues: np.ndarray, m: int) -> np.ndarray:
+    """Balanced eigenvalue allocation (parametric OPQ, Ge et al. CVPR'13):
+    assign PCA dimensions to ``m`` subspaces so each subspace gets a
+    similar variance PRODUCT — the allocation that minimizes parametric
+    PQ distortion under a Gaussian assumption.
+
+    Greedy: walk eigenvalues in descending order, give each to the
+    non-full subspace with the smallest current log-variance sum.
+    Returns ``perm`` with perm[k] = the PCA dim placed at rotated
+    position k (subspace k // sub_dim), dims sorted within a subspace.
+    """
+    d = len(eigenvalues)
+    assert d % m == 0
+    sub_dim = d // m
+    buckets: list[list[int]] = [[] for _ in range(m)]
+    log_sums = np.zeros(m)
+    for dim_idx in np.argsort(eigenvalues)[::-1]:
+        open_b = [b for b in range(m) if len(buckets[b]) < sub_dim]
+        target = min(open_b, key=lambda b: (log_sums[b], b))
+        buckets[target].append(int(dim_idx))
+        log_sums[target] += float(np.log(max(eigenvalues[dim_idx], 1e-12)))
+    return np.array([i for b in buckets for i in sorted(b)], dtype=np.int64)
+
+
+def opq_rotate(
+    emb: DataFrame,
+    dim: int,
+    m: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1024,
+    decimals: int = 9,
+) -> DataFrame:
+    """Rotate embeddings into the OPQ basis: full-rank PCA (computed
+    from the distributed integer-exact covariance) with the components
+    PERMUTED by balanced eigenvalue allocation, so each of ``m``
+    downstream PQ subspaces sees comparable variance. The rotation is
+    orthogonal — L2 distances and quantization errors are directly
+    comparable to the original space. Pure-map projection, like
+    ``pca_project``. Output: (vec_id, vec array<double>).
+    """
+    comps, vals, mean = pca_components(emb, k=dim, vec_col=vec_col, scale=scale)
+    perm = opq_eigen_allocation(vals, m)
+    rot = comps[perm]
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            proj = np.round((mat - mean) @ rot.T, decimals)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(), "vec": list(proj)}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, vec array<double>"
+    )
+
+
+def opq_vs_pq_distortion(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    max_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """OPQ's payoff, measured: PQ reconstruction distortion on the raw
+    vectors vs on the OPQ-rotated vectors, same (m, n_codes, max_iter)
+    budget — one row per variant (variant, n_vecs, total_sq_err,
+    mean_sq_err). The rotation being orthogonal makes the two error
+    totals directly comparable; both are the exact integer sums
+    ``pq_encode`` reports. Not SQL-oracle-able (the rotation is
+    data-dependent eigenvectors); pinned in tests/test_layout_linalg.py
+    on anisotropic data where the allocation must strictly help, and
+    registered rows-only in the catalog.
+
+    The two variants are independent models and run as concurrent Spark
+    jobs (the pq_m_sweep pattern).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from irstats2_spark.pipeline.pq import pq_encode, pq_fit
+
+    spark = emb.sparkSession
+    rotated = opq_rotate(emb, dim, m, vec_col, id_col)
+
+    def branch(args):
+        name, df, col = args
+        cb = pq_fit(df, dim, m, n_codes, max_iter, id_col, col, scale)
+        enc = pq_encode(df, cb, dim, m, id_col, col, scale)
+        row = enc.agg(
+            (F.count(F.lit(1)) / F.lit(m)).cast("long").alias("n_vecs"),
+            F.sum("dist").cast("long").alias("total_sq_err"),
+        ).first()
+        return (name, row["n_vecs"], row["total_sq_err"])
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        rows = list(
+            pool.map(
+                branch,
+                [("pq_raw", emb, vec_col), ("opq_rotated", rotated, "vec")],
+            )
+        )
+    base = spark.createDataFrame(
+        rows, "variant string, n_vecs long, total_sq_err long"
+    )
+    return base.select(
+        "variant",
+        "n_vecs",
+        "total_sq_err",
+        F.round(F.col("total_sq_err") / F.col("n_vecs"), 6).alias("mean_sq_err"),
+    ).orderBy("variant")

@@ -1215,3 +1215,84 @@ def events_covisit_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.operators.sessions import covisit_lift
 
     return covisit_lift(load_table(spark, "events", sf_dir))
+
+
+@register(
+    "events_interval_overlap",
+    f"""
+    WITH {_SESSIONS_CTE},
+    bins AS (
+        SELECT CAST(FLOOR(epoch_us(ts) / 600000000) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    ),
+    incidents AS (
+        SELECT bin, n_events FROM bins ORDER BY n_events DESC, bin LIMIT 5
+    ),
+    spans AS (
+        SELECT user_id, session_no, MIN(us) AS s, MAX(us) AS e
+        FROM sess GROUP BY 1, 2
+    ),
+    ov AS (
+        SELECT i.bin, i.n_events, sp.user_id, sp.session_no
+        FROM incidents i JOIN spans sp
+          ON sp.s <= (i.bin + 1) * 600000000 - 1
+         AND sp.e >= i.bin * 600000000
+    )
+    SELECT bin AS incident_bin,
+           bin * 600000000 AS incident_start_us,
+           n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM ov GROUP BY 1, 2, 3 ORDER BY 1
+    """,
+    doc="interval-overlap join: the 5 busiest 10-minute windows joined "
+    "against every session whose [start, end] span overlaps them — via "
+    "operators/intervals.interval_overlap_join's time-bucket expansion, "
+    "which turns the no-equi-key range predicate Catalyst would plan as "
+    "a nested-loop into a plain hash equi-join on the bucket id "
+    "(AQE-splittable; expansion bounded by interval length / bucket); "
+    "the oracle runs the direct inequality join, proving the bucketed "
+    "form loses nothing",
+)
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.operators.intervals import interval_overlap_join
+    from irstats2_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    bin_us = 600 * 1_000_000
+    incidents = (
+        ev.groupBy((us / bin_us).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy(F.desc("n_events"), "bin")
+        .limit(5)
+        .select(
+            "bin",
+            "n_events",
+            (F.col("bin") * bin_us).alias("start_us"),
+            ((F.col("bin") + 1) * bin_us - 1).alias("end_us"),
+        )
+    )
+    spans = (
+        sessionize(ev)
+        .withColumn("__us", us)
+        .groupBy("user_id", "session_no")
+        .agg(F.min("__us").alias("start_us"), F.max("__us").alias("end_us"))
+    )
+    ov = interval_overlap_join(spans, incidents, bucket_seconds=600)
+    return (
+        ov.groupBy("bin", "n_events")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("bin").alias("incident_bin"),
+            (F.col("bin") * bin_us).alias("incident_start_us"),
+            "n_events",
+            "n_sessions",
+            "n_users",
+        )
+        .orderBy("incident_bin")
+    )

@@ -6764,3 +6764,53 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.linalg import pca_project
 
     return pca_project(load_table(spark, "embeddings", sf_dir), k=8)
+
+
+@register(
+    "corpus_zonemap_merge",
+    f"""
+    WITH sh AS (
+        SELECT doc_id, n_chars, {_ZM_SHARD_SQL} AS shard FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(n_chars) AS vmin,
+           MAX(n_chars) AS vmax
+    FROM sh GROUP BY 1 ORDER BY 1
+    """,
+    doc="zone-map MERGEABILITY, gated: stats computed separately over "
+    "the snapshot half (doc_id < 250) and the new-arrivals half then "
+    "folded (min/min, max/max, summed counts) must equal one full-scan "
+    "stats pass — the incremental-writer contract that lets 100 TB of "
+    "existing files keep their metadata unscanned; the oracle IS the "
+    "full-scan pass",
+)
+def corpus_zonemap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.layout import zonemap_merge, zonemap_stats
+
+    docs = load_table(spark, "documents", sf_dir)
+    old = zonemap_stats(docs.filter(F.col("doc_id") < 250), "n_chars")
+    new = zonemap_stats(docs.filter(F.col("doc_id") >= 250), "n_chars")
+    return zonemap_merge(old, new).orderBy("shard")
+
+
+@register(
+    "similarity_opq_distortion",
+    None,  # the OPQ rotation is data-dependent eigenvectors — not
+    # SQL-expressible; rows-only here, the raw-vs-rotated improvement is
+    # pinned on anisotropic data in tests/test_layout_linalg.py
+    doc="OPQ (parametric, Ge et al.): full-rank PCA rotation with "
+    "balanced eigenvalue allocation across PQ subspaces, then the same "
+    "PQ budget on raw vs rotated vectors — one row per variant with "
+    "exact integer distortion sums (orthogonal rotation keeps them "
+    "comparable); the two fits run as concurrent Spark jobs. This IS "
+    "the go/no-go audit: on anisotropic corpora the rotation wins "
+    "(pinned in pytest), on near-isotropic ones (like this synthetic "
+    "table) it measures ~flat and you keep plain PQ",
+)
+def similarity_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.linalg import opq_vs_pq_distortion
+
+    return opq_vs_pq_distortion(
+        load_table(spark, "embeddings", sf_dir), dim=64, m=8
+    )

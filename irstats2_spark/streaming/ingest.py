@@ -1068,3 +1068,35 @@ def edit_distance_doc_stream(
         )
         .dropDuplicatesWithinWatermark(["old_id", "new_id"])
     )
+
+
+def zonemap_stats_stream(
+    docs: DataFrame,
+    value_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    salt: str = "zm:",
+) -> DataFrame:
+    """Streaming twin of pipeline.layout.zonemap_stats: the live
+    per-shard zone-map manifest, maintained as a streaming aggregation.
+
+    min/max/count are all MERGEABLE (the property corpus_zonemap_merge
+    gates in batch), so the streaming state is exactly ``n_shards``
+    scalar rows no matter how much data flows through — this is the rare
+    unwatermarked streaming aggregation that is SAFE by construction:
+    state is bounded by the shard-id domain, not by event count or key
+    churn. Run with outputMode("complete"|"update"); the emitted table
+    IS the manifest an incremental writer would store, and folds with
+    stored batch stats through ``zonemap_merge`` unchanged.
+    """
+    from irstats2_spark.pipeline.layout import _md5_shard
+
+    return (
+        docs.withColumn("shard", _md5_shard(F.col(id_col), salt, n_shards))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(value_col).alias("vmin"),
+            F.max(value_col).alias("vmax"),
+        )
+    )

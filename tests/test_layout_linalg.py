@@ -215,3 +215,157 @@ def test_covisit_lift_exact_fractions(spark):
     r2 = rows[("purchase", "view")]
     assert (r2["n_ab"], r2["n_a"], r2["n_b"]) == (1, 1, 3)
     assert r2["lift"] == pytest.approx(1 * 3 / (1 * 3), abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join
+# ---------------------------------------------------------------------------
+def _random_intervals(spark, n, seed, name):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    starts = rng.randint(0, 10_000, n) * 1_000_000
+    lengths = rng.randint(1, 2_000, n) * 1_000_000
+    rows = [
+        (int(i), int(s), int(s + l))
+        for i, (s, l) in enumerate(zip(starts, lengths))
+    ]
+    return (
+        spark.createDataFrame(rows, f"{name}_id long, start_us long, end_us long"),
+        rows,
+    )
+
+
+def test_interval_overlap_join_matches_direct_predicate(spark):
+    from irstats2_spark.operators.intervals import interval_overlap_join
+
+    left, lrows = _random_intervals(spark, 80, 3, "a")
+    right, rrows = _random_intervals(spark, 60, 4, "b")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(left, right, bucket_seconds=600).collect()
+    }
+    expected = {
+        (a, b)
+        for a, s1, e1 in lrows
+        for b, s2, e2 in rrows
+        if s1 <= e2 and e1 >= s2
+    }
+    assert got == expected
+
+
+def test_interval_overlap_join_bucket_size_invariant(spark):
+    from irstats2_spark.operators.intervals import interval_overlap_join
+
+    left, _ = _random_intervals(spark, 40, 5, "a")
+    right, _ = _random_intervals(spark, 40, 6, "b")
+    small = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(left, right, bucket_seconds=60).collect()
+    }
+    large = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(left, right, bucket_seconds=3600).collect()
+    }
+    assert small == large  # buckets only prune candidates, never results
+
+
+def test_zonemap_merge_equals_full_scan(spark):
+    from irstats2_spark.pipeline.layout import zonemap_merge, zonemap_stats
+
+    df = spark.range(900).select(
+        F.col("id").alias("doc_id"), ((F.col("id") * 13) % 500).alias("n_chars")
+    )
+    parts = [
+        zonemap_stats(df.filter(F.col("doc_id") % 3 == i), "n_chars")
+        for i in range(3)
+    ]
+    merged = {
+        r["shard"]: (r["n_rows"], r["vmin"], r["vmax"])
+        for r in zonemap_merge(*parts).collect()
+    }
+    full = {
+        r["shard"]: (r["n_rows"], r["vmin"], r["vmax"])
+        for r in zonemap_stats(df, "n_chars").collect()
+    }
+    assert merged == full
+
+
+def test_zonemap_stats_stream_matches_batch(spark, tmp_path):
+    import json
+
+    from irstats2_spark.pipeline.layout import zonemap_stats
+    from irstats2_spark.streaming.ingest import zonemap_stats_stream
+
+    rows = [{"doc_id": i, "n_chars": (i * 13) % 500} for i in range(400)]
+    src = tmp_path / "docs"
+    src.mkdir()
+    # two files -> at least two micro-batch-able splits
+    (src / "a.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[:250]) + "\n"
+    )
+    (src / "b.json").write_text(
+        "\n".join(json.dumps(r) for r in rows[250:]) + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, n_chars long").json(str(src))
+    q = (
+        zonemap_stats_stream(stream, "n_chars")
+        .writeStream.format("memory")
+        .queryName("zm_stream_out")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.shard: (r.n_rows, r.vmin, r.vmax)
+        for r in spark.sql("SELECT * FROM zm_stream_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["n_chars"]) for r in rows], "doc_id long, n_chars long"
+    )
+    want = {
+        r.shard: (r.n_rows, r.vmin, r.vmax)
+        for r in zonemap_stats(batch, "n_chars").collect()
+    }
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# OPQ
+# ---------------------------------------------------------------------------
+def test_opq_eigen_allocation_balances_products(spark):
+    vals = np.array([100.0, 50.0, 10.0, 5.0, 2.0, 1.0, 0.5, 0.1])
+    perm = linalg.opq_eigen_allocation(vals, m=2)
+    assert sorted(perm.tolist()) == list(range(8))
+    halves = [perm[:4], perm[4:]]
+    prods = [float(np.prod(vals[h])) for h in halves]
+    # balanced: neither half hoards the energy (naive split-by-order
+    # would give products 250000 vs 0.1 — six orders of magnitude apart)
+    assert max(prods) / min(prods) < 100
+
+
+def test_opq_rotation_is_orthogonal_and_beats_raw_pq(spark):
+    # anisotropic, cross-subspace correlated data: OPQ's home turf
+    rng = np.random.RandomState(11)
+    n, d = 300, 16
+    scales = np.geomspace(4.0, 0.05, d)
+    base = rng.randn(n, d) * scales
+    mix = np.linalg.qr(rng.randn(d, d))[0]  # rotate so raw axes mix energy
+    mat = (base @ mix).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    rot = {r["vec_id"]: np.array(r["vec"]) for r in
+           linalg.opq_rotate(df, dim=d, m=4).collect()}
+    # orthogonality: rotation preserves centered L2 norms
+    _, mean64, _ = linalg.covariance_matrix(df)
+    for i in (0, 7, 123):
+        orig = mat[i].astype(np.float64) - mean64
+        assert abs(np.linalg.norm(rot[i]) - np.linalg.norm(orig)) < 1e-6
+    out = {r["variant"]: r for r in
+           linalg.opq_vs_pq_distortion(df, dim=d, m=4, n_codes=4).collect()}
+    assert out["opq_rotated"]["n_vecs"] == out["pq_raw"]["n_vecs"] == n
+    assert out["opq_rotated"]["total_sq_err"] < out["pq_raw"]["total_sq_err"]

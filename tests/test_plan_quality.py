@@ -903,3 +903,12 @@ def test_covisit_totals_broadcast(spark, queries):
     plan = plan_of(queries["events_covisit_lift"](spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_plans_equi_join_not_nested_loop(spark, queries):
+    """The range predicate must reach Catalyst as a bucket EQUI-join —
+    a BroadcastNestedLoopJoin/CartesianProduct here is the quadratic
+    plan the bucket expansion exists to avoid."""
+    plan = plan_of(queries["events_interval_overlap"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
