@@ -940,3 +940,70 @@ def quota_pack(
         F.sum("__sz").cast("long").alias("used_tokens"),
         F.round(F.sum("__sz") / F.lit(float(quota)), 6).alias("fill_ratio"),
     )
+
+
+def curriculum_order(
+    keyed_docs: DataFrame,
+    bucket_col: str,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    salt: str = "curr:",
+) -> DataFrame:
+    """Curriculum training order: easy tiers first, reproducibly
+    shuffled WITHIN each tier.
+
+    Input: (id, bucket) where bucket is an ascending difficulty tier
+    (e.g. ccnet_perplexity_buckets' head=1..tail=3). Output adds
+    (sort_key, global_pos): global_pos is the rank a single global sort
+    by (bucket, sort_key, id) would assign — the standard curriculum
+    schedule (Bengio et al.) with deterministic_shuffle's guarantees
+    inside each tier (pure function of the key: same permutation on any
+    engine, cluster layout, or rerun).
+
+    Scale shape: identical to deterministic_shuffle with the shard key
+    extended to (bucket, shard) — ONE corpus exchange + per-(bucket,
+    shard) sort, and a |buckets| x n_shards-row offset table (single-
+    partition cumulative sum is legal at that size) broadcast back.
+    """
+    from pyspark.sql import Window
+
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    keyed = keyed_docs.select(
+        F.col(id_col),
+        F.col(bucket_col).alias("bucket"),
+        F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))).alias(
+            "sort_key"
+        ),
+        F.shiftright(v * n_shards, 32).cast("int").alias("__shard"),
+    )
+    pos = F.row_number().over(
+        Window.partitionBy("bucket", "__shard").orderBy("sort_key", id_col)
+    )
+    ranked = keyed.withColumn("pos", pos.cast("long"))
+    sizes = keyed.groupBy("bucket", "__shard").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    offsets = sizes.select(
+        "bucket",
+        "__shard",
+        F.coalesce(
+            F.sum("__n").over(
+                Window.orderBy("bucket", "__shard").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ).alias("__off"),
+    )
+    return ranked.join(F.broadcast(offsets), ["bucket", "__shard"]).select(
+        id_col,
+        "bucket",
+        "sort_key",
+        (F.col("__off") + F.col("pos")).cast("long").alias("global_pos"),
+    )

@@ -1878,3 +1878,51 @@ def burstiness_audit(
             6,
         ).alias("burstiness"),
     )
+
+
+def encoding_anomaly_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    per_mille_threshold: int = 50,
+) -> DataFrame:
+    """Encoding-anomaly audit per document: counts of U+FFFD replacement
+    characters (the scar UTF-8 decoding leaves on mojibake), C0 control
+    characters (excluding tab/newline/CR), and non-ASCII codepoints,
+    rolled into an integer per-mille score — the 'fix or drop broken
+    decodes' gate every crawl pipeline runs before tokenization (a
+    replacement char is unrecoverable; control chars mark binary
+    spillover; the non-ASCII rate is the weak signal that flags
+    double-encoded latin-1 when it spikes for an ASCII-dominant lang).
+
+    score_per_mille = floor((20*n_replacement + 10*n_control +
+    n_non_ascii) * 1000 / max(n_chars, 1)); is_clean = score below the
+    threshold. Pure map (three regexp counts fused into the scan
+    projection); every count is an exact integer and the one division
+    is floored, so the row is engine-exact.
+    """
+    col = F.col(text_col)
+    n_chars = F.length(col).cast("long")
+
+    def n_matching(pattern: str):
+        return (
+            n_chars - F.length(F.regexp_replace(col, pattern, "")).cast("long")
+        )
+
+    n_control = n_matching("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]")
+    n_replacement = n_matching("�")
+    n_non_ascii = n_matching("[^\\x00-\\x7F]")
+    score = (
+        (20 * n_replacement + 10 * n_control + n_non_ascii)
+        * 1000
+        / F.greatest(n_chars, F.lit(1))
+    ).cast("long")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_text"),
+        n_control.alias("n_control"),
+        n_replacement.alias("n_replacement"),
+        n_non_ascii.alias("n_non_ascii"),
+        score.alias("anomaly_per_mille"),
+        (score < per_mille_threshold).alias("is_clean"),
+    )

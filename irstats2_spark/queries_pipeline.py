@@ -6814,3 +6814,82 @@ def similarity_opq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return opq_vs_pq_distortion(
         load_table(spark, "embeddings", sf_dir), dim=64, m=8
     )
+
+
+@register(
+    "text_encoding_anomaly",
+    """
+    WITH counts AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars_text,
+               CAST(length(text) - length(regexp_replace(text,
+                    '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]', '', 'g'))
+                    AS BIGINT) AS n_control,
+               CAST(length(text) - length(regexp_replace(text,
+                    '\\x{FFFD}', '', 'g')) AS BIGINT) AS n_replacement,
+               CAST(length(text) - length(regexp_replace(text,
+                    '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii
+        FROM documents
+    )
+    SELECT doc_id, n_chars_text, n_control, n_replacement, n_non_ascii,
+           CAST(FLOOR((20 * n_replacement + 10 * n_control + n_non_ascii)
+                * 1000.0 / GREATEST(n_chars_text, 1)) AS BIGINT)
+               AS anomaly_per_mille,
+           (CAST(FLOOR((20 * n_replacement + 10 * n_control + n_non_ascii)
+                 * 1000.0 / GREATEST(n_chars_text, 1)) AS BIGINT) < 50)
+               AS is_clean
+    FROM counts
+    """,
+    doc="encoding-anomaly audit: U+FFFD replacement chars, C0 control "
+    "chars, and non-ASCII rate per doc rolled into an integer "
+    "per-mille mojibake score with a clean/dirty gate — three regexp "
+    "counts fused into the scan projection, zero shuffles",
+)
+def text_encoding_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import encoding_anomaly_scores
+
+    return encoding_anomaly_scores(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "corpus_curriculum_order",
+    f"""
+    WITH {_LM_CTES},
+    cck AS (
+        SELECT d.doc_id, d.lang,
+               CAST(CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                    THEN (s.nll_micro * 1000000) // s.n_bigrams
+                    ELSE 0 END AS BIGINT) AS nll_per_bigram_micro
+        FROM documents d LEFT JOIN lm_scored s USING (doc_id)
+    ),
+    ccb AS (
+        SELECT doc_id,
+               CAST(NTILE(3) OVER (PARTITION BY lang
+                    ORDER BY nll_per_bigram_micro ASC, doc_id ASC) AS INT)
+                   AS bucket
+        FROM cck
+    )
+    SELECT doc_id, bucket,
+           md5('curr:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY bucket,
+                        md5('curr:' || CAST(doc_id AS VARCHAR)),
+                        doc_id) AS BIGINT) AS global_pos
+    FROM ccb
+    """,
+    doc="curriculum training order: CCNet per-language perplexity tiers "
+    "(head=1 first) with a reproducible md5 shuffle WITHIN each tier — "
+    "global_pos is computed with one (bucket, shard)-keyed exchange "
+    "plus a broadcast offsets table (sampling.curriculum_order), and "
+    "the oracle's single global ROW_NUMBER over (bucket, sort_key, id) "
+    "pins that the sharded rank + offset equals one global sort",
+)
+def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import curriculum_order
+    from irstats2_spark.pipeline.textstats import ccnet_perplexity_buckets
+
+    docs = load_table(spark, "documents", sf_dir)
+    tiers = ccnet_perplexity_buckets(
+        docs, docs.filter(F.col("source") == "src0")
+    ).select("doc_id", "bucket")
+    return curriculum_order(tiers, "bucket")

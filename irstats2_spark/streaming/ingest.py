@@ -1100,3 +1100,45 @@ def zonemap_stats_stream(
             F.max(value_col).alias("vmax"),
         )
     )
+
+
+def interval_tag_stream(
+    events: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts",
+    bucket_seconds: int = 600,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+) -> DataFrame:
+    """Streaming twin of operators/intervals.interval_overlap_join for
+    the point-in-interval case: tag each STREAMING event with the static
+    interval(s) containing it.
+
+    The static side explodes into covered bucket ids once (re-planned
+    per micro-batch, so the interval table can be swapped under the
+    checkpoint); the stream side's bucket is a stateless projection of
+    the event time, and the stream-static inner join on the bucket id
+    carries NO state at all — the same property that makes the
+    dedup_doc_stream snapshot anti-join scale. The exact containment
+    refilter keeps bucket size a pure performance knob here too.
+    """
+    bucket_us = int(bucket_seconds) * 1_000_000
+    tagged = events.withColumn(
+        "__bucket",
+        (F.unix_micros(F.col(ts_col)) / bucket_us).cast("long"),
+    )
+    static = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                (F.col(start_col) / bucket_us).cast("long"),
+                (F.col(end_col) / bucket_us).cast("long"),
+            )
+        ),
+    )
+    us = F.unix_micros(F.col(ts_col))
+    return (
+        tagged.join(static, "__bucket")
+        .filter((us >= F.col(start_col)) & (us <= F.col(end_col)))
+        .drop("__bucket")
+    )

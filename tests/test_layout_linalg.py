@@ -369,3 +369,105 @@ def test_opq_rotation_is_orthogonal_and_beats_raw_pq(spark):
            linalg.opq_vs_pq_distortion(df, dim=d, m=4, n_codes=4).collect()}
     assert out["opq_rotated"]["n_vecs"] == out["pq_raw"]["n_vecs"] == n
     assert out["opq_rotated"]["total_sq_err"] < out["pq_raw"]["total_sq_err"]
+
+
+def test_interval_tag_stream_matches_batch(spark, tmp_path):
+    import json
+
+    from irstats2_spark.streaming.ingest import interval_tag_stream
+
+    base = 1_700_000_000_000_000  # fixed epoch-us anchor
+    events = [
+        {"event_id": i, "ts": "2024-01-01T%02d:%02d:00" % (i // 60, i % 60)}
+        for i in range(0, 180, 7)
+    ]
+    src = tmp_path / "ev"
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in events) + "\n")
+    stream = (
+        spark.readStream.schema("event_id long, ts string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    del base
+    # two 30-min incident windows
+    import datetime as dt
+
+    def us(h, m):
+        return int(
+            dt.datetime(2024, 1, 1, h, m, tzinfo=dt.timezone.utc).timestamp()
+            * 1_000_000
+        )
+
+    intervals = spark.createDataFrame(
+        [(1, us(0, 15), us(0, 45)), (2, us(1, 30), us(2, 0))],
+        "incident_id long, start_us long, end_us long",
+    )
+    q = (
+        interval_tag_stream(stream, intervals, bucket_seconds=600)
+        .writeStream.format("memory")
+        .queryName("tag_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.event_id, r.incident_id)
+        for r in spark.sql(
+            "SELECT event_id, incident_id FROM tag_stream_out"
+        ).collect()
+    )
+    batch = spark.createDataFrame(
+        [(r["event_id"], r["ts"]) for r in events], "event_id long, ts string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    want = sorted(
+        (r.event_id, r.incident_id)
+        for r in interval_tag_stream(batch, intervals, bucket_seconds=600)
+        .select("event_id", "incident_id")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_encoding_anomaly_counts_dirty_strings(spark):
+    from irstats2_spark.pipeline.textstats import encoding_anomaly_scores
+
+    rows = [
+        (1, "clean ascii text"),
+        (2, "bad \x01\x02 bytes"),
+        (3, "mojibake �� here"),
+        (4, "café naïve"),
+        (5, ""),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in encoding_anomaly_scores(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    assert out[1]["n_control"] == out[1]["n_replacement"] == out[1]["n_non_ascii"] == 0
+    assert out[1]["is_clean"]
+    assert out[2]["n_control"] == 2 and not out[2]["is_clean"]
+    assert out[3]["n_replacement"] == 2 and not out[3]["is_clean"]
+    assert out[4]["n_non_ascii"] == 2
+    assert out[5]["anomaly_per_mille"] == 0  # empty text: no div-by-zero
+
+
+def test_curriculum_order_is_bucket_major_then_shuffled(spark):
+    import hashlib
+
+    from irstats2_spark.pipeline.sampling import curriculum_order
+
+    rows = [(i, 1 + (i % 3)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, bucket int")
+    got = curriculum_order(df, "bucket").collect()
+    # reference: single global sort by (bucket, md5 key, id)
+    def key(i):
+        return hashlib.md5(f"curr:{i}".encode()).hexdigest()
+
+    want = sorted(rows, key=lambda r: (r[1], key(r[0]), r[0]))
+    by_pos = {r["global_pos"]: (r["doc_id"], r["bucket"]) for r in got}
+    assert len(by_pos) == 300  # global_pos is a dense permutation
+    for pos0, (doc_id, bucket) in enumerate(want):
+        assert by_pos[pos0 + 1] == (doc_id, bucket)

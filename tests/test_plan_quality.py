@@ -912,3 +912,23 @@ def test_interval_overlap_plans_equi_join_not_nested_loop(spark, queries):
     plan = plan_of(queries["events_interval_overlap"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_encoding_anomaly_is_zero_shuffle_scan(spark, queries):
+    """The three regexp counts fuse into the scan projection."""
+    plan = plan_of(queries["text_encoding_anomaly"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree
+
+
+def test_curriculum_order_single_corpus_exchange(spark, queries):
+    """One (bucket, shard)-keyed exchange for the per-tier rank; the
+    offsets table joins back as a broadcast — the corpus is never
+    globally sorted on a single partition."""
+    import re
+
+    plan = plan_of(queries["corpus_curriculum_order"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
