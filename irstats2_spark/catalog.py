@@ -127,7 +127,8 @@ GATE_PRIORITY: tuple[str, ...] = (
 # embedding_covariance, embedding_pca_project (rows-only),
 # similarity_opq_distortion (rows-only), events_top_paths,
 # events_covisit_lift, events_interval_overlap,
-# text_encoding_anomaly, corpus_curriculum_order;
+# text_encoding_anomaly, corpus_curriculum_order,
+# embedding_class_separation, similarity_cluster_purity;
 # session-4 adds: events_markov_transitions,
 # events_rolling_anomaly,
 # graph_pagerank, graph_triangles, text_cosine_pairs_inverted,

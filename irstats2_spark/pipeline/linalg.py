@@ -391,3 +391,60 @@ def opq_vs_pq_distortion(
         "total_sq_err",
         F.round(F.col("total_sq_err") / F.col("n_vecs"), 6).alias("mean_sq_err"),
     ).orderBy("variant")
+
+
+def class_centroid_separation(
+    emb: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+    scale: int = 1024,
+) -> DataFrame:
+    """Per-class centroid offset from the corpus mean — the cheap
+    separability / drift audit (a class whose mean sits on top of the
+    global mean carries no linear signal; a source whose batch-mean
+    drifts flags a distribution shift).
+
+    Exact-rational form: with per-class integer sums S_l (dim-wise) and
+    counts n_l, and global sums S, n, the squared distance between the
+    class mean and the global mean is
+        sum_d (S_l[d]*n - S[d]*n_l)^2 / (n_l*n)^2 / scale^2
+    — every difference is an int64, squares accumulate in DECIMAL(38,0)
+    (a 100-TB-scale corpus overflows int64 on the square), and the two
+    divisions happen once at the end, so the value is engine-exact.
+
+    Scale shape: one (label, dim)-keyed integer aggregation with
+    map-side combine (|labels| x d result rows), a d-row global rollup
+    broadcast back, and a |labels|-row output. The corpus is touched
+    once.
+    """
+    from irstats2_spark.pipeline.similarity import quantize
+
+    ex = emb.select(
+        F.col(label_col).alias("label"),
+        F.posexplode(quantize(F.col(vec_col), scale)).alias("dim", "qv"),
+    )
+    per = ex.groupBy("label", "dim").agg(
+        F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    glob = per.groupBy("dim").agg(
+        F.sum("s").alias("gs"), F.sum("n").alias("gn")
+    )
+    diff = F.col("s") * F.col("gn") - F.col("gs") * F.col("n")
+    term = diff.cast("decimal(38,0)") * diff.cast("decimal(38,0)")
+    return (
+        per.join(F.broadcast(glob), "dim")
+        .groupBy("label", "n", "gn")
+        .agg(F.sum(term).alias("__num"))
+        .select(
+            "label",
+            F.col("n").alias("n_vecs"),
+            F.round(
+                F.col("__num").cast("double")
+                / (F.col("n") * F.col("gn")).cast("double")
+                / (F.col("n") * F.col("gn")).cast("double")
+                / F.lit(float(scale * scale)),
+                6,
+            ).alias("centroid_dist_sq"),
+        )
+        .orderBy("label")
+    )

@@ -6893,3 +6893,134 @@ def corpus_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, docs.filter(F.col("source") == "src0")
     ).select("doc_id", "bucket")
     return curriculum_order(tiers, "bucket")
+
+
+@register(
+    "embedding_class_separation",
+    """
+    WITH q AS (
+        SELECT vec_id, label, CAST(t.i - 1 AS INT) AS dim,
+               CAST(FLOOR(CAST(t.embedding[t.i] AS DOUBLE) * 1024 + 0.5)
+                    AS BIGINT) AS qv
+        FROM (SELECT vec_id, label, embedding,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings) t
+    ),
+    per AS (
+        SELECT label, dim, CAST(SUM(qv) AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q GROUP BY 1, 2
+    ),
+    gtot AS (
+        SELECT dim, CAST(SUM(s) AS BIGINT) AS gs, CAST(SUM(n) AS BIGINT) AS gn
+        FROM per GROUP BY 1
+    )
+    SELECT label, n AS n_vecs,
+           ROUND(CAST(SUM(CAST(s * gn - gs * n AS HUGEINT) * (s * gn - gs * n))
+                      AS DOUBLE)
+                 / CAST(n * gn AS DOUBLE) / CAST(n * gn AS DOUBLE)
+                 / 1048576.0, 6) AS centroid_dist_sq
+    FROM per JOIN gtot USING (dim)
+    GROUP BY label, n, gn ORDER BY 1
+    """,
+    doc="per-class centroid offset from the corpus mean (exact-rational "
+    "form: int64 dim-wise sums, DECIMAL squares, two final divisions) "
+    "— the linear-separability / batch-drift audit; one (label, dim) "
+    "integer aggregation with map-side combine + a d-row broadcast "
+    "rollup, corpus touched once",
+)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.linalg import class_centroid_separation
+
+    return class_centroid_separation(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "similarity_cluster_purity",
+    f"""
+    WITH cents AS (
+        SELECT vec_id AS centroid_id, embedding AS cv
+        FROM embeddings WHERE vec_id < 4
+    ),
+    scored AS (
+        SELECT e.vec_id, e.label, c.centroid_id,
+               ROUND({_qcos('e.embedding', 'c.cv')}, 6) AS cc
+        FROM embeddings e CROSS JOIN cents c
+    ),
+    assigned AS (
+        SELECT vec_id, label, centroid_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                          ORDER BY cc DESC, centroid_id ASC) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    ),
+    counts AS (
+        SELECT centroid_id, label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM assigned GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT centroid_id, CAST(SUM(n) AS BIGINT) AS n_vecs
+        FROM counts GROUP BY 1
+    ),
+    top AS (
+        SELECT centroid_id, label AS majority_label, n AS n_majority FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY centroid_id
+                          ORDER BY n DESC, label ASC) AS rn
+            FROM counts
+        ) WHERE rn = 1
+    )
+    SELECT t.centroid_id, tot.n_vecs, t.majority_label, t.n_majority,
+           ROUND(CAST(t.n_majority AS DOUBLE) / tot.n_vecs, 6) AS purity
+    FROM top t JOIN tot USING (centroid_id)
+    ORDER BY 1
+    """,
+    doc="IVF cluster purity: nearest-centroid assignment (the gated "
+    "zero-shuffle ivf_assign map) crossed with the label column — per "
+    "cell, majority label and its fraction; the clustering-quality "
+    "check run before trusting cells for semantic dedup or "
+    "cluster-stratified sampling. Post-assignment tables are "
+    "|cells| x |labels| rows",
+)
+def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from irstats2_spark.pipeline.similarity import ivf_assign
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    cents = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.col("embedding").alias("centroid_vec"),
+    )
+    counts = (
+        ivf_assign(emb, cents)
+        .groupBy("centroid_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = counts.groupBy("centroid_id").agg(F.sum("n").alias("n_vecs"))
+    top = (
+        counts.withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("centroid_id").orderBy(
+                    F.desc("n"), F.asc("label")
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(
+            "centroid_id",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return (
+        top.join(tot, "centroid_id")
+        .select(
+            "centroid_id",
+            "n_vecs",
+            "majority_label",
+            "n_majority",
+            F.round(F.col("n_majority") / F.col("n_vecs"), 6).alias("purity"),
+        )
+        .orderBy("centroid_id")
+    )

@@ -471,3 +471,38 @@ def test_curriculum_order_is_bucket_major_then_shuffled(spark):
     assert len(by_pos) == 300  # global_pos is a dense permutation
     for pos0, (doc_id, bucket) in enumerate(want):
         assert by_pos[pos0 + 1] == (doc_id, bucket)
+
+
+def test_class_separation_zero_for_identical_classes(spark):
+    from irstats2_spark.pipeline.linalg import class_centroid_separation
+
+    # two labels with IDENTICAL vector sets: both class means equal the
+    # global mean, so both distances must be exactly zero
+    vecs = [[float(i % 5), float(i % 3)] for i in range(20)]
+    rows = [(i, lbl, v) for lbl in (0, 1) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r for r in class_centroid_separation(df).collect()}
+    assert out[0]["centroid_dist_sq"] == 0.0 == out[1]["centroid_dist_sq"]
+    assert out[0]["n_vecs"] == out[1]["n_vecs"] == 20
+
+
+def test_class_separation_detects_shifted_class(spark):
+    import numpy as np
+
+    from irstats2_spark.pipeline.linalg import class_centroid_separation
+
+    rng = np.random.RandomState(3)
+    a = rng.randn(100, 4) * 0.1
+    b = rng.randn(100, 4) * 0.1 + np.array([1.0, 0, 0, 0])
+    rows = [(i, 0, [float(x) for x in a[i]]) for i in range(100)] + [
+        (100 + i, 1, [float(x) for x in b[i]]) for i in range(100)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+    out = {r["label"]: r["centroid_dist_sq"] for r in
+           class_centroid_separation(df).collect()}
+    # each class mean sits ~0.5 from the pooled mean along dim 0
+    assert 0.15 < out[0] < 0.35 and 0.15 < out[1] < 0.35

@@ -932,3 +932,27 @@ def test_curriculum_order_single_corpus_exchange(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block):
             assert "text#" not in block, block
+
+
+def test_class_separation_single_corpus_pass(spark, queries):
+    """One (label, dim) integer aggregation over the corpus; the d-row
+    global rollup joins back broadcast; no exchange carries vectors."""
+    import re
+
+    plan = plan_of(queries["embedding_class_separation"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "embedding#" not in block, block
+
+
+def test_cluster_purity_assignment_stays_map_side(spark, queries):
+    """ivf_assign fuses into the scan (broadcast centroid array); the
+    only exchanges aggregate |cells| x |labels| count rows."""
+    import re
+
+    plan = plan_of(queries["similarity_cluster_purity"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "embedding#" not in block, block
