@@ -128,7 +128,9 @@ GATE_PRIORITY: tuple[str, ...] = (
 # similarity_opq_distortion (rows-only), events_top_paths,
 # events_covisit_lift, events_interval_overlap,
 # text_encoding_anomaly, corpus_curriculum_order,
-# embedding_class_separation, similarity_cluster_purity;
+# embedding_class_separation, similarity_cluster_purity,
+# text_vocab_decode_roundtrip, corpus_ngram_diversity_approx,
+# events_trending_types, pipeline_release_e2e;
 # session-4 adds: events_markov_transitions,
 # events_rolling_anomaly,
 # graph_pagerank, graph_triangles, text_cosine_pairs_inverted,

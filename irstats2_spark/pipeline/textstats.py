@@ -1926,3 +1926,70 @@ def encoding_anomaly_scores(
         score.alias("anomaly_per_mille"),
         (score < per_mille_threshold).alias("is_clean"),
     )
+
+
+def vocab_decode_roundtrip(
+    docs: DataFrame,
+    vocab_size: int = 1024,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenizer integrity audit: encode against the bounded frequency
+    vocabulary (``vocab_encode``'s exact construction), decode the id
+    stream back through the same table, and verify every in-vocab
+    position reproduces its original token — the round-trip identity a
+    training pipeline asserts before committing a tokenized dataset
+    (id-table drift between the encode and decode sides is a silent
+    corpus corruptor). Output per doc: token/OOV counts, the mismatch
+    count (0 by construction — the gate makes the identity visible, not
+    assumed), and the ok flag.
+
+    Plan shape: one token explode reused by both the vocab count and the
+    encode; the vocab (and its inverse) are TakeOrdered broadcast sides;
+    the per-doc rollup is the only corpus-keyed aggregation.
+    """
+    from pyspark.sql import Window
+
+    ex = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("pos", "token"),
+    )
+    counts = ex.groupBy("token").agg(F.count(F.lit(1)).alias("__c"))
+    top = counts.orderBy(F.desc("__c"), F.asc("token")).limit(vocab_size)
+    vocab = top.select(
+        "token",
+        F.row_number()
+        .over(Window.orderBy(F.desc("__c"), F.asc("token")))
+        .alias("tid"),
+    )
+    enc = ex.join(F.broadcast(vocab), "token", "left").select(
+        "doc_id", "pos", "token", F.coalesce("tid", F.lit(0)).alias("token_id")
+    )
+    inverse = vocab.select(
+        F.col("tid").alias("token_id"), F.col("token").alias("decoded")
+    )
+    dec = enc.join(F.broadcast(inverse), "token_id", "left")
+    return (
+        dec.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((F.col("token_id") == 0).cast("int"))
+            .cast("long")
+            .alias("n_oov"),
+            F.sum(
+                (
+                    (F.col("token_id") > 0)
+                    & (F.col("decoded") != F.col("token"))
+                ).cast("int")
+            )
+            .cast("long")
+            .alias("n_mismatch"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            "n_mismatch",
+            (F.col("n_mismatch") == 0).alias("roundtrip_ok"),
+        )
+    )

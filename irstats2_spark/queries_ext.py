@@ -1296,3 +1296,44 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("incident_bin")
     )
+
+
+@register(
+    "events_trending_types",
+    """
+    WITH weekly AS (
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT week, event_type, n_events,
+           lag(n_events) OVER (PARTITION BY event_type ORDER BY week)
+               AS prev_events,
+           ROUND(CAST(n_events AS DOUBLE)
+                 / lag(n_events) OVER (PARTITION BY event_type
+                                       ORDER BY week), 6) AS wow_ratio
+    FROM weekly ORDER BY week, event_type
+    """,
+    doc="week-over-week trending: per (ISO week, event type) counts with "
+    "the previous week's count and growth ratio via a type-keyed LAG — "
+    "the aggregation shrinks the corpus to |weeks| x |types| rows "
+    "before the window, so the sort is metadata-sized",
+)
+def events_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    weekly = ev.groupBy(
+        F.date_format(F.date_trunc("week", "ts"), "yyyy-MM-dd").alias("week"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("n_events").over(w)
+    return weekly.select(
+        "week",
+        "event_type",
+        "n_events",
+        prev.alias("prev_events"),
+        F.round(F.col("n_events") / prev, 6).alias("wow_ratio"),
+    ).orderBy("week", "event_type")

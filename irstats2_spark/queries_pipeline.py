@@ -7024,3 +7024,174 @@ def similarity_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("centroid_id")
     )
+
+
+@register(
+    "text_vocab_decode_roundtrip",
+    f"""
+    WITH vtoks AS (
+        SELECT doc_id, j - 1 AS pos, t[j] AS token
+        FROM (SELECT doc_id,
+                     list_filter(string_split({_NORM_SQL}, ' '),
+                                 x -> length(x) > 0) AS t
+              FROM documents),
+             LATERAL (SELECT unnest(generate_series(1, len(t))) AS j) s
+        WHERE len(t) > 0
+    ),
+    vcounts AS (SELECT token, COUNT(*) AS c FROM vtoks GROUP BY 1),
+    vvocab AS (
+        SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC)
+                           AS INT) AS tid
+        FROM vcounts ORDER BY c DESC, token ASC LIMIT 16
+    ),
+    venc AS (
+        SELECT t.doc_id, t.token, COALESCE(v.tid, 0) AS token_id
+        FROM vtoks t LEFT JOIN vvocab v USING (token)
+    ),
+    vdec AS (
+        SELECT e.doc_id, e.token, e.token_id, i.token AS decoded
+        FROM venc e LEFT JOIN vvocab i ON i.tid = e.token_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN token_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST(SUM(CASE WHEN token_id > 0 AND decoded <> token
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+           (SUM(CASE WHEN token_id > 0 AND decoded <> token
+                     THEN 1 ELSE 0 END) = 0) AS roundtrip_ok
+    FROM vdec GROUP BY 1
+    """,
+    doc="tokenizer round-trip integrity: encode through the bounded "
+    "vocab, decode through its inverse, and verify every in-vocab "
+    "position reproduces its token (OOV counted, never compared) — "
+    "one shared token explode, both id tables broadcast",
+)
+def text_vocab_decode_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import vocab_decode_roundtrip
+
+    return vocab_decode_roundtrip(
+        load_table(spark, "documents", sf_dir), vocab_size=16
+    )
+
+
+@register(
+    "corpus_ngram_diversity_approx",
+    f"""
+    WITH nda AS (
+        SELECT source AS stratum,
+               unnest(list_filter(string_split({_NORM_SQL}, ' '),
+                                  x -> length(x) > 0)) AS token
+        FROM documents
+    )
+    SELECT stratum,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT token) AS BIGINT) AS n_types_exact,
+           TRUE AS approx_ok
+    FROM nda GROUP BY 1
+    """,
+    doc="the documented 100-TB path for corpus_ngram_diversity, gated: "
+    "HLL++ distinct token types per source, asserted IN-QUERY within "
+    "10% of the exact distinct (the oracle emits the exact count plus "
+    "TRUE, so sketch drift fails the value hash) — at scale only the "
+    "sketch side runs; the exact side is the verification harness",
+)
+def corpus_ngram_diversity_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select(
+        F.col("source").alias("stratum"),
+        F.explode(tokens(F.col("text"))).alias("token"),
+    )
+    return (
+        ex.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("token").alias("n_types_exact"),
+            F.approx_count_distinct("token", rsd=0.02).alias("__approx"),
+        )
+        .select(
+            "stratum",
+            "n_tokens",
+            "n_types_exact",
+            (
+                F.abs(F.col("__approx") - F.col("n_types_exact"))
+                <= F.greatest(
+                    F.lit(1.0), F.col("n_types_exact") * F.lit(0.10)
+                )
+            ).alias("approx_ok"),
+        )
+    )
+
+
+@register(
+    "pipeline_release_e2e",
+    f"""
+    WITH feats AS (
+        SELECT doc_id, text, n_chars,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> length(w) > 0)) AS n_tokens,
+               len(list_filter(string_split({_NORM_SQL}, ' '),
+                               w -> w IN ('the','and','of','to','in','is','a'))) AS n_stop
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM feats
+        WHERE n_tokens >= 5 AND (CAST(n_stop AS DOUBLE) / n_tokens) <= 0.6
+    ),
+    keepers AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM kept
+    ),
+    survivors AS (SELECT * FROM keepers WHERE doc_id = keeper),
+    tagged AS (
+        SELECT CAST({_bucket_sql("shard:", buckets=8)} AS INT) AS shard,
+               md5(text) AS h, n_tokens AS nt, n_chars
+        FROM survivors
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS n_tokens,
+           md5(string_agg(h, '' ORDER BY h)) AS content_checksum,
+           MIN(n_chars) AS chars_min,
+           MAX(n_chars) AS chars_max
+    FROM tagged GROUP BY 1 ORDER BY 1
+    """,
+    doc="dataset RELEASE chain as one composition: quality gate -> "
+    "exact-dedup keepers -> deterministic shard assignment -> per-shard "
+    "manifest (doc/token counts + order-free md5 content checksum) "
+    "FUSED with the shard's zone-map envelope — the artifact a consumer "
+    "verifies a published corpus against, and the layout metadata the "
+    "reader prunes with, emitted by the same single aggregation; the "
+    "corpus text crosses an exchange once (the keeper window), the "
+    "manifest shuffle carries hashes and scalars",
+)
+def pipeline_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.curate import curate_corpus
+    from irstats2_spark.pipeline.sampling import hash_bucket
+    from irstats2_spark.pipeline.textstats import token_count
+
+    docs = load_table(spark, "documents", sf_dir)
+    survivors = docs.join(
+        curate_corpus(docs).select("doc_id"), "doc_id", "leftsemi"
+    )
+    tagged = survivors.select(
+        hash_bucket(F.col("doc_id"), 8, "shard:").cast("int").alias("shard"),
+        F.md5(F.col("text")).alias("__h"),
+        token_count(F.col("text")).alias("__nt"),
+        "n_chars",
+    )
+    return (
+        tagged.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__nt").cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws("", F.sort_array(F.collect_list("__h")))).alias(
+                "content_checksum"
+            ),
+            F.min("n_chars").alias("chars_min"),
+            F.max("n_chars").alias("chars_max"),
+        )
+        .orderBy("shard")
+    )

@@ -956,3 +956,41 @@ def test_cluster_purity_assignment_stays_map_side(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block):
             assert "embedding#" not in block, block
+
+
+def test_vocab_roundtrip_both_id_tables_broadcast(spark, queries):
+    """Encode and decode joins must both be map-side: the vocab and its
+    inverse are TakeOrdered broadcast sides; no exchange carries the
+    exploded (pos, token) stream."""
+    import re
+
+    plan = plan_of(queries["text_vocab_decode_roundtrip"](spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
+            assert "pos#" not in block, block
+
+
+def test_trending_window_runs_on_aggregated_rows(spark, queries):
+    """The LAG window sorts |weeks| x |types| aggregated rows, never raw
+    events — the pre-aggregation must sit below the window exchange."""
+    import re
+
+    plan = plan_of(queries["events_trending_types"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "event_id#" not in block and "user_id#" not in block, block
+
+
+def test_release_e2e_manifest_shuffle_carries_hashes_not_text(spark, queries):
+    """After the keeper window, the manifest aggregation moves (shard,
+    md5, counts) — document text never reaches the manifest exchange."""
+    import re
+
+    plan = plan_of(queries["pipeline_release_e2e"](spark, SF))
+    blocks = [
+        b for b in plan.split("\n\n") if re.match(r"\(\d+\) Exchange", b)
+    ]
+    # the sole text-bearing exchange is the keeper window's
+    text_bearing = [b for b in blocks if "text#" in b]
+    assert len(text_bearing) <= 1, text_bearing
