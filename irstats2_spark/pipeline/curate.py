@@ -335,8 +335,13 @@ def select_corpus(
             .alias("select_score"),
         )
     )
-    kept = top_fraction(scored, "select_score", frac, "doc_id").drop(
-        "quality_rank"
+    # kept is consumed twice (the mix rates and the rate-sampled output)
+    # and is id+score-sized; persisting it stops the second consumer from
+    # re-running the full DSIR+LM scoring chain and the global rank cut
+    kept = (
+        top_fraction(scored, "select_score", frac, "doc_id")
+        .drop("quality_rank")
+        .persist()
     )
     rates = temperature_mix_rates(kept, "source", mix_alpha, mix_total)
     mixed = sample_by_rates(

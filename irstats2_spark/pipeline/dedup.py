@@ -204,25 +204,28 @@ def ngram_idf_jaccard_pairs(
     one doc gets idf(N/1) in the union term — the maximal weight,
     correctly penalizing unshared content).
 
-    Scale shape: ONE extra groupBy versus ``ngram_jaccard_pairs`` (the
-    per-shingle df), reusing the same cached shingle scan; the
-    co-occurrence bucket groupBy then carries (doc pairs, integer idf
-    partials) and per-doc total weights ride a doc-keyed rollup —
-    shuffles move hashes and longs, never text. ``max_docs_per_shingle``
-    (default 64) drops boilerplate buckets before the in-row pair
-    expansion — such shingles carry near-zero idf weight anyway, so the
-    cap here barely moves scores while removing the N^2 hot-row risk;
-    ``None`` = exact."""
+    Scale shape: the per-shingle df rides a WINDOW over the one
+    shingle exchange (count over partitionBy(shingle) — no separate df
+    aggregation and no shingle-keyed join back), and the resulting
+    weighted scan is persisted once for its two consumers (the per-doc
+    total rollup and the co-occurrence bucket groupBy, which was
+    otherwise re-running the df derivation); downstream shuffles carry
+    (doc pairs, integer idf partials) and per-doc total weights on a
+    doc-keyed rollup. ``max_docs_per_shingle`` (default 64) drops
+    boilerplate buckets before the in-row pair expansion — such
+    shingles carry near-zero idf weight anyway, so the cap here barely
+    moves scores while removing the N^2 hot-row risk; ``None`` =
+    exact."""
+    from pyspark.sql import Window
+
     n_docs = docs.count()  # one cheap scalar job; N is a model constant
-    sh = word_shingles(docs, text_col, id_col, k).cache()
-    df_t = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    sh = word_shingles(docs, text_col, id_col, k)
+    df_c = F.count(F.lit(1)).over(Window.partitionBy("shingle"))
     idf_q = F.floor(
-        F.lit(1e6) * F.log(F.lit(float(n_docs)) / F.col("df").cast("double"))
+        F.lit(1e6) * F.log(F.lit(float(n_docs)) / df_c.cast("double"))
         + F.lit(0.5)
     ).cast("long")
-    weighted = sh.join(df_t, "shingle").select(
-        "doc_id", "shingle", idf_q.alias("__w")
-    )
+    weighted = sh.select("doc_id", "shingle", idf_q.alias("__w")).persist()
     totals = weighted.groupBy("doc_id").agg(F.sum("__w").alias("__tw"))
     ids = F.array_sort(F.col("members"))
     pair_structs = F.flatten(

@@ -743,27 +743,34 @@ def remove_corpus_frequent_chunks(
     ``remove_repeated_chunks`` (empty docs emit (0, 0, "")), so the two
     rewrites compose in either order.
 
-    Scale shape: pass 1 mines frequent chunk HASHES (the
-    ``corpus_frequent_chunks`` groupBy, hash-keyed); with a boilerplate-
-    grade ``min_docs`` the frequent set is small by contract and
-    broadcast. Pass 2 explodes (doc_id, pos, chunk), drops members via
-    a broadcast LeftAnti on the hash, and rebuilds each doc with one
-    doc-keyed groupBy — the corpus text crosses an exchange once, the
-    unavoidable cost of any corpus-wide rewrite (the intra-doc rewrite
-    stays zero-shuffle because its decision is row-local). Docs whose
-    every chunk is boilerplate are restored via a left join from the
-    id spine so they emit n_kept=0 rather than vanishing."""
-    frequent = (
-        corpus_frequent_chunks(docs, chunk_tokens, min_docs, text_col, id_col)
-        .select("chunk_hash")
-    )
-    exploded = docs.select(
+    Scale shape: the exploded (doc_id, pos, chunk) scan is built ONCE
+    and persisted — its three consumers (frequent-hash mining, the
+    rewrite's anti-join probe, and the per-doc chunk totals) previously
+    each re-ran the tokenize+chunk projection over the full corpus,
+    the dominant per-pass cost. Mining is the ``corpus_frequent_chunks``
+    groupBy (hash-keyed, two-phase distinct); with a boilerplate-grade
+    ``min_docs`` the frequent set is small by contract and broadcast;
+    the rewrite drops members via a broadcast LeftAnti and rebuilds
+    each doc with one doc-keyed groupBy — the corpus text crosses an
+    exchange once, the unavoidable cost of any corpus-wide rewrite (the
+    intra-doc rewrite stays zero-shuffle because its decision is
+    row-local). Docs whose every chunk is boilerplate (or that are too
+    short to chunk) are restored via a left join from the bare id
+    spine — a scan that reads only the id column — so they emit
+    n_chunks/n_kept = 0 rather than vanishing."""
+    chunks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(
             fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
         ).alias("pos", "chunk"),
+    ).persist()
+    frequent = (
+        chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(F.countDistinct("doc_id").alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("chunk_hash")
     )
-    kept = exploded.join(
+    kept = chunks.join(
         F.broadcast(frequent),
         F.md5(F.col("chunk")) == F.col("chunk_hash"),
         "left_anti",
@@ -778,17 +785,19 @@ def remove_corpus_frequent_chunks(
             ),
         ).alias("new_text"),
     )
-    totals = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(
-            fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
-        ).alias("n_chunks"),
+    totals = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks")
     )
-    return totals.join(rebuilt, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    spine = docs.select(F.col(id_col).alias("doc_id"))
+    return (
+        spine.join(totals, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("new_text", F.lit("")).alias("new_text"),
+        )
     )
 
 
