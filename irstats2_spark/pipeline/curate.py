@@ -108,7 +108,10 @@ def pretrain_corpus(
     decon = decontaminate(
         curated, benchmark, tau=tau, k=k, text_col=text_col, id_col=id_col
     )
-    train = decon.filter(F.col("split") == "train")
+    # consumed twice (mix rates + the rate-sampled output): persist so the
+    # second consumer doesn't re-run curate+decontaminate (same pattern as
+    # select_corpus's kept set)
+    train = decon.filter(F.col("split") == "train").persist()
     rates = train.groupBy(source_col).agg(
         F.least(F.lit(1.0), F.lit(source_cap) / F.count(F.lit(1))).alias("rate")
     )
