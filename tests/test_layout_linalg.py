@@ -506,3 +506,72 @@ def test_class_separation_detects_shifted_class(spark):
            class_centroid_separation(df).collect()}
     # each class mean sits ~0.5 from the pooled mean along dim 0
     assert 0.15 < out[0] < 0.35 and 0.15 < out[1] < 0.35
+
+
+# ---------------------------------------------------------------------------
+# Property tests (hypothesis): the layout tier's engine-portability
+# contracts over arbitrary integer distributions, not just the fixtures.
+# Few examples (Spark jobs are slow per-example), deterministic seeds —
+# the same trade documented at tests/test_pipeline.py's hypothesis block.
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=60),
+    bits=st.sampled_from([2, 3, 4]),
+)
+def test_zorder_matches_python_model_on_arbitrary_ints(spark, xs, bits):
+    from irstats2_spark.pipeline.layout import zorder_values
+
+    rows = [(i, x, (x * 7 - 3)) for i, x in enumerate(xs)]
+    df = spark.createDataFrame(rows, "doc_id long, x long, y long")
+    got = {r["doc_id"]: r["zvalue"] for r in zorder_values(df, "x", "y", bits).collect()}
+    n_bins = 1 << bits
+    x_lo, x_hi = min(xs), max(xs)
+    ys = [r[2] for r in rows]
+    y_lo, y_hi = min(ys), max(ys)
+
+    def binned(v, lo, hi):
+        return min(int((v - lo) * n_bins / (hi - lo + 1)), n_bins - 1)
+
+    for doc_id, x, y in rows:
+        z = _interleave(binned(x, x_lo, x_hi), binned(y, y_lo, y_hi), bits)
+        assert got[doc_id] == z
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    data=st.data(),
+    bucket=st.sampled_from([60, 600, 7200]),
+)
+def test_interval_overlap_property_vs_bruteforce(spark, data, bucket):
+    from irstats2_spark.operators.intervals import interval_overlap_join
+
+    iv = st.tuples(
+        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=0, max_value=5_000),
+    )
+    lrows = [
+        (i, s * 1_000_000, (s + d) * 1_000_000)
+        for i, (s, d) in enumerate(data.draw(st.lists(iv, min_size=1, max_size=25)))
+    ]
+    rrows = [
+        (i, s * 1_000_000, (s + d) * 1_000_000)
+        for i, (s, d) in enumerate(data.draw(st.lists(iv, min_size=1, max_size=25)))
+    ]
+    left = spark.createDataFrame(lrows, "a_id long, start_us long, end_us long")
+    right = spark.createDataFrame(rrows, "b_id long, start_us long, end_us long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(left, right, bucket_seconds=bucket).collect()
+    }
+    want = {
+        (a, b)
+        for a, s1, e1 in lrows
+        for b, s2, e2 in rrows
+        if s1 <= e2 and e1 >= s2
+    }
+    assert got == want
