@@ -55,12 +55,15 @@ def interval_overlap_join(
     bucket_us = int(bucket_seconds) * 1_000_000
 
     def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        # floor, not cast: (x / b).cast('long') truncates toward zero, so
+        # negative endpoints (pre-1970 timestamps, numeric bands) would
+        # start one bucket too high and silently drop overlapping pairs.
         return df.withColumn(
             "__bucket",
             F.explode(
                 F.sequence(
-                    (F.col(start) / bucket_us).cast("long"),
-                    (F.col(end) / bucket_us).cast("long"),
+                    F.floor(F.col(start) / bucket_us).cast("long"),
+                    F.floor(F.col(end) / bucket_us).cast("long"),
                 )
             ),
         )

@@ -92,19 +92,31 @@ def start_fact_stream(
             min_day = fact.agg(F.min("datestamp")).head()[0]
             if min_day is None:
                 continue
-            # merge: union with existing partitions >= min_day, re-aggregate
-            try:
-                from irstats2_spark.sources.storage import read_fact
+            # merge: union with existing partitions >= min_day, re-aggregate.
+            # Missing fact table == first batch; ANY OTHER read failure
+            # (corrupt/partial parquet, transient IO) must propagate — a
+            # swallowed error here would silently drop the merge and
+            # OVERWRITE existing partitions with this batch alone (same
+            # defect class fixed in start_corpus_stream's hash read).
+            from pyspark.errors import AnalysisException
 
+            from irstats2_spark.sources.storage import read_fact
+
+            try:
                 existing = read_fact(spark, output_root, datatype).filter(
                     F.col("datestamp") >= min_day
                 )
+            except AnalysisException as e:
+                if "PATH_NOT_FOUND" not in str(e):
+                    raise
+                existing = None
+            if existing is not None:
                 merged = (
                     existing.unionByName(fact)
                     .groupBy("eprintid", "datestamp", "value")
                     .agg(F.sum("count").alias("count"))
                 )
-            except Exception:
+            else:
                 merged = fact  # first batch: nothing to merge
             replay_from_date(spark, merged, output_root, datatype, min_day)
 
@@ -1123,16 +1135,18 @@ def interval_tag_stream(
     refilter keeps bucket size a pure performance knob here too.
     """
     bucket_us = int(bucket_seconds) * 1_000_000
+    # floor, not cast: truncation-toward-zero mis-buckets negative
+    # (pre-1970) microsecond values — same fix as operators/intervals.py.
     tagged = events.withColumn(
         "__bucket",
-        (F.unix_micros(F.col(ts_col)) / bucket_us).cast("long"),
+        F.floor(F.unix_micros(F.col(ts_col)) / bucket_us).cast("long"),
     )
     static = intervals.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(start_col) / bucket_us).cast("long"),
-                (F.col(end_col) / bucket_us).cast("long"),
+                F.floor(F.col(start_col) / bucket_us).cast("long"),
+                F.floor(F.col(end_col) / bucket_us).cast("long"),
             )
         ),
     )

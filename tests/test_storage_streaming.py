@@ -1337,3 +1337,47 @@ def test_edit_distance_doc_stream_matches_batch_incremental(spark, tmp_path):
     assert got == want
     assert (1, 10) in got and got[(1, 10)][1] == 0  # exact copy
     assert (3, 12) not in got
+
+
+def test_fact_stream_corrupt_existing_table_raises(spark, tmp_path):
+    """A corrupt/unreadable EXISTING fact table must fail the stream, not
+    be silently treated as "first batch" — the old catch-all would have
+    dropped the merge and overwritten good partitions with the micro-batch
+    alone (same defect class as start_corpus_stream's fixed hash read)."""
+    from pyspark.errors.exceptions.base import PySparkException
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from irstats2_spark.streaming.ingest import (
+        read_access_stream,
+        start_fact_stream,
+    )
+
+    logs = tmp_path / "current"
+    logs.mkdir()
+    ts = dt.datetime(2024, 1, 1, 12, 0, 0)
+    line = "\t".join(
+        [
+            ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+            "10.0.0.1",
+            "Mozilla/5.0 Chrome/1",
+            "",
+            "?fulltext=yes",
+            "1",
+            "100",
+        ]
+    )
+    (logs / "2024-01-01.log").write_text(line + "\n")
+
+    out = tmp_path / "gold"
+    fact_dir = out / "fact_downloads"
+    fact_dir.mkdir(parents=True)
+    # a present-but-garbage table: parquet-suffixed junk bytes
+    (fact_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+
+    q = start_fact_stream(
+        read_access_stream(spark, str(logs)), str(out), str(tmp_path / "ck")
+    )
+    with pytest.raises((StreamingQueryException, PySparkException)):
+        q.awaitTermination(120)
+    # the junk file must be untouched — no partial overwrite happened
+    assert (fact_dir / "part-00000.parquet").read_bytes() == b"this is not parquet"
