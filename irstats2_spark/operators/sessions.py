@@ -157,7 +157,10 @@ def covisit_lift(
         F.concat_ws(":", F.col(user_col), F.col("session_no")).alias("sid"),
         F.col(type_col).alias("t"),
     ).distinct()
-    n_sessions = st.select("sid").distinct().count()
+    # lazy 1-row aggregate broadcast in (the oracle's `tot` CTE shape) —
+    # an eager .count() here would execute the sessionize chain twice and
+    # bake a stale literal into the plan.
+    tot = st.agg(F.count_distinct("sid").alias("__n_sessions"))
     per_type = st.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
     a = st.select("sid", F.col("t").alias("ta"))
     b = st.select("sid", F.col("t").alias("tb"))
@@ -176,6 +179,7 @@ def covisit_lift(
             F.broadcast(per_type.select(F.col("t").alias("tb"), F.col("n_t").alias("n_b"))),
             "tb",
         )
+        .crossJoin(F.broadcast(tot))
         .select(
             "ta",
             "tb",
@@ -184,7 +188,7 @@ def covisit_lift(
             "n_b",
             F.round(
                 F.col("n_ab").cast("double")
-                * F.lit(n_sessions)
+                * F.col("__n_sessions")
                 / F.col("n_a")
                 / F.col("n_b"),
                 9,

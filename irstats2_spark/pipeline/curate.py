@@ -110,7 +110,8 @@ def pretrain_corpus(
     )
     # consumed twice (mix rates + the rate-sampled output): persist so the
     # second consumer doesn't re-run curate+decontaminate (same pattern as
-    # select_corpus's kept set)
+    # select_corpus's kept set); pinned (LRU-evictable) until the caller
+    # finishes with the result — long-lived apps clearCache() between stages
     train = decon.filter(F.col("split") == "train").persist()
     rates = train.groupBy(source_col).agg(
         F.least(F.lit(1.0), F.lit(source_cap) / F.count(F.lit(1))).alias("rate")
@@ -340,7 +341,8 @@ def select_corpus(
     )
     # kept is consumed twice (the mix rates and the rate-sampled output)
     # and is id+score-sized; persisting it stops the second consumer from
-    # re-running the full DSIR+LM scoring chain and the global rank cut
+    # re-running the full DSIR+LM scoring chain and the global rank cut.
+    # Pinned (LRU-evictable) until the caller finishes with the result.
     kept = (
         top_fraction(scored, "select_score", frac, "doc_id")
         .drop("quality_rank")
@@ -531,7 +533,7 @@ def source_shingle_overlap(
     ta = totals.select(
         F.col("source").alias("source_a"), F.col("n_shingles").alias("__na")
     )
-    return (
+    out = (
         common.join(F.broadcast(ta), "source_a")
         .select(
             "source_a",
@@ -539,7 +541,14 @@ def source_shingle_overlap(
             "n_common",
             F.round(F.col("n_common") / F.col("__na"), 6).alias("frac_of_a"),
         )
+        # eager-materialize the <=|sources|^2-row matrix so the
+        # corpus-sized shingle-set cache can be RELEASED here instead of
+        # pinning executor storage until LRU pressure (audit functions
+        # own their cache lifecycle; the checkpoint blocks are tiny)
+        .localCheckpoint()
     )
+    sets.unpersist()
+    return out
 
 
 def dup_rate_by_source(

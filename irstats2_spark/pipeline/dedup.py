@@ -225,6 +225,9 @@ def ngram_idf_jaccard_pairs(
         F.lit(1e6) * F.log(F.lit(float(n_docs)) / df_c.cast("double"))
         + F.lit(0.5)
     ).cast("long")
+    # persisted for the two consumers in the returned lazy plan; pinned
+    # (LRU-evictable) until the caller finishes with the result — long-
+    # lived apps should clearCache() between pipeline stages
     weighted = sh.select("doc_id", "shingle", idf_q.alias("__w")).persist()
     totals = weighted.groupBy("doc_id").agg(F.sum("__w").alias("__tw"))
     ids = F.array_sort(F.col("members"))
@@ -1872,6 +1875,7 @@ def lsh_band_sweep_audit(
     sig = minhash_signatures(sh, n_hashes).persist()
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
     branches = []
+    cands = []
     for b in band_options:
         assert n_hashes % b == 0
         cand = (
@@ -1879,6 +1883,7 @@ def lsh_band_sweep_audit(
             .select("doc_a", "doc_b")
             .persist()
         )
+        cands.append(cand)
         nc = cand.agg(
             F.count(F.lit(1)).cast("long").alias("n_candidates")
         )
@@ -1900,7 +1905,14 @@ def lsh_band_sweep_audit(
                 ).alias("recall"),
             )
         )
-    return reduce(lambda a, c: a.unionByName(c), branches)
+    # eager-materialize the len(band_options)-row curve, then RELEASE the
+    # 2 + len(band_options) pinned datasets (shingles, truth pairs,
+    # signatures, per-band candidates) — in a long-lived application the
+    # audit must not hold corpus-sized caches past its return
+    out = reduce(lambda a, c: a.unionByName(c), branches).localCheckpoint()
+    for cached in (sh, truth, sig, *cands):
+        cached.unpersist()
+    return out
 
 
 def cosine_pairs_inverted(

@@ -178,6 +178,12 @@ def zorder_layout(
     maps prune.
     """
     z_space = 1 << (2 * bits)
+    # mirrors the dim % m asserts in pq.py: a non-dividing n_files would
+    # silently spill the max zvalue into an (n_files+1)-th file, and
+    # n_files > 4^bits would divide by zero.
+    assert 0 < n_files <= z_space and z_space % n_files == 0, (
+        f"n_files={n_files} must divide 4^bits={z_space}"
+    )
     per_file = z_space // n_files
     zed = zorder_values(df, col_x, col_y, bits)
     return (
@@ -223,6 +229,9 @@ def zorder_prune_gain(
     """
     zed = zorder_values(df, col_x, col_y, bits)
     z_space = 1 << (2 * bits)
+    assert 0 < n_files <= z_space and z_space % n_files == 0, (
+        f"n_files={n_files} must divide 4^bits={z_space}"
+    )
 
     bounds = df.agg(F.min(order_col), F.max(order_col)).first()
     o_lo, o_hi = bounds[0], bounds[1]

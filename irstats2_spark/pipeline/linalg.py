@@ -21,7 +21,11 @@ int64 (order-invariant, exactly reproducible in DuckDB SQL), and the
 covariance is finalized from those exact integers via the algebraic form
 cov = (n*Sxy - Sx*Sy) / n^2 — so the only floating-point ops are the
 final divisions of identical integers. Overflow bound: |q| <= scale, so
-n * scale^2 must stay below 2^63 — at scale=1024, n < 8.8e12 vectors.
+the PARTIAL SUMS need n * scale^2 < 2^63 — at scale=1024, n < 8.8e12
+vectors. The finalization products n*Sxy and Sx_i*Sx_j can reach
+n^2*scale^2 (~8e31 at that bound), far past int64 — they are computed
+in DECIMAL(38,0) on the Spark side and float64 on the driver side, and
+the oracle mirrors with HUGEINT, so no stage wraps.
 
 No reference analog (IRStats2 has no vector surface); the public
 pattern is the classic two-phase covariance in MLlib's RowMatrix
@@ -116,11 +120,17 @@ def embedding_covariance(
         .select(
             "i",
             "j",
+            # n*Sxy and Sx_i*Sx_j reach n^2*scale^2 — exact DECIMAL(38,0)
+            # products (the class_centroid_separation idiom), double only
+            # for the final divisions.
             F.round(
                 (
-                    (F.col("n") * F.col("s") - F.col("sx_i") * F.col("sx_j")).cast(
-                        "double"
-                    )
+                    (
+                        F.col("n").cast("decimal(38,0)")
+                        * F.col("s").cast("decimal(38,0)")
+                        - F.col("sx_i").cast("decimal(38,0)")
+                        * F.col("sx_j").cast("decimal(38,0)")
+                    ).cast("double")
                     / F.col("n")
                     / F.col("n")
                     / F.lit(float(scale * scale))
@@ -149,7 +159,11 @@ def covariance_matrix(
             s_x[r["i"]] = r["s"]
         elif r["j"] >= 0:
             s_xy[r["i"], r["j"]] = s_xy[r["j"], r["i"]] = r["s"]
-    cov = (n * s_xy.astype(np.float64) - np.outer(s_x, s_x)) / (
+    # np.outer on int64 wraps silently past 2^63 (n^2*scale^2 territory);
+    # promote to float64 first — this path feeds eigh, which is float
+    # anyway, and the ~1e-16 relative rounding is below eigh's own noise.
+    s_xf = s_x.astype(np.float64)
+    cov = (n * s_xy.astype(np.float64) - np.outer(s_xf, s_xf)) / (
         float(n) * n * scale * scale
     )
     mean = s_x.astype(np.float64) / (float(n) * scale)
@@ -195,9 +209,10 @@ def pca_project(
     tests/test_plan_quality.py). Output: (id, pc array<double>) with
     entries rounded to ``decimals``.
 
-    Not SQL-oracle-able (eigenvectors are data-dependent); registered
-    rows-only in the catalog and pinned against numpy's PCA in
-    tests/test_linalg.py instead.
+    The eigenvectors are data-dependent (not SQL-expressible), so the
+    catalog gates this through the derived Pythagoras/trace oracle in
+    queries_pipeline.py's ``embedding_pca_project`` and the projection
+    is pinned against numpy's PCA in tests/test_layout_linalg.py.
     """
     comps, _, mean = pca_components(emb, k, vec_col, scale=scale)
 
@@ -307,6 +322,7 @@ def opq_rotate(
     id_col: str = "vec_id",
     scale: int = 1024,
     decimals: int = 9,
+    basis: tuple | None = None,
 ) -> DataFrame:
     """Rotate embeddings into the OPQ basis: full-rank PCA (computed
     from the distributed integer-exact covariance) with the components
@@ -315,8 +331,14 @@ def opq_rotate(
     orthogonal — L2 distances and quantization errors are directly
     comparable to the original space. Pure-map projection, like
     ``pca_project``. Output: (vec_id, vec array<double>).
+
+    ``basis``: optional precomputed ``(comps, vals, mean)`` from
+    ``pca_components`` so callers that already fit the PCA (the
+    distortion audit) don't pay the covariance pass twice.
     """
-    comps, vals, mean = pca_components(emb, k=dim, vec_col=vec_col, scale=scale)
+    comps, vals, mean = basis or pca_components(
+        emb, k=dim, vec_col=vec_col, scale=scale
+    )
     perm = opq_eigen_allocation(vals, m)
     rot = comps[perm]
 
@@ -390,6 +412,226 @@ def opq_vs_pq_distortion(
         "n_vecs",
         "total_sq_err",
         F.round(F.col("total_sq_err") / F.col("n_vecs"), 6).alias("mean_sq_err"),
+    ).orderBy("variant")
+
+
+def pca_projection_audit(
+    emb: DataFrame,
+    ks: tuple[int, ...] = (2, 8, 32, 64),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1024,
+) -> DataFrame:
+    """Value-checkable derivative of ``pca_project`` — the shape the
+    driver's SQL oracle CAN verify (the eigenvectors themselves cannot
+    be recomputed in SQL, so the raw projection was stuck rows-only).
+
+    Per requested component count k, one row:
+    - ``n_vecs`` — corpus count (oracle: COUNT(*));
+    - ``sum_sq_q`` — exact-integer total energy of the quantized
+      vectors, SUM over all entries of floor(x*scale+0.5)^2 (oracle
+      replays the identical arithmetic — this value-checks the
+      quantization + the distributed reduction);
+    - ``pythagoras_ppm`` — round(1e6 * (projected_energy_k +
+      reconstruction_error_k) / centered_scatter). For ORTHONORMAL
+      mean-centered components this is exactly 1_000_000 for every k
+      (energy decomposes); a wrong transpose, a skipped mean-centering,
+      or non-orthonormal eigenvectors all break the identity, so the
+      oracle pins the literal. Float noise is ~1e-12 relative — six
+      orders below the ppm rounding step.
+
+    Which k maximizes captured variance (the part Pythagoras cannot
+    see) stays pinned against numpy in tests/test_layout_linalg.py.
+
+    One Arrow-batched pass over the corpus emitting per-partition
+    scalar partials (len(ks)*2 + 3 doubles/longs each), one tiny agg.
+    """
+    ks = tuple(sorted(set(int(k) for k in ks)))
+    d = len(_first_vec(emb, vec_col))
+    assert all(1 <= k <= d for k in ks), f"ks={ks} must be within 1..{d}"
+    comps, _, mean = pca_components(emb, k=d, vec_col=vec_col, scale=scale)
+
+    def partials(batches):
+        n = 0
+        sum_sq_q = 0
+        centered = 0.0
+        proj = {k: 0.0 for k in ks}
+        resid = {k: 0.0 for k in ks}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = _quantize(mat, scale)
+            n += len(mat)
+            sum_sq_q += int((q * q).sum())  # bounded: rows*d*scale^2 per task
+            x = mat - mean
+            centered += float((x * x).sum())
+            full = x @ comps.T  # project once at full rank
+            for k in ks:
+                pk = full[:, :k]
+                proj[k] += float((pk * pk).sum())
+                rec = x - pk @ comps[:k]
+                resid[k] += float((rec * rec).sum())
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "k": list(ks),
+                "n": [n] * len(ks),
+                "ssq": [sum_sq_q] * len(ks),
+                "centered": [centered] * len(ks),
+                "proj": [proj[k] for k in ks],
+                "resid": [resid[k] for k in ks],
+            }
+        )
+
+    parts = emb.select(vec_col).mapInPandas(
+        partials,
+        schema="k int, n long, ssq long, centered double, proj double, resid double",
+    )
+    agg = parts.groupBy("k").agg(
+        F.sum("n").alias("n_vecs"),
+        F.sum("ssq").alias("sum_sq_q"),
+        F.sum("centered").alias("centered"),
+        F.sum("proj").alias("proj"),
+        F.sum("resid").alias("resid"),
+    )
+    return agg.select(
+        "k",
+        "n_vecs",
+        "sum_sq_q",
+        F.round(
+            F.lit(1_000_000.0) * (F.col("proj") + F.col("resid")) / F.col("centered")
+        )
+        .cast("long")
+        .alias("pythagoras_ppm"),
+    ).orderBy("k")
+
+
+def _first_vec(emb: DataFrame, vec_col: str):
+    return emb.select(vec_col).first()[0]
+
+
+def opq_distortion_audit(
+    emb: DataFrame,
+    dim: int,
+    m: int = 8,
+    n_codes: int = 4,
+    max_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1000,
+    qscale: int = 1024,
+) -> DataFrame:
+    """Value-checkable derivative of ``opq_vs_pq_distortion`` for the
+    driver gate (the raw distortion totals depend on the data-dependent
+    rotation + k-means fits, so they were stuck rows-only).
+
+    One row per variant (pq_raw, opq_rotated):
+    - ``n_vecs`` — oracle: COUNT(*);
+    - ``sum_sq_q_raw`` — exact-integer quantized energy of the RAW
+      vectors (same value both rows; oracle replays it — checks the
+      quantization and the distributed sum);
+    - ``energy_ppm`` — round(1e6 * variant_centered_energy /
+      raw_centered_scatter). 1_000_000 on both rows iff the OPQ
+      rotation is ORTHONORMAL and mean-centering is right (the rotated
+      row is the real assertion; the raw row is its baseline);
+    - ``distortion_le_energy`` — the variant's ACTUAL PQ fit+encode
+      distortion total (integer, the same fits opq_vs_pq_distortion
+      measures) is <= its quantized total energy. Guaranteed by the
+      variance decomposition WCSS <= TSS once Lloyd has updated
+      centroids (max_iter >= 1), so FALSE means a broken fit; the
+      oracle pins TRUE. The raw-vs-rotated improvement itself stays
+      pinned on anisotropic data in tests/test_layout_linalg.py.
+
+    The two PQ fits run as concurrent Spark jobs (pq_m_sweep pattern).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    from irstats2_spark.pipeline.pq import pq_encode, pq_fit
+
+    assert max_iter >= 1  # distortion_le_energy needs centroid means
+    spark = emb.sparkSession
+    basis = pca_components(emb, k=dim, vec_col=vec_col, scale=qscale)
+    mean = basis[2]
+    rotated = opq_rotate(emb, dim, m, vec_col, id_col, basis=basis)
+
+    def raw_stats():
+        def partials(batches):
+            n, ssq, centered = 0, 0, 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                q = _quantize(mat, qscale)
+                n += len(mat)
+                ssq += int((q * q).sum())
+                x = mat - mean
+                centered += float((x * x).sum())
+            if n:
+                yield pd.DataFrame({"n": [n], "ssq": [ssq], "c": [centered]})
+
+        row = (
+            emb.select(vec_col)
+            .mapInPandas(partials, schema="n long, ssq long, c double")
+            .agg(F.sum("n").alias("n"), F.sum("ssq").alias("ssq"), F.sum("c").alias("c"))
+            .first()
+        )
+        return row["n"], row["ssq"], row["c"]
+
+    def rot_energy():
+        return (
+            rotated.select(
+                F.aggregate(
+                    "vec", F.lit(0.0), lambda acc, x: acc + x * x
+                ).alias("e")
+            )
+            .agg(F.sum("e"))
+            .first()[0]
+        )
+
+    def branch(args):
+        name, df, col = args
+        cb = pq_fit(df, dim, m, n_codes, max_iter, id_col, col, scale)
+        enc = pq_encode(df, cb, dim, m, id_col, col, scale)
+        from irstats2_spark.pipeline.similarity import quantize
+
+        qen = df.select(
+            F.aggregate(
+                quantize(F.col(col), scale),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x * x,
+            ).alias("qe")
+        ).agg(F.sum("qe").cast("long")).first()[0]
+        row = enc.agg(F.sum("dist").cast("long").alias("err")).first()
+        return name, row["err"], qen
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        fut_raw = pool.submit(raw_stats)
+        fut_rot = pool.submit(rot_energy)
+        fits = list(
+            pool.map(
+                branch,
+                [("pq_raw", emb, vec_col), ("opq_rotated", rotated, "vec")],
+            )
+        )
+    n, ssq_raw, centered = fut_raw.result()
+    rot_e = fut_rot.result()
+    energies = {"pq_raw": centered, "opq_rotated": rot_e}
+    rows = [
+        (
+            name,
+            int(n),
+            int(ssq_raw),
+            int(round(1_000_000.0 * energies[name] / centered)),
+            bool(err <= qenergy),
+        )
+        for name, err, qenergy in fits
+    ]
+    return spark.createDataFrame(
+        rows,
+        "variant string, n_vecs long, sum_sq_q_raw long, "
+        "energy_ppm long, distortion_le_energy boolean",
     ).orderBy("variant")
 
 

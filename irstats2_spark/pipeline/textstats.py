@@ -763,7 +763,9 @@ def remove_corpus_frequent_chunks(
         F.posexplode(
             fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
         ).alias("pos", "chunk"),
-    ).persist()
+    ).persist()  # mined AND rewritten from one scan; pinned until the
+    # caller evaluates the rewrite (LRU-evictable; clearCache() between
+    # stages in long-lived apps)
     frequent = (
         chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
         .agg(F.countDistinct("doc_id").alias("__nd"))
@@ -912,7 +914,8 @@ def remove_cdc_frequent_chunks(
     ordered by chunk_idx. The corpus text crosses an exchange once."""
     chunks = cdc_chunks(
         docs, gram_tokens, divisor, text_col, id_col, with_text=True
-    ).persist()  # mined AND rewritten from the same scan
+    ).persist()  # mined AND rewritten from the same scan; pinned until
+    # the caller evaluates the rewrite (LRU-evictable)
     frequent = (
         chunks.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("__df"))
@@ -1115,7 +1118,8 @@ def duplicate_span_coverage(
         )
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
-    wins = wins.persist()
+    wins = wins.persist()  # two consumers below; pinned (LRU-evictable)
+    # until the caller evaluates the result
     frequent = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("__df"))

@@ -132,6 +132,81 @@ def test_covariance_matrix_driver_side_agrees(spark):
     )
 
 
+def test_covariance_finalization_survives_int64_overflow(spark):
+    """Large-magnitude embeddings: the finalization products n*Sxy and
+    Sx_i*Sx_j reach ~1.6e19 > 2^63 here, so an int64 multiply would wrap
+    silently (non-ANSI Spark) and numpy's outer would too. Both paths
+    must agree with the exact float64 covariance of the quantized
+    values."""
+    base = np.array(
+        [
+            [1.0e6, -9.7e5],
+            [9.9e5, 9.6e5],
+            [-1.0e6, 9.9e5],
+            [-9.8e5, -1.0e6],
+        ]
+    )
+    rows = [(i, [float(v) for v in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = np.floor(base * 1024 + 0.5)
+    expected = np.cov(q, rowvar=False, bias=True) / (1024.0 * 1024.0)
+
+    got = {(r["i"], r["j"]): r["cov"]
+           for r in linalg.embedding_covariance(df, dim=2).collect()}
+    for (i, j), v in got.items():
+        rel = abs(v - expected[i, j]) / max(abs(expected[i, j]), 1.0)
+        assert rel < 1e-9, (i, j, v, expected[i, j])
+
+    cov, mean, n = linalg.covariance_matrix(df)
+    assert n == 4
+    np.testing.assert_allclose(cov, expected, rtol=1e-9)
+    np.testing.assert_allclose(mean, q.mean(axis=0) / 1024.0, rtol=1e-12)
+
+
+def test_pca_projection_audit_closes_pythagoras(spark):
+    """The gated audit shape: per k, projected energy + reconstruction
+    error must close to the centered scatter at exactly 1_000_000 ppm,
+    and the quantized energy must equal numpy's exact integer sum."""
+    df, mat = _toy_embeddings(spark)
+    out = {r["k"]: r for r in linalg.pca_projection_audit(df, ks=(1, 3, 8)).collect()}
+    q = np.floor(mat.astype(np.float64) * 1024 + 0.5).astype(np.int64)
+    want_ssq = int((q * q).sum())
+    assert set(out) == {1, 3, 8}
+    for k, r in out.items():
+        assert r["n_vecs"] == len(mat)
+        assert r["sum_sq_q"] == want_ssq
+        assert r["pythagoras_ppm"] == 1_000_000, (k, r["pythagoras_ppm"])
+
+
+def test_opq_distortion_audit_invariants(spark):
+    """Energy conservation under the OPQ rotation (orthonormality) and
+    distortion <= total quantized energy for BOTH real PQ fits."""
+    df, mat = _toy_embeddings(spark, n=120, d=8)
+    rows = {r["variant"]: r for r in
+            linalg.opq_distortion_audit(df, dim=8, m=4, n_codes=4).collect()}
+    assert set(rows) == {"pq_raw", "opq_rotated"}
+    q = np.floor(mat.astype(np.float64) * 1024 + 0.5).astype(np.int64)
+    want_ssq = int((q * q).sum())
+    for r in rows.values():
+        assert r["n_vecs"] == len(mat)
+        assert r["sum_sq_q_raw"] == want_ssq
+        assert r["energy_ppm"] == 1_000_000
+        assert r["distortion_le_energy"] is True
+
+
+def test_zorder_layout_rejects_non_dividing_n_files(spark):
+    df = spark.range(16).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * 3 % 16).alias("n_chars"),
+    )
+    with pytest.raises(AssertionError):
+        layout.zorder_layout(df, "n_chars", "doc_id", bits=2, n_files=10)
+    with pytest.raises(AssertionError):
+        layout.zorder_prune_gain(
+            df, "n_chars", "doc_id", 0, 5, 0, 5, bits=2, n_files=32
+        )
+
+
 def test_pca_components_match_numpy_eigh(spark):
     df, mat = _toy_embeddings(spark)
     comps, vals, mean = linalg.pca_components(df, k=3)
@@ -252,6 +327,25 @@ def test_interval_overlap_join_matches_direct_predicate(spark):
         if s1 <= e2 and e1 >= s2
     }
     assert got == expected
+
+
+def test_interval_overlap_join_negative_timestamps(spark):
+    """Pre-1970 (negative-microsecond) intervals: truncation toward zero
+    would bucket [-90s, -30s] into bucket 0 alongside [30s, 90s] and MISS
+    its true overlap with [-60s, -45s]; floor-division buckets must keep
+    exact overlap semantics on both sides of zero."""
+    from irstats2_spark.operators.intervals import interval_overlap_join
+
+    lrows = [(1, -90_000_000, -30_000_000), (2, -10_000_000, 10_000_000)]
+    rrows = [(1, -60_000_000, -45_000_000), (2, 5_000_000, 8_000_000),
+             (3, -200_000_000, -95_000_000)]
+    left = spark.createDataFrame(lrows, "a_id long, start_us long, end_us long")
+    right = spark.createDataFrame(rrows, "b_id long, start_us long, end_us long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_join(left, right, bucket_seconds=60).collect()
+    }
+    assert got == {(1, 1), (2, 2)}
 
 
 def test_interval_overlap_join_bucket_size_invariant(spark):
@@ -550,8 +644,11 @@ def test_zorder_matches_python_model_on_arbitrary_ints(spark, xs, bits):
 def test_interval_overlap_property_vs_bruteforce(spark, data, bucket):
     from irstats2_spark.operators.intervals import interval_overlap_join
 
+    # negative starts included: pre-1970 timestamps exercise the
+    # floor-vs-truncate bucketing distinction (truncation toward zero
+    # silently dropped overlapping pairs straddling bucket 0)
     iv = st.tuples(
-        st.integers(min_value=0, max_value=10_000),
+        st.integers(min_value=-10_000, max_value=10_000),
         st.integers(min_value=0, max_value=5_000),
     )
     lrows = [

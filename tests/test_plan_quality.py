@@ -880,14 +880,32 @@ def test_covariance_shuffles_scalar_partials_only(spark, queries):
             assert "embedding#" not in block, block
 
 
-def test_pca_projection_is_zero_shuffle_map(spark, queries):
+def test_pca_projection_is_zero_shuffle_map(spark):
     """With the component matrix fit eagerly (driver eigh over the
     distributed covariance) and closed over, the projection itself is
-    scan -> Arrow map: no Exchange anywhere in the projection plan."""
-    plan = plan_of(queries["embedding_pca_project"](spark, SF))
+    scan -> Arrow map: no Exchange anywhere in the projection plan.
+    (Asserted on the operator — the catalog query is now the derived
+    Pythagoras AUDIT, whose tiny final agg legitimately exchanges.)"""
+    from irstats2_spark.pipeline.linalg import pca_project
+    from irstats2_spark.sources.testdata import load_table
+
+    df = pca_project(load_table(spark, "embeddings", SF), k=8)
+    plan = plan_of(df)
     tree = plan.split("\n\n")[0]
     assert "Exchange" not in tree
     assert "ArrowEvalPython" in tree or "MapInPandas" in tree
+
+
+def test_pca_audit_shuffles_scalars_only(spark, queries):
+    """The gated PCA audit reduces per-partition SCALAR partials — its
+    exchange must carry the handful of energy sums, never embeddings."""
+    import re
+
+    plan = plan_of(queries["embedding_pca_project"](spark, SF))
+    assert "MapInPandas" in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "embedding#" not in block, block
 
 
 def test_top_paths_is_takeordered_over_one_session_window(spark, queries):
