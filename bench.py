@@ -59,6 +59,30 @@ def main() -> None:
         per_query[name] = round(best, 4)
 
     total = round(sum(per_query.values()), 4)
+    # Persist the COMPLETE per-query map in-repo: the driver's BENCH_r*.json
+    # stores only a truncated tail, and the r4/r5 truncations didn't even
+    # overlap — so round-over-round per-query comparison was impossible from
+    # the artifacts alone. BENCH_DETAIL.json is committed each round; diff
+    # it against the previous round's committed copy.
+    try:
+        detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {
+                    "sf": sf,
+                    "unit": "sec",
+                    "n_queries": len(per_query),
+                    "failed": failed,
+                    "total": total,
+                    "queries": per_query,
+                },
+                fh,
+                indent=1,
+                sort_keys=True,
+            )
+            fh.write("\n")
+    except OSError as exc:  # read-only checkout must not fail the bench
+        print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
     # Key order matters: the driver's tail capture can truncate this
     # (now 100+ entry) line from the FRONT, so the big `queries` map goes
     # first and the headline total/sf/failed go LAST where they survive
