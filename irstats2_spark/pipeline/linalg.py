@@ -544,7 +544,13 @@ def opq_distortion_audit(
       oracle pins TRUE. The raw-vs-rotated improvement itself stays
       pinned on anisotropic data in tests/test_layout_linalg.py.
 
-    The two PQ fits run as concurrent Spark jobs (pq_m_sweep pattern).
+    The two PQ fits run as concurrent Spark jobs (pq_m_sweep pattern);
+    each side's energy/quantized-energy scalars are fused into ONE extra
+    pass over that side (not one job per scalar), and the rotated
+    vectors are materialized once (localCheckpoint) for their three
+    consumers — the stand-in for the inter-stage parquet write a
+    production pipeline does between rotation and index fitting (the
+    ivfpq-residuals pattern).
     """
     from concurrent.futures import ThreadPoolExecutor
 
@@ -554,79 +560,95 @@ def opq_distortion_audit(
     spark = emb.sparkSession
     basis = pca_components(emb, k=dim, vec_col=vec_col, scale=qscale)
     mean = basis[2]
-    rotated = opq_rotate(emb, dim, m, vec_col, id_col, basis=basis)
+    rotated = opq_rotate(
+        emb, dim, m, vec_col, id_col, basis=basis
+    ).localCheckpoint()
 
     def raw_stats():
+        # one pass: count, exact quantized energy at BOTH scales (qscale
+        # for the oracle column, the PQ scale for the distortion bound),
+        # and the float centered scatter (the ppm denominator)
         def partials(batches):
-            n, ssq, centered = 0, 0, 0.0
+            n, ssq, qen, centered = 0, 0, 0, 0.0
             for pdf in batches:
                 if not len(pdf):
                     continue
                 mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
                 q = _quantize(mat, qscale)
+                qp = _quantize(mat, scale)
                 n += len(mat)
                 ssq += int((q * q).sum())
+                qen += int((qp * qp).sum())
                 x = mat - mean
                 centered += float((x * x).sum())
             if n:
-                yield pd.DataFrame({"n": [n], "ssq": [ssq], "c": [centered]})
+                yield pd.DataFrame(
+                    {"n": [n], "ssq": [ssq], "qen": [qen], "c": [centered]}
+                )
 
         row = (
             emb.select(vec_col)
-            .mapInPandas(partials, schema="n long, ssq long, c double")
-            .agg(F.sum("n").alias("n"), F.sum("ssq").alias("ssq"), F.sum("c").alias("c"))
+            .mapInPandas(
+                partials, schema="n long, ssq long, qen long, c double"
+            )
+            .agg(
+                F.sum("n").alias("n"),
+                F.sum("ssq").alias("ssq"),
+                F.sum("qen").alias("qen"),
+                F.sum("c").alias("c"),
+            )
             .first()
         )
-        return row["n"], row["ssq"], row["c"]
+        return row["n"], row["ssq"], row["qen"], row["c"]
 
-    def rot_energy():
-        return (
+    def rot_stats():
+        # one pass over the rotated side: float energy + quantized energy
+        from irstats2_spark.pipeline.similarity import quantize
+
+        row = (
             rotated.select(
                 F.aggregate(
                     "vec", F.lit(0.0), lambda acc, x: acc + x * x
-                ).alias("e")
+                ).alias("e"),
+                F.aggregate(
+                    quantize(F.col("vec"), scale),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x * x,
+                ).alias("qe"),
             )
-            .agg(F.sum("e"))
-            .first()[0]
+            .agg(F.sum("e").alias("e"), F.sum("qe").cast("long").alias("qe"))
+            .first()
         )
+        return row["e"], row["qe"]
 
     def branch(args):
         name, df, col = args
         cb = pq_fit(df, dim, m, n_codes, max_iter, id_col, col, scale)
         enc = pq_encode(df, cb, dim, m, id_col, col, scale)
-        from irstats2_spark.pipeline.similarity import quantize
-
-        qen = df.select(
-            F.aggregate(
-                quantize(F.col(col), scale),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x * x,
-            ).alias("qe")
-        ).agg(F.sum("qe").cast("long")).first()[0]
-        row = enc.agg(F.sum("dist").cast("long").alias("err")).first()
-        return name, row["err"], qen
+        return name, enc.agg(F.sum("dist").cast("long")).first()[0]
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         fut_raw = pool.submit(raw_stats)
-        fut_rot = pool.submit(rot_energy)
-        fits = list(
+        fut_rot = pool.submit(rot_stats)
+        fits = dict(
             pool.map(
                 branch,
                 [("pq_raw", emb, vec_col), ("opq_rotated", rotated, "vec")],
             )
         )
-    n, ssq_raw, centered = fut_raw.result()
-    rot_e = fut_rot.result()
+    n, ssq_raw, qen_raw, centered = fut_raw.result()
+    rot_e, qen_rot = fut_rot.result()
     energies = {"pq_raw": centered, "opq_rotated": rot_e}
+    qenergies = {"pq_raw": qen_raw, "opq_rotated": qen_rot}
     rows = [
         (
             name,
             int(n),
             int(ssq_raw),
             int(round(1_000_000.0 * energies[name] / centered)),
-            bool(err <= qenergy),
+            bool(fits[name] <= qenergies[name]),
         )
-        for name, err, qenergy in fits
+        for name in ("opq_rotated", "pq_raw")
     ]
     return spark.createDataFrame(
         rows,
