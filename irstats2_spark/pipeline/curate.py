@@ -500,7 +500,10 @@ def source_shingle_overlap(
             F.col(source_col).alias("source"),
             F.explode(shingle_array(F.col(text_col), k)).alias("shingle"),
         )
-        .groupBy(F.md5("shingle").alias("__sh"))
+        # 16-byte binary digest, not the 32-char hex string: this key rides
+        # the one corpus-scale exchange, so halving it halves the dominant
+        # shuffle's key bytes (the key never reaches the output)
+        .groupBy(F.unhex(F.md5("shingle")).alias("__sh"))
         .agg(F.array_sort(F.collect_set("source")).alias("__srcs"))
         .persist()
     )

@@ -96,20 +96,36 @@ def word_shingles(
 def shingle_array(text: "F.Column", k: int = 3) -> "F.Column":
     """Per-row array of DISTINCT k-word shingles — the pre-explode form
     of ``word_shingles``, map-side only (shared by the batch explode
-    path and the streaming per-row MinHash, which must not aggregate)."""
-    words = F.split(normalize_text(text), " ")
-    n = F.size(words)
-    # a doc with fewer than k words has NO k-shingles (the greatest()
-    # fallback used to emit one short pseudo-shingle for such docs,
-    # diverging from the SQL oracles' i+k-1 <= len(words) bound)
-    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.filter(
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))),
-            lambda s: F.length(s) > 0,
+    path and the streaming per-row MinHash, which must not aggregate).
+
+    The split-normalized word array is BOUND AS A LAMBDA VARIABLE (the
+    single-element-array transform trick) instead of being inlined:
+    codegen re-evaluates an inlined subexpression at every reference,
+    and ``slice(words, ...)`` references it once PER SHINGLE — the
+    normalize+split regex ran O(n_tokens) times per document, turning
+    the whole shingle family's map stage quadratic (measured 10.1s ->
+    1.0s for the sf0.1 shingle explode). A lambda variable is evaluated
+    once per element, and the outer array has exactly one element."""
+
+    def build(words: "F.Column") -> "F.Column":
+        n = F.size(words)
+        # a doc with fewer than k words has NO k-shingles (the greatest()
+        # fallback used to emit one short pseudo-shingle for such docs,
+        # diverging from the SQL oracles' i+k-1 <= len(words) bound)
+        idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+            F.array().cast("array<int>")
         )
+        return F.array_distinct(
+            F.filter(
+                F.transform(
+                    idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k))
+                ),
+                lambda s: F.length(s) > 0,
+            )
+        )
+
+    return F.get(
+        F.transform(F.array(F.split(normalize_text(text), " ")), build), 0
     )
 
 

@@ -65,7 +65,19 @@ def pq_subvectors(
     assert dim % m == 0, "dim must split evenly into m subspaces"
     sub_dim = dim // m
     qv = F.col(vec_col) if pre_quantized else quantize(F.col(vec_col), scale)
-    slices = F.array(*[F.slice(qv, j * sub_dim + 1, sub_dim) for j in range(m)])
+    # bind the quantized vector as a lambda variable before slicing m ways:
+    # inlined, the quantize transform would re-run once PER SUBSPACE (m x
+    # the map work of the hottest stage in every PQ query) — see
+    # dedup.shingle_array for the single-element-array binding trick
+    slices = F.get(
+        F.transform(
+            F.array(qv),
+            lambda q: F.array(
+                *[F.slice(q, j * sub_dim + 1, sub_dim) for j in range(m)]
+            ),
+        ),
+        0,
+    )
     return df.select(
         F.col(id_col).alias("vec_id"),
         *[F.col(c) for c in keep_cols],
@@ -690,7 +702,19 @@ def pq_encode_vec(
         )
     )
     qv = F.col(vec_col) if pre_quantized else quantize(F.col(vec_col), scale)
-    slices = F.array(*[F.slice(qv, j * sub_dim + 1, sub_dim) for j in range(m)])
+    # bind the quantized vector as a lambda variable before slicing m ways:
+    # inlined, the quantize transform would re-run once PER SUBSPACE (m x
+    # the map work of the hottest stage in every PQ query) — see
+    # dedup.shingle_array for the single-element-array binding trick
+    slices = F.get(
+        F.transform(
+            F.array(qv),
+            lambda q: F.array(
+                *[F.slice(q, j * sub_dim + 1, sub_dim) for j in range(m)]
+            ),
+        ),
+        0,
+    )
     codes = F.zip_with(
         slices,
         F.sequence(F.lit(0), F.lit(m - 1)),

@@ -622,16 +622,26 @@ def fixed_chunk_array(toks: Column, chunk_tokens: int) -> Column:
     a token array (last chunk may be partial; an empty token array
     yields an empty chunk array). Shared by the intra-doc rewrite, the
     cross-doc frequent-chunk miner, and the cross-doc rewrite so all
-    three agree on chunk boundaries by construction."""
-    n = F.size(toks)
-    n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
-        lambda j: F.concat_ws(
-            " ", F.slice(toks, j * chunk_tokens + 1, chunk_tokens)
-        ),
-    )
-    return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
+    three agree on chunk boundaries by construction.
+
+    ``toks`` is usually the ``tokens(...)`` EXPRESSION (regex split) and
+    is referenced once per chunk in the slice lambda — codegen would
+    re-evaluate it n/chunk times per row. Binding it as a lambda
+    variable (single-element-array transform, see ``shingle_array``)
+    evaluates it once."""
+
+    def build(t: Column) -> Column:
+        n = F.size(t)
+        n_chunks = F.ceil(n / F.lit(chunk_tokens)).cast("int")
+        chunks = F.transform(
+            F.sequence(F.lit(0), F.greatest(n_chunks, F.lit(1)) - 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(t, j * chunk_tokens + 1, chunk_tokens)
+            ),
+        )
+        return F.when(n > 0, chunks).otherwise(F.array().cast("array<string>"))
+
+    return F.get(F.transform(F.array(toks), build), 0)
 
 
 def remove_repeated_chunks(
@@ -995,17 +1005,26 @@ def winnow_key_array(toks: Column, k: int = 4, window: int = 4) -> Column:
     and the streaming twin keeps in-row (a per-row fingerprint SET makes
     the shared-count verify a row-local ``array_intersect``, which is
     what lets the matcher stream stateless). Caller must ensure
-    size(toks) >= k (fewer tokens have no gram to fingerprint)."""
-    grams_src = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k))), 1, 8),
-            16,
-            10,
-        ).cast("long")
-        * F.lit(1048576)
-        + i,
-    )
+    size(toks) >= k (fewer tokens have no gram to fingerprint).
+
+    Both the token array AND the gram-key array are bound as lambda
+    variables (the single-element-array transform trick, see
+    ``shingle_array``): ``toks`` is usually the tokens(...) regex
+    expression and is referenced once per gram in the slice, and the
+    gram array is referenced once per window min — inlined, each level
+    re-evaluates per element and the stage goes quadratic."""
+
+    def grams_of(t: Column) -> Column:
+        return F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.conv(
+                F.substring(F.md5(F.concat_ws(" ", F.slice(t, i + 1, k))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            * F.lit(1048576)
+            + i,
+        )
 
     def windowed_min(keys: Column) -> Column:
         wlen = F.least(F.lit(window), F.size(keys))
@@ -1018,10 +1037,14 @@ def winnow_key_array(toks: Column, k: int = 4, window: int = 4) -> Column:
             )
         )
 
-    # one pass: bind the gram array once via a higher-order let (transform
-    # over a 1-element array) so the window mins don't recompute it
-    return F.flatten(
-        F.transform(F.array(grams_src), lambda ks: windowed_min(ks))
+    return F.get(
+        F.transform(
+            F.array(toks),
+            lambda t: F.flatten(
+                F.transform(F.array(grams_of(t)), lambda ks: windowed_min(ks))
+            ),
+        ),
+        0,
     )
 
 

@@ -296,10 +296,16 @@ def neardup_doc_stream(
     assert n_hashes % bands == 0
     rows_per_band = n_hashes // bands
 
-    sig = docs.select(
+    # hoist the shingle array into a column first: minhash_row_cols
+    # references its argument once per hash slot, and an inlined
+    # shingle_array expression would rebuild the shingles n_hashes times
+    # per row (a column reference is free)
+    sig = docs.withColumn(
+        "__shingles", shingle_array(F.col(text_col), k)
+    ).select(
         F.col(id_col).alias("new_id"),
         F.col(ts_col),
-        *minhash_row_cols(shingle_array(F.col(text_col), k), n_hashes),
+        *minhash_row_cols(F.col("__shingles"), n_hashes),
     )
 
     def band_structs(prefix: str):
