@@ -205,7 +205,12 @@ def repetition_features(
     from irstats2_spark.parallel import ensure_parallelism
 
     docs = ensure_parallelism(docs)
-    words = tokens(F.col(text_col))
+    # materialize the token array once: _dup_ngram_frac slices its input
+    # per gram, and an inlined tokens() expression would re-run the
+    # normalize+split regex per gram (quadratic per doc — the
+    # shingle_array lesson); a column reference is free
+    docs = docs.withColumn("__words", tokens(F.col(text_col)))
+    words = F.col("__words")
     return docs.select(
         F.col(id_col),
         F.size(words).alias("n_tokens"),
