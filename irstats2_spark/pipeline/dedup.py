@@ -129,6 +129,29 @@ def shingle_array(text: "F.Column", k: int = 3) -> "F.Column":
     )
 
 
+def _ordered_pair_structs(arr: "F.Column", make_struct) -> "F.Column":
+    """In-row ordered-pair expansion of a SORTED array: every (x, y) with
+    x before y, as ``make_struct(x, y)`` structs.
+
+    ``arr`` is bound as a lambda variable (the shingle_array trick): the
+    callers pass an ``array_sort(...)`` EXPRESSION, which inlined would
+    re-sort the bucket once per element (the slice inside the lambda
+    references it |bucket| times)."""
+
+    def expand(a: "F.Column") -> "F.Column":
+        return F.flatten(
+            F.transform(
+                a,
+                lambda x, i: F.transform(
+                    F.slice(a, i + 2, F.size(a)),
+                    lambda y: make_struct(x, y),
+                ),
+            )
+        )
+
+    return F.get(F.transform(F.array(arr), expand), 0)
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     text_col: str = "text",
@@ -158,15 +181,9 @@ def ngram_jaccard_pairs(
         docs, text_col, id_col, k
     ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ids = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pair_structs = _ordered_pair_structs(
+        F.array_sort(F.col("ids")),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     bucket_ok = F.size("ids") > 1
     if max_docs_per_shingle is not None:
@@ -246,19 +263,13 @@ def ngram_idf_jaccard_pairs(
     # lived apps should clearCache() between pipeline stages
     weighted = sh.select("doc_id", "shingle", idf_q.alias("__w")).persist()
     totals = weighted.groupBy("doc_id").agg(F.sum("__w").alias("__tw"))
-    ids = F.array_sort(F.col("members"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(
-                    x["doc_id"].alias("doc_a"),
-                    y["doc_id"].alias("doc_b"),
-                    x["__w"].alias("__w"),
-                ),
-            ),
-        )
+    pair_structs = _ordered_pair_structs(
+        F.array_sort(F.col("members")),
+        lambda x, y: F.struct(
+            x["doc_id"].alias("doc_a"),
+            y["doc_id"].alias("doc_b"),
+            x["__w"].alias("__w"),
+        ),
     )
     bucket_ok = F.size("members") > 1
     if max_docs_per_shingle is not None:
@@ -310,15 +321,9 @@ def ngram_containment_pairs(
     identically; ``None`` = exact."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    ids = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pair_structs = _ordered_pair_structs(
+        F.array_sort(F.col("ids")),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     bucket_ok = F.size("ids") > 1
     if max_docs_per_shingle is not None:
@@ -456,15 +461,9 @@ def _band_candidates(
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bs")
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
-    ids = F.array_sort(F.col("ids"))
-    pair_structs = F.flatten(
-        F.transform(
-            ids,
-            lambda x, i: F.transform(
-                F.slice(ids, i + 2, F.size(ids)),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
+    pair_structs = _ordered_pair_structs(
+        F.array_sort(F.col("ids")),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
     )
     bucket_ok = F.size("ids") > 1
     if max_bucket_size is not None:
