@@ -3931,3 +3931,31 @@ def test_quota_pack_boundary_spill(spark):
     # 3000-token docs: doc boundaries at 0,3000,6000,9000 → shards 0,0,1,2
     by_shard = {r.shard_id: r.n_docs for r in rows}
     assert by_shard == {0: 2, 1: 1, 2: 1}
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    bucket=st.lists(
+        st.integers(min_value=0, max_value=50), min_size=0, max_size=12
+    )
+)
+def test_ordered_pair_structs_matches_combinations(spark, bucket):
+    """_ordered_pair_structs over a sorted bucket == itertools
+    combinations of the sorted distinct... no — of the sorted list AS IS
+    (duplicates pair too, matching collect_list semantics)."""
+    import itertools
+
+    from irstats2_spark.pipeline.dedup import _ordered_pair_structs
+
+    df = spark.createDataFrame([(bucket,)], "ids array<int>")
+    out = df.select(
+        F.explode(
+            _ordered_pair_structs(
+                F.array_sort(F.col("ids")),
+                lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    got = sorted((r.a, r.b) for r in out.collect())
+    want = sorted(itertools.combinations(sorted(bucket), 2))
+    assert got == [tuple(w) for w in want]

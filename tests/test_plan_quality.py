@@ -1012,3 +1012,37 @@ def test_release_e2e_manifest_shuffle_carries_hashes_not_text(spark, queries):
     # the sole text-bearing exchange is the keeper window's
     text_bearing = [b for b in blocks if "text#" in b]
     assert len(text_bearing) <= 1, text_bearing
+
+
+def test_shingle_build_evaluates_split_once(spark):
+    """Regression guard for the lambda-binding idiom: the optimized plan
+    of a shingle explode must contain exactly ONE split(normalize) call.
+    Inlined (un-bound), the word array is referenced by the per-shingle
+    slice and the expression re-evaluates per element — the quadratic
+    map stage the binding exists to prevent."""
+    from irstats2_spark.pipeline.dedup import shingle_array
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    plan = (
+        df.select(F.explode(shingle_array(F.col("text"))).alias("s"))
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("split(") == 1, plan
+
+
+def test_pq_subvectors_quantize_once(spark):
+    """Same guard for the PQ subvector stage: one quantize transform in
+    the plan, not one per subspace."""
+    from irstats2_spark.pipeline.pq import pq_subvectors
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    plan = (
+        pq_subvectors(emb, dim=64, m=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("FLOOR(") <= 2, plan  # 1 quantize (+1 in a cast guard)
