@@ -1046,3 +1046,19 @@ def test_pq_subvectors_quantize_once(spark):
         .toString()
     )
     assert plan.count("FLOOR(") <= 2, plan  # 1 quantize (+1 in a cast guard)
+
+
+def test_streaming_minhash_projection_keeps_hoisted_shingles(spark):
+    """The streaming near-dup path hoists the shingle array with
+    withColumn before the 16-64 per-slot MinHash references; this relies
+    on CollapseProject NOT re-inlining a non-cheap multi-referenced
+    alias. If that optimizer contract (or the hoist) breaks, the split
+    shows up once per hash slot and the per-row cost multiplies."""
+    from irstats2_spark.pipeline.dedup import minhash_row_cols, shingle_array
+
+    df = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    sig = df.withColumn("__shingles", shingle_array(F.col("text"), 3)).select(
+        F.col("doc_id"), *minhash_row_cols(F.col("__shingles"), 16)
+    )
+    plan = sig._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("split(") == 1, plan
