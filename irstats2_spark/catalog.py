@@ -127,7 +127,25 @@ GATE_PRIORITY: tuple[str, ...] = (
 # text_vocab_coverage_curve, corpus_compaction_plan.
 # With those green, every oracled query has a driver row (219/219;
 # bpe_train_merges is the one permanent rows-only entry, pytest-pinned
-# and deliberately out of rotation). Then resume the normal rotation:
+# and deliberately out of rotation).
+# THEN re-gate the queries whose implementations changed AFTER round
+# 6's cut was frozen (the expression-binding performance rewrites in
+# shingle_array / fixed_chunk_array / winnow_key_array /
+# _ordered_pair_structs / pq_subvectors / pq_encode_vec /
+# repetition_score — output-identical by construction, green in this
+# round's three full local oracle-mirror runs, and plan-guarded in
+# tests/test_plan_quality.py, but their existing driver rows verified
+# the pre-rewrite code): dedup_ngram_jaccard, dedup_ngram_containment,
+# dedup_ngram_idf_jaccard, dedup_lsh_recall_audit, dedup_minhash_lsh,
+# similarity_pq_fit, similarity_pq_encode, similarity_pq_topk,
+# similarity_ivfpq_topk, similarity_pq_balance_audit,
+# dedup_embedding_pq_blocking, pipeline_embed_index_search_e2e,
+# text_frequent_chunks, text_remove_frequent_chunks,
+# text_remove_frequent_chunks_incremental, text_dedup_chunks_inplace,
+# text_repetition_score, text_decontamination_spans,
+# pipeline_pretrain_e2e (queries already in round 6's gate got their
+# rows on the new code and do not need this).
+# Then resume the normal rotation:
 # re-gate whatever round 7 changes, the two anchors, and fill the
 # remaining ~40 slots with the oldest r2/r3-green rows
 # (robots_filter_outcome, dedup_simhash, text_quality_features,

@@ -37,6 +37,25 @@ from pyspark.sql import functions as F
 from irstats2_spark.pipeline.similarity import quantize
 
 
+def _bound_subvector_slices(qv: Column, sub_dim: int, m: int) -> Column:
+    """Slice a quantized vector m ways with the vector BOUND as a lambda
+    variable (the dedup.shingle_array single-element-array trick):
+    inlined, the quantize transform would re-run once PER SUBSPACE — m x
+    the map work of the hottest stage in every PQ query. Shared by
+    pq_subvectors and pq_encode_vec so the binding cannot drift between
+    the fit/encode and the vectorized-encode paths (both are covered by
+    tests/test_plan_quality.py's quantize-once guards)."""
+    return F.get(
+        F.transform(
+            F.array(qv),
+            lambda q: F.array(
+                *[F.slice(q, j * sub_dim + 1, sub_dim) for j in range(m)]
+            ),
+        ),
+        0,
+    )
+
+
 def l2dist_q(a: Column, b: Column) -> Column:
     """Squared L2 distance over ALREADY-quantized (long-array) vectors —
     an exact integer, so any engine reproduces it bit-for-bit."""
@@ -65,19 +84,7 @@ def pq_subvectors(
     assert dim % m == 0, "dim must split evenly into m subspaces"
     sub_dim = dim // m
     qv = F.col(vec_col) if pre_quantized else quantize(F.col(vec_col), scale)
-    # bind the quantized vector as a lambda variable before slicing m ways:
-    # inlined, the quantize transform would re-run once PER SUBSPACE (m x
-    # the map work of the hottest stage in every PQ query) — see
-    # dedup.shingle_array for the single-element-array binding trick
-    slices = F.get(
-        F.transform(
-            F.array(qv),
-            lambda q: F.array(
-                *[F.slice(q, j * sub_dim + 1, sub_dim) for j in range(m)]
-            ),
-        ),
-        0,
-    )
+    slices = _bound_subvector_slices(qv, sub_dim, m)
     return df.select(
         F.col(id_col).alias("vec_id"),
         *[F.col(c) for c in keep_cols],
@@ -702,19 +709,7 @@ def pq_encode_vec(
         )
     )
     qv = F.col(vec_col) if pre_quantized else quantize(F.col(vec_col), scale)
-    # bind the quantized vector as a lambda variable before slicing m ways:
-    # inlined, the quantize transform would re-run once PER SUBSPACE (m x
-    # the map work of the hottest stage in every PQ query) — see
-    # dedup.shingle_array for the single-element-array binding trick
-    slices = F.get(
-        F.transform(
-            F.array(qv),
-            lambda q: F.array(
-                *[F.slice(q, j * sub_dim + 1, sub_dim) for j in range(m)]
-            ),
-        ),
-        0,
-    )
+    slices = _bound_subvector_slices(qv, sub_dim, m)
     codes = F.zip_with(
         slices,
         F.sequence(F.lit(0), F.lit(m - 1)),

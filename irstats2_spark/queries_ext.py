@@ -1263,7 +1263,9 @@ def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     us = F.unix_micros(F.col("ts"))
     bin_us = 600 * 1_000_000
     incidents = (
-        ev.groupBy((us / bin_us).cast("long").alias("bin"))
+        # floor, not cast: truncation-toward-zero mis-bins pre-1970
+        # timestamps (the oracle FLOORs) — same fix as interval_overlap_join
+        ev.groupBy(F.floor(us / bin_us).cast("long").alias("bin"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .orderBy(F.desc("n_events"), "bin")
         .limit(5)

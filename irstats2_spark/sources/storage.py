@@ -50,6 +50,36 @@ def read_fact(spark: SparkSession, root: str, datatype: str) -> DataFrame:
     return spark.read.parquet(os.path.join(root, f"fact_{datatype}"))
 
 
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """``spark.read.parquet(path)``, or None when the path does not exist.
+
+    Missing-path detection matches the PATH_NOT_FOUND error CLASS (with a
+    message-substring fallback for builds predating getCondition), so a
+    corrupt or partially-written table still RAISES — treating any read
+    failure as "no table yet" silently disables incremental merges (the
+    defect class fixed in both streaming sinks, which share this helper
+    so their semantics cannot drift)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = None
+        for probe in ("getCondition", "getErrorClass"):
+            if hasattr(e, probe):
+                cond = getattr(e, probe)()
+                if cond:
+                    break
+        missing = (
+            cond == "PATH_NOT_FOUND"
+            if cond
+            else "PATH_NOT_FOUND" in str(e)
+        )
+        if missing:
+            return None
+        raise
+
+
 def replay_from_date(
     spark: SparkSession,
     fact_updates: DataFrame,

@@ -97,22 +97,19 @@ def start_fact_stream(
             # (corrupt/partial parquet, transient IO) must propagate — a
             # swallowed error here would silently drop the merge and
             # OVERWRITE existing partitions with this batch alone (same
-            # defect class fixed in start_corpus_stream's hash read).
-            from pyspark.errors import AnalysisException
+            # defect class fixed in start_corpus_stream's hash read;
+            # shared error-class-matching helper so the two sinks agree).
+            import os
 
-            from irstats2_spark.sources.storage import read_fact
+            from irstats2_spark.sources.storage import read_parquet_if_exists
 
-            try:
-                existing = read_fact(spark, output_root, datatype).filter(
-                    F.col("datestamp") >= min_day
-                )
-            except AnalysisException as e:
-                if "PATH_NOT_FOUND" not in str(e):
-                    raise
-                existing = None
+            existing = read_parquet_if_exists(
+                spark, os.path.join(output_root, f"fact_{datatype}")
+            )
             if existing is not None:
                 merged = (
-                    existing.unionByName(fact)
+                    existing.filter(F.col("datestamp") >= min_day)
+                    .unionByName(fact)
                     .groupBy("eprintid", "datestamp", "value")
                     .agg(F.sum("count").alias("count"))
                 )
@@ -619,8 +616,6 @@ def start_corpus_stream(
     anti-join plans exchange-free on the snapshot side)."""
     import os
 
-    from pyspark.errors import AnalysisException
-
     from irstats2_spark.pipeline.textstats import token_count
 
     corpus_path = os.path.join(output_root, "corpus")
@@ -645,12 +640,9 @@ def start_corpus_stream(
         # (corrupt/partial parquet, transient IO) must propagate — a
         # swallowed error here would silently disable cross-batch dedup
         # for this micro-batch and admit duplicates.
-        try:
-            seen = spark.read.parquet(hashes_path)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            seen = None
+        from irstats2_spark.sources.storage import read_parquet_if_exists
+
+        seen = read_parquet_if_exists(spark, hashes_path)
         if seen is not None:
             # exclude this batch's own directory: a replayed batch must
             # not anti-join against its previous partial attempt (it

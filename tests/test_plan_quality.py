@@ -1048,6 +1048,25 @@ def test_pq_subvectors_quantize_once(spark):
     assert plan.count("FLOOR(") <= 2, plan  # 1 quantize (+1 in a cast guard)
 
 
+def test_pq_encode_vec_quantize_once(spark):
+    """And for the vectorized encode path, which shares
+    _bound_subvector_slices with pq_subvectors: the row vector must be
+    quantized once, not once per subspace (codebook requantization adds
+    its own single FLOOR on the broadcast side)."""
+    from irstats2_spark.pipeline.pq import pq_encode_vec, pq_fit
+    from irstats2_spark.sources.testdata import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    cb = pq_fit(emb, dim=64, m=8, n_codes=2, max_iter=1)
+    plan = (
+        pq_encode_vec(emb, cb, dim=64, m=8)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert plan.count("FLOOR(") <= 3, plan
+
+
 def test_streaming_minhash_projection_keeps_hoisted_shingles(spark):
     """The streaming near-dup path hoists the shingle array with
     withColumn before the 16-64 per-slot MinHash references; this relies
