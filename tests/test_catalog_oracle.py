@@ -70,3 +70,21 @@ def test_gate_priority_names_all_registered_and_exactly_50():
     assert len(catalog.GATE_PRIORITY) == 50
     first50 = list(catalog.queries())[:50]
     assert first50 == list(catalog.GATE_PRIORITY)
+
+
+def test_gate_priority_is_prefix_and_fully_oracled():
+    """Gate hygiene: GATE_PRIORITY must be exactly the head of queries()
+    (the driver checks the FIRST 50), every name must resolve, and every
+    gated entry must carry a value oracle — round 5 spent a gate slot to
+    learn that a rows-only entry yields err:"no_oracle" instead of a
+    verification, so a rows-only name in the gate head is a bug."""
+    catalog._ensure_loaded()
+    names = list(catalog.queries())
+    gate = list(catalog.GATE_PRIORITY)
+    assert len(gate) == len(set(gate)), "duplicate gate entries"
+    missing = [n for n in gate if n not in catalog._REGISTRY]
+    assert not missing, f"gate names not registered: {missing}"
+    assert names[: len(gate)] == gate
+    oracled = catalog.oracle_sql()
+    rows_only = [n for n in names[:50] if n not in oracled]
+    assert not rows_only, f"rows-only entries in the driver's gate: {rows_only}"
