@@ -496,20 +496,35 @@ def pca_projection_audit(
         F.sum("proj").alias("proj"),
         F.sum("resid").alias("resid"),
     )
+    # centered == 0 (all input vectors identical) makes the ppm ratio
+    # 0/0; fail with a message instead of emitting NULL/NaN rows.
+    ppm = F.round(
+        F.lit(1_000_000.0) * (F.col("proj") + F.col("resid")) / F.col("centered")
+    ).cast("long")
     return agg.select(
         "k",
         "n_vecs",
         "sum_sq_q",
-        F.round(
-            F.lit(1_000_000.0) * (F.col("proj") + F.col("resid")) / F.col("centered")
+        F.when(F.col("centered") > 0, ppm)
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    "pca_projection_audit: centered scatter is 0 (all "
+                    f"{vec_col!r} vectors identical) — pythagoras_ppm undefined"
+                )
+            ).cast("long")
         )
-        .cast("long")
         .alias("pythagoras_ppm"),
     ).orderBy("k")
 
 
 def _first_vec(emb: DataFrame, vec_col: str):
-    return emb.select(vec_col).first()[0]
+    row = emb.select(vec_col).first()
+    assert row is not None and row[0] is not None, (
+        f"expected a non-empty table with non-null {vec_col!r} "
+        "(audit inputs must have at least one vector)"
+    )
+    return row[0]
 
 
 def opq_distortion_audit(
@@ -533,9 +548,11 @@ def opq_distortion_audit(
       vectors (same value both rows; oracle replays it — checks the
       quantization and the distributed sum);
     - ``energy_ppm`` — round(1e6 * variant_centered_energy /
-      raw_centered_scatter). 1_000_000 on both rows iff the OPQ
-      rotation is ORTHONORMAL and mean-centering is right (the rotated
-      row is the real assertion; the raw row is its baseline);
+      raw_centered_scatter). Only the ``opq_rotated`` row is a live
+      assertion (1_000_000 iff the OPQ rotation is ORTHONORMAL and
+      mean-centering is right); the ``pq_raw`` row is 1_000_000 BY
+      CONSTRUCTION (numerator and denominator are the same centered
+      scatter), kept so the oracle pins both rows to one literal;
     - ``distortion_le_energy`` — the variant's ACTUAL PQ fit+encode
       distortion total (integer, the same fits opq_vs_pq_distortion
       measures) is <= its quantized total energy. Guaranteed by the

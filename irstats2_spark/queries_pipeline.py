@@ -7,6 +7,8 @@ Cosine scores are rounded to 6dp on both sides before ranking/compare.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -5852,22 +5854,62 @@ def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # it per query tripled the graph tier's bench cost. Memoize the
 # materialized edge list per (application, sf_dir) — the same shared-
 # subplan persist() lesson as the LSH band sweep, lifted across query
-# boundaries. Safe because the testdata dirs are immutable within a run;
-# the entry is a localCheckpoint'ed (u, v) BIGINT list, k-bounded
-# (~|V|*k rows). Keyed by applicationId (unique per SparkContext — an
-# id() key could collide after a context restart at the same address)
-# and entries from OTHER applications are evicted on first miss: their
+# boundaries. The entry is a localCheckpoint'ed (u, v) BIGINT list,
+# k-bounded (~|V|*k rows). Keyed by applicationId (unique per
+# SparkContext — an id() key could collide after a context restart at
+# the same address) PLUS a content fingerprint of the embeddings file
+# (mtime + size, cheap os.stat), so regenerating testdata at the same
+# sf_dir within one application misses instead of serving stale edges.
+# Entries from OTHER applications are evicted on first miss: their
 # checkpointed blocks died with that context and cannot be recomputed
 # from lineage, so holding them would pin dead-session objects forever.
-_KNN_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+#
+# BENCH SEMANTICS (documented per the r6 advice): within one bench.py /
+# driver process the FIRST graph query (registration order: pagerank)
+# pays the prefix build; triangles and label_propagation reuse it. The
+# per-query timings in BENCH_DETAIL.json therefore measure the tier the
+# way a production job server would run it (shared materialized edge
+# list), not three cold rebuilds — compare the graph tier's COMBINED
+# time across rounds, not pagerank's solo number.
+_KNN_EDGE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _testdata_fingerprint(sf_dir: str, name: str) -> str:
+    """mtime+size stamp of one testdata parquet file or directory."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        st = os.stat(path)
+        stamp = [f"{st.st_mtime_ns}:{st.st_size}"]
+        if os.path.isdir(path):
+            for f in sorted(os.listdir(path)):
+                s = os.stat(os.path.join(path, f))
+                stamp.append(f"{f}:{s.st_mtime_ns}:{s.st_size}")
+        return "|".join(stamp)
+    except OSError:
+        return "unstat-able"
+
+
+def clear_knn_edge_cache() -> None:
+    """Drop every memoized kNN edge list (for in-process testdata swaps)."""
+    _KNN_EDGE_CACHE.clear()
 
 
 def _mutual_knn_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.similarity import knn_graph_ivf, knn_mutual_graph
 
-    key = (spark.sparkContext.applicationId, sf_dir)
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        _testdata_fingerprint(sf_dir, "embeddings"),
+    )
     if key not in _KNN_EDGE_CACHE:
-        for stale in [k for k in _KNN_EDGE_CACHE if k[0] != key[0]]:
+        # Evict dead-application entries and superseded fingerprints of
+        # this sf_dir; other sf_dirs in the same app stay warm.
+        for stale in [
+            k
+            for k in _KNN_EDGE_CACHE
+            if k[0] != key[0] or (k[1] == key[1] and k[2] != key[2])
+        ]:
             del _KNN_EDGE_CACHE[stale]
         emb = load_table(spark, "embeddings", sf_dir)
         cents = emb.filter(F.col("vec_id") < 4).select(
@@ -6757,9 +6799,15 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cov(load_table(spark, "embeddings", sf_dir))
 
 
+# Single source of truth for the PCA-audit component counts: the oracle's
+# VALUES list and the ks= the query passes are f-string'd from this tuple,
+# so editing one side cannot silently desynchronize the gate.
+_PCA_KS: tuple[int, ...] = (2, 8, 32, 64)
+
+
 @register(
     "embedding_pca_project",
-    """
+    f"""
     WITH pq_ AS (
         SELECT CAST(FLOOR(CAST(t.embedding[t.i] AS DOUBLE) * 1024 + 0.5)
                     AS BIGINT) AS qv
@@ -6773,7 +6821,7 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(k.k AS INT) AS k, a.n_vecs, a.sum_sq_q,
            CAST(1000000 AS BIGINT) AS pythagoras_ppm
-    FROM (VALUES (2), (8), (32), (64)) k(k) CROSS JOIN pagg a
+    FROM (VALUES {", ".join(f"({k})" for k in _PCA_KS)}) k(k) CROSS JOIN pagg a
     ORDER BY 1
     """,
     doc="PCA projection audit, now VALUE-CHECKED (was rows-only): the "
@@ -6789,7 +6837,7 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.linalg import pca_projection_audit
 
     return pca_projection_audit(
-        load_table(spark, "embeddings", sf_dir), ks=(2, 8, 32, 64)
+        load_table(spark, "embeddings", sf_dir), ks=_PCA_KS
     )
 
 

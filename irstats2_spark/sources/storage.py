@@ -51,14 +51,19 @@ def read_fact(spark: SparkSession, root: str, datatype: str) -> DataFrame:
 
 
 def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
-    """``spark.read.parquet(path)``, or None when the path does not exist.
+    """``spark.read.parquet(path)``, or None when no table exists yet.
 
-    Missing-path detection matches the PATH_NOT_FOUND error CLASS (with a
-    message-substring fallback for builds predating getCondition), so a
-    corrupt or partially-written table still RAISES — treating any read
-    failure as "no table yet" silently disables incremental merges (the
-    defect class fixed in both streaming sinks, which share this helper
-    so their semantics cannot drift)."""
+    "No table yet" means the PATH_NOT_FOUND error CLASS (with a
+    message-substring fallback for builds predating getCondition) OR
+    UNABLE_TO_INFER_SCHEMA, which parquet raises for a directory with no
+    data files — the footprint of an interrupted first write that
+    created the directory (maybe a ``_SUCCESS``/``_temporary`` marker)
+    but committed no part files; treating it as missing lets the next
+    batch recover instead of failing the stream forever. Any OTHER read
+    failure (corrupt footer, schema conflict) still RAISES — treating
+    every failure as "no table yet" silently disables incremental merges
+    (the defect class fixed in both streaming sinks, which share this
+    helper so their semantics cannot drift)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -70,10 +75,11 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
                 cond = getattr(e, probe)()
                 if cond:
                     break
+        msg = str(e)
         missing = (
-            cond == "PATH_NOT_FOUND"
+            cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
             if cond
-            else "PATH_NOT_FOUND" in str(e)
+            else ("PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg)
         )
         if missing:
             return None

@@ -178,6 +178,22 @@ def test_pca_projection_audit_closes_pythagoras(spark):
         assert r["pythagoras_ppm"] == 1_000_000, (k, r["pythagoras_ppm"])
 
 
+def test_pca_projection_audit_degenerate_inputs_fail_loud(spark):
+    """Empty table -> assertion naming the column (not TypeError on
+    first()[0]); all-identical vectors -> raise_error naming the zero
+    centered scatter (not a NULL/NaN ppm row)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(AssertionError, match="non-empty"):
+        linalg.pca_projection_audit(empty, ks=(1,))
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="centered scatter is 0"):
+        linalg.pca_projection_audit(same, ks=(1, 2)).collect()
+
+
 def test_opq_distortion_audit_invariants(spark):
     """Energy conservation under the OPQ rotation (orthonormality) and
     distortion <= total quantized energy for BOTH real PQ fits."""

@@ -73,6 +73,30 @@ def test_write_and_replay(spark, tmp_path):
     assert rows[(2, 20240103)] == 1
 
 
+def test_read_parquet_if_exists_missing_empty_and_corrupt(spark, tmp_path):
+    """The three 'no table yet?' shapes: a missing path and an
+    existing-but-empty directory (interrupted first write) both return
+    None so first-batch recovery works; a directory with a corrupt
+    parquet file still raises (schema inference finds the file, the
+    footer read fails) — never silently 'no table'."""
+    from irstats2_spark.sources.storage import read_parquet_if_exists
+
+    assert read_parquet_if_exists(spark, str(tmp_path / "never_written")) is None
+
+    empty = tmp_path / "fact_interrupted"
+    empty.mkdir()
+    (empty / "_SUCCESS").write_bytes(b"")  # marker only, no part files
+    assert read_parquet_if_exists(spark, str(empty)) is None
+
+    corrupt = tmp_path / "fact_corrupt"
+    corrupt.mkdir()
+    (corrupt / "part-00000.parquet").write_bytes(b"not a parquet footer")
+    with pytest.raises(Exception):
+        df = read_parquet_if_exists(spark, str(corrupt))
+        assert df is not None
+        df.collect()
+
+
 def test_streaming_ingest(spark, tmp_path):
     from irstats2_spark.streaming.ingest import read_access_stream, start_fact_stream
 
