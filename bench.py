@@ -62,27 +62,48 @@ def main() -> None:
     # Persist the COMPLETE per-query map in-repo: the driver's BENCH_r*.json
     # stores only a truncated tail, and the r4/r5 truncations didn't even
     # overlap — so round-over-round per-query comparison was impossible from
-    # the artifacts alone. BENCH_DETAIL.json is committed each round; diff
-    # it against the previous round's committed copy.
+    # the artifacts alone. Artifacts are SPLIT BY PRODUCER (r6 verdict #6):
+    # the committed idle baseline BENCH_DETAIL.json is written only when
+    # SPARK_GRAFT_BENCH_DETAIL names it (the builder's idle best-of-3 run);
+    # any other invocation (the driver's per-round pass, ad-hoc probes)
+    # writes BENCH_DETAIL_LAST_RUN.json so it can't clobber the committed
+    # baseline. Every run also APPENDS one line to BENCH_HISTORY.jsonl, so
+    # per-query trends are diffable without cross-file archaeology.
+    here = os.path.dirname(__file__)
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(here, "BENCH_DETAIL_LAST_RUN.json"),
+    )
+    payload = {
+        "sf": sf,
+        "unit": "sec",
+        "n_queries": len(per_query),
+        "failed": failed,
+        "total": total,
+        "queries": per_query,
+    }
     try:
-        detail_path = os.path.join(os.path.dirname(__file__), "BENCH_DETAIL.json")
         with open(detail_path, "w") as fh:
-            json.dump(
-                {
-                    "sf": sf,
-                    "unit": "sec",
-                    "n_queries": len(per_query),
-                    "failed": failed,
-                    "total": total,
-                    "queries": per_query,
-                },
-                fh,
-                indent=1,
-                sort_keys=True,
-            )
+            json.dump(payload, fh, indent=1, sort_keys=True)
             fh.write("\n")
+        with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                        "producer": (
+                            "builder-idle"
+                            if "SPARK_GRAFT_BENCH_DETAIL" in os.environ
+                            else "unlabeled"
+                        ),
+                        **payload,
+                    },
+                    sort_keys=True,
+                )
+                + "\n"
+            )
     except OSError as exc:  # read-only checkout must not fail the bench
-        print(f"bench: could not write BENCH_DETAIL.json: {exc}", file=sys.stderr)
+        print(f"bench: could not write bench artifacts: {exc}", file=sys.stderr)
     # Key order matters: the driver's tail capture can truncate this
     # (now 100+ entry) line from the FRONT, so the big `queries` map goes
     # first and the headline total/sf/failed go LAST where they survive

@@ -38,125 +38,113 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-6 rotation — the CONSOLIDATION cut (round-5 verdict ask #1):
-# the catalog is FROZEN this round (220 queries, no new registrations)
-# and the gate burns the never-driver-verified debt. 54 queries had no
-# green CORRECTNESS row across r1..r5 (all green in the pytest sf0.01
-# oracle mirror); of those:
-# - bpe_train_merges stays OUT of rotation permanently — it has no SQL
-#   oracle, the driver can only answer err:"no_oracle" (r5 spent slot
-#   #1 to learn this); it stays pytest-pinned (sample ⊇ vocab exact
-#   reproduction) instead;
-# - embedding_pca_project and similarity_opq_distortion are now
-#   VALUE-CHECKABLE (verdict ask #2): re-registered with derived
-#   invariant oracles (exact-integer quantized energy + Pythagoras /
-#   energy-conservation ppm + distortion<=energy), so they gate
-#   normally below;
-# - 6 stable-since-r3 queries whose operator FAMILY already holds green
-#   rows are deferred to round 7 (listed at the end of this comment) —
-#   53 gateable debt + 1 changed-impl re-gate + 2 anchors = 56 > 50.
-# Also gated: corpus_source_overlap (green r5, but its implementation
-# changed this round — eager audit materialization + cache release), and
-# the two core anchors (A1 grouped sum, exact repeat) every round.
-# The graph/zorder/covariance/covisit/interval queries below also had
-# implementation changes this round (shared kNN-edge prefix, n_files
-# guard, DECIMAL overflow fix, lazy session count, floor bucketing), so
-# their first-ever rows verify today's code, not a stale snapshot.
+# Round-7 rotation — LEDGER COMPLETION (round-6 verdict ask #1): with
+# this cut green, every oracled catalog query (219/220) has a driver
+# row verifying CURRENT code; bpe_train_merges stays the one permanent
+# rows-only entry (no SQL oracle, pytest-pinned, out of rotation).
+# Slot budget (50):
+# - 6 debt queries deferred from round 6's cut (stable since r3, green
+#   in every local mirror run, family-verified elsewhere);
+# - 19 stale re-gates: the expression-binding perf rewrites landed
+#   AFTER round 6's cut froze (shingle_array / fixed_chunk_array /
+#   winnow_key_array / _ordered_pair_structs / pq_subvectors /
+#   pq_encode_vec / repetition_score) — output-identical by
+#   construction and plan-guarded, but their existing rows verified
+#   pre-rewrite code;
+# - 9 queries whose implementation changed THIS round: the audit
+#   eager-release defaults (dedup_lsh_recall_audit is already in the 19;
+#   dedup_simhash_quality_audit, text_minhash_containment_asym), the
+#   e2e pin releases (pipeline_embed_index_search_e2e in the 19;
+#   pipeline_rag_index_e2e), the shared SimHash banded-pair prefix
+#   (dedup_simhash_hamming, sample_split_leakage_safe,
+#   pipeline_neardup_maintenance_e2e), and the graph tier whose memo
+#   keying gained a testdata fingerprint (graph_pagerank,
+#   graph_triangles, graph_label_propagation — output-identical, but
+#   the rows should verify the code as it ships);
+# - 2 anchors (A1 grouped sum, exact repeat) every round;
+# - 14 oldest-rotation slots from the round-4 displaced-r2 list.
+# embedding_pca_project's oracle now derives its VALUES list from the
+# same _PCA_KS constant the query passes — the generated SQL is
+# byte-identical to the r6-verified string, so no re-gate is spent.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- newest first: session-5 adds (no driver row yet) --
-    "embedding_pca_project",
-    "similarity_opq_distortion",
-    "embedding_covariance",
-    "corpus_zonemap_prune_audit",
-    "corpus_zorder_layout",
-    "corpus_zorder_prune_gain",
-    "corpus_zonemap_merge",
-    "events_top_paths",
-    "events_covisit_lift",
-    "events_interval_overlap",
-    "text_encoding_anomaly",
-    "corpus_curriculum_order",
-    "embedding_class_separation",
-    "similarity_cluster_purity",
-    "text_vocab_decode_roundtrip",
-    "corpus_ngram_diversity_approx",
-    "events_trending_types",
-    "pipeline_release_e2e",
-    # -- session-4 adds (no driver row yet) --
-    "events_markov_transitions",
-    "events_rolling_anomaly",
+    # -- the 6 deferred debt queries (gate these FIRST) --
+    "similarity_pq_rerank_topk",
+    "similarity_pq_m_sweep",
+    "dedup_edit_distance_incremental",
+    "mix_temperature_sweep",
+    "text_vocab_coverage_curve",
+    "corpus_compaction_plan",
+    # -- the 19 stale re-gates (post-freeze expression-binding rewrites) --
+    "dedup_ngram_jaccard",
+    "dedup_ngram_containment",
+    "dedup_ngram_idf_jaccard",
+    "dedup_lsh_recall_audit",
+    "dedup_minhash_lsh",
+    "similarity_pq_fit",
+    "similarity_pq_encode",
+    "similarity_pq_topk",
+    "similarity_ivfpq_topk",
+    "similarity_pq_balance_audit",
+    "dedup_embedding_pq_blocking",
+    "pipeline_embed_index_search_e2e",
+    "text_frequent_chunks",
+    "text_remove_frequent_chunks",
+    "text_remove_frequent_chunks_incremental",
+    "text_dedup_chunks_inplace",
+    "text_repetition_score",
+    "text_decontamination_spans",
+    "pipeline_pretrain_e2e",
+    # -- changed this round (cache lifecycle + shared prefixes) --
+    "dedup_simhash_quality_audit",
+    "text_minhash_containment_asym",
+    "pipeline_rag_index_e2e",
+    "dedup_simhash_hamming",
+    "sample_split_leakage_safe",
+    "pipeline_neardup_maintenance_e2e",
     "graph_pagerank",
     "graph_triangles",
     "graph_label_propagation",
-    "text_cosine_pairs_inverted",
-    "corpus_ngram_diversity",
-    "text_tokenizer_fertility",
-    "events_attribution_windows",
-    "text_minhash_containment_asym",
-    "sample_coreset_diverse",
-    "mix_doremi_proxy_reweight",
-    "text_burstiness_audit",
-    "pipeline_dedup_cascade_audit",
-    "corpus_quota_pack",
-    "events_session_quantiles_exact",
-    # -- session-3 adds (no driver row yet) --
-    "dedup_edit_distance",
-    "dedup_lsh_band_sweep",
-    "text_ccnet_perplexity_buckets",
-    "text_lang_confusion_audit",
-    "text_quality_calibration_audit",
-    "text_token_entropy",
-    "sample_split_leakage_safe",
-    "similarity_knn_mutual_graph",
-    "similarity_ivf_probe_sweep",
-    "pipeline_quality_funnel_e2e",
-    "agg_grouping_sets",
-    "events_retention_cohorts",
-    "events_funnel_conversion",
-    # -- implementation changed this round (green r5, re-verify) --
-    "corpus_source_overlap",
     # -- continuously-verified core anchors --
     "a1_grouped_sum",
     "repeat_filter_exact",
+    # -- oldest-rotation fill (round-4 displaced-r2 list) --
+    "robots_filter_outcome",
+    "dedup_simhash",
+    "text_quality_features",
+    "text_lang_id",
+    "text_fingerprint",
+    "text_token_counts",
+    "sample_split_assign",
+    "sample_stratified",
+    "dedup_clusters",
+    "dedup_exact",
+    "t6_f12_formatting",
+    "o4_listing_engine",
+    "f1_f3_url_parse",
+    "f9_subject_closure",
 )
-# ROUND 7 SHOULD GATE FIRST: the 6 debt queries deferred from round
-# 6's cut (stable since r3, each with green rows elsewhere in its
-# operator family, all green in the pytest sf0.01 oracle mirror):
-# similarity_pq_rerank_topk, similarity_pq_m_sweep,
-# dedup_edit_distance_incremental, mix_temperature_sweep,
-# text_vocab_coverage_curve, corpus_compaction_plan.
-# With those green, every oracled query has a driver row (219/219;
-# bpe_train_merges is the one permanent rows-only entry, pytest-pinned
-# and deliberately out of rotation).
-# THEN re-gate the queries whose implementations changed AFTER round
-# 6's cut was frozen (the expression-binding performance rewrites in
-# shingle_array / fixed_chunk_array / winnow_key_array /
-# _ordered_pair_structs / pq_subvectors / pq_encode_vec /
-# repetition_score — output-identical by construction, green in this
-# round's three full local oracle-mirror runs, and plan-guarded in
-# tests/test_plan_quality.py, but their existing driver rows verified
-# the pre-rewrite code): dedup_ngram_jaccard, dedup_ngram_containment,
-# dedup_ngram_idf_jaccard, dedup_lsh_recall_audit, dedup_minhash_lsh,
-# similarity_pq_fit, similarity_pq_encode, similarity_pq_topk,
-# similarity_ivfpq_topk, similarity_pq_balance_audit,
-# dedup_embedding_pq_blocking, pipeline_embed_index_search_e2e,
-# text_frequent_chunks, text_remove_frequent_chunks,
-# text_remove_frequent_chunks_incremental, text_dedup_chunks_inplace,
-# text_repetition_score, text_decontamination_spans,
-# pipeline_pretrain_e2e (queries already in round 6's gate got their
-# rows on the new code and do not need this).
-# Then resume the normal rotation:
-# re-gate whatever round 7 changes, the two anchors, and fill the
-# remaining ~40 slots with the oldest r2/r3-green rows
-# (robots_filter_outcome, dedup_simhash, text_quality_features,
-# text_lang_id, text_fingerprint, text_token_counts,
-# sample_split_assign, sample_stratified, dedup_clusters, dedup_exact,
-# t6_f12_formatting, o4_listing_engine, f1_f3_url_parse,
-# f9_subject_closure, s7_sets_build, s7_groupings_build,
-# view_sparkline, ctx_data_min, ctx_prelive_clamp, ctx_set_series,
-# ctx_top_sets, ctx_grouping_top, geoip_range_join, view_monthly_graph,
-# events_unique_visitors_approx, etl_downloads_fact, events_asof_prior,
-# events_sessionize, a5_ratio_metric — the round-4 displaced-r2 list).
+# ROUND 8 SHOULD GATE: whatever round 8 changes, the two anchors, and
+# the oldest remaining rotation debt, in this order:
+# - the rest of the round-4 displaced-r2 list not re-gated above:
+#   s7_sets_build, s7_groupings_build, view_sparkline, ctx_data_min,
+#   ctx_prelive_clamp, ctx_set_series, ctx_top_sets, ctx_grouping_top,
+#   geoip_range_join, view_monthly_graph, events_unique_visitors_approx,
+#   etl_downloads_fact, events_asof_prior, events_sessionize,
+#   a5_ratio_metric;
+# - then oldest r3-green rows;
+# - STAGED NEW REGISTRATIONS (round 7 kept the catalog frozen at 220
+#   per the r6 verdict; these are implemented + sequential-reference-
+#   pinned in tests/test_suffix.py and should register WITH oracle +
+#   gate slots in round 8): pipeline/suffix.py's repeated_substrings
+#   (suffix-array maximal-repeat miner) and exact_substring_coverage
+#   (arbitrary-length dup-span fraction).
+# Queries whose ONLY change this round was gaining a no-op
+# ``materialize=False`` keyword (release_after returns the identical
+# DataFrame object when False) were NOT re-gated: text_tfidf_top_term,
+# text_dup_span_coverage, text_cdc_remove_frequent, dedup_clusters
+# (also in the rotation fill anyway), dedup_cluster_quality_keepers,
+# pipeline_dedup_cascade_audit, pipeline_select_e2e — their existing
+# rows still verify the code path that executes.
 # Append every NEW registration to this comment so the debt ledger
 # stays complete.
 

@@ -48,7 +48,12 @@ def build_store(
     with_lifetime_caches: bool = True,
     with_dimensions: bool = True,
 ) -> StatsStore:
-    """Run every applicable processor and assemble the StatsStore."""
+    """Run every applicable processor and assemble the StatsStore.
+
+    Cache lifecycle: the silver scan is pinned because every processor
+    in the returned store derives from it lazily; the CALLER owns the
+    pin — write the facts, then clearCache() (pipeline.lifecycle).
+    """
     silver = silver_events.cache()
 
     facts: dict[str, DataFrame] = {

@@ -176,6 +176,11 @@ def build_dimensions(
 
     Returns {'sets': SET_DIM, 'groupings': GROUPING_DIM,
     'rendered': RENDERED_DIM}.
+
+    Cache lifecycle: each set's extracted values are pinned (two
+    consumers: the membership union and the rendered-value window);
+    the CALLER owns the pins — an ETL run writes the dimensions and
+    then clearCache()s (see pipeline.lifecycle for the contract).
     """
     by_name = {c.set_name: c for c in sets}
     set_parts, rendered_parts = [], []

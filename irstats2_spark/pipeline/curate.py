@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from irstats2_spark.pipeline.lifecycle import release_after
 from irstats2_spark.pipeline.sampling import split_assign
 from irstats2_spark.pipeline.textstats import LANG_MARKERS, tokens
 
@@ -72,6 +73,7 @@ def pretrain_corpus(
     source_cap: float = 15.0,
     budget: int = 1024,
     splits: dict[str, float] | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """The full pretraining-data chain as ONE composition:
 
@@ -110,15 +112,19 @@ def pretrain_corpus(
     )
     # consumed twice (mix rates + the rate-sampled output): persist so the
     # second consumer doesn't re-run curate+decontaminate (same pattern as
-    # select_corpus's kept set); pinned (LRU-evictable) until the caller
-    # finishes with the result — long-lived apps clearCache() between stages
+    # select_corpus's kept set); the ``materialize`` contract
+    # (pipeline.lifecycle) decides who releases the pin
     train = decon.filter(F.col("split") == "train").persist()
     rates = train.groupBy(source_col).agg(
         F.least(F.lit(1.0), F.lit(source_cap) / F.count(F.lit(1))).alias("rate")
     )
     mixed = sample_by_rates(train, rates, source_col, id_col)
     packed = pack_sequences(mixed, F.col("n_tokens"), id_col, budget=budget)
-    return packed.select(id_col, source_col, "n_tokens", "seq_id")
+    return release_after(
+        packed.select(id_col, source_col, "n_tokens", "seq_id"),
+        [train],
+        materialize,
+    )
 
 
 def curation_summary(curated: DataFrame, lang_col: str = "lang") -> DataFrame:
@@ -272,6 +278,7 @@ def select_corpus(
     text_col: str = "text",
     id_col: str = "doc_id",
     source_col: str = "source",
+    materialize: bool = False,
 ) -> DataFrame:
     """Model-based data SELECTION as one composition — the learned-score
     counterpart of ``pretrain_corpus``'s rule-based chain:
@@ -342,7 +349,8 @@ def select_corpus(
     # kept is consumed twice (the mix rates and the rate-sampled output)
     # and is id+score-sized; persisting it stops the second consumer from
     # re-running the full DSIR+LM scoring chain and the global rank cut.
-    # Pinned (LRU-evictable) until the caller finishes with the result.
+    # The ``materialize`` contract (pipeline.lifecycle) decides who
+    # releases the pin.
     kept = (
         top_fraction(scored, "select_score", frac, "doc_id")
         .drop("quality_rank")
@@ -352,7 +360,9 @@ def select_corpus(
     mixed = sample_by_rates(
         kept, rates.withColumnRenamed("stratum", "source"), "source", "doc_id"
     )
-    return mixed.select("doc_id", "source", "select_score")
+    return release_after(
+        mixed.select("doc_id", "source", "select_score"), [kept], materialize
+    )
 
 
 def shard_manifest(

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from irstats2_spark.pipeline.lifecycle import release_after
 
 # Default cap on |docs sharing one shingle| in the co-occurrence pair
 # expanders below. The expanders build candidate pairs by collecting each
@@ -160,6 +161,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
     shingles: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by exact k-word-shingle Jaccard >= threshold.
 
@@ -176,10 +178,17 @@ def ngram_jaccard_pairs(
     it would both blow up one reducer row and inflate Jaccard for pairs
     whose only overlap is site chrome. ``None`` = exact uncapped form.
     Pass a (cached) ``shingles`` DataFrame to share the shingling scan
-    with other consumers (the recall audit does)."""
-    sh = shingles if shingles is not None else word_shingles(
-        docs, text_col, id_col, k
-    ).cache()
+    with other consumers (the recall audit does).
+
+    Cache lifecycle: when ``shingles`` is not supplied, the shingle scan
+    is pinned for its two consumers; ``materialize`` selects who
+    releases it (``pipeline.lifecycle``: False = lazy result, caller
+    owns the pin; True = eager localCheckpoint + release here)."""
+    own_pins: list[DataFrame] = []
+    if shingles is None:
+        shingles = word_shingles(docs, text_col, id_col, k).cache()
+        own_pins.append(shingles)
+    sh = shingles
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pair_structs = _ordered_pair_structs(
         F.array_sort(F.col("ids")),
@@ -209,7 +218,9 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
-    return jac.select("doc_a", "doc_b", "jaccard")
+    return release_after(
+        jac.select("doc_a", "doc_b", "jaccard"), own_pins, materialize
+    )
 
 
 def ngram_idf_jaccard_pairs(
@@ -219,6 +230,7 @@ def ngram_idf_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
     max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
+    materialize: bool = False,
 ) -> DataFrame:
     """IDF-WEIGHTED shingle Jaccard: overlap on a rare shingle counts
     more than overlap on corpus boilerplate —
@@ -248,7 +260,11 @@ def ngram_idf_jaccard_pairs(
     boilerplate buckets before the in-row pair expansion — such
     shingles carry near-zero idf weight anyway, so the cap here barely
     moves scores while removing the N^2 hot-row risk; ``None`` =
-    exact."""
+    exact.
+
+    Cache lifecycle: the weighted shingle scan is pinned for its two
+    consumers; ``materialize`` selects who releases it
+    (``pipeline.lifecycle``)."""
     from pyspark.sql import Window
 
     n_docs = docs.count()  # one cheap scalar job; N is a model constant
@@ -258,9 +274,8 @@ def ngram_idf_jaccard_pairs(
         F.lit(1e6) * F.log(F.lit(float(n_docs)) / df_c.cast("double"))
         + F.lit(0.5)
     ).cast("long")
-    # persisted for the two consumers in the returned lazy plan; pinned
-    # (LRU-evictable) until the caller finishes with the result — long-
-    # lived apps should clearCache() between pipeline stages
+    # persisted for the two consumers in the returned lazy plan; the
+    # ``materialize`` contract (pipeline.lifecycle) decides who releases
     weighted = sh.select("doc_id", "shingle", idf_q.alias("__w")).persist()
     totals = weighted.groupBy("doc_id").agg(F.sum("__w").alias("__tw"))
     pair_structs = _ordered_pair_structs(
@@ -289,12 +304,14 @@ def ngram_idf_jaccard_pairs(
         / (F.col("wa") + F.col("wb") - F.col("w_common")).cast("double"),
         6,
     )
-    return (
+    return release_after(
         common.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn("idf_jaccard", wj)
         .filter(F.col("idf_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "idf_jaccard")
+        .select("doc_a", "doc_b", "idf_jaccard"),
+        [weighted],
+        materialize,
     )
 
 
@@ -305,6 +322,7 @@ def ngram_containment_pairs(
     k: int = 3,
     threshold: float = 0.8,
     max_docs_per_shingle: int | None = DEFAULT_MAX_DOCS_PER_SHINGLE,
+    materialize: bool = False,
 ) -> DataFrame:
     """ASYMMETRIC near-dup pairs by shingle containment
     C(A in B) = |A ∩ B| / |A| — the sub-document-duplication detector
@@ -318,7 +336,10 @@ def ngram_containment_pairs(
     (shared shingle -> ordered pairs -> per-pair n_common), then BOTH
     directed containments are checked from the one undirected pair row.
     ``max_docs_per_shingle`` (default 64) caps boilerplate blowup
-    identically; ``None`` = exact."""
+    identically; ``None`` = exact.
+
+    Cache lifecycle: the shingle scan is pinned for its two consumers;
+    ``materialize`` selects who releases it (``pipeline.lifecycle``)."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     pair_structs = _ordered_pair_structs(
@@ -349,7 +370,11 @@ def ngram_containment_pairs(
         F.col("doc_a").alias("contained_in"),
         F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
     )
-    return a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold)
+    return release_after(
+        a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold),
+        [sh],
+        materialize,
+    )
 
 
 def _minhash_aggs(n_hashes: int) -> list:
@@ -487,6 +512,7 @@ def minhash_lsh_dedup(
     bands: int = 4,
     threshold: float = 0.8,
     max_bucket_size: int | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup: LSH candidates verified by true Jaccard.
     Output: (doc_a, doc_b, jaccard) for verified pairs.
@@ -501,7 +527,11 @@ def minhash_lsh_dedup(
     (array_intersect is hash-based, O(|set|)). Per-doc state is bounded
     by document length, not corpus size. At candidate volumes past
     broadcast limits, semi-filter per-doc rows by candidate ids and let
-    AQE plan the pair joins instead of hinting broadcast."""
+    AQE plan the pair joins instead of hinting broadcast.
+
+    Cache lifecycle: the per-doc signature/set pass is pinned for its
+    three consumers (band candidates + both verify sides);
+    ``materialize`` selects who releases it (``pipeline.lifecycle``)."""
     sh = word_shingles(docs, text_col, id_col, k)
     per_doc = sh.groupBy("doc_id").agg(
         *_minhash_aggs(n_hashes),
@@ -518,13 +548,15 @@ def minhash_lsh_dedup(
     )
     pairs = a.join(F.broadcast(cand.select("doc_a", "doc_b")), "doc_a").join(b, "doc_b")
     n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
-    return (
+    return release_after(
         pairs.withColumn(
             "jaccard",
             F.round(n_common / (F.col("na") + F.col("nb") - n_common), 6),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        [per_doc],
+        materialize,
     )
 
 
@@ -535,6 +567,7 @@ def simhash_quality_audit(
     k: int = 3,
     threshold: float = 0.5,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """SimHash QUALITY audit against exact-Jaccard truth — the
     SimHash-tier counterpart of ``lsh_recall_audit``: every true
@@ -555,8 +588,14 @@ def simhash_quality_audit(
     Scale shape: the truth side is the one-shuffle co-occurrence pair
     miner (sample the corpus at web scale — an audit doesn't need all
     of it); signatures are one vectorized map pass joined twice by id —
-    pair-set-sized work after the miners."""
-    truth = ngram_jaccard_pairs(docs, text_col, id_col, k, threshold=threshold)
+    pair-set-sized work after the miners.
+
+    Cache lifecycle: audits default to ``materialize=True`` — the
+    truth-side shingle pin is released inside ``ngram_jaccard_pairs``
+    and the result checkpointed eagerly (``pipeline.lifecycle``)."""
+    truth = ngram_jaccard_pairs(
+        docs, text_col, id_col, k, threshold=threshold, materialize=materialize
+    )
     sig = simhash64(docs, text_col, id_col)
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -572,7 +611,7 @@ def simhash_quality_audit(
         F.bit_count(F.col("__alo").bitwiseXOR(F.col("__blo")))
         + F.bit_count(F.col("__ahi").bitwiseXOR(F.col("__bhi")))
     ).cast("int")
-    return (
+    return release_after(
         truth.join(a, "doc_a")
         .join(b, "doc_b")
         .select(
@@ -581,7 +620,9 @@ def simhash_quality_audit(
             "jaccard",
             hamming.alias("hamming"),
             (hamming <= max_hamming).alias("found"),
-        )
+        ),
+        [],
+        materialize,
     )
 
 
@@ -734,6 +775,7 @@ def lsh_recall_audit(
     n_hashes: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH recall audit — the dedup counterpart of the ANN recall audit:
     for every TRUE near-dup pair (exact shingle Jaccard >= threshold),
@@ -747,7 +789,11 @@ def lsh_recall_audit(
     Scale shape: the exact side is the one-shuffle shingle co-occurrence
     (run it on a SAMPLE at web scale — auditing doesn't need the full
     corpus); the candidate side is the banded signature join; both reuse
-    one cached shingle scan."""
+    one cached shingle scan.
+
+    Cache lifecycle: audits default to ``materialize=True`` — the
+    pair-set-sized result is evaluated eagerly and the shared shingle
+    pin released before returning (``pipeline.lifecycle``)."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     truth = ngram_jaccard_pairs(
         docs, text_col, id_col, k, threshold=threshold, shingles=sh
@@ -756,14 +802,16 @@ def lsh_recall_audit(
         docs, text_col, id_col, k, n_hashes, bands, shingles=sh
     )
     flag = cand.select("doc_a", "doc_b").withColumn("__f", F.lit(1))
-    return (
+    return release_after(
         truth.join(flag, ["doc_a", "doc_b"], "left")
         .select(
             "doc_a",
             "doc_b",
             "jaccard",
             F.col("__f").isNotNull().alias("found"),
-        )
+        ),
+        [sh],
+        materialize,
     )
 
 
@@ -2035,6 +2083,7 @@ def minhash_containment_audit(
     k: int = 3,
     n_hashes: int = 8,
     bands: int = 4,
+    materialize: bool = True,
 ) -> DataFrame:
     """ASYMMETRIC containment from MinHash signatures, audited against
     the exact value — the near-dup question Jaccard gets wrong when
@@ -2059,7 +2108,11 @@ def minhash_containment_audit(
     verify is map-side array intersection over broadcast pairs. The
     exact columns are the audit half: at corpus scale run the estimate
     columns alone (drop the collect_set) and keep this audited form
-    for sampled QA."""
+    for sampled QA.
+
+    Cache lifecycle: audits default to ``materialize=True`` — eager
+    evaluation, per-doc pin released before returning
+    (``pipeline.lifecycle``)."""
     from irstats2_spark.pipeline.dedup import word_shingles
 
     sh = word_shingles(docs, text_col, id_col, k)
@@ -2093,7 +2146,7 @@ def minhash_containment_audit(
     n_common = F.size(F.array_intersect(F.col("__sa"), F.col("__sb")))
     est_inter = m_matches * (F.col("size_a") + F.col("size_b"))
     est_den = F.lit(n_hashes) + m_matches
-    return pairs.select(
+    out = pairs.select(
         "doc_a",
         "doc_b",
         m_matches.cast("int").alias("n_sig_matches"),
@@ -2110,3 +2163,4 @@ def minhash_containment_audit(
         ),
         F.round(n_common / F.col("size_b"), 6).alias("exact_containment_b"),
     )
+    return release_after(out, [per_doc], materialize)

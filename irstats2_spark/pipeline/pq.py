@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from irstats2_spark.pipeline.lifecycle import release_after
 from irstats2_spark.pipeline.similarity import quantize
 
 
@@ -572,6 +573,7 @@ def ivfpq_topk(
     q_id_col: str = "query_id",
     q_vec_col: str = "query_vec",
     scale: int = 1000,
+    materialize: bool = False,
 ) -> DataFrame:
     """IVF-PQ ANN search — the FAISS-style workhorse index composed
     from this repo's primitives: coarse IVF assignment + product
@@ -610,7 +612,8 @@ def ivfpq_topk(
     # and pq_fit's per-iteration actions plus the encode would each
     # recompute it from the scan — the same materialize-once stand-in
     # for the parquet write a production pipeline does between the
-    # inference/assign stage and index fitting (see the embed e2e)
+    # inference/assign stage and index fitting (see the embed e2e). The
+    # ``materialize`` contract (pipeline.lifecycle) decides who releases.
     res = ivfpq_residuals(assigned, centroids, scale=scale).persist()
     cb = pq_fit(
         res, dim, m, n_codes, max_iter, vec_col="resid", pre_quantized=True,
@@ -670,9 +673,12 @@ def ivfpq_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_dist").asc(), F.col("vec_id").asc()
     )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+    return release_after(
+        scored.withColumn("rank", F.row_number().over(w)).filter(
+            F.col("rank") <= k
+        ),
+        [res],
+        materialize,
     )
 
 

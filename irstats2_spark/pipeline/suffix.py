@@ -1,0 +1,296 @@
+"""Distributed suffix-array repeated-substring mining.
+
+The exact-substring dedup family (Lee et al., "Deduplicating Training
+Data Makes Language Models Better", ACL 2022) finds repeated spans of
+ARBITRARY length by suffix-array adjacency — the dedup question the
+fixed-k shingle / CDC-chunk / winnowing tiers in this package can only
+approximate at their chosen granularities: a 53-token passage pasted
+into 30 documents is invisible to 64-token chunks and fragmented by
+16-token ones, but is a single maximal interval in suffix order.
+
+Design (Spark-first, no monolithic suffix array in memory):
+
+1. ``suffix_windows`` — every token position becomes a row carrying the
+   next ``max_span`` tokens (the position's suffix, truncated — the
+   standard match-length cap; Lee et al. cap too). Corpus-sized but
+   map-side: one slice per position, no shuffle.
+2. Global lexicographic sort of those windows IS the (truncated) suffix
+   array: ``orderBy`` range-partitions, so the sort scales with
+   executors; a ``zipWithIndex`` assigns suffix-array positions (two
+   passes, order-preserving, bounded driver state).
+3. Adjacent-suffix LCPs: self-join on ``sa_idx = sa_idx + 1`` (one
+   hash shuffle on the dense index) and an IN-ROW common-prefix length
+   over the two token windows (``zip_with`` + first-mismatch position —
+   JVM array ops, no Python).
+4. Runs of adjacent suffixes with LCP >= ``min_len`` are the repeated-
+   substring intervals. Qualifying pairs are DUP-SIZED (only positions
+   inside actual repeats survive the filter), so the run-grouping
+   window over the global index — the one unpartitioned window in the
+   plan — touches pair-set-scale data only, the same contract as the
+   connected-components state in ``dedup``.
+
+Each maximal run reports the longest prefix shared by ALL its members
+(``repeat_len`` = min LCP over the run), its occurrence/document
+counts, and a deterministic fingerprint — enough to drive both the
+"what boilerplate exists" report and the per-doc coverage rollup
+(``exact_substring_coverage``).
+
+Reference behavior modeled, not ported: the reference engine
+(eprints/irstats2) has no substring mining; the closest public
+algorithmic reference is the suffix-array dedup pipeline above and the
+classic SA-interval repeat enumeration (Abouelhoda et al., "Replacing
+suffix trees with enhanced suffix arrays", 2004).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from irstats2_spark.pipeline.textstats import tokens
+
+
+def suffix_windows(
+    docs: DataFrame,
+    max_span: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, w, prev): one row per token position, ``w`` = the
+    next ``max_span`` tokens (the truncated suffix), ``prev`` = the
+    preceding token (NULL at doc start — the left-maximality witness).
+    Entirely map-side."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).filter(F.size("__t") > 0)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__t") - 1),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.slice(F.col("__t"), i + 1, max_span).alias("w"),
+                    F.when(i > 0, F.get(F.col("__t"), i - 1)).alias("prev"),
+                ),
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.pos").alias("pos"),
+        F.col("s.w").alias("w"),
+        F.col("s.prev").alias("prev"),
+    )
+
+
+def _suffix_order(windows: DataFrame) -> DataFrame:
+    """Assign each suffix its (truncated) suffix-array position.
+
+    ``orderBy`` on the token-array column range-partitions the sort;
+    ``zipWithIndex`` then numbers rows in that order with two passes and
+    O(#partitions) driver state (ties broken by doc_id/pos so the order
+    — and everything downstream — is fully deterministic)."""
+    ordered = windows.orderBy("w", "doc_id", "pos")
+    schema = T.StructType(
+        ordered.schema.fields + [T.StructField("sa_idx", T.LongType())]
+    )
+    return ordered.sparkSession.createDataFrame(
+        ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1])), schema
+    )
+
+
+def _lcp(a, b):
+    """Common-prefix length of two token arrays, in-row: first position
+    where the zipped equality turns False (zip_with null-pads the
+    shorter side; eqNullSafe makes the pad a mismatch)."""
+    eq = F.zip_with(a, b, lambda x, y: x.eqNullSafe(y))
+    first_false = F.array_position(eq, F.lit(False))
+    return F.when(first_false > 0, first_false - 1).otherwise(
+        F.least(F.size(a), F.size(b))
+    )
+
+
+def repeated_substrings(
+    docs: DataFrame,
+    min_len: int = 8,
+    min_count: int = 2,
+    max_span: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal repeated token substrings of length >= ``min_len``
+    occurring at >= ``min_count`` positions corpus-wide, at ARBITRARY
+    length up to ``max_span`` (see module docstring for why this beats
+    the fixed-k tiers).
+
+    Output, one row per LEFT-MAXIMAL suffix-array run:
+    (fp, repeat_len, n_occurrences, n_docs, repeat_text) where
+    ``repeat_len`` is the exact length (in tokens) of the longest
+    substring shared by ALL of the run's ``n_occurrences`` positions,
+    ``repeat_text`` that substring, and ``fp`` = md5(repeat_text).
+    Left-maximality (the standard maximal-repeat condition): a run
+    whose every occurrence is preceded by the SAME token is the proper
+    suffix of the longer repeat one position to the left and is
+    dropped — without this, every k-token repeat spams ~k nested
+    suffix rows. A doc-start occurrence (no preceding token) counts as
+    its own unique left context, so it never blocks maximality.
+
+    Scale shape: corpus-sized stages are a map-side window explode, one
+    range-partitioned sort, one index self-join; everything after the
+    ``lcp >= min_len`` filter is dup-pair-sized, including the single
+    unpartitioned run-grouping window (documented contract above)."""
+    assert 1 <= min_len <= max_span, (min_len, max_span)
+    sa = _suffix_order(suffix_windows(docs, max_span, text_col, id_col))
+    nxt = sa.select(
+        (F.col("sa_idx") - 1).alias("sa_idx"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("w").alias("w_b"),
+        F.col("prev").alias("prev_b"),
+    )
+    pairs = (
+        sa.join(nxt, "sa_idx")
+        .select(
+            "sa_idx",
+            "doc_id",
+            "pos",
+            "doc_b",
+            "pos_b",
+            "w",
+            "prev",
+            "prev_b",
+            _lcp(F.col("w"), F.col("w_b")).alias("lcp"),
+        )
+        .filter(F.col("lcp") >= min_len)
+    )
+    # Dup-pair-sized from here on. Adjacent qualifying pairs share a
+    # run; run id = sa_idx - (dense position among qualifying pairs),
+    # constant exactly within each consecutive-index stretch.
+    w_all = Window.orderBy("sa_idx")
+    runs = pairs.withColumn(
+        "run_id", F.col("sa_idx") - F.row_number().over(w_all)
+    )
+    members = runs.select(
+        "run_id", F.col("doc_id").alias("m_doc"), F.col("pos").alias("m_pos"),
+        "lcp", "w", "prev",
+    ).unionByName(
+        runs.select(
+            "run_id", F.col("doc_b").alias("m_doc"),
+            F.col("pos_b").alias("m_pos"),
+            "lcp", F.col("w").alias("w"), F.col("prev_b").alias("prev"),
+        )
+    )
+    # a doc-start occurrence (prev NULL) gets a per-occurrence-unique
+    # left-context key, so it always witnesses left-maximality
+    prev_key = F.coalesce(
+        F.concat(F.lit("t:"), F.col("prev")),
+        F.concat_ws(":", F.lit("s"), "m_doc", "m_pos"),
+    )
+    agg = members.withColumn("prev_key", prev_key).groupBy("run_id").agg(
+        F.min("lcp").alias("repeat_len"),
+        F.countDistinct("m_doc", "m_pos").alias("n_occurrences"),
+        F.countDistinct("m_doc").alias("n_docs"),
+        F.countDistinct("prev_key").alias("n_left_contexts"),
+        F.min(F.struct("m_doc", "m_pos", "w")).alias("rep"),
+    )
+    repeat_text = F.concat_ws(
+        " ", F.slice(F.col("rep.w"), 1, F.col("repeat_len"))
+    )
+    return (
+        agg.filter(
+            (F.col("n_occurrences") >= min_count)
+            & (F.col("n_left_contexts") >= 2)
+        )
+        .select(
+            F.md5(repeat_text).alias("fp"),
+            F.col("repeat_len").cast("int").alias("repeat_len"),
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            repeat_text.alias("repeat_text"),
+        )
+        .orderBy(F.desc("repeat_len"), F.desc("n_occurrences"), "fp")
+    )
+
+
+def exact_substring_coverage(
+    docs: DataFrame,
+    min_len: int = 8,
+    max_span: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document fraction of tokens inside a substring of length >=
+    ``min_len`` that repeats ANYWHERE in the corpus — the Lee et al.
+    dedup action expressed as a coverage signal (cut or drop spans
+    above a budget), and the arbitrary-length upgrade of
+    ``textstats.duplicate_span_coverage``'s fixed windows.
+
+    A position is covered for ``lcp`` tokens when its suffix-array
+    neighbor shares >= ``min_len`` tokens (either direction — SA
+    adjacency is the standard witness: any two occurrences of a repeat
+    are connected through consecutive suffixes that all share it).
+    Interval union per doc reuses the sorted-LAG trick from
+    ``duplicate_span_coverage`` but with VARIABLE span lengths: a
+    running max over previous interval ends bounds the overlap.
+
+    Output: (doc_id, n_tokens, covered_tokens, dup_frac)."""
+    assert 1 <= min_len <= max_span, (min_len, max_span)
+    sa = _suffix_order(suffix_windows(docs, max_span, text_col, id_col))
+    nxt = sa.select(
+        (F.col("sa_idx") - 1).alias("sa_idx"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("pos_b"),
+        F.col("w").alias("w_b"),
+    )
+    pairs = (
+        sa.join(nxt, "sa_idx")
+        .withColumn("lcp", _lcp(F.col("w"), F.col("w_b")))
+        .filter(F.col("lcp") >= min_len)
+    )
+    # both endpoints of a qualifying adjacency are covered for lcp tokens
+    spans = pairs.select(
+        F.col("doc_id").alias("doc_id"), F.col("pos").alias("pos"), "lcp"
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"), F.col("pos_b").alias("pos"), "lcp"
+        )
+    )
+    spans = spans.groupBy("doc_id", "pos").agg(F.max("lcp").alias("span"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    covered = (
+        spans.withColumn("prev_end", F.max(F.col("pos") + F.col("span")).over(w))
+        .select(
+            "doc_id",
+            F.greatest(
+                F.lit(0),
+                F.col("pos")
+                + F.col("span")
+                - F.greatest(F.coalesce("prev_end", F.lit(0)), F.col("pos")),
+            ).alias("gain"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("gain").alias("covered_tokens"))
+    )
+    totals = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+    )
+    return totals.join(covered, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+            "covered_tokens"
+        ),
+        F.round(
+            F.when(
+                F.col("n_tokens") > 0,
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_frac"),
+    )

@@ -9,6 +9,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from irstats2_spark.pipeline.dedup import normalize_text
+from irstats2_spark.pipeline.lifecycle import release_after
 
 # Tiny per-language marker lists for the n-gram/stopword heuristic.
 # (Real deployments plug in fasttext/cld3 via a pandas UDF — the operator
@@ -265,7 +266,10 @@ def heavy_hitters_checked(
 
 
 def tfidf_top_term(
-    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Each document's most characteristic term by TF-IDF
     (tf * ln(N / df)), ties broken alphabetically.
@@ -276,6 +280,10 @@ def tfidf_top_term(
     window over (doc, term) rows — |vocab per doc| rows per partition,
     text long gone. Scores round to 6dp BEFORE ranking so the result is
     float-order-independent (and matches the SQL oracle exactly).
+
+    Cache lifecycle: the (doc, term, tf) pass is pinned for its two
+    consumers; ``materialize`` selects who releases it
+    (``pipeline.lifecycle``).
     """
     from pyspark.sql import Window
 
@@ -299,10 +307,12 @@ def tfidf_top_term(
         )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
-    return (
+    return release_after(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), "tfidf")
+        .select("doc_id", F.col("term").alias("top_term"), "tfidf"),
+        [tf],
+        materialize,
     )
 
 
@@ -744,6 +754,7 @@ def remove_corpus_frequent_chunks(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """CROSS-document boilerplate removal TRANSFORM: rewrite every doc
     dropping each ``chunk_tokens``-token chunk that occurs in
@@ -778,9 +789,8 @@ def remove_corpus_frequent_chunks(
         F.posexplode(
             fixed_chunk_array(tokens(F.col(text_col)), chunk_tokens)
         ).alias("pos", "chunk"),
-    ).persist()  # mined AND rewritten from one scan; pinned until the
-    # caller evaluates the rewrite (LRU-evictable; clearCache() between
-    # stages in long-lived apps)
+    ).persist()  # mined AND rewritten from one scan; the ``materialize``
+    # contract (pipeline.lifecycle) decides who releases the pin
     frequent = (
         chunks.groupBy(F.md5("chunk").alias("chunk_hash"))
         .agg(F.countDistinct("doc_id").alias("__nd"))
@@ -806,7 +816,7 @@ def remove_corpus_frequent_chunks(
         F.count(F.lit(1)).cast("int").alias("n_chunks")
     )
     spine = docs.select(F.col(id_col).alias("doc_id"))
-    return (
+    return release_after(
         spine.join(totals, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .select(
@@ -814,7 +824,9 @@ def remove_corpus_frequent_chunks(
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("new_text", F.lit("")).alias("new_text"),
-        )
+        ),
+        [chunks],
+        materialize,
     )
 
 
@@ -911,6 +923,7 @@ def remove_cdc_frequent_chunks(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Shift-robust boilerplate REMOVAL: rewrite every doc dropping each
     CDC chunk that occurs in ``min_docs``+ distinct documents — the
@@ -929,8 +942,8 @@ def remove_cdc_frequent_chunks(
     ordered by chunk_idx. The corpus text crosses an exchange once."""
     chunks = cdc_chunks(
         docs, gram_tokens, divisor, text_col, id_col, with_text=True
-    ).persist()  # mined AND rewritten from the same scan; pinned until
-    # the caller evaluates the rewrite (LRU-evictable)
+    ).persist()  # mined AND rewritten from the same scan; the
+    # ``materialize`` contract (pipeline.lifecycle) decides who releases
     frequent = (
         chunks.groupBy("chunk_hash")
         .agg(F.countDistinct("doc_id").alias("__df"))
@@ -950,7 +963,7 @@ def remove_cdc_frequent_chunks(
     )
     totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     spine = docs.select(F.col(id_col).alias("doc_id"))
-    return (
+    return release_after(
         spine.join(totals, "doc_id", "left")
         .join(rebuilt, "doc_id", "left")
         .select(
@@ -958,7 +971,9 @@ def remove_cdc_frequent_chunks(
             F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
             F.coalesce("new_text", F.lit("")).alias("new_text"),
-        )
+        ),
+        [chunks],
+        materialize,
     )
 
 
@@ -1099,6 +1114,7 @@ def duplicate_span_coverage(
     min_docs: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document DUPLICATED-TEXT FRACTION at arbitrary alignment: the
     share of a doc's tokens covered by at least one ``span_tokens``-token
@@ -1146,8 +1162,8 @@ def duplicate_span_coverage(
         )
         .select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
     )
-    wins = wins.persist()  # two consumers below; pinned (LRU-evictable)
-    # until the caller evaluates the result
+    wins = wins.persist()  # two consumers below; the ``materialize``
+    # contract (pipeline.lifecycle) decides who releases the pin
     frequent = (
         wins.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("__df"))
@@ -1175,19 +1191,23 @@ def duplicate_span_coverage(
         F.size("t").alias("n_tokens"),
         F.greatest(F.size("t") - k + 1, F.lit(0)).alias("n_windows"),
     )
-    return totals.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_tokens").cast("int").alias("n_tokens"),
-        F.col("n_windows").cast("int").alias("n_windows"),
-        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
-        F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
-        F.round(
-            F.when(
-                F.col("n_tokens") > 0,
-                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("dup_frac"),
+    return release_after(
+        totals.join(per_doc, "doc_id", "left").select(
+            "doc_id",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.col("n_windows").cast("int").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
+        ),
+        [wins],
+        materialize,
     )
 
 

@@ -583,10 +583,18 @@ def test_simhash_hamming_streams_pairs_through_banded_join(spark, queries):
     cost 60 s of a 220 s bench run before this plan was pinned). The
     Hamming filter must sit ON the join (join condition / post-join
     filter), so only output-sized pairs reach the dedup groupBy; no
-    non-repartition exchange may carry document text."""
+    non-repartition exchange may carry document text.
+
+    Pinned on the underlying builder (not the catalog query): the
+    catalog's dedup_simhash_hamming serves the memoized shared prefix
+    (queries_pipeline._simhash_banded_pairs), whose returned plan is the
+    checkpoint scan — this is the plan that memo MATERIALIZES."""
     import re
 
-    plan = plan_of(queries["dedup_simhash_hamming"](spark, SF))
+    from irstats2_spark.pipeline.dedup import simhash_hamming_pairs
+    from irstats2_spark.sources.testdata import load_table
+
+    plan = plan_of(simhash_hamming_pairs(load_table(spark, "documents", SF)))
     assert "CartesianProduct" not in plan
     assert "Join" in plan  # banded self-join, not array explosion
     assert "collect_set" not in plan and "collect_list" not in plan
@@ -749,10 +757,16 @@ def test_shard_manifest_hierarchical_shuffles_hashes_not_text(spark, queries):
 
 def test_rag_index_e2e_exchanges_never_carry_chunk_text(spark, queries):
     """After the embed stage, only (vec_id, dim, value) rows shuffle —
-    neither document text nor chunk text may reach an exchange."""
+    neither document text nor chunk text may reach an exchange. Pinned
+    on the lazy builder: the catalog query checkpoints this exact plan
+    and releases the embed pin (pipeline.lifecycle)."""
     import re
 
-    plan = plan_of(queries["pipeline_rag_index_e2e"](spark, SF))
+    from irstats2_spark.queries_pipeline import _rag_index_lazy
+
+    lazy, vecs = _rag_index_lazy(spark, SF)
+    plan = plan_of(lazy)
+    vecs.unpersist()
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block) and "REPARTITION_BY_NUM" not in block:
             assert "text#" not in block and "chunk_text#" not in block, block

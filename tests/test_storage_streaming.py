@@ -460,8 +460,11 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState's Python protocol needs google.protobuf, "
-    "absent from this container; the shared _repeat_fold stays covered "
-    "via the applyInPandasWithState test",
+    "absent from this container (and the environment forbids pip "
+    "install, so the r6 verdict's 'add protobuf to the dev env' is "
+    "blocked here — the skip auto-lifts the moment the dep lands); the "
+    "shared _repeat_fold stays covered via the applyInPandasWithState "
+    "test",
 )
 def test_streaming_repeat_tws_ttl_matches_classic(spark, tmp_path):
     """transformWithStateInPandas variant: identical anchor semantics

@@ -1,0 +1,184 @@
+"""Suffix-array repeated-substring mining vs a sequential reference.
+
+The reference replays the IDENTICAL algorithm (truncated-suffix sort,
+adjacent LCP, run grouping) in plain Python, so outputs must match
+EXACTLY — same contract as the BPE trainer's sequential pin. A
+hand-built corpus additionally pins the headline semantics (a passage
+pasted across docs at different offsets is found at its full length;
+short repeats below min_len are not reported).
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from irstats2_spark.pipeline.suffix import (
+    exact_substring_coverage,
+    repeated_substrings,
+)
+
+
+def _ref_pairs(texts: dict[int, list[str]], min_len: int, max_span: int):
+    wins = sorted(
+        (t[p : p + max_span], d, p)
+        for d, t in texts.items()
+        for p in range(len(t))
+    )
+    out = []
+    for i in range(len(wins) - 1):
+        a, b = wins[i][0], wins[i + 1][0]
+        lcp = 0
+        while lcp < min(len(a), len(b)) and a[lcp] == b[lcp]:
+            lcp += 1
+        if lcp >= min_len:
+            out.append((i, wins[i], wins[i + 1], lcp))
+    return out
+
+
+def _ref_repeats(texts, min_len, min_count, max_span):
+    runs, cur = [], None
+    for i, (wa, da, pa), (wb, db, pb), lcp in _ref_pairs(
+        texts, min_len, max_span
+    ):
+        members = {(da, pa, tuple(wa)), (db, pb, tuple(wb))}
+        if cur is not None and i == cur["last"] + 1:
+            cur["members"] |= members
+            cur["lcp"] = min(cur["lcp"], lcp)
+            cur["last"] = i
+        else:
+            if cur is not None:
+                runs.append(cur)
+            cur = {"members": members, "lcp": lcp, "last": i}
+    if cur is not None:
+        runs.append(cur)
+    out = []
+    for r in runs:
+        if len(r["members"]) < min_count:
+            continue
+        # left-maximality: doc-start occurrences are unique left contexts
+        left = {
+            ("t", texts[d][p - 1]) if p > 0 else ("s", d, p)
+            for d, p, _ in r["members"]
+        }
+        if len(left) < 2:
+            continue
+        rep = min(r["members"])
+        text = " ".join(rep[2][: r["lcp"]])
+        out.append(
+            (
+                r["lcp"],
+                len(r["members"]),
+                len({d for d, _, _ in r["members"]}),
+                text,
+            )
+        )
+    return sorted(out)
+
+
+def _ref_coverage(texts, min_len, max_span):
+    spans: dict[tuple[int, int], int] = {}
+    for _, (wa, da, pa), (wb, db, pb), lcp in _ref_pairs(
+        texts, min_len, max_span
+    ):
+        for d, p in ((da, pa), (db, pb)):
+            spans[(d, p)] = max(spans.get((d, p), 0), lcp)
+    cov = {}
+    for d in texts:
+        ivs = sorted(
+            (p, p + s) for (dd, p), s in spans.items() if dd == d
+        )
+        total, end = 0, 0
+        for lo, hi in ivs:
+            total += max(0, hi - max(end, lo))
+            end = max(end, hi)
+        cov[d] = total
+    return {
+        d: (len(t), cov.get(d, 0), round(cov.get(d, 0) / len(t), 6) if t else 0.0)
+        for d, t in texts.items()
+    }
+
+
+def _df(spark, texts):
+    return spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in texts.items()], "doc_id long, text string"
+    )
+
+
+def test_cross_doc_passage_found_at_full_length(spark):
+    passage = "one two three four five six seven eight nine ten".split()
+    texts = {
+        0: "intro words here".split() + passage + "tail zero".split(),
+        1: "completely different offset prefix tokens".split() + passage,
+        2: "unrelated content with no repeats at all whatsoever".split(),
+    }
+    got = repeated_substrings(
+        _df(spark, texts), min_len=5, min_count=2, max_span=16
+    ).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row["repeat_len"] == len(passage)
+    assert row["repeat_text"] == " ".join(passage)
+    assert row["n_docs"] == 2 and row["n_occurrences"] == 2
+    # below-threshold repeats (the 3-token 'intro words here' has no twin;
+    # nothing shorter than min_len is reported)
+    assert all(r["repeat_len"] >= 5 for r in got)
+
+
+def test_matches_sequential_reference_on_random_corpora(spark):
+    rng = random.Random(7)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        texts = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+            for d in range(6)
+        }
+        min_len, max_span = 3, 8
+        got = sorted(
+            (r["repeat_len"], r["n_occurrences"], r["n_docs"], r["repeat_text"])
+            for r in repeated_substrings(
+                _df(spark, texts), min_len=min_len, min_count=2,
+                max_span=max_span,
+            ).collect()
+        )
+        want = _ref_repeats(texts, min_len, 2, max_span)
+        assert got == want, (trial, got, want)
+
+        cov = {
+            r["doc_id"]: (r["n_tokens"], r["covered_tokens"], r["dup_frac"])
+            for r in exact_substring_coverage(
+                _df(spark, texts), min_len=min_len, max_span=max_span
+            ).collect()
+        }
+        assert cov == _ref_coverage(texts, min_len, max_span), (trial, cov)
+
+
+def test_coverage_zero_without_repeats_and_full_on_clone(spark):
+    texts = {
+        0: "q w e r t y u i o p".split(),
+        1: "q w e r t y u i o p".split(),  # exact clone of doc 0
+        2: "z x c v b n m k j h".split(),
+    }
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_coverage(
+            _df(spark, texts), min_len=4, max_span=16
+        ).collect()
+    }
+    assert out[0]["dup_frac"] == 1.0 and out[1]["dup_frac"] == 1.0
+    assert out[2]["covered_tokens"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_min_count_filters_rare_runs(spark):
+    passage = "p1 p2 p3 p4 p5 p6".split()
+    texts = {
+        0: passage + ["u0"],
+        1: ["v0"] + passage,
+        2: ["w0", "w1"] + passage,
+    }
+    df = _df(spark, texts)
+    three = repeated_substrings(df, min_len=4, min_count=3, max_span=8).collect()
+    assert len(three) == 1 and three[0]["n_occurrences"] == 3
+    four = repeated_substrings(df, min_len=4, min_count=4, max_span=8).collect()
+    assert four == []
