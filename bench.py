@@ -42,21 +42,25 @@ def main() -> None:
     # Best-of-3 (vs round 1's best-of-2) because this VM shows up to 2x
     # run-to-run variance — round-over-round deltas need the extra sample.
     per_query: dict[str, float] = {}
+    first_pass: dict[str, float] = {}
     failed: list[str] = []
     for name in names:
         best = None
+        first = None
         try:
             for _ in range(3):
                 t0 = time.perf_counter()
                 df = all_queries[name](spark, sf_dir)
                 df.collect()
                 elapsed = time.perf_counter() - t0
+                first = elapsed if first is None else first
                 best = elapsed if best is None else min(best, elapsed)
         except Exception as exc:  # one broken query must not zero the run
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             failed.append(name)
             continue
         per_query[name] = round(best, 4)
+        first_pass[name] = round(first, 4)
 
     total = round(sum(per_query.values()), 4)
     # Persist the COMPLETE per-query map in-repo: the driver's BENCH_r*.json
@@ -74,13 +78,21 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(here, "BENCH_DETAIL_LAST_RUN.json"),
     )
+    # first_pass exists because `queries` is a best-of-3 MIN: memoized
+    # cross-query prefixes (the graph tier's kNN edges, the SimHash
+    # banded pairs) are built on pass 1 of their tier's first query and
+    # HIT on passes 2-3, so the min excludes the build for every query.
+    # A prefix-build regression is only visible in first_pass of the
+    # tier's first query — diff both maps round-over-round.
     payload = {
         "sf": sf,
         "unit": "sec",
         "n_queries": len(per_query),
         "failed": failed,
         "total": total,
+        "total_first_pass": round(sum(first_pass.values()), 4),
         "queries": per_query,
+        "first_pass": first_pass,
     }
     try:
         with open(detail_path, "w") as fh:

@@ -124,23 +124,32 @@ def repeated_substrings(
     length up to ``max_span`` (see module docstring for why this beats
     the fixed-k tiers).
 
-    Output, one row per LEFT-MAXIMAL suffix-array run:
-    (fp, repeat_len, n_occurrences, n_docs, repeat_text) where
-    ``repeat_len`` is the exact length (in tokens) of the longest
-    substring shared by ALL of the run's ``n_occurrences`` positions,
-    ``repeat_text`` that substring, and ``fp`` = md5(repeat_text).
-    Left-maximality (the standard maximal-repeat condition): a run
-    whose every occurrence is preceded by the SAME token is the proper
-    suffix of the longer repeat one position to the left and is
-    dropped — without this, every k-token repeat spams ~k nested
-    suffix rows. A doc-start occurrence (no preceding token) counts as
-    its own unique left context, so it never blocks maximality.
+    Output, one row per LEFT-MAXIMAL LCP-INTERVAL (the full enhanced-
+    suffix-array enumeration, Abouelhoda et al. 2004 — NOT collapsed to
+    one row per adjacency run): (fp, repeat_len, n_occurrences, n_docs,
+    repeat_text). Nested intervals are all reported — if docs A and B
+    share a 10-token passage whose first 8 tokens also appear in doc C,
+    BOTH the (len 10, count 2) and the (len 8, count 3) repeats come
+    out, each at its exact depth. Left-maximality (the standard
+    maximal-repeat condition) then drops intervals whose every
+    occurrence is preceded by the SAME token — those are proper
+    suffixes of the repeat one position to the left, and without the
+    filter every k-token repeat spams ~k nested suffix rows. A
+    doc-start occurrence (no preceding token) counts as its own unique
+    left context, so it never blocks maximality.
 
     Scale shape: corpus-sized stages are a map-side window explode, one
-    range-partitioned sort, one index self-join; everything after the
-    ``lcp >= min_len`` filter is dup-pair-sized, including the single
-    unpartitioned run-grouping window (documented contract above)."""
+    range-partitioned sort, one index self-join. Everything after the
+    ``lcp >= min_len`` filter is dup-pair-sized: the interval
+    enumeration is the classic histogram-stack sweep over the
+    qualifying-pair LCP sequence, run as ONE Arrow-batched pass over a
+    single sorted partition (stack state persists across record
+    batches) — the same bounded-state contract as the
+    connected-components fold; member rows multiply by nesting depth,
+    bounded by max_span - min_len + 1 levels."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
+    import pandas as pd
+
     sa = _suffix_order(suffix_windows(docs, max_span, text_col, id_col))
     nxt = sa.select(
         (F.col("sa_idx") - 1).alias("sa_idx"),
@@ -158,45 +167,97 @@ def repeated_substrings(
             "doc_b",
             "pos_b",
             "w",
+            "w_b",
             "prev",
             "prev_b",
             _lcp(F.col("w"), F.col("w_b")).alias("lcp"),
         )
         .filter(F.col("lcp") >= min_len)
     )
-    # Dup-pair-sized from here on. Adjacent qualifying pairs share a
-    # run; run id = sa_idx - (dense position among qualifying pairs),
-    # constant exactly within each consecutive-index stretch.
-    w_all = Window.orderBy("sa_idx")
-    runs = pairs.withColumn(
-        "run_id", F.col("sa_idx") - F.row_number().over(w_all)
-    )
-    members = runs.select(
-        "run_id", F.col("doc_id").alias("m_doc"), F.col("pos").alias("m_pos"),
-        "lcp", "w", "prev",
-    ).unionByName(
-        runs.select(
-            "run_id", F.col("doc_b").alias("m_doc"),
-            F.col("pos_b").alias("m_pos"),
-            "lcp", F.col("w").alias("w"), F.col("prev_b").alias("prev"),
+    # dup-pair-sized suffix info: every suffix inside a repeat appears
+    # as the a-side of pair sa_idx and/or the b-side of pair sa_idx-1
+    info = (
+        pairs.select("sa_idx", "doc_id", "pos", "prev", "w")
+        .unionByName(
+            pairs.select(
+                (F.col("sa_idx") + 1).alias("sa_idx"),
+                F.col("doc_b").alias("doc_id"),
+                F.col("pos_b").alias("pos"),
+                F.col("prev_b").alias("prev"),
+                F.col("w_b").alias("w"),
+            )
         )
+        .dropDuplicates(["sa_idx"])
+    )
+
+    def enumerate_intervals(batches):
+        # histogram-stack lcp-interval sweep; pair p spans suffixes
+        # (p, p+1). Emits one member row per (interval, suffix).
+        stack: list[list[int]] = []  # [depth, lo_suffix]
+        prev_idx = None
+        rows: list[tuple[int, int, int, int]] = []
+
+        def emit(depth, lo, hi):
+            for s in range(lo, hi + 1):
+                rows.append((lo, hi, depth, s))
+
+        def flush(last_suffix):
+            while stack:
+                d, lo = stack.pop()
+                emit(d, lo, last_suffix)
+
+        for pdf in batches:
+            for p, lcp in zip(pdf["sa_idx"], pdf["lcp"]):
+                p, lcp = int(p), int(lcp)
+                if prev_idx is not None and p != prev_idx + 1:
+                    flush(prev_idx + 1)  # stretch break: close everything
+                lo = p
+                while stack and stack[-1][0] > lcp:
+                    d, slo = stack.pop()
+                    emit(d, slo, p)  # right boundary: suffix p
+                    lo = slo
+                if not stack or stack[-1][0] < lcp:
+                    stack.append([lcp, lo])
+                prev_idx = p
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["iv_lo", "iv_hi", "depth", "sa_idx"]
+                )
+                rows = []
+        if prev_idx is not None:
+            flush(prev_idx + 1)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["iv_lo", "iv_hi", "depth", "sa_idx"]
+            )
+
+    iv_members = (
+        pairs.select("sa_idx", "lcp")
+        .repartition(1)
+        .sortWithinPartitions("sa_idx")
+        .mapInPandas(
+            enumerate_intervals,
+            schema="iv_lo long, iv_hi long, depth int, sa_idx long",
+        )
+        .join(info, "sa_idx")
     )
     # a doc-start occurrence (prev NULL) gets a per-occurrence-unique
     # left-context key, so it always witnesses left-maximality
     prev_key = F.coalesce(
         F.concat(F.lit("t:"), F.col("prev")),
-        F.concat_ws(":", F.lit("s"), "m_doc", "m_pos"),
+        F.concat_ws(":", F.lit("s"), "doc_id", "pos"),
     )
-    agg = members.withColumn("prev_key", prev_key).groupBy("run_id").agg(
-        F.min("lcp").alias("repeat_len"),
-        F.countDistinct("m_doc", "m_pos").alias("n_occurrences"),
-        F.countDistinct("m_doc").alias("n_docs"),
-        F.countDistinct("prev_key").alias("n_left_contexts"),
-        F.min(F.struct("m_doc", "m_pos", "w")).alias("rep"),
+    agg = (
+        iv_members.withColumn("prev_key", prev_key)
+        .groupBy("iv_lo", "iv_hi", "depth")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("prev_key").alias("n_left_contexts"),
+            F.min(F.struct("doc_id", "pos", "w")).alias("rep"),
+        )
     )
-    repeat_text = F.concat_ws(
-        " ", F.slice(F.col("rep.w"), 1, F.col("repeat_len"))
-    )
+    repeat_text = F.concat_ws(" ", F.slice(F.col("rep.w"), 1, F.col("depth")))
     return (
         agg.filter(
             (F.col("n_occurrences") >= min_count)
@@ -204,7 +265,7 @@ def repeated_substrings(
         )
         .select(
             F.md5(repeat_text).alias("fp"),
-            F.col("repeat_len").cast("int").alias("repeat_len"),
+            F.col("depth").cast("int").alias("repeat_len"),
             F.col("n_occurrences").cast("long").alias("n_occurrences"),
             F.col("n_docs").cast("long").alias("n_docs"),
             repeat_text.alias("repeat_text"),
@@ -276,9 +337,10 @@ def exact_substring_coverage(
         .groupBy("doc_id")
         .agg(F.sum("gain").alias("covered_tokens"))
     )
+    # F.size of a NULL array is -1 — clamp so null-text docs report 0
     totals = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.size(tokens(F.col(text_col))).alias("n_tokens"),
+        F.greatest(F.size(tokens(F.col(text_col))), F.lit(0)).alias("n_tokens"),
     )
     return totals.join(covered, "doc_id", "left").select(
         "doc_id",

@@ -54,16 +54,21 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
     """``spark.read.parquet(path)``, or None when no table exists yet.
 
     "No table yet" means the PATH_NOT_FOUND error CLASS (with a
-    message-substring fallback for builds predating getCondition) OR
-    UNABLE_TO_INFER_SCHEMA, which parquet raises for a directory with no
-    data files — the footprint of an interrupted first write that
-    created the directory (maybe a ``_SUCCESS``/``_temporary`` marker)
-    but committed no part files; treating it as missing lets the next
-    batch recover instead of failing the stream forever. Any OTHER read
-    failure (corrupt footer, schema conflict) still RAISES — treating
-    every failure as "no table yet" silently disables incremental merges
-    (the defect class fixed in both streaming sinks, which share this
-    helper so their semantics cannot drift)."""
+    message-substring fallback for builds predating getCondition), OR
+    UNABLE_TO_INFER_SCHEMA on a directory this helper can POSITIVELY
+    CONFIRM holds no visible data files — the footprint of an
+    interrupted first write that created the directory (maybe a
+    ``_SUCCESS``/``_temporary`` marker) but committed no part files;
+    treating that as missing lets the next batch recover instead of
+    failing the stream forever. The confirmation matters:
+    UNABLE_TO_INFER_SCHEMA also fires when real part files exist but
+    are invisible (renamed with a leading ``_``/``.`` by a botched
+    copy) or unreadable — returning None there would silently turn the
+    sink's incremental merge into an overwrite, so anything the local
+    check cannot confirm empty still RAISES (as does every other read
+    failure: corrupt footer, schema conflict — the defect class fixed
+    in both streaming sinks, which share this helper so their
+    semantics cannot drift)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -75,15 +80,47 @@ def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
                 cond = getattr(e, probe)()
                 if cond:
                     break
-        msg = str(e)
         missing = (
-            cond in ("PATH_NOT_FOUND", "UNABLE_TO_INFER_SCHEMA")
+            cond == "PATH_NOT_FOUND"
             if cond
-            else ("PATH_NOT_FOUND" in msg or "UNABLE_TO_INFER_SCHEMA" in msg)
+            else "PATH_NOT_FOUND" in str(e)
         )
         if missing:
             return None
+        if cond == "UNABLE_TO_INFER_SCHEMA" and _dir_has_no_visible_files(path):
+            return None
         raise
+
+
+def _dir_has_no_visible_files(path: str) -> bool:
+    """True only when ``path`` is a local directory whose recursive
+    contents are nothing but KNOWN commit-protocol markers (_SUCCESS,
+    _started_*/_committed_* files, _temporary dirs, .crc sidecars).
+    Anything else — including a part file someone renamed behind a
+    leading ``_``/``.``, which Spark would skip but a human would call
+    data — keeps the caller fail-loud, as do non-local or unreadable
+    paths."""
+    local = path[7:] if path.startswith("file://") else path
+    if "://" in local or not os.path.isdir(local):
+        return False
+
+    def is_marker(name: str) -> bool:
+        return (
+            name == "_SUCCESS"
+            or name.startswith(("_started_", "_committed_", "._"))
+            or name.endswith(".crc")
+        )
+
+    try:
+        for _root, dirs, files in os.walk(local):
+            # _temporary holds uncommitted scratch — don't descend;
+            # partition subdirs are descended into normally
+            dirs[:] = [d for d in dirs if d != "_temporary"]
+            if any(not is_marker(f) for f in files):
+                return False
+        return True
+    except OSError:
+        return False
 
 
 def replay_from_date(

@@ -88,13 +88,29 @@ def test_read_parquet_if_exists_missing_empty_and_corrupt(spark, tmp_path):
     (empty / "_SUCCESS").write_bytes(b"")  # marker only, no part files
     assert read_parquet_if_exists(spark, str(empty)) is None
 
+    # a dir whose only content is a NON-marker hidden file (a part file
+    # someone renamed behind '_') is NOT confirmably empty: Spark can't
+    # read it (UNABLE_TO_INFER_SCHEMA) and the helper must fail loud,
+    # not hand the sink a silent first-batch overwrite
+    hidden = tmp_path / "fact_hidden_part"
+    hidden.mkdir()
+    (hidden / "_part-00000.parquet").write_bytes(b"renamed real data")
+    with pytest.raises(Exception):
+        read_parquet_if_exists(spark, str(hidden))
+
     corrupt = tmp_path / "fact_corrupt"
     corrupt.mkdir()
     (corrupt / "part-00000.parquet").write_bytes(b"not a parquet footer")
-    with pytest.raises(Exception):
+    # the read (or at latest the collect) must RAISE — a corrupt table
+    # returning None would silently turn the sink's merge into overwrite
+    raised = False
+    try:
         df = read_parquet_if_exists(spark, str(corrupt))
-        assert df is not None
-        df.collect()
+        if df is not None:
+            df.collect()
+    except Exception:
+        raised = True
+    assert raised, "corrupt parquet must not be treated as 'no table yet'"
 
 
 def test_streaming_ingest(spark, tmp_path):

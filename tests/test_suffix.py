@@ -38,41 +38,52 @@ def _ref_pairs(texts: dict[int, list[str]], min_len: int, max_span: int):
 
 
 def _ref_repeats(texts, min_len, min_count, max_span):
-    runs, cur = [], None
-    for i, (wa, da, pa), (wb, db, pb), lcp in _ref_pairs(
-        texts, min_len, max_span
-    ):
-        members = {(da, pa, tuple(wa)), (db, pb, tuple(wb))}
-        if cur is not None and i == cur["last"] + 1:
-            cur["members"] |= members
-            cur["lcp"] = min(cur["lcp"], lcp)
-            cur["last"] = i
-        else:
-            if cur is not None:
-                runs.append(cur)
-            cur = {"members": members, "lcp": lcp, "last": i}
-    if cur is not None:
-        runs.append(cur)
+    """Sequential lcp-interval enumeration (histogram stack), the same
+    algorithm the engine distributes."""
+    wins = sorted(
+        (t[p : p + max_span], d, p)
+        for d, t in texts.items()
+        for p in range(len(t))
+    )
+    qual = _ref_pairs(texts, min_len, max_span)
+    intervals = []  # (lo, hi, depth) over suffix indices into wins
+    stack, prev_i = [], None
+
+    def flush(last):
+        while stack:
+            d, lo = stack.pop()
+            intervals.append((lo, last, d))
+
+    for i, _wa, _wb, lcp in qual:
+        if prev_i is not None and i != prev_i + 1:
+            flush(prev_i + 1)
+        lo = i
+        while stack and stack[-1][0] > lcp:
+            d, slo = stack.pop()
+            intervals.append((slo, i, d))
+            lo = slo
+        if not stack or stack[-1][0] < lcp:
+            stack.append([lcp, lo])
+        prev_i = i
+    if prev_i is not None:
+        flush(prev_i + 1)
+
     out = []
-    for r in runs:
-        if len(r["members"]) < min_count:
+    for lo, hi, depth in intervals:
+        members = [(wins[s][1], wins[s][2], wins[s][0]) for s in range(lo, hi + 1)]
+        if len(members) < min_count:
             continue
         # left-maximality: doc-start occurrences are unique left contexts
         left = {
             ("t", texts[d][p - 1]) if p > 0 else ("s", d, p)
-            for d, p, _ in r["members"]
+            for d, p, _ in members
         }
         if len(left) < 2:
             continue
-        rep = min(r["members"])
-        text = " ".join(rep[2][: r["lcp"]])
+        rep = min((d, p, tuple(w)) for d, p, w in members)
+        text = " ".join(rep[2][:depth])
         out.append(
-            (
-                r["lcp"],
-                len(r["members"]),
-                len({d for d, _, _ in r["members"]}),
-                text,
-            )
+            (depth, len(members), len({d for d, _, _ in members}), text)
         )
     return sorted(out)
 
@@ -168,6 +179,27 @@ def test_coverage_zero_without_repeats_and_full_on_clone(spark):
     }
     assert out[0]["dup_frac"] == 1.0 and out[1]["dup_frac"] == 1.0
     assert out[2]["covered_tokens"] == 0 and out[2]["dup_frac"] == 0.0
+
+
+def test_nested_longer_repeat_reported_at_full_length(spark):
+    """The review regression: A and B share a 10-token passage whose
+    8-token prefix also opens a passage in C. BOTH repeats must come
+    out — (len 10, count 2) and (len 8, count 3) — not one run-min row."""
+    ten = "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10".split()
+    texts = {
+        0: "lead0 x".split() + ten,
+        1: "other lead tokens".split() + ten + ["tail1"],
+        2: "c starts here".split() + ten[:8] + "y z".split(),
+    }
+    got = {
+        (r["repeat_len"], r["n_occurrences"], r["n_docs"]): r["repeat_text"]
+        for r in repeated_substrings(
+            _df(spark, texts), min_len=8, min_count=2, max_span=16
+        ).collect()
+    }
+    assert got[(10, 2, 2)] == " ".join(ten)
+    assert got[(8, 3, 3)] == " ".join(ten[:8])
+    assert len(got) == 2
 
 
 def test_min_count_filters_rare_runs(spark):
