@@ -1095,3 +1095,38 @@ def test_streaming_minhash_projection_keeps_hoisted_shingles(spark):
     )
     plan = sig._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("split(") == 1, plan
+
+
+def test_suffix_windows_build_is_shuffle_free(spark):
+    """The suffix-window explode (the corpus-sized stage of the SA
+    miner) must be a pure projection: no Exchange, no Python — it fuses
+    into the scan, so at 100 TB it costs one pass over the text."""
+    from irstats2_spark.pipeline.suffix import suffix_windows
+    from irstats2_spark.sources.testdata import load_table
+
+    plan = plan_of(suffix_windows(load_table(spark, "documents", SF)))
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_repeated_substrings_single_partition_carries_no_windows(spark):
+    """The one single-partition stage in the SA miner (the lcp-interval
+    stack sweep) may receive ONLY the dup-sized (sa_idx, lcp)
+    projection — never the token windows, whose single-task
+    serialization would be the scale killer. Also catalog-wide
+    contracts: no CartesianProduct, no row-at-a-time Python."""
+    import re
+
+    from irstats2_spark.pipeline.suffix import repeated_substrings
+    from irstats2_spark.sources.testdata import load_table
+
+    df = repeated_substrings(
+        load_table(spark, "documents", SF), min_len=6, max_span=12
+    )
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    for block in re.split(r"\n\n", plan):
+        if re.match(r"\(\d+\) Exchange", block) and "SinglePartition" in block:
+            assert "w#" not in block and "prev#" not in block, block
+    assert df.count() >= 0  # the plan executes end-to-end
