@@ -136,8 +136,9 @@ GATE_PRIORITY: tuple[str, ...] = (
 #   per the r6 verdict; these are implemented + sequential-reference-
 #   pinned in tests/test_suffix.py and should register WITH oracle +
 #   gate slots in round 8): pipeline/suffix.py's repeated_substrings
-#   (suffix-array maximal-repeat miner) and exact_substring_coverage
-#   (arbitrary-length dup-span fraction).
+#   (suffix-array maximal-repeat miner, full lcp-interval enumeration),
+#   repeated_substrings_incremental (new-vs-snapshot nightly twin) and
+#   exact_substring_coverage (arbitrary-length dup-span fraction).
 # Queries whose ONLY change this round was gaining a no-op
 # ``materialize=False`` keyword (release_after returns the identical
 # DataFrame object when False) were NOT re-gated: text_tfidf_top_term,

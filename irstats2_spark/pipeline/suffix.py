@@ -148,15 +148,69 @@ def repeated_substrings(
     connected-components fold; member rows multiply by nesting depth,
     bounded by max_span - min_len + 1 levels."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
+    windows = suffix_windows(docs, max_span, text_col, id_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    return _mine_repeats(windows, min_len, min_count, only_touching_new=False)
+
+
+def repeated_substrings_incremental(
+    new_docs: DataFrame,
+    snapshot_windows: DataFrame,
+    min_len: int = 8,
+    min_count: int = 2,
+    max_span: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Nightly-batch form of the SA miner, completing the incremental
+    tier for the exact-substring family the way
+    ``simhash_hamming_incremental`` does for SimHash: mine repeats of
+    length >= ``min_len`` that INVOLVE at least one occurrence from the
+    new batch — new-vs-snapshot and new-vs-new alike — against the
+    accumulated ``suffix_windows`` snapshot (stored as
+    (doc_id, pos, w, prev) parquet; append each batch's windows after
+    the run). Repeats wholly inside the snapshot were reported by
+    earlier runs and are suppressed. Same output contract as
+    ``repeated_substrings``.
+
+    Scale shape: only the NEW batch is windowed (zero-shuffle map); the
+    union re-sorts, which at snapshot scale is the honest Spark cost —
+    the stored table is already range-sorted, so the sort's exchange is
+    a near-merge (range partitioner boundaries land where the data
+    already lives); a custom merge-join against the sorted snapshot
+    would save the shuffle but not the comparisons, and is noted here
+    as the dedicated-index upgrade path."""
+    assert 1 <= min_len <= max_span, (min_len, max_span)
+    new_w = suffix_windows(new_docs, max_span, text_col, id_col).withColumn(
+        "is_new", F.lit(True)
+    )
+    old_w = snapshot_windows.select(
+        F.col(id_col).alias("doc_id"), "pos", "w", "prev"
+    ).withColumn("is_new", F.lit(False))
+    return _mine_repeats(
+        new_w.unionByName(old_w), min_len, min_count, only_touching_new=True
+    )
+
+
+def _mine_repeats(
+    windows: DataFrame,
+    min_len: int,
+    min_count: int,
+    only_touching_new: bool,
+) -> DataFrame:
+    """Shared SA-interval mining core over a (doc_id, pos, w, prev,
+    is_new) window set; see ``repeated_substrings`` for semantics."""
     import pandas as pd
 
-    sa = _suffix_order(suffix_windows(docs, max_span, text_col, id_col))
+    sa = _suffix_order(windows)
     nxt = sa.select(
         (F.col("sa_idx") - 1).alias("sa_idx"),
         F.col("doc_id").alias("doc_b"),
         F.col("pos").alias("pos_b"),
         F.col("w").alias("w_b"),
         F.col("prev").alias("prev_b"),
+        F.col("is_new").alias("is_new_b"),
     )
     pairs = (
         sa.join(nxt, "sa_idx")
@@ -170,6 +224,8 @@ def repeated_substrings(
             "w_b",
             "prev",
             "prev_b",
+            "is_new",
+            "is_new_b",
             _lcp(F.col("w"), F.col("w_b")).alias("lcp"),
         )
         .filter(F.col("lcp") >= min_len)
@@ -177,7 +233,7 @@ def repeated_substrings(
     # dup-pair-sized suffix info: every suffix inside a repeat appears
     # as the a-side of pair sa_idx and/or the b-side of pair sa_idx-1
     info = (
-        pairs.select("sa_idx", "doc_id", "pos", "prev", "w")
+        pairs.select("sa_idx", "doc_id", "pos", "prev", "w", "is_new")
         .unionByName(
             pairs.select(
                 (F.col("sa_idx") + 1).alias("sa_idx"),
@@ -185,6 +241,7 @@ def repeated_substrings(
                 F.col("pos_b").alias("pos"),
                 F.col("prev_b").alias("prev"),
                 F.col("w_b").alias("w"),
+                F.col("is_new_b").alias("is_new"),
             )
         )
         .dropDuplicates(["sa_idx"])
@@ -254,15 +311,18 @@ def repeated_substrings(
             F.count(F.lit(1)).alias("n_occurrences"),
             F.countDistinct("doc_id").alias("n_docs"),
             F.countDistinct("prev_key").alias("n_left_contexts"),
+            F.max("is_new").alias("touches_new"),
             F.min(F.struct("doc_id", "pos", "w")).alias("rep"),
         )
     )
+    keep = (F.col("n_occurrences") >= min_count) & (
+        F.col("n_left_contexts") >= 2
+    )
+    if only_touching_new:
+        keep = keep & F.col("touches_new")
     repeat_text = F.concat_ws(" ", F.slice(F.col("rep.w"), 1, F.col("depth")))
     return (
-        agg.filter(
-            (F.col("n_occurrences") >= min_count)
-            & (F.col("n_left_contexts") >= 2)
-        )
+        agg.filter(keep)
         .select(
             F.md5(repeat_text).alias("fp"),
             F.col("depth").cast("int").alias("repeat_len"),

@@ -17,6 +17,8 @@ import pytest
 from irstats2_spark.pipeline.suffix import (
     exact_substring_coverage,
     repeated_substrings,
+    repeated_substrings_incremental,
+    suffix_windows,
 )
 
 
@@ -200,6 +202,51 @@ def test_nested_longer_repeat_reported_at_full_length(spark):
     assert got[(10, 2, 2)] == " ".join(ten)
     assert got[(8, 3, 3)] == " ".join(ten[:8])
     assert len(got) == 2
+
+
+def test_incremental_reports_only_new_involving_repeats(spark):
+    """The nightly-batch twin: repeats wholly inside the snapshot are
+    suppressed (earlier runs reported them); new-vs-snapshot and
+    new-vs-new repeats come out, and agree exactly with the full miner
+    over the union (modulo snapshot-only rows)."""
+    shared = "s1 s2 s3 s4 s5 s6".split()
+    old_dup = "o1 o2 o3 o4 o5 o6".split()  # repeats only within snapshot
+    snap_texts = {
+        0: old_dup + "a b".split(),
+        1: "c d".split() + old_dup,
+        2: "filler words only here".split() + shared,
+    }
+    new_texts = {
+        10: "fresh prefix".split() + shared + ["fresh1"],  # new-vs-snapshot
+        11: "nv1 nv2 nv3 nv4 nv5".split() + ["t11"],  # new-vs-new with 12
+        12: "intro".split() + "nv1 nv2 nv3 nv4 nv5".split(),
+    }
+    snap = suffix_windows(_df(spark, snap_texts), max_span=12)
+    got = {
+        (r["repeat_len"], r["n_occurrences"], r["repeat_text"])
+        for r in repeated_substrings_incremental(
+            _df(spark, new_texts), snap, min_len=5, min_count=2, max_span=12
+        ).collect()
+    }
+    assert (6, 2, " ".join(shared)) in got, got
+    assert (5, 2, "nv1 nv2 nv3 nv4 nv5") in got, got
+    assert not any(" ".join(old_dup).startswith(t) for _, _, t in got), got
+
+    # exact agreement with the full miner over the union, minus rows
+    # whose every occurrence lives in the snapshot
+    union_rows = repeated_substrings(
+        _df(spark, {**snap_texts, **new_texts}),
+        min_len=5, min_count=2, max_span=12,
+    ).collect()
+    new_tok_sets = [set(t) for t in new_texts.values()]
+    full = {
+        (r["repeat_len"], r["n_occurrences"], r["repeat_text"])
+        for r in union_rows
+        # keep rows whose repeat occurs in some new doc (token-subset
+        # check suffices for this corpus: vocabularies are disjoint)
+        if any(set(r["repeat_text"].split()) <= s for s in new_tok_sets)
+    }
+    assert got == full, (got, full)
 
 
 def test_min_count_filters_rare_runs(spark):
