@@ -137,8 +137,10 @@ GATE_PRIORITY: tuple[str, ...] = (
 #   pinned in tests/test_suffix.py and should register WITH oracle +
 #   gate slots in round 8): pipeline/suffix.py's repeated_substrings
 #   (suffix-array maximal-repeat miner, full lcp-interval enumeration),
-#   repeated_substrings_incremental (new-vs-snapshot nightly twin) and
-#   exact_substring_coverage (arbitrary-length dup-span fraction).
+#   repeated_substrings_incremental (new-vs-snapshot nightly twin),
+#   exact_substring_coverage (arbitrary-length dup-span fraction) and
+#   streaming/ingest.substring_match_stream (ingest-time exact-run
+#   probe of the same stored window snapshot).
 # Queries whose ONLY change this round was gaining a no-op
 # ``materialize=False`` keyword (release_after returns the identical
 # DataFrame object when False) were NOT re-gated: text_tfidf_top_term,

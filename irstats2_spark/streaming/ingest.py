@@ -1154,3 +1154,97 @@ def interval_tag_stream(
         .filter((us >= F.col(start_col)) & (us <= F.col(end_col)))
         .drop("__bucket")
     )
+
+
+def substring_match_stream(
+    docs: DataFrame,
+    snapshot_windows: DataFrame,
+    ts_col: str = "ts",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 8,
+    max_docs_per_key: int | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the suffix-array family
+    (``pipeline.suffix``): flag stream documents sharing an EXACT run
+    of >= ``min_len`` tokens with the accumulated corpus, probing the
+    SAME stored ``suffix_windows`` snapshot the batch miner and the
+    incremental twin maintain — the index is dual-purpose, no second
+    fingerprint store to keep in sync.
+
+    Exactness: two texts share a run of >= ``min_len`` tokens iff some
+    suffix window of one has LCP >= ``min_len`` with a window of the
+    other, iff their ``min_len``-token PREFIXES are equal — so an
+    equi-join on md5(first ``min_len`` tokens of the window) is a
+    complete and sound detector (the arbitrary-length part of the SA
+    miner needs the global sort and stays batch/incremental; at ingest
+    time the question is membership, and membership at the threshold
+    length is prefix equality).
+
+    Output: (old_id, new_id, n_shared_windows, ``ts_col``) per flagged
+    cross pair — ``n_shared_windows`` counts distinct shared
+    ``min_len``-windows (a shared run of R tokens contributes up to
+    R - min_len + 1), computed ROW-LOCALLY like ``winnow_doc_stream``'s
+    n_shared so the surviving dedup row is deterministic.
+
+    Why this streams stateless: the new side carries its whole window-
+    key set in one per-row array expression (map-side); the snapshot
+    side is a static DataFrame carrying each old doc's key set
+    alongside its exploded keys; the count is an in-row
+    array_intersect on the stream-static join row. The only state is
+    ``dropDuplicatesWithinWatermark`` on (old_id, new_id), ∝ flagged
+    pairs inside the horizon. ``max_docs_per_key`` drops boilerplate
+    keys on the snapshot side (same skew contract as the other
+    incremental/streaming miners). Stream == batch is pytest-pinned."""
+    from irstats2_spark.pipeline.textstats import tokens
+
+    assert docs.isStreaming, "substring_match_stream expects a streaming DataFrame"
+
+    def key_set(tok_col):
+        return F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tok_col) - min_len),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(tok_col, i + 1, min_len))),
+            )
+        )
+
+    old = (
+        snapshot_windows.filter(F.size("w") >= min_len)
+        .select(
+            F.col(id_col).alias("old_id"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("w"), 1, min_len))).alias("key"),
+        )
+        .distinct()
+    )
+    if max_docs_per_key is not None:
+        ok = (
+            old.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_docs_per_key)
+            .select("key")
+        )
+        old = old.join(ok, "key", "left_semi")
+    old_sets = old.groupBy("old_id").agg(F.collect_set("key").alias("__old_set"))
+    snapshot = old.join(old_sets, "old_id")  # (old_id, key, __old_set)
+
+    new_rows = (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(ts_col),
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.size("__t") >= min_len)
+        .withColumn("__new_set", key_set(F.col("__t")))
+        .select("new_id", ts_col, "__new_set", F.explode("__new_set").alias("key"))
+    )
+    return (
+        new_rows.join(snapshot, "key")
+        .withColumn(
+            "n_shared_windows",
+            F.size(F.array_intersect("__new_set", "__old_set")).cast("long"),
+        )
+        .select("old_id", "new_id", "n_shared_windows", ts_col)
+        .dropDuplicatesWithinWatermark(["old_id", "new_id"])
+    )

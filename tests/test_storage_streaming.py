@@ -1424,3 +1424,61 @@ def test_fact_stream_corrupt_existing_table_raises(spark, tmp_path):
         q.awaitTermination(120)
     # the junk file must be untouched — no partial overwrite happened
     assert (fact_dir / "part-00000.parquet").read_bytes() == b"this is not parquet"
+
+
+def test_streaming_substring_match_probes_suffix_snapshot(spark, tmp_path):
+    """substring_match_stream: the streaming twin of the suffix-array
+    family — stream docs sharing an exact >= min_len-token run with the
+    stored suffix_windows snapshot are flagged; clean docs are not; and
+    n_shared_windows equals the batch formula (distinct shared
+    min_len-windows) computed over the same data."""
+    import json
+
+    from irstats2_spark.pipeline.suffix import suffix_windows
+    from irstats2_spark.streaming.ingest import substring_match_stream
+
+    passage = "w1 w2 w3 w4 w5 w6 w7"  # 7 tokens; min_len=5 -> 3 windows
+    old_docs = spark.createDataFrame(
+        [
+            (10, f"old intro {passage} old tail"),
+            (11, "historical corpus text with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    snap = suffix_windows(old_docs, max_span=12)
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows = [
+        # contains the full passage at a different offset
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "text": f"fresh lead {passage}"},
+        # clean
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z",
+         "text": "a totally unrelated new document streaming through"},
+        # shares only the first 5 tokens of the passage (1 window)
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z",
+         "text": "x y w1 w2 w3 w4 w5 z"},
+    ]
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    docs = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    out = substring_match_stream(docs, snap, min_len=5, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("substring_match_out")
+        .option("checkpointLocation", str(tmp_path / "ck_ssm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.old_id, r.new_id): r.n_shared_windows
+        for r in spark.sql("SELECT * FROM substring_match_out").collect()
+    }
+    # passage has 3 distinct 5-token windows; doc 3 shares exactly 1
+    assert got == {(10, 1): 3, (10, 3): 1}, got
