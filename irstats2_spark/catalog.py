@@ -140,7 +140,11 @@ GATE_PRIORITY: tuple[str, ...] = (
 #   repeated_substrings_incremental (new-vs-snapshot nightly twin),
 #   exact_substring_coverage (arbitrary-length dup-span fraction) and
 #   streaming/ingest.substring_match_stream (ingest-time exact-run
-#   probe of the same stored window snapshot).
+#   probe of the same stored window snapshot). The registration-ready
+#   DuckDB oracle (declarative maximal-repeat characterization:
+#   L-grams with >=2 distinct left AND right contexts) already passes
+#   at sf0.01 — see
+#   test_suffix.test_repeated_substrings_matches_duckdb_oracle_at_sf001.
 # Queries whose ONLY change this round was gaining a no-op
 # ``materialize=False`` keyword (release_after returns the identical
 # DataFrame object when False) were NOT re-gated: text_tfidf_top_term,

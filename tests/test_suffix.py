@@ -261,3 +261,55 @@ def test_min_count_filters_rare_runs(spark):
     assert len(three) == 1 and three[0]["n_occurrences"] == 3
     four = repeated_substrings(df, min_len=4, min_count=4, max_span=8).collect()
     assert four == []
+
+
+def test_repeated_substrings_matches_duckdb_oracle_at_sf001(spark):
+    """INDEPENDENT correctness characterization (not the same-algorithm
+    sequential reference): over the real sf0.01 documents table, the
+    lcp-interval output must equal the declarative definition of a
+    maximal repeat — an L-gram (min_len <= L <= max_span) occurring
+    >= min_count times whose occurrences have >= 2 distinct left
+    contexts AND >= 2 distinct right contexts (doc boundaries count as
+    per-occurrence-unique; at L = max_span right-extension is truncated
+    so the right check is waived). This is the oracle shape staged for
+    the round-8 catalog registration."""
+    from oracle_utils import SF_ORACLE, assert_matches_oracle
+
+    from irstats2_spark.sources.testdata import load_table
+
+    min_len, max_span = 6, 9
+    norm = (
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', "
+        "' ', 'g'), '\\s+', ' ', 'g'))"
+    )
+    sql = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split({norm}, ' '), x -> length(x) > 0) AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT d.doc_id, l.L, p.p,
+             array_to_string(d.t[p.p : p.p + l.L - 1], ' ') AS g,
+             CASE WHEN p.p > 1 THEN 't:' || d.t[p.p - 1]
+                  ELSE 's:' || d.doc_id || ':' || p.p END AS lctx,
+             CASE WHEN p.p + l.L <= len(d.t) THEN 't:' || d.t[p.p + l.L]
+                  ELSE 'e:' || d.doc_id || ':' || p.p END AS rctx
+      FROM toks d,
+           unnest(range({min_len}, {max_span} + 1)) AS l(L),
+           unnest(range(1, len(d.t) - l.L + 2)) AS p(p)
+    )
+    SELECT md5(g) AS fp, CAST(L AS INT) AS repeat_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           g AS repeat_text
+    FROM grams
+    GROUP BY g, L
+    HAVING COUNT(*) >= 2 AND COUNT(DISTINCT lctx) >= 2
+       AND (L = {max_span} OR COUNT(DISTINCT rctx) >= 2)
+    """
+    got = repeated_substrings(
+        load_table(spark, "documents", SF_ORACLE),
+        min_len=min_len, min_count=2, max_span=max_span,
+    )
+    assert_matches_oracle(got, sql)
