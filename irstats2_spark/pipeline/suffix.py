@@ -174,6 +174,14 @@ def repeated_substrings_incremental(
     earlier runs and are suppressed. Same output contract as
     ``repeated_substrings``.
 
+    PRECONDITION: ``max_span`` must equal the span the snapshot was
+    built with (``suffix_windows(..., max_span=...)``) — stored windows
+    cap every new-vs-old LCP at the BUILD span, so a larger value here
+    silently under-reports cross-batch repeat lengths and a smaller one
+    wastes stored width. Store the span next to the table (path suffix
+    or a manifest row) and pass it back; the batch/union equivalence
+    pinned in tests holds only under equal spans.
+
     Scale shape: only the NEW batch is windowed (zero-shuffle map); the
     union re-sorts, which at snapshot scale is the honest Spark cost —
     the stored table is already range-sorted, so the sort's exchange is
@@ -185,9 +193,11 @@ def repeated_substrings_incremental(
     new_w = suffix_windows(new_docs, max_span, text_col, id_col).withColumn(
         "is_new", F.lit(True)
     )
-    old_w = snapshot_windows.select(
-        F.col(id_col).alias("doc_id"), "pos", "w", "prev"
-    ).withColumn("is_new", F.lit(False))
+    # suffix_windows always emits the id as 'doc_id' — the stored
+    # snapshot contract — so id_col only renames the NEW side above
+    old_w = snapshot_windows.select("doc_id", "pos", "w", "prev").withColumn(
+        "is_new", F.lit(False)
+    )
     return _mine_repeats(
         new_w.unionByName(old_w), min_len, min_count, only_touching_new=True
     )

@@ -1163,6 +1163,7 @@ def substring_match_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     min_len: int = 8,
+    snapshot_span: int | None = None,
     max_docs_per_key: int | None = None,
     watermark: str = "1 hour",
 ) -> DataFrame:
@@ -1176,44 +1177,63 @@ def substring_match_stream(
     Exactness: two texts share a run of >= ``min_len`` tokens iff some
     suffix window of one has LCP >= ``min_len`` with a window of the
     other, iff their ``min_len``-token PREFIXES are equal — so an
-    equi-join on md5(first ``min_len`` tokens of the window) is a
+    equi-join on xxhash64(first ``min_len`` tokens of the window) is a
     complete and sound detector (the arbitrary-length part of the SA
     miner needs the global sort and stays batch/incremental; at ingest
     time the question is membership, and membership at the threshold
-    length is prefix equality).
+    length is prefix equality). PRECONDITION: ``min_len`` must be <=
+    the span the snapshot was built with, or every stored window fails
+    the size filter and the probe silently flags nothing — pass
+    ``snapshot_span`` (store it next to the table) to turn that
+    misconfiguration into an assertion.
 
     Output: (old_id, new_id, n_shared_windows, ``ts_col``) per flagged
     cross pair — ``n_shared_windows`` counts distinct shared
     ``min_len``-windows (a shared run of R tokens contributes up to
-    R - min_len + 1), computed ROW-LOCALLY like ``winnow_doc_stream``'s
-    n_shared so the surviving dedup row is deterministic.
+    R - min_len + 1), computed on the PAIR row after dedup so the
+    result is deterministic.
 
-    Why this streams stateless: the new side carries its whole window-
-    key set in one per-row array expression (map-side); the snapshot
-    side is a static DataFrame carrying each old doc's key set
-    alongside its exploded keys; the count is an in-row
-    array_intersect on the stream-static join row. The only state is
+    Why this streams stateless, and why nothing corpus-squared is ever
+    materialized: the exploded sides carry (id, 8-byte key) rows only —
+    never per-row key SETS (a T-token doc carrying its own T-element
+    set on each of its T exploded rows is the O(T^2) serialization
+    blowup this module's scale contracts pin against). The watermarked
+    pair dedup runs FIRST on the bare (old_id, new_id, ts, text) join
+    output; the per-old-doc key set then joins once per surviving PAIR,
+    and the new side's key set is re-derived row-locally from the text
+    it carried through. The only state is
     ``dropDuplicatesWithinWatermark`` on (old_id, new_id), ∝ flagged
     pairs inside the horizon. ``max_docs_per_key`` drops boilerplate
     keys on the snapshot side (same skew contract as the other
-    incremental/streaming miners). Stream == batch is pytest-pinned."""
+    incremental/streaming miners). Stream behavior is pytest-pinned."""
     from irstats2_spark.pipeline.textstats import tokens
 
     assert docs.isStreaming, "substring_match_stream expects a streaming DataFrame"
+    assert snapshot_span is None or min_len <= snapshot_span, (
+        f"min_len={min_len} exceeds the snapshot build span "
+        f"{snapshot_span}: every stored window would be filtered out and "
+        "the probe would silently flag nothing"
+    )
 
     def key_set(tok_col):
         return F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(tok_col) - min_len),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(tok_col, i + 1, min_len))),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(tok_col, i + 1, min_len))
+                ),
             )
         )
 
+    # snapshot side: (old_id, key) long pairs — suffix_windows always
+    # emits the id as 'doc_id' (the stored snapshot contract)
     old = (
         snapshot_windows.filter(F.size("w") >= min_len)
         .select(
-            F.col(id_col).alias("old_id"),
-            F.md5(F.concat_ws(" ", F.slice(F.col("w"), 1, min_len))).alias("key"),
+            F.col("doc_id").alias("old_id"),
+            F.xxhash64(F.concat_ws(" ", F.slice(F.col("w"), 1, min_len))).alias(
+                "key"
+            ),
         )
         .distinct()
     )
@@ -1226,25 +1246,32 @@ def substring_match_stream(
         )
         old = old.join(ok, "key", "left_semi")
     old_sets = old.groupBy("old_id").agg(F.collect_set("key").alias("__old_set"))
-    snapshot = old.join(old_sets, "old_id")  # (old_id, key, __old_set)
 
     new_rows = (
         docs.withWatermark(ts_col, watermark)
         .select(
             F.col(id_col).alias("new_id"),
             F.col(ts_col),
+            F.col(text_col).alias("__text"),
             tokens(F.col(text_col)).alias("__t"),
         )
         .filter(F.size("__t") >= min_len)
-        .withColumn("__new_set", key_set(F.col("__t")))
-        .select("new_id", ts_col, "__new_set", F.explode("__new_set").alias("key"))
-    )
-    return (
-        new_rows.join(snapshot, "key")
-        .withColumn(
-            "n_shared_windows",
-            F.size(F.array_intersect("__new_set", "__old_set")).cast("long"),
+        .select(
+            "new_id", ts_col, "__text", F.explode(key_set(F.col("__t"))).alias("key")
         )
-        .select("old_id", "new_id", "n_shared_windows", ts_col)
+    )
+    pairs = (
+        new_rows.join(old, "key")
+        .select("old_id", "new_id", ts_col, "__text")
         .dropDuplicatesWithinWatermark(["old_id", "new_id"])
+    )
+    return pairs.join(old_sets, "old_id").select(
+        "old_id",
+        "new_id",
+        F.size(
+            F.array_intersect(key_set(tokens(F.col("__text"))), F.col("__old_set"))
+        )
+        .cast("long")
+        .alias("n_shared_windows"),
+        ts_col,
     )

@@ -1482,3 +1482,8 @@ def test_streaming_substring_match_probes_suffix_snapshot(spark, tmp_path):
     }
     # passage has 3 distinct 5-token windows; doc 3 shares exactly 1
     assert got == {(10, 1): 3, (10, 3): 1}, got
+
+    # the misconfiguration guard: probing above the snapshot's build
+    # span would silently flag nothing — assert instead
+    with pytest.raises(AssertionError, match="build span"):
+        substring_match_stream(docs, snap, min_len=13, snapshot_span=12)

@@ -278,9 +278,12 @@ def test_repeated_substrings_matches_duckdb_oracle_at_sf001(spark):
     from irstats2_spark.sources.testdata import load_table
 
     min_len, max_span = 6, 9
+    # \p{L}\p{N} (not [a-z0-9]) so the oracle's tokenization matches
+    # normalize_text on NON-ascii text too — this SQL is staged for the
+    # round-8 gate, where a testdata regeneration must not desync it
     norm = (
-        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', "
-        "' ', 'g'), '\\s+', ' ', 'g'))"
+        "trim(regexp_replace(regexp_replace(lower(text), "
+        "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
     )
     sql = f"""
     WITH toks AS (
