@@ -118,6 +118,7 @@ def repeated_substrings(
     max_span: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Maximal repeated token substrings of length >= ``min_len``
     occurring at >= ``min_count`` positions corpus-wide, at ARBITRARY
@@ -146,12 +147,21 @@ def repeated_substrings(
     single sorted partition (stack state persists across record
     batches) — the same bounded-state contract as the
     connected-components fold; member rows multiply by nesting depth,
-    bounded by max_span - min_len + 1 levels."""
+    bounded by max_span - min_len + 1 levels.
+
+    Pass a (cached/stored) ``windows`` DataFrame — ``suffix_windows``
+    output built at THIS ``max_span`` — to share the window scan with
+    other consumers (``exact_substring_coverage`` takes the same), the
+    ``shingles=`` sharing idiom of the n-gram tier."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
-    windows = suffix_windows(docs, max_span, text_col, id_col).withColumn(
-        "is_new", F.lit(True)
+    if windows is None:
+        windows = suffix_windows(docs, max_span, text_col, id_col)
+    return _mine_repeats(
+        windows.withColumn("is_new", F.lit(True)),
+        min_len,
+        min_count,
+        only_touching_new=False,
     )
-    return _mine_repeats(windows, min_len, min_count, only_touching_new=False)
 
 
 def repeated_substrings_incremental(
@@ -350,6 +360,7 @@ def exact_substring_coverage(
     max_span: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    windows: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document fraction of tokens inside a substring of length >=
     ``min_len`` that repeats ANYWHERE in the corpus — the Lee et al.
@@ -365,9 +376,15 @@ def exact_substring_coverage(
     ``duplicate_span_coverage`` but with VARIABLE span lengths: a
     running max over previous interval ends bounds the overlap.
 
-    Output: (doc_id, n_tokens, covered_tokens, dup_frac)."""
+    Output: (doc_id, n_tokens, covered_tokens, dup_frac).
+
+    Pass a (cached/stored) ``windows`` DataFrame built at THIS
+    ``max_span`` to share the window scan with ``repeated_substrings``
+    (the ``shingles=`` sharing idiom)."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
-    sa = _suffix_order(suffix_windows(docs, max_span, text_col, id_col))
+    if windows is None:
+        windows = suffix_windows(docs, max_span, text_col, id_col)
+    sa = _suffix_order(windows)
     nxt = sa.select(
         (F.col("sa_idx") - 1).alias("sa_idx"),
         F.col("doc_id").alias("doc_b"),

@@ -249,6 +249,25 @@ def test_incremental_reports_only_new_involving_repeats(spark):
     assert got == full, (got, full)
 
 
+def test_shared_windows_param_matches_internal_build(spark):
+    """The shingles= sharing idiom: passing a prebuilt suffix_windows
+    table to both consumers must reproduce their internal-build output
+    exactly."""
+    texts = {
+        0: "p q r s t u v p q r s t".split(),
+        1: "z p q r s t y".split(),
+    }
+    df = _df(spark, texts)
+    win = suffix_windows(df, max_span=8).localCheckpoint()
+    for fn, kw in (
+        (repeated_substrings, dict(min_len=3, min_count=2, max_span=8)),
+        (exact_substring_coverage, dict(min_len=3, max_span=8)),
+    ):
+        own = sorted(map(tuple, fn(df, **kw).collect()))
+        shared = sorted(map(tuple, fn(df, windows=win, **kw).collect()))
+        assert own == shared, (fn.__name__, own, shared)
+
+
 def test_min_count_filters_rare_runs(spark):
     passage = "p1 p2 p3 p4 p5 p6".split()
     texts = {
