@@ -718,6 +718,76 @@ def quality_gate_stream(docs: DataFrame, **gate_kwargs) -> DataFrame:
     return gopher_quality_gate(docs, **gate_kwargs)
 
 
+def _snapshot_fp_sets(
+    old_fps: DataFrame, id_col: str, max_docs_per_fp: int | None
+) -> DataFrame:
+    """Static side of the snapshot-set match scaffold shared by the
+    winnowing and edit-distance streaming twins: distinct (old_id, fp)
+    rows, boilerplate-capped (a fingerprint in > ``max_docs_per_fp``
+    historical docs fans every new occurrence out by its df — the
+    skewed-key contract every incremental miner documents), with each
+    old doc's full fp set alongside for the row-local shared count.
+    Returns (old_id, fp, __old_set)."""
+    old = old_fps.select(F.col(id_col).alias("old_id"), "fp").distinct()
+    if max_docs_per_fp is not None:
+        ok = (
+            old.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= max_docs_per_fp)
+            .select("fp")
+        )
+        old = old.join(ok, "fp", "left_semi")
+    old_sets = old.groupBy("old_id").agg(
+        F.collect_set("fp").alias("__old_set")
+    )
+    return old.join(old_sets, "old_id")
+
+
+def _winnowed_new_rows(
+    docs: DataFrame,
+    ts_col: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    window: int,
+    watermark: str,
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """Stream side of the scaffold: watermarked arriving docs carrying
+    their whole winnowing-fp set in one per-row array expression
+    (map-side), exploded to (new_id, ts, [extra_cols,] __new_set, fp).
+    ``extra_cols`` are (alias, Column) pairs carried through for
+    downstream hydration (the edit twin keeps the raw text)."""
+    from irstats2_spark.pipeline.textstats import tokens, winnow_key_array
+
+    return (
+        docs.withWatermark(ts_col, watermark)
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(ts_col),
+            *[c.alias(a) for a, c in extra_cols],
+            tokens(F.col(text_col)).alias("__t"),
+        )
+        .filter(F.size("__t") >= k)
+        .withColumn(
+            "__new_set",
+            F.array_distinct(
+                F.transform(
+                    winnow_key_array(F.col("__t"), k, window),
+                    lambda x: F.shiftright(x, 20),
+                )
+            ),
+        )
+        .select(
+            "new_id",
+            ts_col,
+            *[a for a, _ in extra_cols],
+            "__new_set",
+            F.explode("__new_set").alias("fp"),
+        )
+    )
+
+
 def winnow_doc_stream(
     docs: DataFrame,
     old_fps: DataFrame,
@@ -752,44 +822,9 @@ def winnow_doc_stream(
     state ∝ flagged pairs inside the horizon, never corpus.
     Stream == batch is pytest-pinned (intersect-of-sets == the batch
     groupBy count by construction: both sides are distinct sets)."""
-    from irstats2_spark.pipeline.textstats import tokens, winnow_key_array
-
     assert docs.isStreaming, "winnow_doc_stream expects a streaming DataFrame"
-    old = old_fps.select(F.col(id_col).alias("old_id"), "fp").distinct()
-    if max_docs_per_fp is not None:
-        ok = (
-            old.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_docs_per_fp)
-            .select("fp")
-        )
-        old = old.join(ok, "fp", "left_semi")
-    old_sets = old.groupBy("old_id").agg(
-        F.collect_set("fp").alias("__old_set")
-    )
-    snapshot = old.join(old_sets, "old_id")  # (old_id, fp, __old_set)
-
-    new_rows = (
-        docs.withWatermark(ts_col, watermark)
-        .select(
-            F.col(id_col).alias("new_id"),
-            F.col(ts_col),
-            tokens(F.col(text_col)).alias("__t"),
-        )
-        .filter(F.size("__t") >= k)
-        .withColumn(
-            "__new_set",
-            F.array_distinct(
-                F.transform(
-                    winnow_key_array(F.col("__t"), k, window),
-                    lambda x: F.shiftright(x, 20),
-                )
-            ),
-        )
-        .select(
-            "new_id", ts_col, "__new_set", F.explode("__new_set").alias("fp")
-        )
-    )
+    snapshot = _snapshot_fp_sets(old_fps, id_col, max_docs_per_fp)
+    new_rows = _winnowed_new_rows(docs, ts_col, text_col, id_col, k, window, watermark)
     return (
         new_rows.join(snapshot, "fp")
         .withColumn(
@@ -1008,50 +1043,16 @@ def edit_distance_doc_stream(
     times before the dedup; acceptable because verified pairs are
     output-sized. Stream == batch is pytest-pinned against
     ``edit_distance_incremental``."""
-    from irstats2_spark.pipeline.textstats import tokens, winnow_key_array
-
     assert docs.isStreaming, (
         "edit_distance_doc_stream expects a streaming DataFrame"
     )
-    old = old_fps.select(F.col(id_col).alias("old_id"), "fp").distinct()
-    if max_docs_per_fp is not None:
-        ok = (
-            old.groupBy("fp")
-            .agg(F.count(F.lit(1)).alias("__df"))
-            .filter(F.col("__df") <= max_docs_per_fp)
-            .select("fp")
-        )
-        old = old.join(ok, "fp", "left_semi")
-    old_sets = old.groupBy("old_id").agg(
-        F.collect_set("fp").alias("__old_set")
-    )
-    snapshot = old.join(old_sets, "old_id")  # (old_id, fp, __old_set)
+    snapshot = _snapshot_fp_sets(old_fps, id_col, max_docs_per_fp)
     old_text = old_docs.select(
         F.col(id_col).alias("old_id"), F.col(text_col).alias("__to")
     )
-
-    new_rows = (
-        docs.withWatermark(ts_col, watermark)
-        .select(
-            F.col(id_col).alias("new_id"),
-            F.col(ts_col),
-            F.col(text_col).alias("__tn"),
-            tokens(F.col(text_col)).alias("__t"),
-        )
-        .filter(F.size("__t") >= k)
-        .withColumn(
-            "__new_set",
-            F.array_distinct(
-                F.transform(
-                    winnow_key_array(F.col("__t"), k, window),
-                    lambda x: F.shiftright(x, 20),
-                )
-            ),
-        )
-        .select(
-            "new_id", ts_col, "__tn", "__new_set",
-            F.explode("__new_set").alias("fp"),
-        )
+    new_rows = _winnowed_new_rows(
+        docs, ts_col, text_col, id_col, k, window, watermark,
+        extra_cols=(("__tn", F.col(text_col)),),
     )
     glen = F.greatest(F.length("__to"), F.length("__tn"))
     max_norm_micros = int(max_norm * 1_000_000)
