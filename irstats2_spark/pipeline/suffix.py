@@ -184,7 +184,9 @@ def repeated_substrings_incremental(
     earlier runs and are suppressed. Same output contract as
     ``repeated_substrings``.
 
-    PRECONDITION: ``max_span`` must equal the span the snapshot was
+    PRECONDITIONS: new-batch ids must be disjoint from snapshot ids (a
+    re-ingested doc would count its own stored windows as foreign
+    occurrences), and ``max_span`` must equal the span the snapshot was
     built with (``suffix_windows(..., max_span=...)``) — stored windows
     cap every new-vs-old LCP at the BUILD span, so a larger value here
     silently under-reports cross-batch repeat lengths and a smaller one
