@@ -709,6 +709,7 @@ def split_assign_leakage_safe(
     salt: str = "split:",
     a_col: str = "doc_a",
     b_col: str = "doc_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Train/val/test assignment that cannot leak near-duplicates across
     splits: hash the doc's near-dup CLUSTER representative instead of
@@ -728,10 +729,19 @@ def split_assign_leakage_safe(
 
     Scale shape: CC state is ∝ dup-pair nodes, not corpus size; the
     rep table joins back to the corpus on doc_id (dup-node-sized build
-    side, typically broadcastable); bucketing stays a pure map."""
+    side, typically broadcastable); bucketing stays a pure map.
+
+    Pass a precomputed ``components`` table (``connected_components``
+    output over the SAME pairs) to share the iterative closure with
+    other consumers — the shingles= sharing idiom; ``pairs`` is then
+    ignored."""
     from irstats2_spark.pipeline.dedup import connected_components
 
-    comp = connected_components(pairs, a_col, b_col)
+    comp = (
+        components
+        if components is not None
+        else connected_components(pairs, a_col, b_col)
+    )
     rep = (
         docs.select(F.col(id_col).alias("doc_id"))
         .join(comp.select("doc_id", "cluster_id"), "doc_id", "left")

@@ -4291,10 +4291,13 @@ def sample_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.sampling import split_assign_leakage_safe
 
     docs = load_table(spark, "documents", sf_dir)
-    # shared memoized prefix (see _simhash_banded_pairs): this query and
-    # the near-dup maintenance chain consume the identical pair list
+    # shared memoized prefixes (see _simhash_banded_pairs /
+    # _simhash_components): this query and the near-dup maintenance
+    # chain consume the identical pair list AND its component closure
     pairs = _simhash_banded_pairs(spark, sf_dir)
-    return split_assign_leakage_safe(docs, pairs)
+    return split_assign_leakage_safe(
+        docs, pairs, components=_simhash_components(spark, sf_dir)
+    )
 
 @register(
     "dedup_ngram_idf_jaccard",
@@ -4389,17 +4392,14 @@ def pipeline_neardup_maintenance_e2e(spark: SparkSession, sf_dir: str) -> DataFr
     collect), CC state is ∝ dup-pair nodes, keeper choice is one join +
     one struct-max window per cluster — nothing here touches the
     full corpus after the signature map."""
-    from irstats2_spark.pipeline.dedup import (
-        cluster_keepers_by_score,
-        connected_components,
-    )
+    from irstats2_spark.pipeline.dedup import cluster_keepers_by_score
     from irstats2_spark.pipeline.textstats import token_count
 
     docs = load_table(spark, "documents", sf_dir)
-    # shared memoized prefix (see _simhash_banded_pairs): this chain and
-    # the leakage-safe split consume the identical pair list
-    pairs = _simhash_banded_pairs(spark, sf_dir)
-    comp = connected_components(pairs)
+    # shared memoized prefixes (see _simhash_banded_pairs /
+    # _simhash_components): this chain and the leakage-safe split
+    # consume the identical pair list and component closure
+    comp = _simhash_components(spark, sf_dir)
     scores = docs.select(
         "doc_id", token_count(F.col("text")).cast("long").alias("score")
     )
@@ -5973,6 +5973,22 @@ def _simhash_banded_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash_banded_pairs",
         "documents",
         lambda: simhash_hamming_pairs(load_table(spark, "documents", sf_dir)),
+    )
+
+
+def _simhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the shared SimHash pair list — the
+    second stage the leakage-safe split and the maintenance chain ALSO
+    both run (the iterative min-propagation closure costs log(diameter)
+    jobs); dup-node-sized, so the checkpoint is tiny."""
+    from irstats2_spark.pipeline.dedup import connected_components
+
+    return _memoized_prefix(
+        spark,
+        sf_dir,
+        "simhash_components",
+        "documents",
+        lambda: connected_components(_simhash_banded_pairs(spark, sf_dir)),
     )
 
 

@@ -3281,6 +3281,18 @@ def test_split_leakage_safe_keeps_neardups_together(spark):
           for r in split_assign_leakage_safe(docs, empty).collect()}
     assert eq == {d: plain[d].split for d in range(60)}
 
+    # components= sharing idiom: a precomputed closure over the same
+    # pairs must reproduce the internal-build output exactly
+    from irstats2_spark.pipeline.dedup import connected_components
+
+    shared = {
+        r.doc_id: (r.cluster_rep, r.split)
+        for r in split_assign_leakage_safe(
+            docs, pairs, components=connected_components(pairs)
+        ).collect()
+    }
+    assert shared == {d: (out[d].cluster_rep, out[d].split) for d in out}
+
 
 def test_knn_mutual_graph_symmetrizes(spark):
     """knn_mutual_graph on a hand-built directed graph: one-way edges
