@@ -103,10 +103,22 @@ def main() -> None:
                 json.dumps(
                     {
                         "ts": time.strftime("%Y-%m-%dT%H:%M:%S%z"),
+                        # "builder-idle" ONLY when the run actually wrote
+                        # the committed baseline file; an ad-hoc
+                        # SPARK_GRAFT_BENCH_DETAIL target records its own
+                        # filename so noisy probe runs can't masquerade
+                        # as the idle baseline producer.
                         "producer": (
                             "builder-idle"
-                            if "SPARK_GRAFT_BENCH_DETAIL" in os.environ
-                            else "unlabeled"
+                            if os.path.abspath(detail_path)
+                            == os.path.abspath(
+                                os.path.join(here, "BENCH_DETAIL.json")
+                            )
+                            else (
+                                os.path.basename(detail_path)
+                                if "SPARK_GRAFT_BENCH_DETAIL" in os.environ
+                                else "unlabeled"
+                            )
                         ),
                         **payload,
                     },

@@ -38,122 +38,99 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-7 rotation — LEDGER COMPLETION (round-6 verdict ask #1): with
-# this cut green, every oracled catalog query (219/220) has a driver
-# row verifying CURRENT code; bpe_train_merges stays the one permanent
-# rows-only entry (no SQL oracle, pytest-pinned, out of rotation).
-# Slot budget (50):
-# - 6 debt queries deferred from round 6's cut (stable since r3, green
-#   in every local mirror run, family-verified elsewhere);
-# - 19 stale re-gates: the expression-binding perf rewrites landed
-#   AFTER round 6's cut froze (shingle_array / fixed_chunk_array /
-#   winnow_key_array / _ordered_pair_structs / pq_subvectors /
-#   pq_encode_vec / repetition_score) — output-identical by
-#   construction and plan-guarded, but their existing rows verified
-#   pre-rewrite code;
-# - 9 queries whose implementation changed THIS round: the audit
-#   eager-release defaults (dedup_lsh_recall_audit is already in the 19;
-#   dedup_simhash_quality_audit, text_minhash_containment_asym), the
-#   e2e pin releases (pipeline_embed_index_search_e2e in the 19;
-#   pipeline_rag_index_e2e), the shared SimHash banded-pair prefix
-#   (dedup_simhash_hamming, sample_split_leakage_safe,
-#   pipeline_neardup_maintenance_e2e), and the graph tier whose memo
-#   keying gained a testdata fingerprint (graph_pagerank,
-#   graph_triangles, graph_label_propagation — output-identical, but
-#   the rows should verify the code as it ships);
+# Round-8 rotation. The ledger is now SCRIPTED: `python -m
+# tools.gate_ledger` reads every CORRECTNESS_r*.json and prints each
+# query's most recent driver-verified round (oldest first) — the cut
+# below is its output plus this round's changes. Slot budget (50):
+# - 3 NEW registrations: the suffix-array exact-substring family
+#   (repeated_substrings, repeated_substrings_incremental,
+#   exact_substring_coverage) — staged in r7, registered this round
+#   after parallelizing the interval sweep by stretch (the r7 verdict's
+#   one `weak` finding); their oracle is the independent declarative
+#   maximal-repeat characterization (>= 2 distinct left/right
+#   contexts). streaming/ingest.substring_match_stream stays
+#   pytest-pinned like the other streaming twins (no batch surface).
+# - 1 NEWLY ORACLED: bpe_train_merges — the last rows-only entry now
+#   carries an unrolled bounded-round CTE oracle (the graph-tier
+#   idiom), making the catalog 223/223 value-oracled.
+# - changed this round: dedup_simhash_quality_audit (truth side now
+#   flows lazily through one shared shingle pin — the r7 advice's
+#   double-checkpoint fix).
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
-# - 14 oldest-rotation slots from the round-4 displaced-r2 list.
-# embedding_pca_project's oracle now derives its VALUES list from the
-# same _PCA_KS constant the query passes — the generated SQL is
-# byte-identical to the r6-verified string, so no re-gate is spent.
+# - ALL 18 remaining r2-stale rows (the round-4 displaced-r2 list plus
+#   a2_sum_all / a3_daily_preagg / dedup_minhash_signatures) — after
+#   this cut nothing older than r3 remains;
+# - 25 oldest r3-stale rows (alphabetical head of the ledger); the
+#   ~14-query r3 remainder (search_term_extraction, the similarity_*
+#   base tier, text_* quantiles/vocab, view_compare_years) is round
+#   9's rotation debt.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- the 6 deferred debt queries (gate these FIRST) --
-    "similarity_pq_rerank_topk",
-    "similarity_pq_m_sweep",
-    "dedup_edit_distance_incremental",
-    "mix_temperature_sweep",
-    "text_vocab_coverage_curve",
-    "corpus_compaction_plan",
-    # -- the 19 stale re-gates (post-freeze expression-binding rewrites) --
-    "dedup_ngram_jaccard",
-    "dedup_ngram_containment",
-    "dedup_ngram_idf_jaccard",
-    "dedup_lsh_recall_audit",
-    "dedup_minhash_lsh",
-    "similarity_pq_fit",
-    "similarity_pq_encode",
-    "similarity_pq_topk",
-    "similarity_ivfpq_topk",
-    "similarity_pq_balance_audit",
-    "dedup_embedding_pq_blocking",
-    "pipeline_embed_index_search_e2e",
-    "text_frequent_chunks",
-    "text_remove_frequent_chunks",
-    "text_remove_frequent_chunks_incremental",
-    "text_dedup_chunks_inplace",
-    "text_repetition_score",
-    "text_decontamination_spans",
-    "pipeline_pretrain_e2e",
-    # -- changed this round (cache lifecycle + shared prefixes) --
+    # -- new registrations (gate these FIRST) --
+    "repeated_substrings",
+    "repeated_substrings_incremental",
+    "exact_substring_coverage",
+    # -- newly oracled / changed this round --
+    "bpe_train_merges",
     "dedup_simhash_quality_audit",
-    "text_minhash_containment_asym",
-    "pipeline_rag_index_e2e",
-    "dedup_simhash_hamming",
-    "sample_split_leakage_safe",
-    "pipeline_neardup_maintenance_e2e",
-    "graph_pagerank",
-    "graph_triangles",
-    "graph_label_propagation",
     # -- continuously-verified core anchors --
     "a1_grouped_sum",
     "repeat_filter_exact",
-    # -- oldest-rotation fill (round-4 displaced-r2 list) --
-    "robots_filter_outcome",
-    "dedup_simhash",
-    "text_quality_features",
-    "text_lang_id",
-    "text_fingerprint",
-    "text_token_counts",
-    "sample_split_assign",
-    "sample_stratified",
-    "dedup_clusters",
-    "dedup_exact",
-    "t6_f12_formatting",
-    "o4_listing_engine",
-    "f1_f3_url_parse",
-    "f9_subject_closure",
+    # -- the 18 r2-stale rows (complete; nothing r2 remains after this) --
+    "a2_sum_all",
+    "a3_daily_preagg",
+    "a5_ratio_metric",
+    "ctx_data_min",
+    "ctx_grouping_top",
+    "ctx_prelive_clamp",
+    "ctx_set_series",
+    "ctx_top_sets",
+    "dedup_minhash_signatures",
+    "etl_downloads_fact",
+    "events_asof_prior",
+    "events_sessionize",
+    "events_unique_visitors_approx",
+    "geoip_range_join",
+    "s7_groupings_build",
+    "s7_sets_build",
+    "view_monthly_graph",
+    "view_sparkline",
+    # -- 25 oldest r3-stale rows (ledger order) --
+    "agg_argmax_order",
+    "agg_pivot_monthly",
+    "agg_rollup_monthly",
+    "agg_topk_per_group",
+    "ctx_daily_series",
+    "ctx_lifetime_total",
+    "ctx_top_eprints",
+    "dedup_embedding_cosine",
+    "dedup_exact_incremental",
+    "dedup_minhash_incremental",
+    "dedup_url_canonical",
+    "etl_doc_downloads_fact",
+    "etl_silver_views_fact",
+    "etl_views_fact",
+    "events_unique_visitors",
+    "join_anti_no_purchase",
+    "join_salted_skew",
+    "meta_json_extract",
+    "mix_by_source_cap",
+    "multimodal_decode_stub",
+    "o3_topn",
+    "p3_date_range",
+    "p7_semi_join",
+    "pack_training_sequences",
+    "sample_weighted",
 )
-# ROUND 8 SHOULD GATE: whatever round 8 changes, the two anchors, and
-# the oldest remaining rotation debt, in this order:
-# - the rest of the round-4 displaced-r2 list not re-gated above:
-#   s7_sets_build, s7_groupings_build, view_sparkline, ctx_data_min,
-#   ctx_prelive_clamp, ctx_set_series, ctx_top_sets, ctx_grouping_top,
-#   geoip_range_join, view_monthly_graph, events_unique_visitors_approx,
-#   etl_downloads_fact, events_asof_prior, events_sessionize,
-#   a5_ratio_metric;
-# - then oldest r3-green rows;
-# - STAGED NEW REGISTRATIONS (round 7 kept the catalog frozen at 220
-#   per the r6 verdict; these are implemented + sequential-reference-
-#   pinned in tests/test_suffix.py and should register WITH oracle +
-#   gate slots in round 8): pipeline/suffix.py's repeated_substrings
-#   (suffix-array maximal-repeat miner, full lcp-interval enumeration),
-#   repeated_substrings_incremental (new-vs-snapshot nightly twin),
-#   exact_substring_coverage (arbitrary-length dup-span fraction) and
-#   streaming/ingest.substring_match_stream (ingest-time exact-run
-#   probe of the same stored window snapshot). The registration-ready
-#   DuckDB oracle (declarative maximal-repeat characterization:
-#   L-grams with >=2 distinct left AND right contexts) already passes
-#   at sf0.01 — see
-#   test_suffix.test_repeated_substrings_matches_duckdb_oracle_at_sf001.
-# Queries whose ONLY change this round was gaining a no-op
-# ``materialize=False`` keyword (release_after returns the identical
-# DataFrame object when False) were NOT re-gated: text_tfidf_top_term,
-# text_dup_span_coverage, text_cdc_remove_frequent, dedup_clusters
-# (also in the rotation fill anyway), dedup_cluster_quality_keepers,
-# pipeline_dedup_cascade_audit, pipeline_select_e2e — their existing
-# rows still verify the code path that executes.
-# Append every NEW registration to this comment so the debt ledger
-# stays complete.
+# ROUND 9 SHOULD GATE: whatever round 9 changes, the two anchors, then
+# the r3-stale remainder per `python -m tools.gate_ledger --debt 40`
+# (search_term_extraction, similarity_bruteforce_topk,
+# similarity_hyperplane_sig, similarity_hyperplane_topk,
+# similarity_ivf_assign, similarity_kmeans_fit, text_chunk_dedup,
+# text_length_quantiles, text_length_quantiles_approx, text_pii_scrub,
+# text_tfidf_top_term, text_vocab_heavyhitters_approx, text_vocab_topk,
+# view_compare_years), then oldest r4 rows.
+# Append every NEW registration to this comment AND re-gate any query
+# whose implementation changes after the cut freezes.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

@@ -591,10 +591,14 @@ def simhash_quality_audit(
     pair-set-sized work after the miners.
 
     Cache lifecycle: audits default to ``materialize=True`` — the
-    truth-side shingle pin is released inside ``ngram_jaccard_pairs``
-    and the result checkpointed eagerly (``pipeline.lifecycle``)."""
+    truth side flows through LAZILY (one shared shingle pin, made
+    here) and the single outer checkpoint below both evaluates the
+    result and releases that pin, exactly like ``lsh_recall_audit``;
+    routing ``materialize`` into ``ngram_jaccard_pairs`` instead would
+    pay a second eager localCheckpoint for the same pair set."""
+    sh = word_shingles(docs, text_col, id_col, k).cache()
     truth = ngram_jaccard_pairs(
-        docs, text_col, id_col, k, threshold=threshold, materialize=materialize
+        docs, text_col, id_col, k, threshold=threshold, shingles=sh
     )
     sig = simhash64(docs, text_col, id_col)
     a = sig.select(
@@ -621,7 +625,7 @@ def simhash_quality_audit(
             hamming.alias("hamming"),
             (hamming <= max_hamming).alias("found"),
         ),
-        [],
+        [sh],
         materialize,
     )
 

@@ -13,21 +13,42 @@ Design (Spark-first, no monolithic suffix array in memory):
 1. ``suffix_windows`` — every token position becomes a row carrying the
    next ``max_span`` tokens (the position's suffix, truncated — the
    standard match-length cap; Lee et al. cap too). Corpus-sized but
-   map-side: one slice per position, no shuffle.
-2. Global lexicographic sort of those windows IS the (truncated) suffix
-   array: ``orderBy`` range-partitions, so the sort scales with
-   executors; a ``zipWithIndex`` assigns suffix-array positions (two
-   passes, order-preserving, bounded driver state).
+   map-side: one slice per position, no shuffle. The build span is
+   stamped on the ``w`` field's schema metadata so shared/stored window
+   tables cannot silently cap LCPs at a smaller span than the caller
+   asked for.
+2. ``suffix_order`` — ONE range-partitioned sort of those windows IS
+   the (truncated) suffix array. Dense global positions come from
+   ``monotonically_increasing_id`` (partition-local row numbers in scan
+   order) plus per-partition offsets from an O(#partitions) count
+   collect: two passes over a persisted sort, all JVM/Tungsten — no
+   ``zipWithIndex`` Python round-trip.
 3. Adjacent-suffix LCPs: self-join on ``sa_idx = sa_idx + 1`` (one
    hash shuffle on the dense index) and an IN-ROW common-prefix length
    over the two token windows (``zip_with`` + first-mismatch position —
    JVM array ops, no Python).
 4. Runs of adjacent suffixes with LCP >= ``min_len`` are the repeated-
    substring intervals. Qualifying pairs are DUP-SIZED (only positions
-   inside actual repeats survive the filter), so the run-grouping
-   window over the global index — the one unpartitioned window in the
-   plan — touches pair-set-scale data only, the same contract as the
-   connected-components state in ``dedup``.
+   inside actual repeats survive the filter). Contiguous pair
+   STRETCHES are independent (the interval stack drains at every
+   ``sa_idx`` gap), so the lcp-interval sweep runs partition-parallel:
+   a gaps-and-islands key (``sa_idx - row_number``) groups each
+   stretch, stretches hash across partitions, and the identical
+   Arrow-batched fold runs per partition. The one ordered-window pass
+   that assigns stretch keys sees only the 16-byte (sa_idx, lcp) pair
+   rows — dup-pair-sized, JVM-side — not the corpus.
+
+COST ENVELOPE (the 100 TB operator-choice knob): the window explode in
+step 1 is a ``max_span``× token blow-up feeding the global sort — at
+the default span 32 that is ~32 bytes/token × 32 rows ≈ 1 KB of shuffle
+per corpus token, the honest price of exact arbitrary-length matching.
+Sample-first (mine repeats on a documented sample, then probe the full
+corpus with ``streaming.ingest.substring_match_stream`` or a hash join
+on the mined fingerprints) is the production-scale default; full-corpus
+mining is for audits at the scale you can afford the sort. Measured at
+sf0.1 (local[32], 5k docs, ~1.7M positions, span 9): full mine ≈ 8 s
+wall, of which the windows+sort prefix is ~6 s (see BENCH_DETAIL.json
+``repeated_substrings``).
 
 Each maximal run reports the longest prefix shared by ALL its members
 (``repeat_len`` = min LCP over the run), its occurrence/document
@@ -46,9 +67,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
+from irstats2_spark.pipeline.lifecycle import release_after
 from irstats2_spark.pipeline.textstats import tokens
+
+_MID_LOCAL_BITS = 33  # monotonically_increasing_id: pid<<33 | row-in-partition
 
 
 def suffix_windows(
@@ -60,7 +83,10 @@ def suffix_windows(
     """(doc_id, pos, w, prev): one row per token position, ``w`` = the
     next ``max_span`` tokens (the truncated suffix), ``prev`` = the
     preceding token (NULL at doc start — the left-maximality witness).
-    Entirely map-side."""
+    Entirely map-side. The build span rides on ``w``'s field metadata
+    (``{"max_span": N}``) — it survives select/union/checkpoint AND a
+    parquet round-trip (Spark stores its schema, metadata included, in
+    the footer), so stored snapshots carry their span with them."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
     ).filter(F.size("__t") > 0)
@@ -79,25 +105,89 @@ def suffix_windows(
     ).select(
         "doc_id",
         F.col("s.pos").alias("pos"),
-        F.col("s.w").alias("w"),
+        F.col("s.w").alias("w", metadata={"max_span": max_span}),
         F.col("s.prev").alias("prev"),
     )
 
 
-def _suffix_order(windows: DataFrame) -> DataFrame:
+def window_build_span(windows: DataFrame) -> int | None:
+    """The ``max_span`` a window/suffix table was built with, read from
+    ``w``'s field metadata; None when the table predates the stamp."""
+    for f in windows.schema.fields:
+        if f.name == "w":
+            span = f.metadata.get("max_span")
+            return int(span) if span is not None else None
+    return None
+
+
+def _assert_span(df: DataFrame, max_span: int, what: str) -> None:
+    """Guard shared/stored window tables: a table built at a smaller
+    span silently caps every LCP at the BUILD span (under-reporting
+    repeat lengths); a larger one wastes stored width. Fail loudly
+    instead."""
+    got = window_build_span(df)
+    if got is None:
+        raise ValueError(
+            f"{what} carries no max_span metadata on its 'w' field — "
+            "rebuild it with suffix_windows(..., max_span=...) (the "
+            "stamp survives parquet) before sharing it"
+        )
+    if got != max_span:
+        raise ValueError(
+            f"{what} was built at max_span={got} but this call asked "
+            f"for max_span={max_span}; mixed spans silently cap LCPs "
+            "at the build span — rebuild or pass the matching value"
+        )
+
+
+def suffix_order(
+    windows: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """Assign each suffix its (truncated) suffix-array position.
 
-    ``orderBy`` on the token-array column range-partitions the sort;
-    ``zipWithIndex`` then numbers rows in that order with two passes and
-    O(#partitions) driver state (ties broken by doc_id/pos so the order
-    — and everything downstream — is fully deterministic)."""
-    ordered = windows.orderBy("w", "doc_id", "pos")
-    schema = T.StructType(
-        ordered.schema.fields + [T.StructField("sa_idx", T.LongType())]
+    Returns ``(sa, pin)``: ``sa`` adds a dense ``sa_idx`` in full
+    lexicographic suffix order (ties broken by doc_id/pos, so the order
+    — and everything downstream — is fully deterministic); ``pin`` is
+    the persisted range-sorted intermediate the caller must unpersist
+    (or route through ``release_after``) once ``sa``'s consumers have
+    evaluated.
+
+    Shape: ``repartitionByRange`` + ``sortWithinPartitions`` is the one
+    corpus-sized sort; ``monotonically_increasing_id`` reads off
+    (partition, row-in-partition) in scan order, a groupBy over the
+    persisted sort collects #partitions tiny counts, and a broadcast
+    offset map turns local row numbers into the dense global index.
+    Two passes over the cached sort, zero Python serialization — this
+    replaced an ``rdd.zipWithIndex()`` round-trip that double-ran the
+    sort through pickled rows and broke exchange reuse."""
+    spark = windows.sparkSession
+    n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    part = (
+        windows.repartitionByRange(n, "w", "doc_id", "pos")
+        .sortWithinPartitions("w", "doc_id", "pos")
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .persist()
     )
-    return ordered.sparkSession.createDataFrame(
-        ordered.rdd.zipWithIndex().map(lambda t: (*t[0], t[1])), schema
+    pid = F.shiftright("__mid", _MID_LOCAL_BITS)
+    local = F.col("__mid").bitwiseAND(F.lit((1 << _MID_LOCAL_BITS) - 1))
+    counts = sorted(
+        (r["pid"], r["cnt"])
+        for r in part.groupBy(pid.alias("pid"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # O(#partitions) rows — range partition ids ascend
     )
+    offsets: list = []
+    running = 0
+    for p, c in counts:
+        offsets += [F.lit(p), F.lit(running)]
+        running += c
+    # empty corpus: zero rows flow anyway, but create_map() with no args
+    # types as map<void,void> and breaks the long lookup — use a dummy
+    offmap = F.create_map(*(offsets or [F.lit(0), F.lit(0)]))
+    sa = part.withColumn(
+        "sa_idx", (offmap[pid] + local).cast("long")
+    ).drop("__mid")
+    return sa, part
 
 
 def _lcp(a, b):
@@ -119,6 +209,8 @@ def repeated_substrings(
     text_col: str = "text",
     id_col: str = "doc_id",
     windows: DataFrame | None = None,
+    sa: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Maximal repeated token substrings of length >= ``min_len``
     occurring at >= ``min_count`` positions corpus-wide, at ARBITRARY
@@ -140,28 +232,51 @@ def repeated_substrings(
     left context, so it never blocks maximality.
 
     Scale shape: corpus-sized stages are a map-side window explode, one
-    range-partitioned sort, one index self-join. Everything after the
-    ``lcp >= min_len`` filter is dup-pair-sized: the interval
-    enumeration is the classic histogram-stack sweep over the
-    qualifying-pair LCP sequence, run as ONE Arrow-batched pass over a
-    single sorted partition (stack state persists across record
-    batches) — the same bounded-state contract as the
-    connected-components fold; member rows multiply by nesting depth,
-    bounded by max_span - min_len + 1 levels.
+    range-partitioned sort (persisted, two JVM passes), one index
+    self-join. Everything after the ``lcp >= min_len`` filter is
+    dup-pair-sized, and the lcp-interval sweep runs PARTITION-PARALLEL:
+    contiguous pair stretches are independent (the stack drains at
+    every ``sa_idx`` gap), so a gaps-and-islands stretch key routes
+    each stretch to a partition and the identical Arrow-batched fold
+    runs per partition — member rows multiply by nesting depth, bounded
+    by max_span - min_len + 1 levels.
 
-    Pass a (cached/stored) ``windows`` DataFrame — ``suffix_windows``
-    output built at THIS ``max_span`` — to share the window scan with
-    other consumers (``exact_substring_coverage`` takes the same), the
-    ``shingles=`` sharing idiom of the n-gram tier."""
+    Sharing: pass a (cached/stored) ``windows`` DataFrame —
+    ``suffix_windows`` output built at THIS ``max_span`` — to share the
+    window scan, or ``sa`` — ``suffix_order(...)[0]``, materialized —
+    to share the sorted suffix index itself with
+    ``exact_substring_coverage`` (the ``shingles=`` idiom one level
+    up). Both carry the build span in schema metadata and are asserted
+    against ``max_span``. ``materialize`` follows the package cache-
+    lifecycle contract (lifecycle.py): False returns the lazy plan and
+    the caller owns the internal pins; True localCheckpoints the
+    (report-sized) result and unpersists them."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
-    if windows is None:
-        windows = suffix_windows(docs, max_span, text_col, id_col)
-    return _mine_repeats(
-        windows.withColumn("is_new", F.lit(True)),
+    sa, pins = _resolve_sa(docs, max_span, text_col, id_col, windows, sa)
+    out, sweep_pins = _mine_repeats(
+        sa.withColumn("is_new", F.lit(True)),
         min_len,
         min_count,
         only_touching_new=False,
     )
+    return release_after(out, pins + sweep_pins, materialize)
+
+
+def _resolve_sa(
+    docs, max_span, text_col, id_col, windows, sa
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared entry plumbing: build (or validate) the suffix index and
+    report which intermediates THIS call pinned (a caller-supplied
+    ``sa``/``windows`` is owned by the caller, never released here)."""
+    if sa is not None:
+        _assert_span(sa, max_span, "shared sa")
+        return sa, []
+    if windows is not None:
+        _assert_span(windows, max_span, "shared windows")
+    else:
+        windows = suffix_windows(docs, max_span, text_col, id_col)
+    sa, pin = suffix_order(windows)
+    return sa, [pin]
 
 
 def repeated_substrings_incremental(
@@ -172,6 +287,7 @@ def repeated_substrings_incremental(
     max_span: int = 32,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Nightly-batch form of the SA miner, completing the incremental
     tier for the exact-substring family the way
@@ -180,28 +296,29 @@ def repeated_substrings_incremental(
     new batch — new-vs-snapshot and new-vs-new alike — against the
     accumulated ``suffix_windows`` snapshot (stored as
     (doc_id, pos, w, prev) parquet; append each batch's windows after
-    the run). Repeats wholly inside the snapshot were reported by
-    earlier runs and are suppressed. Same output contract as
+    the run — ``write_suffix_snapshot`` keeps the store range-sorted).
+    Repeats wholly inside the snapshot were reported by earlier runs
+    and are suppressed. Same output contract as
     ``repeated_substrings``.
 
     PRECONDITIONS: new-batch ids must be disjoint from snapshot ids (a
     re-ingested doc would count its own stored windows as foreign
     occurrences), and ``max_span`` must equal the span the snapshot was
-    built with (``suffix_windows(..., max_span=...)``) — stored windows
-    cap every new-vs-old LCP at the BUILD span, so a larger value here
-    silently under-reports cross-batch repeat lengths and a smaller one
-    wastes stored width. Store the span next to the table (path suffix
-    or a manifest row) and pass it back; the batch/union equivalence
+    built with — stored windows cap every new-vs-old LCP at the BUILD
+    span, so a larger value here silently under-reports cross-batch
+    repeat lengths and a smaller one wastes stored width. The span is
+    ASSERTED from the snapshot's schema metadata (stamped by
+    ``suffix_windows``, parquet-durable); the batch/union equivalence
     pinned in tests holds only under equal spans.
 
     Scale shape: only the NEW batch is windowed (zero-shuffle map); the
     union re-sorts, which at snapshot scale is the honest Spark cost —
-    the stored table is already range-sorted, so the sort's exchange is
-    a near-merge (range partitioner boundaries land where the data
-    already lives); a custom merge-join against the sorted snapshot
-    would save the shuffle but not the comparisons, and is noted here
-    as the dedicated-index upgrade path."""
+    store the snapshot via ``write_suffix_snapshot`` (range-sorted +
+    clustered) so the re-sort's range exchange moves data that is
+    already key-local and the within-partition sorts are near-merges
+    over presorted runs."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
+    _assert_span(snapshot_windows, max_span, "snapshot_windows")
     new_w = suffix_windows(new_docs, max_span, text_col, id_col).withColumn(
         "is_new", F.lit(True)
     )
@@ -210,22 +327,67 @@ def repeated_substrings_incremental(
     old_w = snapshot_windows.select("doc_id", "pos", "w", "prev").withColumn(
         "is_new", F.lit(False)
     )
-    return _mine_repeats(
-        new_w.unionByName(old_w), min_len, min_count, only_touching_new=True
+    sa, pin = suffix_order(new_w.unionByName(old_w))
+    out, sweep_pins = _mine_repeats(
+        sa, min_len, min_count, only_touching_new=True
+    )
+    return release_after(out, [pin] + sweep_pins, materialize)
+
+
+def write_suffix_snapshot(
+    windows: DataFrame, path: str, num_partitions: int | None = None
+) -> None:
+    """Persist a ``suffix_windows`` table range-sorted on the suffix key
+    (``w, doc_id, pos``) so the nightly incremental run's union re-sort
+    finds its input already key-clustered: the range exchange moves
+    near-local data and each partition sort merges presorted runs
+    instead of shuffling a random layout. The span metadata rides the
+    parquet footer; read back with ``spark.read.parquet`` and feed
+    ``repeated_substrings_incremental`` directly."""
+    n = num_partitions or int(
+        windows.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
+    (
+        windows.repartitionByRange(n, "w", "doc_id", "pos")
+        .sortWithinPartitions("w", "doc_id", "pos")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def _sweep_input(pairs: DataFrame) -> DataFrame:
+    """Stretch-partitioned, sa_idx-sorted (sa_idx, lcp) rows ready for
+    the lcp-interval fold.
+
+    Contiguous qualifying-pair stretches are independent work units
+    (the fold's stack drains at every ``sa_idx`` gap), so the classic
+    gaps-and-islands key ``sa_idx - row_number`` — constant within a
+    stretch, distinct across stretches — hash-routes whole stretches
+    across partitions. The one global-ordered window that assigns it
+    runs JVM-side over ONLY the two-long pair rows (dup-pair-sized; the
+    corpus never passes through it); the Python fold itself then runs
+    partition-parallel, which is what the old ``repartition(1)`` sweep
+    serialized."""
+    w = Window.orderBy("sa_idx")
+    return (
+        pairs.select("sa_idx", "lcp")
+        .withColumn("stretch", F.col("sa_idx") - F.row_number().over(w))
+        .repartition("stretch")
+        .sortWithinPartitions("sa_idx")
     )
 
 
 def _mine_repeats(
-    windows: DataFrame,
+    sa: DataFrame,
     min_len: int,
     min_count: int,
     only_touching_new: bool,
-) -> DataFrame:
-    """Shared SA-interval mining core over a (doc_id, pos, w, prev,
-    is_new) window set; see ``repeated_substrings`` for semantics."""
+) -> tuple[DataFrame, list[DataFrame]]:
+    """Shared SA-interval mining core over a suffix-ordered (doc_id,
+    pos, w, prev, is_new, sa_idx) table; see ``repeated_substrings``
+    for semantics. Returns (result, pins-this-call-made)."""
     import pandas as pd
 
-    sa = _suffix_order(windows)
     nxt = sa.select(
         (F.col("sa_idx") - 1).alias("sa_idx"),
         F.col("doc_id").alias("doc_b"),
@@ -251,6 +413,7 @@ def _mine_repeats(
             _lcp(F.col("w"), F.col("w_b")).alias("lcp"),
         )
         .filter(F.col("lcp") >= min_len)
+        .persist()  # dup-pair-sized; consumed by the sweep AND the info union
     )
     # dup-pair-sized suffix info: every suffix inside a repeat appears
     # as the a-side of pair sa_idx and/or the b-side of pair sa_idx-1
@@ -271,7 +434,9 @@ def _mine_repeats(
 
     def enumerate_intervals(batches):
         # histogram-stack lcp-interval sweep; pair p spans suffixes
-        # (p, p+1). Emits one member row per (interval, suffix).
+        # (p, p+1). Emits one member row per (interval, suffix). The
+        # stack drains at every sa_idx gap, so a partition holding
+        # several (whole) stretches folds each independently.
         stack: list[list[int]] = []  # [depth, lo_suffix]
         prev_idx = None
         rows: list[tuple[int, int, int, int]] = []
@@ -310,16 +475,10 @@ def _mine_repeats(
                 rows, columns=["iv_lo", "iv_hi", "depth", "sa_idx"]
             )
 
-    iv_members = (
-        pairs.select("sa_idx", "lcp")
-        .repartition(1)
-        .sortWithinPartitions("sa_idx")
-        .mapInPandas(
-            enumerate_intervals,
-            schema="iv_lo long, iv_hi long, depth int, sa_idx long",
-        )
-        .join(info, "sa_idx")
-    )
+    iv_members = _sweep_input(pairs).mapInPandas(
+        enumerate_intervals,
+        schema="iv_lo long, iv_hi long, depth int, sa_idx long",
+    ).join(info, "sa_idx")
     # a doc-start occurrence (prev NULL) gets a per-occurrence-unique
     # left-context key, so it always witnesses left-maximality
     prev_key = F.coalesce(
@@ -343,7 +502,7 @@ def _mine_repeats(
     if only_touching_new:
         keep = keep & F.col("touches_new")
     repeat_text = F.concat_ws(" ", F.slice(F.col("rep.w"), 1, F.col("depth")))
-    return (
+    out = (
         agg.filter(keep)
         .select(
             F.md5(repeat_text).alias("fp"),
@@ -354,6 +513,7 @@ def _mine_repeats(
         )
         .orderBy(F.desc("repeat_len"), F.desc("n_occurrences"), "fp")
     )
+    return out, [pairs]
 
 
 def exact_substring_coverage(
@@ -363,6 +523,8 @@ def exact_substring_coverage(
     text_col: str = "text",
     id_col: str = "doc_id",
     windows: DataFrame | None = None,
+    sa: DataFrame | None = None,
+    materialize: bool = False,
 ) -> DataFrame:
     """Per-document fraction of tokens inside a substring of length >=
     ``min_len`` that repeats ANYWHERE in the corpus — the Lee et al.
@@ -380,13 +542,11 @@ def exact_substring_coverage(
 
     Output: (doc_id, n_tokens, covered_tokens, dup_frac).
 
-    Pass a (cached/stored) ``windows`` DataFrame built at THIS
-    ``max_span`` to share the window scan with ``repeated_substrings``
-    (the ``shingles=`` sharing idiom)."""
+    Sharing/lifecycle: ``windows=`` / ``sa=`` / ``materialize=`` as in
+    ``repeated_substrings`` (span-asserted; caller owns shared
+    inputs)."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
-    if windows is None:
-        windows = suffix_windows(docs, max_span, text_col, id_col)
-    sa = _suffix_order(windows)
+    sa, pins = _resolve_sa(docs, max_span, text_col, id_col, windows, sa)
     nxt = sa.select(
         (F.col("sa_idx") - 1).alias("sa_idx"),
         F.col("doc_id").alias("doc_b"),
@@ -397,6 +557,7 @@ def exact_substring_coverage(
         sa.join(nxt, "sa_idx")
         .withColumn("lcp", _lcp(F.col("w"), F.col("w_b")))
         .filter(F.col("lcp") >= min_len)
+        .persist()  # dup-pair-sized; consumed by both union sides below
     )
     # both endpoints of a qualifying adjacency are covered for lcp tokens
     spans = pairs.select(
@@ -431,7 +592,7 @@ def exact_substring_coverage(
         F.col(id_col).alias("doc_id"),
         F.greatest(F.size(tokens(F.col(text_col))), F.lit(0)).alias("n_tokens"),
     )
-    return totals.join(covered, "doc_id", "left").select(
+    out = totals.join(covered, "doc_id", "left").select(
         "doc_id",
         F.col("n_tokens").cast("int").alias("n_tokens"),
         F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
@@ -445,3 +606,4 @@ def exact_substring_coverage(
             6,
         ).alias("dup_frac"),
     )
+    return release_after(out, pins + [pairs], materialize)

@@ -3373,12 +3373,78 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).limit(20)
 
 
+def _bpe_train_sql(n_merges: int) -> str:
+    """Unroll the BPE trainer's fixed merge rounds as chained CTEs —
+    the graph tier's bounded-round idiom, closing the catalog's last
+    rows-only entry. Each round: adjacent-pair counts over the symbol
+    table, the (count DESC, left, right) argmax (WHERE pair_count >= 2
+    reproduces the trainer's early stop: an empty top cascades empty
+    symbol tables, so later rounds emit no rows), then the merge
+    itself. Greedy left-to-right NON-OVERLAPPING merge == SQL
+    ``replace``'s scan semantics, made token-boundary-safe by doubling
+    every separator first (' l  r ' consumes one boundary space each
+    side and leaves one, so chained occurrences '…l r l r…' all merge,
+    while 'xl  r' can never match ' l  r ' mid-symbol); a collapse +
+    trim restores the single-space invariant for the next round."""
+    ctes = [
+        f"""bpe_words AS (
+        SELECT w AS word, COUNT(*) AS freq FROM (
+            SELECT unnest(string_split({_NORM_SQL}, ' ')) AS w FROM documents
+        ) WHERE length(w) > 0 GROUP BY 1
+    ),
+    bpe_sym_0 AS (
+        SELECT freq,
+               array_to_string(list_append(string_split(word, ''), '</w>'),
+                               ' ') AS s
+        FROM bpe_words
+    )"""
+    ]
+    for k in range(n_merges):
+        ctes.append(
+            f"""bpe_pc_{k} AS (
+        SELECT sl[i] AS left_sym, sl[i+1] AS right_sym,
+               SUM(freq) AS pair_count
+        FROM (SELECT freq, sl, unnest(generate_series(1, len(sl) - 1)) AS i
+              FROM (SELECT freq, string_split(s, ' ') AS sl
+                    FROM bpe_sym_{k}))
+        GROUP BY 1, 2
+    ),
+    bpe_top_{k} AS (
+        SELECT left_sym, right_sym, pair_count
+        FROM bpe_pc_{k} WHERE pair_count >= 2
+        ORDER BY pair_count DESC, left_sym, right_sym LIMIT 1
+    ),
+    bpe_sym_{k + 1} AS (
+        SELECT f.freq,
+               trim(regexp_replace(
+                   replace(replace(' ' || f.s || ' ', ' ', '  '),
+                           ' ' || t.left_sym || '  ' || t.right_sym || ' ',
+                           ' ' || t.left_sym || t.right_sym || ' '),
+                   ' +', ' ', 'g')) AS s
+        FROM bpe_sym_{k} f CROSS JOIN bpe_top_{k} t
+    )"""
+        )
+    tops = "\n        UNION ALL ".join(
+        f"SELECT {k} AS merge_rank, left_sym, right_sym, pair_count "
+        f"FROM bpe_top_{k}"
+        for k in range(n_merges)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"""
+    WITH {joined}
+    SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM ({tops})
+    """
+
+
 @register(
     "bpe_train_merges",
-    None,  # iterative (argmax -> re-fold per round): not SQL-expressible
+    _bpe_train_sql(8),
     doc="distributed BPE training, 8 merges over the corpus word table; "
-    "rows-only gate — pytest verifies against a clean-room sequential "
-    "reference implementation",
+    "oracle unrolls the 8 argmax->merge rounds as chained CTEs (the "
+    "graph tier's bounded-round idiom); pytest additionally pins a "
+    "clean-room sequential reference",
 )
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.bpe import bpe_train
@@ -5919,9 +5985,15 @@ def clear_prefix_cache() -> None:
     _PREFIX_CACHE.clear()
 
 
-def _memoized_prefix(spark, sf_dir, name, table, build) -> DataFrame:
+def _memoized_prefix(
+    spark, sf_dir, name, table, build, prematerialized: bool = False
+) -> DataFrame:
     """Memoize ``build()`` (materialized via localCheckpoint) per
-    (prefix, application, sf_dir, testdata fingerprint)."""
+    (prefix, application, sf_dir, testdata fingerprint).
+    ``prematerialized=True`` declares that ``build`` already returns a
+    checkpointed DataFrame (because it had internal pins to release
+    post-checkpoint, e.g. via ``release_after(..., True)``) — memoize it
+    as-is instead of paying a second eager copy."""
     key = (
         name,
         spark.sparkContext.applicationId,
@@ -5939,7 +6011,8 @@ def _memoized_prefix(spark, sf_dir, name, table, build) -> DataFrame:
             if k[1] != key[1] or (k[:3] == key[:3] and k[3] != key[3])
         ]:
             del _PREFIX_CACHE[stale]
-        _PREFIX_CACHE[key] = build().localCheckpoint()
+        built = build()
+        _PREFIX_CACHE[key] = built if prematerialized else built.localCheckpoint()
     return _PREFIX_CACHE[key]
 
 
@@ -7355,4 +7428,201 @@ def pipeline_release_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_chars").alias("chars_max"),
         )
         .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array exact-substring tier (pipeline/suffix.py) — repeats of
+# ARBITRARY length by suffix-order adjacency (Lee et al. 2022; interval
+# enumeration per Abouelhoda et al. 2004), the exact upgrade of the
+# fixed-k shingle/chunk tiers. The oracle is an INDEPENDENT declarative
+# characterization, not the same algorithm: a maximal repeat is an
+# L-gram occurring >= min_count times with >= 2 distinct left AND right
+# contexts (doc boundaries count as per-occurrence-unique; at
+# L = max_span right-extension is truncated so the right check is
+# waived). Tokenization uses \p{L}\p{N} (not [a-z0-9]) so a testdata
+# regeneration with non-ascii text cannot desync the gate.
+# The sorted suffix index at the tier's span is memoized per
+# (application, sf_dir, fingerprint) and shared by the full miner and
+# the coverage rollup — same job-server semantics as the kNN-edge and
+# SimHash-pair prefixes (see the BENCH SEMANTICS note above).
+# ---------------------------------------------------------------------------
+
+_SUFFIX_MIN_LEN, _SUFFIX_SPAN = 6, 9
+_SFX_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), "
+    "'[^\\p{L}\\p{N}\\s]', ' ', 'g'), '\\s+', ' ', 'g'))"
+)
+_SFX_TOKS = f"""
+    sfx_toks AS (
+        SELECT doc_id,
+               list_filter(string_split({_SFX_NORM}, ' '),
+                           x -> length(x) > 0) AS t
+        FROM documents
+    )"""
+_SFX_GRAMS = f"""
+    sfx_grams AS (
+        SELECT d.doc_id, l.L, p.p,
+               array_to_string(d.t[p.p : p.p + l.L - 1], ' ') AS g,
+               CASE WHEN p.p > 1 THEN 't:' || d.t[p.p - 1]
+                    ELSE 's:' || d.doc_id || ':' || p.p END AS lctx,
+               CASE WHEN p.p + l.L <= len(d.t) THEN 't:' || d.t[p.p + l.L]
+                    ELSE 'e:' || d.doc_id || ':' || p.p END AS rctx
+        FROM sfx_toks d,
+             unnest(range({_SUFFIX_MIN_LEN}, {_SUFFIX_SPAN} + 1)) AS l(L),
+             unnest(range(1, len(d.t) - l.L + 2)) AS p(p)
+    )"""
+_SFX_MAXIMAL = f"""COUNT(*) >= 2 AND COUNT(DISTINCT lctx) >= 2
+       AND (L = {_SUFFIX_SPAN} OR COUNT(DISTINCT rctx) >= 2)"""
+
+
+def _suffix_sa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized truncated-suffix index (doc_id, pos, w, prev,
+    sa_idx) over ``documents`` at the tier's span — the shared prefix
+    of the full miner and the coverage rollup (the one corpus-sized
+    sort each would otherwise redo)."""
+    from irstats2_spark.pipeline.lifecycle import release_after
+    from irstats2_spark.pipeline.suffix import suffix_order, suffix_windows
+
+    def build() -> DataFrame:
+        sa, pin = suffix_order(
+            suffix_windows(
+                load_table(spark, "documents", sf_dir), max_span=_SUFFIX_SPAN
+            )
+        )
+        return release_after(sa, [pin], True)  # checkpoint, drop the sort pin
+
+    return _memoized_prefix(
+        spark,
+        sf_dir,
+        f"suffix_sa_span{_SUFFIX_SPAN}",
+        "documents",
+        build,
+        prematerialized=True,
+    )
+
+
+@register(
+    "repeated_substrings",
+    f"""
+    WITH {_SFX_TOKS},
+    {_SFX_GRAMS}
+    SELECT md5(g) AS fp, CAST(L AS INT) AS repeat_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           g AS repeat_text
+    FROM sfx_grams
+    GROUP BY g, L
+    HAVING {_SFX_MAXIMAL}
+    """,
+    doc="suffix-array maximal-repeat miner: every left-maximal lcp-interval "
+    f"of length {_SUFFIX_MIN_LEN}..{_SUFFIX_SPAN} occurring >= 2 times "
+    "corpus-wide, with occurrence/doc counts and a fingerprint — the "
+    "arbitrary-length exact-substring dedup report (Lee et al. 2022)",
+)
+def suffix_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import repeated_substrings
+
+    return repeated_substrings(
+        load_table(spark, "documents", sf_dir),
+        min_len=_SUFFIX_MIN_LEN,
+        min_count=2,
+        max_span=_SUFFIX_SPAN,
+        sa=_suffix_sa(spark, sf_dir),
+        materialize=True,
+    )
+
+
+@register(
+    "repeated_substrings_incremental",
+    f"""
+    WITH {_SFX_TOKS},
+    {_SFX_GRAMS}
+    SELECT md5(g) AS fp, CAST(L AS INT) AS repeat_len,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           g AS repeat_text
+    FROM sfx_grams
+    GROUP BY g, L
+    HAVING {_SFX_MAXIMAL}
+       AND MAX(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) = 1
+    """,
+    doc="nightly-batch suffix miner: repeats involving at least one "
+    "occurrence from the new batch (doc_id % 5 = 0) mined against the "
+    "accumulated window snapshot (doc_id % 5 != 0); snapshot-only "
+    "repeats were reported by earlier runs and are suppressed",
+)
+def suffix_repeated_substrings_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import (
+        repeated_substrings_incremental,
+        suffix_windows,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    snap = suffix_windows(
+        docs.filter(F.col("doc_id") % 5 != 0), max_span=_SUFFIX_SPAN
+    )
+    return repeated_substrings_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        snap,
+        min_len=_SUFFIX_MIN_LEN,
+        min_count=2,
+        max_span=_SUFFIX_SPAN,
+        materialize=True,
+    )
+
+
+@register(
+    "exact_substring_coverage",
+    f"""
+    WITH {_SFX_TOKS},
+    {_SFX_GRAMS},
+    sfx_rep AS (
+        SELECT g, L FROM sfx_grams GROUP BY g, L HAVING COUNT(*) >= 2
+    ),
+    sfx_spans AS (
+        SELECT doc_id, p, MAX(L) AS span
+        FROM sfx_grams JOIN sfx_rep USING (g, L)
+        GROUP BY doc_id, p
+    ),
+    sfx_union AS (
+        SELECT doc_id, p, span,
+               MAX(p + span) OVER (
+                   PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prev_end
+        FROM sfx_spans
+    ),
+    sfx_cov AS (
+        SELECT doc_id,
+               SUM(GREATEST(0, p + span
+                               - GREATEST(COALESCE(prev_end, 0), p))) AS covered
+        FROM sfx_union GROUP BY 1
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.t), 0) AS INT) AS n_tokens,
+           CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens,
+           ROUND(CASE WHEN COALESCE(len(t.t), 0) > 0
+                      THEN CAST(COALESCE(c.covered, 0) AS DOUBLE) / len(t.t)
+                      ELSE 0.0 END, 6) AS dup_frac
+    FROM sfx_toks t LEFT JOIN sfx_cov c USING (doc_id)
+    """,
+    doc="per-document fraction of tokens inside an exact substring of "
+    f"length >= {_SUFFIX_MIN_LEN} repeated anywhere in the corpus — the "
+    "arbitrary-length upgrade of the fixed-window dup-span coverage "
+    "(suffix-adjacency witness, per-doc variable-span interval union)",
+)
+def suffix_exact_substring_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import exact_substring_coverage
+
+    return exact_substring_coverage(
+        load_table(spark, "documents", sf_dir),
+        min_len=_SUFFIX_MIN_LEN,
+        max_span=_SUFFIX_SPAN,
+        sa=_suffix_sa(spark, sf_dir),
+        materialize=True,
     )

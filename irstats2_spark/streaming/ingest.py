@@ -866,7 +866,8 @@ def repeat_filter_stream_tws(
     timeout: int = 3600,
     epoch_col: str = "epoch",
 ) -> DataFrame:
-    """EXACT streaming Repeat filter (P9) on the transformWithState
+    """EXPERIMENTAL — EXACT streaming Repeat filter (P9) on the
+    transformWithState
     engine — the state-TTL upgrade ``repeat_filter_stream``'s docstring
     promises: same first-kept-anchor semantics (Repeat.pm:63-102), but
     the per-key anchor is a ``ValueState`` with ``ttlDurationMs`` =
@@ -888,7 +889,24 @@ def repeat_filter_stream_tws(
     diverge, and the e2e pytest runs whenever the environment can (the
     transformWithState Python protocol needs ``google.protobuf``, which
     this build container lacks — the test skips there; the fold itself
-    stays covered through the classic operator's cross-batch test)."""
+    stays covered through the classic operator's cross-batch test).
+
+    EXPERIMENTAL STATUS (r7 verdict #4): because the e2e test cannot
+    run where protobuf is absent, this path fails FAST at call time in
+    such environments (below) instead of shipping a silently-untested
+    runtime surface — use ``repeat_filter_stream`` (identical
+    semantics, applyInPandasWithState, fully e2e-tested) there. The
+    guard + test skip both auto-lift the moment the dependency lands."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "repeat_filter_stream_tws is EXPERIMENTAL here: "
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks (and its e2e test therefore skips). Use "
+            "repeat_filter_stream — same exact anchor semantics, tested — "
+            "or install protobuf to enable this state-TTL variant."
+        ) from exc
     import pandas as pd  # noqa: F811
 
     from pyspark.sql.streaming.stateful_processor import (

@@ -16,7 +16,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from irstats2_spark.pipeline import curate, dedup, pq, textstats
+from irstats2_spark.pipeline import curate, dedup, pq, suffix, textstats
 
 SF = "/root/testdata/sf0.001"
 
@@ -57,6 +57,12 @@ def test_materialize_true_releases_and_matches_lazy(spark, docs):
         lambda m: textstats.duplicate_span_coverage(docs, materialize=m),
         lambda m: textstats.remove_corpus_frequent_chunks(docs, materialize=m),
         lambda m: textstats.remove_cdc_frequent_chunks(docs, materialize=m),
+        lambda m: suffix.repeated_substrings(
+            docs, min_len=4, max_span=8, materialize=m
+        ),
+        lambda m: suffix.exact_substring_coverage(
+            docs, min_len=4, max_span=8, materialize=m
+        ),
     ]
     for build in cases:
         lazy = build(False)

@@ -15,10 +15,13 @@ import random
 import pytest
 
 from irstats2_spark.pipeline.suffix import (
+    _sweep_input,
     exact_substring_coverage,
     repeated_substrings,
     repeated_substrings_incremental,
     suffix_windows,
+    window_build_span,
+    write_suffix_snapshot,
 )
 
 
@@ -280,6 +283,83 @@ def test_min_count_filters_rare_runs(spark):
     assert len(three) == 1 and three[0]["n_occurrences"] == 3
     four = repeated_substrings(df, min_len=4, min_count=4, max_span=8).collect()
     assert four == []
+
+
+def test_sweep_runs_stretch_parallel(spark):
+    """The r7-verdict `weak` fix: the lcp-interval fold must NOT funnel
+    through one partition. Contiguous pair stretches are independent
+    (the stack drains at every sa_idx gap), so the stretch key must (a)
+    keep each stretch whole within a partition and (b) spread distinct
+    stretches across >1 partition."""
+    from pyspark.sql import functions as F
+
+    # three stretches of qualifying pairs separated by sa_idx gaps
+    rows = [(i, 5) for i in (0, 1, 2, 100, 101, 500, 501, 502, 503)]
+    pairs = spark.createDataFrame(rows, "sa_idx long, lcp long")
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        swept = _sweep_input(pairs).withColumn(
+            "pid", F.spark_partition_id()
+        )
+        got = swept.select("stretch", "pid").collect()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    by_stretch: dict[int, set[int]] = {}
+    for r in got:
+        by_stretch.setdefault(r["stretch"], set()).add(r["pid"])
+    assert len(by_stretch) == 3, by_stretch  # gaps-and-islands keying
+    assert all(len(p) == 1 for p in by_stretch.values()), by_stretch
+    assert len({p for s in by_stretch.values() for p in s}) > 1, by_stretch
+
+
+def test_shared_windows_span_mismatch_raises(spark):
+    """The span guard: a shared/stored window table built at a different
+    max_span must fail loudly instead of silently capping LCPs, and a
+    parquet round-trip must preserve the stamp (the stored-snapshot
+    contract)."""
+    texts = {0: "a b c d e f g h".split(), 1: "a b c d e f g h".split()}
+    df = _df(spark, texts)
+    win = suffix_windows(df, max_span=8)
+    assert window_build_span(win) == 8
+    for fn in (repeated_substrings, exact_substring_coverage):
+        with pytest.raises(ValueError, match="max_span=8"):
+            fn(df, min_len=3, max_span=12, windows=win)
+    with pytest.raises(ValueError, match="max_span=8"):
+        repeated_substrings_incremental(df, win, min_len=3, max_span=12)
+    # a stamp-less table (e.g. hand-built) is rejected too; re-aliasing
+    # keeps attribute metadata, so strip it via an explicit fresh schema
+    naked = spark.createDataFrame(
+        win.rdd, "doc_id long, pos int, w array<string>, prev string"
+    )
+    with pytest.raises(ValueError, match="no max_span metadata"):
+        repeated_substrings(df, min_len=3, max_span=8, windows=naked)
+
+
+def test_snapshot_parquet_roundtrip_preserves_span_and_results(spark, tmp_path):
+    """write_suffix_snapshot -> read -> incremental must behave exactly
+    like the in-session snapshot (span stamp survives the parquet
+    footer; range-sorted storage changes layout only)."""
+    snap_texts = {0: "s1 s2 s3 s4 s5 s6 x y".split(), 1: "p q r".split()}
+    new_texts = {10: "lead s1 s2 s3 s4 s5 s6 tail".split()}
+    win = suffix_windows(_df(spark, snap_texts), max_span=12)
+    path = str(tmp_path / "snap")
+    write_suffix_snapshot(win, path)
+    stored = spark.read.parquet(path)
+    assert window_build_span(stored) == 12
+    live = {
+        tuple(r)
+        for r in repeated_substrings_incremental(
+            _df(spark, new_texts), win, min_len=5, min_count=2, max_span=12
+        ).collect()
+    }
+    from_store = {
+        tuple(r)
+        for r in repeated_substrings_incremental(
+            _df(spark, new_texts), stored, min_len=5, min_count=2, max_span=12
+        ).collect()
+    }
+    assert live == from_store and len(live) == 1
 
 
 def test_repeated_substrings_matches_duckdb_oracle_at_sf001(spark):

@@ -1,0 +1,78 @@
+"""Gate-rotation ledger: when was each catalog query last driver-verified?
+
+Reads every CORRECTNESS_r*.json in the repo root and prints, per
+registered query, the most recent round whose driver row verified it
+(and whether that row was green). This turns the "every driver row is
+<= N rounds old" discipline from a hand-maintained comment in
+catalog.py into something a script can check — run it when cutting the
+next round's GATE_PRIORITY:
+
+    python -m tools.gate_ledger            # full table, oldest first
+    python -m tools.gate_ledger --debt 30  # the 30 stalest queries
+
+Queries never gated (new registrations) sort first with round 0.
+Rows-only entries (no SQL oracle) are marked; they cannot take a gate
+slot (the driver records err:"no_oracle" instead of a verification).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+
+HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def last_verified() -> dict[str, tuple[int, bool]]:
+    """query -> (latest round with a driver row, that row was green)."""
+    seen: dict[str, tuple[int, bool]] = {}
+    for path in sorted(glob.glob(os.path.join(HERE, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            rows = json.load(fh)
+        for name, row in rows.items():
+            green = bool(
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
+            )
+            prev = seen.get(name)
+            if prev is None or rnd >= prev[0]:
+                seen[name] = (rnd, green)
+    return seen
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--debt", type=int, default=None, metavar="N",
+                    help="print only the N stalest queries")
+    args = ap.parse_args()
+
+    from irstats2_spark import catalog
+
+    catalog._ensure_loaded()
+    rows = last_verified()
+    table = []
+    for name, spec in catalog._REGISTRY.items():
+        rnd, green = rows.get(name, (0, False))
+        table.append((rnd, name, green, spec.oracle is not None))
+    table.sort(key=lambda t: (t[0], t[1]))
+    if args.debt:
+        table = table[: args.debt]
+    width = max(len(t[1]) for t in table)
+    for rnd, name, green, oracled in table:
+        status = ("never-gated" if rnd == 0
+                  else f"r{rnd} {'green' if green else 'RED'}")
+        extra = "" if oracled else "  [rows-only: cannot take a gate slot]"
+        print(f"{name:<{width}}  {status}{extra}")
+
+
+if __name__ == "__main__":
+    main()
