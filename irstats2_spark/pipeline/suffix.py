@@ -607,3 +607,157 @@ def exact_substring_coverage(
         ).alias("dup_frac"),
     )
     return release_after(out, pins + [pairs], materialize)
+
+
+def remove_repeated_spans(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+    materialize: bool = False,
+) -> DataFrame:
+    """The exact-substring dedup ACTION (Lee et al. 2022 "ExactSubstr"):
+    rewrite every document with its duplicated spans of >= ``min_len``
+    tokens EXCISED, completing the family's mine -> measure -> remove
+    pipeline (``repeated_substrings`` reports, ``exact_substring_
+    coverage`` measures, this transforms).
+
+    Semantics — declarative on purpose, no suffix array needed: a token
+    span of length >= ``min_len`` duplicated anywhere in the corpus is
+    exactly a union of duplicated ``min_len``-grams (every longer
+    duplicated span is covered position-by-position by its length-
+    ``min_len`` sub-grams, each of which is itself duplicated), so the
+    removal set is a gram equality-class computation. Per gram class
+    with >= 2 occurrences: with ``keep_first=True`` an occurrence is
+    marked for removal over its ``min_len`` tokens iff it is NOT the
+    class's canonical occurrence (min (doc_id, pos)) — so every
+    duplicated gram keeps its canonical copy from its OWN class, and a
+    long repeat shared by the same document set keeps one whole copy
+    (every offset's shifted class has the same canonical doc). Where a
+    sub-gram of a long repeat also occurs in a third, earlier document,
+    that offset's canonical moves there and the longer copy is trimmed
+    at that offset — per-class keep-one, not a global retention
+    guarantee, the same property as the published pipeline. With
+    ``keep_first=False`` ALL occurrences are removed (the remove-all
+    variant the published tooling defaults to). Marked positions
+    are interval-unioned per document and the surviving tokens are
+    re-joined with single spaces, so ``text_clean`` is the NORMALIZED
+    text (same tokenization as every textstats operator) minus the
+    removed spans.
+
+    Output: (doc_id, n_tokens, removed_tokens, text_clean), one row per
+    input document (unremoved docs pass through with removed_tokens=0;
+    a fully-duplicated non-canonical doc comes out as '').
+
+    Scale shape: gram hashing is map-side (md5 of the gram text, the
+    ``duplicate_span_coverage`` idiom — shuffles carry (doc_id, pos,
+    hash), never gram text); the class reduction is a map-side-combining
+    groupBy — the agg shuffle carries ~one row per DISTINCT gram —
+    joined back to the positions, a shape AQE's skew join can split
+    when one boilerplate gram repeats 1e8 times (OptimizeSkewedJoin
+    splits joins, never windows); the removal set is dup-class-sized;
+    interval merge + token excision are in-row JVM folds
+    (``aggregate`` over the merged interval array — O(n_tokens) per
+    doc, no per-token join); the final doc_id hash join is the one
+    unavoidable text-carrying shuffle, because the operator's OUTPUT is
+    rewritten text.
+
+    Lifecycle: ``materialize`` as elsewhere (lifecycle.py); the lazy
+    form pins nothing."""
+    assert min_len >= 1, min_len
+    L = min_len
+    empty_toks = F.expr("CAST(array() AS array<string>)")
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(tokens(F.col(text_col)), empty_toks).alias("__t"),
+    )
+    grams = (
+        toks.filter(F.size("__t") >= L)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - L),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.md5(
+                            F.concat_ws(" ", F.slice(F.col("__t"), i + 1, L))
+                        ).alias("h"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    # groupBy + join rather than a window over the class: count/min
+    # partial-aggregate map-side (the agg shuffle carries ~distinct
+    # grams, not positions), and the join back is AQE-skew-splittable
+    # where a boilerplate gram with 1e8 occurrences would pin a window
+    # partition to one reducer (OptimizeSkewedJoin splits joins, never
+    # windows). The join output is already dup-class-sized.
+    cls = grams.groupBy("h").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("keeper"),
+    )
+    occ = grams.join(cls.filter(F.col("cnt") >= 2), "h")
+    drop = F.lit(True)
+    if keep_first:
+        drop = F.struct("doc_id", "pos") != F.col("keeper")
+    iv = occ.filter(drop).select(
+        "doc_id",
+        F.struct(
+            F.col("pos").alias("s"), (F.col("pos") + L).alias("e")
+        ).alias("iv"),
+    )
+    last = F.element_at  # merged-interval fold: extend or append
+    merged = F.aggregate(
+        F.sort_array(F.collect_list("iv")),
+        F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (last(acc, -1)["e"] >= x["s"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        last(acc, -1)["s"].alias("s"),
+                        F.greatest(last(acc, -1)["e"], x["e"]).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+    per_doc = iv.groupBy("doc_id").agg(merged.alias("ivs"))
+    joined = toks.join(per_doc, "doc_id", "left")
+    kept = F.aggregate(
+        F.coalesce(
+            "ivs", F.expr("CAST(array() AS array<struct<s:bigint,e:bigint>>)")
+        ),
+        F.struct(empty_toks.alias("parts"), F.lit(0).cast("bigint").alias("cur")),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["parts"],
+                F.slice(
+                    F.col("__t"),
+                    (acc["cur"] + 1).cast("int"),
+                    (x["s"] - acc["cur"]).cast("int"),
+                ),
+            ).alias("parts"),
+            x["e"].alias("cur"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.slice(
+                F.col("__t"),
+                (acc["cur"] + 1).cast("int"),
+                (F.size("__t") - acc["cur"]).cast("int"),
+            ),
+        ),
+    )
+    out = joined.select(
+        "doc_id",
+        F.size("__t").cast("int").alias("n_tokens"),
+        (F.size("__t") - F.size(kept)).cast("long").alias("removed_tokens"),
+        F.concat_ws(" ", kept).alias("text_clean"),
+    )
+    return release_after(out, [], materialize)

@@ -7626,3 +7626,66 @@ def suffix_exact_substring_coverage(
         sa=_suffix_sa(spark, sf_dir),
         materialize=True,
     )
+
+
+@register(
+    "exact_substring_remove",
+    f"""
+    WITH {_SFX_TOKS},
+    rm_grams AS (
+        SELECT doc_id, p.p - 1 AS pos,
+               md5(array_to_string(t[p.p : p.p + {_SUFFIX_MIN_LEN} - 1], ' '))
+                   AS h
+        FROM sfx_toks,
+             unnest(range(1, len(t) - {_SUFFIX_MIN_LEN} + 2)) AS p(p)
+        WHERE len(t) >= {_SUFFIX_MIN_LEN}
+    ),
+    rm_cls AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM rm_grams
+    ),
+    rm_idx AS (
+        SELECT DISTINCT doc_id, pos + d.d AS idx
+        FROM rm_cls, unnest(range(0, {_SUFFIX_MIN_LEN})) AS d(d)
+        WHERE cnt >= 2 AND rn > 1
+    ),
+    rm_tok AS (
+        SELECT doc_id, j.j - 1 AS idx, t[j.j] AS tok
+        FROM sfx_toks, unnest(range(1, len(t) + 1)) AS j(j)
+    ),
+    rm_clean AS (
+        SELECT k.doc_id,
+               COUNT(*) AS kept,
+               string_agg(k.tok, ' ' ORDER BY k.idx) AS text_clean
+        FROM rm_tok k
+        LEFT JOIN rm_idx r ON k.doc_id = r.doc_id AND k.idx = r.idx
+        WHERE r.idx IS NULL
+        GROUP BY k.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.t), 0) AS INT) AS n_tokens,
+           CAST(COALESCE(len(t.t), 0) - COALESCE(c.kept, 0) AS BIGINT)
+               AS removed_tokens,
+           COALESCE(c.text_clean, '') AS text_clean
+    FROM sfx_toks t LEFT JOIN rm_clean c USING (doc_id)
+    """,
+    doc="the exact-substring dedup ACTION (Lee et al. ExactSubstr): every "
+    f"duplicated span of >= {_SUFFIX_MIN_LEN} tokens excised from all but "
+    "its canonical (min doc_id, pos) occurrence, documents rewritten — "
+    "completes the family's mine -> measure -> remove pipeline; duplicated "
+    "spans at threshold are exactly unions of duplicated "
+    f"{_SUFFIX_MIN_LEN}-grams, so the removal set is one md5-gram-class "
+    "shuffle and the rewrite is an in-row JVM interval fold",
+)
+def suffix_exact_substring_remove(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import remove_repeated_spans
+
+    return remove_repeated_spans(
+        load_table(spark, "documents", sf_dir),
+        min_len=_SUFFIX_MIN_LEN,
+        keep_first=True,
+    )

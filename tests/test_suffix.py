@@ -415,3 +415,116 @@ def test_repeated_substrings_matches_duckdb_oracle_at_sf001(spark):
         min_len=min_len, min_count=2, max_span=max_span,
     )
     assert_matches_oracle(got, sql)
+
+
+def _ref_remove(texts, L, keep_first=True):
+    """Brute-force reference for remove_repeated_spans: duplicated
+    L-gram classes, canonical keeper = min (doc_id, pos), removal index
+    union, token rebuild."""
+    occ: dict[tuple, list] = {}
+    for d, t in texts.items():
+        for p in range(len(t) - L + 1):
+            occ.setdefault(tuple(t[p : p + L]), []).append((d, p))
+    rm: dict[int, set] = {d: set() for d in texts}
+    for members in occ.values():
+        if len(members) < 2:
+            continue
+        keeper = min(members)
+        for d, p in members:
+            if keep_first and (d, p) == keeper:
+                continue
+            rm[d].update(range(p, p + L))
+    return {
+        d: (
+            len(t),
+            len(rm[d]),
+            " ".join(tok for i, tok in enumerate(t) if i not in rm[d]),
+        )
+        for d, t in texts.items()
+    }
+
+
+def test_remove_repeated_spans_keeps_canonical_and_excises_copies(spark):
+    from irstats2_spark.pipeline.suffix import remove_repeated_spans
+
+    passage = "one two three four five six seven eight".split()
+    texts = {
+        0: "intro words".split() + passage + ["tail"],
+        1: "other prefix here".split() + passage + "different tail words".split(),
+        2: "nothing shared in this document at all".split(),
+    }
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text_clean"])
+        for r in remove_repeated_spans(_df(spark, texts), min_len=5).collect()
+    }
+    # doc 0 is canonical at every offset of the shared passage: untouched
+    assert got[0] == (11, 0, " ".join(texts[0]))
+    # doc 1 loses exactly the passage, keeps its own prose
+    assert got[1] == (14, 8, "other prefix here different tail words")
+    assert got[2][1] == 0
+    # remove-all excises BOTH copies
+    all_rm = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in remove_repeated_spans(
+            _df(spark, texts), min_len=5, keep_first=False
+        ).collect()
+    }
+    assert all_rm[0] == 8 and all_rm[1] == 8 and all_rm[2] == 0
+
+
+def test_remove_repeated_spans_matches_bruteforce_on_random_corpora(spark):
+    from irstats2_spark.pipeline.suffix import remove_repeated_spans
+
+    rng = random.Random(11)
+    vocab = ["aa", "bb", "cc", "dd", "ee"]
+    for trial in range(3):
+        texts = {
+            d: [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+            for d in range(6)
+        }
+        for keep_first in (True, False):
+            got = {
+                r["doc_id"]: (
+                    r["n_tokens"],
+                    r["removed_tokens"],
+                    r["text_clean"],
+                )
+                for r in remove_repeated_spans(
+                    _df(spark, texts), min_len=3, keep_first=keep_first
+                ).collect()
+            }
+            assert got == _ref_remove(texts, 3, keep_first), (
+                trial,
+                keep_first,
+                got,
+            )
+
+
+def test_remove_all_equals_coverage_at_span_eq_min_len(spark):
+    """Cross-operator invariant: with max_span == min_len the coverage
+    rollup's variable-length witness degenerates to duplicated
+    min_len-grams — exactly remove-all's removal set — so
+    covered_tokens == removed_tokens doc-by-doc, tying the SA-adjacency
+    path and the gram-class path to each other on real data shapes."""
+    from irstats2_spark.pipeline.suffix import remove_repeated_spans
+
+    rng = random.Random(13)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(8, 50))]
+        for d in range(8)
+    }
+    L = 4
+    cov = {
+        r["doc_id"]: r["covered_tokens"]
+        for r in exact_substring_coverage(
+            _df(spark, texts), min_len=L, max_span=L
+        ).collect()
+    }
+    rm = {
+        r["doc_id"]: r["removed_tokens"]
+        for r in remove_repeated_spans(
+            _df(spark, texts), min_len=L, keep_first=False
+        ).collect()
+    }
+    assert cov == rm, (cov, rm)
