@@ -7689,3 +7689,80 @@ def suffix_exact_substring_remove(
         min_len=_SUFFIX_MIN_LEN,
         keep_first=True,
     )
+
+
+@register(
+    "exact_substring_remove_incremental",
+    f"""
+    WITH {_SFX_TOKS},
+    ri_grams AS (
+        SELECT doc_id, p.p - 1 AS pos, (doc_id % 5 = 0) AS is_new,
+               md5(array_to_string(t[p.p : p.p + {_SUFFIX_MIN_LEN} - 1], ' '))
+                   AS h
+        FROM sfx_toks,
+             unnest(range(1, len(t) - {_SUFFIX_MIN_LEN} + 2)) AS p(p)
+        WHERE len(t) >= {_SUFFIX_MIN_LEN}
+    ),
+    ri_cls AS (
+        SELECT doc_id, pos, is_new,
+               SUM(CASE WHEN is_new THEN 0 ELSE 1 END)
+                   OVER (PARTITION BY h) AS n_old,
+               SUM(CASE WHEN is_new THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY h) AS n_new,
+               ROW_NUMBER() OVER (PARTITION BY h, is_new
+                                  ORDER BY doc_id, pos) AS rn_new
+        FROM ri_grams
+    ),
+    ri_idx AS (
+        SELECT DISTINCT doc_id, pos + d.d AS idx
+        FROM ri_cls, unnest(range(0, {_SUFFIX_MIN_LEN})) AS d(d)
+        WHERE is_new AND (n_old >= 1 OR (n_new >= 2 AND rn_new > 1))
+    ),
+    ri_tok AS (
+        SELECT doc_id, j.j - 1 AS idx, t[j.j] AS tok
+        FROM sfx_toks, unnest(range(1, len(t) + 1)) AS j(j)
+        WHERE doc_id % 5 = 0
+    ),
+    ri_clean AS (
+        SELECT k.doc_id,
+               COUNT(*) AS kept,
+               string_agg(k.tok, ' ' ORDER BY k.idx) AS text_clean
+        FROM ri_tok k
+        LEFT JOIN ri_idx r ON k.doc_id = r.doc_id AND k.idx = r.idx
+        WHERE r.idx IS NULL
+        GROUP BY k.doc_id
+    )
+    SELECT t.doc_id,
+           CAST(COALESCE(len(t.t), 0) AS INT) AS n_tokens,
+           CAST(COALESCE(len(t.t), 0) - COALESCE(c.kept, 0) AS BIGINT)
+               AS removed_tokens,
+           COALESCE(c.text_clean, '') AS text_clean
+    FROM sfx_toks t LEFT JOIN ri_clean c USING (doc_id)
+    WHERE t.doc_id % 5 = 0
+    """,
+    doc="nightly clean-the-new-batch form of the removal action: new docs "
+    "(doc_id % 5 = 0) rewritten with spans excised where the gram appears "
+    "in the accumulated corpus's snapshot (doc_id % 5 != 0; snapshot "
+    "occurrences canonical by fiat) or repeats within the batch "
+    "(keep-one); only the new batch is gram-exploded, the snapshot "
+    "contributes one membership hash join; streaming twin "
+    "remove_spans_stream cleans on arrival from the same store",
+)
+def suffix_exact_substring_remove_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import (
+        gram_snapshot,
+        remove_repeated_spans_incremental,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    snap = gram_snapshot(
+        docs.filter(F.col("doc_id") % 5 != 0), min_len=_SUFFIX_MIN_LEN
+    )
+    return remove_repeated_spans_incremental(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        snap,
+        min_len=_SUFFIX_MIN_LEN,
+        keep_first=True,
+    )

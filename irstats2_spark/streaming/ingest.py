@@ -1294,3 +1294,85 @@ def substring_match_stream(
         .alias("n_shared_windows"),
         ts_col,
     )
+
+
+def remove_spans_stream(
+    docs: DataFrame,
+    gram_snapshot: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.suffix.remove_repeated_spans``:
+    rewrite documents AS THEY ARRIVE with every span whose
+    ``min_len``-grams appear in the accumulated corpus's gram snapshot
+    (``write_gram_snapshot``) excised — the ingest-time half of the
+    family's clean-on-arrival loop (``remove_repeated_spans_
+    incremental`` is the nightly half and additionally catches
+    WITHIN-batch duplicates, which this twin deliberately does not: at
+    ingest time the question is membership against what the corpus
+    already holds, the same scoping as ``substring_match_stream``).
+
+    Why this streams statelessly: the snapshot's gram set folds to ONE
+    static row of xxhash64 keys (8 bytes per distinct duplicated gram)
+    cross-joined onto the stream, and the mark -> interval-union ->
+    excision chain runs entirely IN-ROW (the batch operator's
+    ``merged_intervals``/``excised_tokens`` folds over an in-row
+    position filter) — no explode, no re-group, no watermark, no state
+    store. Same smallness contract as ``decontaminate_stream``: the
+    folded key set must fit the broadcast budget (it is the DISTINCT
+    duplicated-gram population, boilerplate-sized); past that, run the
+    nightly incremental path, whose snapshot side is a hash JOIN, via
+    ``foreachBatch``. Stream == batch is pytest-pinned.
+
+    Output: input columns plus (n_tokens, removed_tokens, text_clean)."""
+    from irstats2_spark.pipeline.suffix import (
+        excised_tokens,
+        gram_snapshot_len,
+        merged_intervals,
+    )
+    from irstats2_spark.pipeline.textstats import tokens
+
+    assert docs.isStreaming, "remove_spans_stream expects a streaming DataFrame"
+    stamped = gram_snapshot_len(gram_snapshot)
+    if stamped is not None and stamped != min_len:
+        raise ValueError(
+            f"gram_snapshot was built at min_len={stamped} but this call "
+            f"asked for min_len={min_len}; membership at the wrong gram "
+            "length silently mis-cleans — rebuild or pass the matching value"
+        )
+    L = min_len
+    snap = gram_snapshot.agg(
+        F.array_sort(F.collect_set(F.xxhash64("h"))).alias("__snap")
+    )
+    t = F.coalesce(
+        tokens(F.col(text_col)), F.expr("CAST(array() AS array<string>)")
+    )
+    out = docs.withColumn("__t", t).crossJoin(snap)
+    # guard: sequence(0, negative) counts DOWN — short docs get no grams
+    positions = F.when(
+        F.size("__t") >= L, F.sequence(F.lit(0), F.size("__t") - L)
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    hit = lambda i: F.array_contains(  # noqa: E731
+        F.col("__snap"),
+        F.xxhash64(F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i + 1, L)))),
+    )
+    rm = F.filter(positions, hit)  # ascending, so the interval set is sorted
+    merged = merged_intervals(
+        F.transform(
+            rm,
+            lambda p: F.struct(
+                p.cast("bigint").alias("s"), (p + L).cast("bigint").alias("e")
+            ),
+        )
+    )
+    kept = excised_tokens(F.col("__t"), merged)
+    return (
+        out.withColumn("n_tokens", F.size("__t").cast("int"))
+        .withColumn(
+            "removed_tokens",
+            (F.size("__t") - F.size(kept)).cast("long"),
+        )
+        .withColumn("text_clean", F.concat_ws(" ", kept))
+        .drop("__t", "__snap")
+    )

@@ -1502,3 +1502,77 @@ def test_streaming_substring_match_probes_suffix_snapshot(spark, tmp_path):
     # span would silently flag nothing — assert instead
     with pytest.raises(AssertionError, match="build span"):
         substring_match_stream(docs, snap, min_len=13, snapshot_span=12)
+
+
+def test_remove_spans_stream_matches_batch_incremental(spark, tmp_path):
+    """remove_spans_stream: docs cleaned on arrival against the stored
+    gram snapshot must match the nightly batch incremental on the same
+    data (the stream scopes to snapshot membership, so the pin uses a
+    batch with no within-batch duplicates); the min_len stamp guard
+    raises on mismatch."""
+    import json
+
+    from irstats2_spark.pipeline.suffix import (
+        remove_repeated_spans_incremental,
+        write_gram_snapshot,
+    )
+    from irstats2_spark.streaming.ingest import remove_spans_stream
+
+    passage = "p1 p2 p3 p4 p5 p6 p7"
+    old_docs = spark.createDataFrame(
+        [
+            (10, f"old intro {passage} old tail"),
+            (11, "historical corpus text with nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+    snap_path = str(tmp_path / "gram_snap")
+    write_gram_snapshot(old_docs, snap_path, min_len=5)
+    snap = spark.read.parquet(snap_path)
+
+    rows = [
+        {"doc_id": 1, "ts": "2024-01-01T00:00:00Z",
+         "text": f"fresh lead {passage} fresh tail"},
+        {"doc_id": 2, "ts": "2024-01-01T00:01:00Z",
+         "text": "a totally unrelated new document streaming through"},
+        {"doc_id": 3, "ts": "2024-01-01T00:02:00Z",
+         "text": "x y p1 p2 p3 p4 p5 z"},
+        {"doc_id": 4, "ts": "2024-01-01T00:03:00Z", "text": "tiny"},
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+
+    stream = (
+        spark.readStream.schema("doc_id long, ts string, text string")
+        .json(str(src))
+    )
+    out = remove_spans_stream(stream, snap, min_len=5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("remove_spans_out")
+        .option("checkpointLocation", str(tmp_path / "ck_rss"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.text_clean)
+        for r in spark.sql("SELECT * FROM remove_spans_out").collect()
+    }
+    batch = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in rows], "doc_id long, text string"
+    )
+    want = {
+        r.doc_id: (r.n_tokens, r.removed_tokens, r.text_clean)
+        for r in remove_repeated_spans_incremental(
+            batch, snap, min_len=5
+        ).collect()
+    }
+    assert got == want, (got, want)
+    # the streamed copy of the shared passage is gone, prose survives
+    assert got[1] == (11, 7, "fresh lead fresh tail")
+    assert got[2][1] == 0 and got[4] == (1, 0, "tiny")
+
+    with pytest.raises(ValueError, match="min_len=5"):
+        remove_spans_stream(stream, snap, min_len=6)

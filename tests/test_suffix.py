@@ -528,3 +528,47 @@ def test_remove_all_equals_coverage_at_span_eq_min_len(spark):
         ).collect()
     }
     assert cov == rm, (cov, rm)
+
+
+def test_remove_incremental_matches_union_batch(spark, tmp_path):
+    """Under ordered-disjoint ids (old < new), cleaning the new batch
+    against the old corpus's gram snapshot must equal running the batch
+    operator over old UNION new and keeping the new docs' rows — for
+    keep-first; remove-all needs only disjointness. The snapshot's
+    min_len stamp must survive parquet and mismatches must raise."""
+    from irstats2_spark.pipeline.suffix import (
+        remove_repeated_spans,
+        remove_repeated_spans_incremental,
+        write_gram_snapshot,
+    )
+
+    rng = random.Random(17)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        for d in range(10)
+    }
+    old = _df(spark, {d: t for d, t in texts.items() if d < 6})
+    new = _df(spark, {d: t for d, t in texts.items() if d >= 6})
+    path = str(tmp_path / "gram_snap")
+    write_gram_snapshot(old, path, min_len=3)
+    snap = spark.read.parquet(path)
+
+    for keep_first in (True, False):
+        want = {
+            r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text_clean"])
+            for r in remove_repeated_spans(
+                _df(spark, texts), min_len=3, keep_first=keep_first
+            ).collect()
+            if r["doc_id"] >= 6
+        }
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["removed_tokens"], r["text_clean"])
+            for r in remove_repeated_spans_incremental(
+                new, snap, min_len=3, keep_first=keep_first
+            ).collect()
+        }
+        assert got == want, (keep_first, got, want)
+
+    with pytest.raises(ValueError, match="min_len=3"):
+        remove_repeated_spans_incremental(new, snap, min_len=4)
