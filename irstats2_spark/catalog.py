@@ -121,10 +121,11 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pack_training_sequences",
     "sample_weighted",
 )
-# ROUND 9 SHOULD GATE: exact_substring_remove and
-# exact_substring_remove_incremental (registered r8 past the 50-slot
-# cut — never-gated), whatever round 9 changes, the two anchors, then
-# the r3-stale remainder per `python -m tools.gate_ledger --debt 40`
+# ROUND 9 SHOULD GATE: exact_substring_remove,
+# exact_substring_remove_incremental and exactsubstr_removal_audit
+# (registered r8 past the 50-slot cut — never-gated), whatever round 9
+# changes, the two anchors, then the r3-stale remainder per
+# `python -m tools.gate_ledger --debt 40`
 # (search_term_extraction, similarity_bruteforce_topk,
 # similarity_hyperplane_sig, similarity_hyperplane_topk,
 # similarity_ivf_assign, similarity_kmeans_fit, text_chunk_dedup,

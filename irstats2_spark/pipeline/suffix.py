@@ -910,3 +910,78 @@ def remove_repeated_spans_incremental(
         batch_dup = batch_dup & (F.struct("doc_id", "pos") != F.col("keeper"))
     out = _excise(toks, occ.filter(in_snap | batch_dup), min_len)
     return release_after(out, [], materialize)
+
+
+def removal_quality_audit(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
+) -> DataFrame:
+    """Did the removal action actually de-duplicate? One audit row, the
+    family's counterpart of ``lsh_recall_audit``/``simhash_quality_
+    audit``: duplicated-token mass (tokens inside a corpus-duplicated
+    >= ``min_len``-token span — remove-all's removal set) measured
+    BEFORE cleaning and AFTER keep-one cleaning, plus what keep-one
+    actually cut. After keep-one every gram class kept one occurrence,
+    so ``dup_tokens_after`` should be ~0 — residue means excisions
+    spliced surviving tokens into NEW duplicated runs (possible, rare),
+    exactly what an audit is for.
+
+    Output: (n_docs, tokens_before, tokens_removed, dup_tokens_before,
+    dup_tokens_after, dup_frac_before, dup_frac_after).
+
+    Scale shape: three gram passes (original remove-all mark, keep-one
+    clean, cleaned remove-all mark) — each the batch operator's
+    map-side explode + combining class agg; sums fold to one row. The
+    cleaned corpus is consumed twice (its removal sum and the
+    re-measure), so it is persisted and released per the package
+    lifecycle contract (``materialize`` as elsewhere)."""
+    before = remove_repeated_spans(
+        docs, min_len, text_col, id_col, keep_first=False
+    )
+    cleaned = remove_repeated_spans(
+        docs, min_len, text_col, id_col, keep_first=True
+    ).persist()
+    after = remove_repeated_spans(
+        cleaned, min_len, text_col="text_clean", id_col="doc_id",
+        keep_first=False,
+    )
+    b = before.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_before"),
+        F.sum("removed_tokens").alias("dup_tokens_before"),
+    )
+    c = cleaned.agg(F.sum("removed_tokens").alias("tokens_removed"))
+    a = after.agg(F.sum("removed_tokens").alias("dup_tokens_after"))
+    # three 1-row aggregates; the crossJoins broadcast single rows
+    frac = lambda n, d: F.round(  # noqa: E731
+        F.coalesce(F.try_divide(n, d), F.lit(0.0)), 6
+    )
+    out = (
+        b.crossJoin(c)
+        .crossJoin(a)
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.coalesce("tokens_before", F.lit(0)).cast("long").alias(
+                "tokens_before"
+            ),
+            F.coalesce("tokens_removed", F.lit(0)).cast("long").alias(
+                "tokens_removed"
+            ),
+            F.coalesce("dup_tokens_before", F.lit(0)).cast("long").alias(
+                "dup_tokens_before"
+            ),
+            F.coalesce("dup_tokens_after", F.lit(0)).cast("long").alias(
+                "dup_tokens_after"
+            ),
+            frac(F.coalesce("dup_tokens_before", F.lit(0)), "tokens_before")
+            .alias("dup_frac_before"),
+            frac(
+                F.coalesce("dup_tokens_after", F.lit(0)),
+                F.col("tokens_before") - F.coalesce("tokens_removed", F.lit(0)),
+            ).alias("dup_frac_after"),
+        )
+    )
+    return release_after(out, [cleaned], materialize)

@@ -7766,3 +7766,107 @@ def suffix_exact_substring_remove_incremental(
         min_len=_SUFFIX_MIN_LEN,
         keep_first=True,
     )
+
+
+@register(
+    "exactsubstr_removal_audit",
+    f"""
+    WITH {_SFX_TOKS},
+    ra_grams AS (
+        SELECT doc_id, p.p - 1 AS pos,
+               md5(array_to_string(t[p.p : p.p + {_SUFFIX_MIN_LEN} - 1], ' '))
+                   AS h
+        FROM sfx_toks,
+             unnest(range(1, len(t) - {_SUFFIX_MIN_LEN} + 2)) AS p(p)
+        WHERE len(t) >= {_SUFFIX_MIN_LEN}
+    ),
+    ra_cls AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM ra_grams
+    ),
+    ra_all_idx AS (
+        SELECT DISTINCT doc_id, pos + d.d AS idx
+        FROM ra_cls, unnest(range(0, {_SUFFIX_MIN_LEN})) AS d(d)
+        WHERE cnt >= 2
+    ),
+    ra_rm_idx AS (
+        SELECT DISTINCT doc_id, pos + d.d AS idx
+        FROM ra_cls, unnest(range(0, {_SUFFIX_MIN_LEN})) AS d(d)
+        WHERE cnt >= 2 AND rn > 1
+    ),
+    ra_tok AS (
+        SELECT doc_id, j.j - 1 AS idx, t[j.j] AS tok
+        FROM sfx_toks, unnest(range(1, len(t) + 1)) AS j(j)
+    ),
+    ra_clean AS (
+        SELECT k.doc_id,
+               string_agg(k.tok, ' ' ORDER BY k.idx) AS text_clean
+        FROM ra_tok k
+        LEFT JOIN ra_rm_idx r ON k.doc_id = r.doc_id AND k.idx = r.idx
+        WHERE r.idx IS NULL
+        GROUP BY k.doc_id
+    ),
+    rc_toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text_clean, ' '),
+                           x -> length(x) > 0) AS t
+        FROM ra_clean
+    ),
+    rc_cls AS (
+        SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS cnt
+        FROM (
+            SELECT doc_id, p.p - 1 AS pos,
+                   md5(array_to_string(
+                       t[p.p : p.p + {_SUFFIX_MIN_LEN} - 1], ' ')) AS h
+            FROM rc_toks,
+                 unnest(range(1, len(t) - {_SUFFIX_MIN_LEN} + 2)) AS p(p)
+            WHERE len(t) >= {_SUFFIX_MIN_LEN}
+        )
+    ),
+    rc_dup_idx AS (
+        SELECT DISTINCT doc_id, pos + d.d AS idx
+        FROM rc_cls, unnest(range(0, {_SUFFIX_MIN_LEN})) AS d(d)
+        WHERE cnt >= 2
+    ),
+    ra_sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(len(t), 0)) AS BIGINT) AS tokens_before
+        FROM sfx_toks
+    )
+    SELECT s.n_docs,
+           s.tokens_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ra_rm_idx)
+               AS tokens_removed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ra_all_idx)
+               AS dup_tokens_before,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM rc_dup_idx)
+               AS dup_tokens_after,
+           ROUND(CASE WHEN s.tokens_before > 0
+                 THEN CAST((SELECT COUNT(*) FROM ra_all_idx) AS DOUBLE)
+                      / s.tokens_before ELSE 0.0 END, 6)
+               AS dup_frac_before,
+           ROUND(CASE WHEN s.tokens_before
+                           - (SELECT COUNT(*) FROM ra_rm_idx) > 0
+                 THEN CAST((SELECT COUNT(*) FROM rc_dup_idx) AS DOUBLE)
+                      / (s.tokens_before
+                         - (SELECT COUNT(*) FROM ra_rm_idx))
+                 ELSE 0.0 END, 6)
+               AS dup_frac_after
+    FROM ra_sums s
+    """,
+    doc="removal-quality audit (the family's lsh_recall_audit analog): "
+    "duplicated-token mass before cleaning, what keep-one cleaning cut, "
+    "and the duplicated mass REMEASURED on the cleaned corpus — ~0 unless "
+    "excisions spliced surviving tokens into new duplicated runs, which "
+    "is exactly the regression an audit exists to catch",
+)
+def suffix_removal_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import removal_quality_audit
+
+    return removal_quality_audit(
+        load_table(spark, "documents", sf_dir),
+        min_len=_SUFFIX_MIN_LEN,
+        materialize=True,
+    )

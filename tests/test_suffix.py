@@ -572,3 +572,32 @@ def test_remove_incremental_matches_union_batch(spark, tmp_path):
 
     with pytest.raises(ValueError, match="min_len=3"):
         remove_repeated_spans_incremental(new, snap, min_len=4)
+
+
+def test_removal_quality_audit_converges(spark):
+    """The audit's whole point: dup mass before > 0 on a corpus with a
+    pasted passage, keep-one cut equals the per-doc removal sum, and
+    the remeasured dup mass after cleaning is 0 here (no re-splice)."""
+    from irstats2_spark.pipeline.suffix import (
+        remove_repeated_spans,
+        removal_quality_audit,
+    )
+
+    passage = "one two three four five six seven eight".split()
+    texts = {
+        0: "alpha beta".split() + passage,
+        1: "gamma delta epsilon".split() + passage + ["zeta"],
+        2: "totally unrelated words in this one here".split(),
+    }
+    row = removal_quality_audit(_df(spark, texts), min_len=5).collect()[0]
+    assert row["n_docs"] == 3
+    assert row["tokens_before"] == sum(len(t) for t in texts.values())
+    assert row["dup_tokens_before"] == 16  # both copies of the passage
+    assert row["tokens_removed"] == 8  # keep-one cuts the later copy
+    assert row["dup_tokens_after"] == 0
+    assert row["dup_frac_after"] == 0.0
+    want_removed = sum(
+        r["removed_tokens"]
+        for r in remove_repeated_spans(_df(spark, texts), min_len=5).collect()
+    )
+    assert row["tokens_removed"] == want_removed
