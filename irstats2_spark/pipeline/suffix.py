@@ -682,16 +682,27 @@ def remove_repeated_spans(
     # where a boilerplate gram with 1e8 occurrences would pin a window
     # partition to one reducer (OptimizeSkewedJoin splits joins, never
     # windows). The join output is already dup-class-sized.
+    out = _excise(toks, _dup_marks(_dup_occ(grams), keep_first), min_len)
+    return release_after(out, [], materialize)
+
+
+def _dup_occ(grams: DataFrame) -> DataFrame:
+    """Occurrences of DUPLICATED gram classes, each carrying the class
+    canonical: the dup-class-sized mark source both removal modes (and
+    the audit's shared pass) filter from."""
     cls = grams.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("keeper"),
     )
-    occ = grams.join(cls.filter(F.col("cnt") >= 2), "h")
-    drop = F.lit(True)
+    return grams.join(cls.filter(F.col("cnt") >= 2), "h")
+
+
+def _dup_marks(occ: DataFrame, keep_first: bool) -> DataFrame:
+    """keep-one spares each class's canonical; remove-all marks every
+    duplicated occurrence."""
     if keep_first:
-        drop = F.struct("doc_id", "pos") != F.col("keeper")
-    out = _excise(toks, occ.filter(drop), min_len)
-    return release_after(out, [], materialize)
+        return occ.filter(F.struct("doc_id", "pos") != F.col("keeper"))
+    return occ
 
 
 def _doc_tokens(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -932,18 +943,17 @@ def removal_quality_audit(
     Output: (n_docs, tokens_before, tokens_removed, dup_tokens_before,
     dup_tokens_after, dup_frac_before, dup_frac_after).
 
-    Scale shape: three gram passes (original remove-all mark, keep-one
-    clean, cleaned remove-all mark) — each the batch operator's
-    map-side explode + combining class agg; sums fold to one row. The
-    cleaned corpus is consumed twice (its removal sum and the
-    re-measure), so it is persisted and released per the package
-    lifecycle contract (``materialize`` as elsewhere)."""
-    before = remove_repeated_spans(
-        docs, min_len, text_col, id_col, keep_first=False
-    )
-    cleaned = remove_repeated_spans(
-        docs, min_len, text_col, id_col, keep_first=True
-    ).persist()
+    Scale shape: TWO gram passes, not three — the before measure and
+    the keep-one clean filter the SAME persisted dup-class occurrence
+    set (one explode + one combining class agg over the original
+    corpus), then the cleaned corpus is re-grammed once. The cleaned
+    corpus is also consumed twice (its removal sum and the re-measure),
+    so it is persisted too; both pins release per the lifecycle
+    contract (``materialize`` as elsewhere)."""
+    toks = _doc_tokens(docs, text_col, id_col)
+    occ = _dup_occ(_gram_rows(toks, min_len)).persist()
+    before = _excise(toks, _dup_marks(occ, keep_first=False), min_len)
+    cleaned = _excise(toks, _dup_marks(occ, keep_first=True), min_len).persist()
     after = remove_repeated_spans(
         cleaned, min_len, text_col="text_clean", id_col="doc_id",
         keep_first=False,
@@ -984,4 +994,4 @@ def removal_quality_audit(
             ).alias("dup_frac_after"),
         )
     )
-    return release_after(out, [cleaned], materialize)
+    return release_after(out, [occ, cleaned], materialize)
