@@ -1130,3 +1130,41 @@ def test_repeated_substrings_single_partition_carries_no_windows(spark):
         if re.match(r"\(\d+\) Exchange", block) and "SinglePartition" in block:
             assert "w#" not in block and "prev#" not in block, block
     assert df.count() >= 0  # the plan executes end-to-end
+
+
+def test_exactsubstr_remove_shuffles_never_carry_text(spark, queries):
+    # the removal action's gram-class marking shuffles on md5(gram) and
+    # the interval rollup shuffles on doc_id — document text and the
+    # token arrays must be pruned below every exchange (at 100 TB those
+    # exchanges carry (doc_id, pos, hash) and interval structs; the one
+    # text-carrying hop is the final doc join, broadcast here and by
+    # definition unavoidable since the OUTPUT is rewritten text); the
+    # class agg must partial-aggregate map-side
+    import re
+
+    plan = plan_of(queries["exact_substring_remove"](spark, SF))
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) (Exchange|BroadcastExchange)", block):
+            assert "text#" not in block and "__t#" not in block, block
+    assert "partial_min" in plan and "partial_count" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_exactsubstr_incremental_gram_exchanges_never_carry_text(spark, queries):
+    # the nightly cleaner gram-explodes the NEW batch and probes the
+    # snapshot via membership joins: every gram-class (hash-on-h)
+    # exchange must carry (doc_id, pos, hash) only — the sole
+    # text-carrying hop allowed is the doc_id-keyed join that produces
+    # the rewritten output (broadcast or shuffle, AQE's call); no
+    # Python ever runs
+    import re
+
+    plan = plan_of(queries["exact_substring_remove_incremental"](spark, SF))
+    for block in plan.split("\n\n"):
+        if not re.match(r"\(\d+\) (Exchange|BroadcastExchange)", block):
+            continue
+        if "text#" in block or "__t#" in block:
+            # permitted only for the output join: keyed on doc_id alone
+            assert "hashpartitioning(doc_id#" in block, block
+            assert "h#" not in block, block
+    assert "BatchEvalPython" not in plan
