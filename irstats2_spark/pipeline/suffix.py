@@ -623,6 +623,7 @@ def remove_repeated_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_first: bool = True,
+    occ: DataFrame | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """The exact-substring dedup ACTION (Lee et al. 2022 "ExactSubstr"):
@@ -675,15 +676,47 @@ def remove_repeated_spans(
     form pins nothing."""
     assert min_len >= 1, min_len
     toks = _doc_tokens(docs, text_col, id_col)
-    grams = _gram_rows(toks, min_len)
     # groupBy + join rather than a window over the class: count/min
     # partial-aggregate map-side (the agg shuffle carries ~distinct
     # grams, not positions), and the join back is AQE-skew-splittable
     # where a boilerplate gram with 1e8 occurrences would pin a window
     # partition to one reducer (OptimizeSkewedJoin splits joins, never
     # windows). The join output is already dup-class-sized.
-    out = _excise(toks, _dup_marks(_dup_occ(grams), keep_first), min_len)
+    if occ is None:
+        occ = _dup_occ(_gram_rows(toks, min_len))
+    else:
+        _assert_gram_len(occ, min_len, "shared occ")
+    out = _excise(toks, _dup_marks(occ, keep_first), min_len)
     return release_after(out, [], materialize)
+
+
+def dup_gram_occurrences(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The duplicated ``min_len``-gram occurrence set of ``docs`` —
+    (doc_id, pos, h, cnt, keeper) for every occurrence of a gram class
+    with >= 2 occurrences. The shared prefix of the removal action and
+    its quality audit (the ``windows=``/``sa=`` sharing idiom one tier
+    over): build (and materialize) once, pass as ``occ=`` to
+    ``remove_repeated_spans`` and ``removal_quality_audit``. ``h``
+    carries the build ``min_len`` in schema metadata and every consumer
+    asserts it."""
+    return _dup_occ(_gram_rows(_doc_tokens(docs, text_col, id_col), min_len))
+
+
+def _assert_gram_len(df: DataFrame, min_len: int, what: str) -> None:
+    """Shared gram tables answer membership for EXACTLY their build
+    length; a mismatch silently mis-cleans. Fail loudly instead."""
+    got = gram_snapshot_len(df)
+    if got is not None and got != min_len:
+        raise ValueError(
+            f"{what} was built at min_len={got} but this call asked for "
+            f"min_len={min_len}; gram classes at the wrong length "
+            "silently mis-clean — rebuild or pass the matching value"
+        )
 
 
 def _dup_occ(grams: DataFrame) -> DataFrame:
@@ -734,7 +767,11 @@ def _gram_rows(toks: DataFrame, L: int) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+        .select(
+            "doc_id",
+            F.col("g.pos").alias("pos"),
+            F.col("g.h").alias("h", metadata={"min_len": L}),
+        )
     )
 
 
@@ -928,6 +965,7 @@ def removal_quality_audit(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    occ: DataFrame | None = None,
     materialize: bool = False,
 ) -> DataFrame:
     """Did the removal action actually de-duplicate? One audit row, the
@@ -951,7 +989,12 @@ def removal_quality_audit(
     so it is persisted too; both pins release per the lifecycle
     contract (``materialize`` as elsewhere)."""
     toks = _doc_tokens(docs, text_col, id_col)
-    occ = _dup_occ(_gram_rows(toks, min_len)).persist()
+    if occ is None:
+        occ = _dup_occ(_gram_rows(toks, min_len)).persist()
+        pins = [occ]  # this call's pin; a shared occ= is caller-owned
+    else:
+        _assert_gram_len(occ, min_len, "shared occ")
+        pins = []
     before = _excise(toks, _dup_marks(occ, keep_first=False), min_len)
     cleaned = _excise(toks, _dup_marks(occ, keep_first=True), min_len).persist()
     after = remove_repeated_spans(
@@ -994,4 +1037,4 @@ def removal_quality_audit(
             ).alias("dup_frac_after"),
         )
     )
-    return release_after(out, [occ, cleaned], materialize)
+    return release_after(out, pins + [cleaned], materialize)

@@ -7707,6 +7707,29 @@ def suffix_exact_substring_remove(
         load_table(spark, "documents", sf_dir),
         min_len=_SUFFIX_MIN_LEN,
         keep_first=True,
+        occ=_exactsubstr_dup_occ(spark, sf_dir),
+    )
+
+
+def _exactsubstr_dup_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized duplicated-gram occurrence set over ``documents`` at
+    the tier's length — the shared prefix of the removal action and its
+    quality audit (one gram explode + one class agg instead of one
+    per entry; same job-server semantics as the kNN-edge / SimHash-pair
+    / suffix-index prefixes)."""
+    from irstats2_spark.pipeline.suffix import dup_gram_occurrences
+
+    def build() -> DataFrame:
+        return dup_gram_occurrences(
+            load_table(spark, "documents", sf_dir), min_len=_SUFFIX_MIN_LEN
+        )
+
+    return _memoized_prefix(
+        spark,
+        sf_dir,
+        f"exactsubstr_dup_occ_len{_SUFFIX_MIN_LEN}",
+        "documents",
+        build,
     )
 
 
@@ -7899,5 +7922,6 @@ def suffix_removal_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return removal_quality_audit(
         load_table(spark, "documents", sf_dir),
         min_len=_SUFFIX_MIN_LEN,
+        occ=_exactsubstr_dup_occ(spark, sf_dir),
         materialize=True,
     )

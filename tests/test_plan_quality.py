@@ -1146,8 +1146,18 @@ def test_exactsubstr_remove_shuffles_never_carry_text(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) (Exchange|BroadcastExchange)", block):
             assert "text#" not in block and "__t#" not in block, block
-    assert "partial_min" in plan and "partial_count" in plan
     assert "BatchEvalPython" not in plan
+    # the catalog entry consumes the memoized dup-occ prefix, so the
+    # class agg lives in the prefix build — assert its map-side partial
+    # phase on the library operator directly
+    from irstats2_spark.pipeline.suffix import remove_repeated_spans
+    from irstats2_spark.sources.testdata import load_table
+
+    lib_plan = plan_of(
+        remove_repeated_spans(load_table(spark, "documents", SF), min_len=6)
+    )
+    assert "partial_min" in lib_plan and "partial_count" in lib_plan
+    assert "BatchEvalPython" not in lib_plan
 
 
 def test_exactsubstr_incremental_gram_exchanges_never_carry_text(spark, queries):
