@@ -56,6 +56,18 @@ counts, and a deterministic fingerprint — enough to drive both the
 "what boilerplate exists" report and the per-doc coverage rollup
 (``exact_substring_coverage``).
 
+THE REMOVAL SUB-FAMILY (``remove_repeated_spans`` and its
+incremental/streaming/audit tiers) deliberately does NOT use the
+suffix array: at a fixed threshold L, duplicated spans of >= L tokens
+are exactly unions of duplicated L-grams, so the dedup ACTION is a
+gram equality-class computation — one map-side-combining class agg
+plus in-row interval folds (``merged_intervals``/``excised_tokens``),
+cheaper and skew-splittable where the miner's global sort earns its
+keep only for ARBITRARY-length reporting. The two sub-families share
+the tokenizer, the schema-metadata build-parameter stamps, and the
+mine-nightly/clean-on-arrival deployment loop (``write_suffix_
+snapshot`` / ``write_gram_snapshot`` are the stored halves).
+
 Reference behavior modeled, not ported: the reference engine
 (eprints/irstats2) has no substring mining; the closest public
 algorithmic reference is the suffix-array dedup pipeline above and the
