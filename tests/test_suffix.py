@@ -601,3 +601,61 @@ def test_removal_quality_audit_converges(spark):
         for r in remove_repeated_spans(_df(spark, texts), min_len=5).collect()
     )
     assert row["tokens_removed"] == want_removed
+
+
+def test_interval_folds_match_reference_on_random_rows(spark):
+    """merged_intervals + excised_tokens are the removal family's in-row
+    JVM folds; fuzz them across 200 random (token array, interval set)
+    rows in ONE job against a plain-Python interval-union reference —
+    overlap, nesting, adjacency, doc-start/doc-end cuts, empty sets."""
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.pipeline.suffix import excised_tokens, merged_intervals
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(200):
+        n = rng.randint(0, 30)
+        toks = [f"t{j}" for j in range(n)]
+        ivs = []
+        for _ in range(rng.randint(0, 8)):
+            if n == 0:
+                break
+            s = rng.randint(0, n - 1)
+            e = rng.randint(s + 1, min(n, s + rng.randint(1, 6)))
+            ivs.append((s, e))
+        rows.append((i, toks, sorted(ivs)))
+
+    def ref(toks, ivs):
+        rm = set()
+        for s, e in ivs:
+            rm.update(range(s, e))
+        return [t for j, t in enumerate(toks) if j not in rm]
+
+    df = spark.createDataFrame(
+        rows, "row_id int, t array<string>, ivs array<struct<s:bigint,e:bigint>>"
+    )
+    got = {
+        r["row_id"]: (r["merged"], r["kept"])
+        for r in df.select(
+            "row_id",
+            merged_intervals(F.col("ivs")).alias("merged"),
+            excised_tokens(F.col("t"), merged_intervals(F.col("ivs"))).alias(
+                "kept"
+            ),
+        ).collect()
+    }
+    for i, toks, ivs in rows:
+        merged, kept = got[i]
+        # merged must be sorted, non-overlapping, covering the same set
+        assert all(a["e"] < b["s"] for a, b in zip(merged, merged[1:])), (
+            i, merged,
+        )
+        covered = set()
+        for m in merged:
+            covered.update(range(m["s"], m["e"]))
+        want_cov = set()
+        for s, e in ivs:
+            want_cov.update(range(s, e))
+        assert covered == want_cov, (i, merged, ivs)
+        assert kept == ref(toks, ivs), (i, kept)
