@@ -573,6 +573,13 @@ def test_remove_incremental_matches_union_batch(spark, tmp_path):
     with pytest.raises(ValueError, match="min_len=3"):
         remove_repeated_spans_incremental(new, snap, min_len=4)
 
+    # the occ= sharing path guards its build length the same way
+    from irstats2_spark.pipeline.suffix import dup_gram_occurrences
+
+    occ3 = dup_gram_occurrences(old, min_len=3)
+    with pytest.raises(ValueError, match="min_len=3"):
+        remove_repeated_spans(old, min_len=4, occ=occ3)
+
 
 def test_removal_quality_audit_converges(spark):
     """The audit's whole point: dup mass before > 0 on a corpus with a
