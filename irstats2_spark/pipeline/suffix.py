@@ -32,11 +32,12 @@ Design (Spark-first, no monolithic suffix array in memory):
    inside actual repeats survive the filter). Contiguous pair
    STRETCHES are independent (the interval stack drains at every
    ``sa_idx`` gap), so the lcp-interval sweep runs partition-parallel:
-   a gaps-and-islands key (``sa_idx - row_number``) groups each
-   stretch, stretches hash across partitions, and the identical
-   Arrow-batched fold runs per partition. The one ordered-window pass
-   that assigns stretch keys sees only the 16-byte (sa_idx, lcp) pair
-   rows — dup-pair-sized, JVM-side — not the corpus.
+   a gaps-and-islands key (``sa_idx - rank``) groups each stretch,
+   stretches hash across partitions, and the identical Arrow-batched
+   fold runs per partition. The rank itself comes from the same
+   range-partitioned ``_dense_index`` idiom as step 2 (pairs are
+   unique on ``sa_idx``), so NO stage of the sweep — not even key
+   assignment — funnels through a single task.
 
 COST ENVELOPE (the 100 TB operator-choice knob): the window explode in
 step 1 is a ``max_span``× token blow-up feeding the global sort — at
@@ -152,31 +153,27 @@ def _assert_span(df: DataFrame, max_span: int, what: str) -> None:
         )
 
 
-def suffix_order(
-    windows: DataFrame, num_partitions: int | None = None
+def _dense_index(
+    df: DataFrame,
+    order_cols: list[str],
+    idx_name: str,
+    num_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Assign each suffix its (truncated) suffix-array position.
-
-    Returns ``(sa, pin)``: ``sa`` adds a dense ``sa_idx`` in full
-    lexicographic suffix order (ties broken by doc_id/pos, so the order
-    — and everything downstream — is fully deterministic); ``pin`` is
-    the persisted range-sorted intermediate the caller must unpersist
-    (or route through ``release_after``) once ``sa``'s consumers have
-    evaluated.
-
-    Shape: ``repartitionByRange`` + ``sortWithinPartitions`` is the one
-    corpus-sized sort; ``monotonically_increasing_id`` reads off
+    """Dense 0-based global rank in ``order_cols`` order with NO
+    single-task window: ``repartitionByRange`` + ``sortWithinPartitions``
+    is the one sort; ``monotonically_increasing_id`` reads off
     (partition, row-in-partition) in scan order, a groupBy over the
     persisted sort collects #partitions tiny counts, and a broadcast
     offset map turns local row numbers into the dense global index.
     Two passes over the cached sort, zero Python serialization — this
     replaced an ``rdd.zipWithIndex()`` round-trip that double-ran the
-    sort through pickled rows and broke exchange reuse."""
-    spark = windows.sparkSession
+    sort through pickled rows and broke exchange reuse. Returns
+    ``(df + idx_name, pin)``; the caller owns the persisted pin."""
+    spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
-        windows.repartitionByRange(n, "w", "doc_id", "pos")
-        .sortWithinPartitions("w", "doc_id", "pos")
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
         .persist()
     )
@@ -193,13 +190,31 @@ def suffix_order(
     for p, c in counts:
         offsets += [F.lit(p), F.lit(running)]
         running += c
-    # empty corpus: zero rows flow anyway, but create_map() with no args
+    # empty input: zero rows flow anyway, but create_map() with no args
     # types as map<void,void> and breaks the long lookup — use a dummy
     offmap = F.create_map(*(offsets or [F.lit(0), F.lit(0)]))
-    sa = part.withColumn(
-        "sa_idx", (offmap[pid] + local).cast("long")
+    out = part.withColumn(
+        idx_name, (offmap[pid] + local).cast("long")
     ).drop("__mid")
-    return sa, part
+    return out, part
+
+
+def suffix_order(
+    windows: DataFrame, num_partitions: int | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Assign each suffix its (truncated) suffix-array position.
+
+    Returns ``(sa, pin)``: ``sa`` adds a dense ``sa_idx`` in full
+    lexicographic suffix order (ties broken by doc_id/pos, so the order
+    — and everything downstream — is fully deterministic); ``pin`` is
+    the persisted range-sorted intermediate the caller must unpersist
+    (or route through ``release_after``) once ``sa``'s consumers have
+    evaluated. Shape: the shared ``_dense_index`` idiom — one
+    range-partitioned sort, per-partition local row numbers, an
+    O(#partitions) offset map; no single-task stage anywhere."""
+    return _dense_index(
+        windows, ["w", "doc_id", "pos"], "sa_idx", num_partitions
+    )
 
 
 def _lcp(a, b):
@@ -375,26 +390,30 @@ def write_suffix_snapshot(
     )
 
 
-def _sweep_input(pairs: DataFrame) -> DataFrame:
+def _sweep_input(pairs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     """Stretch-partitioned, sa_idx-sorted (sa_idx, lcp) rows ready for
-    the lcp-interval fold.
+    the lcp-interval fold, plus the pins this call made.
 
     Contiguous qualifying-pair stretches are independent work units
     (the fold's stack drains at every ``sa_idx`` gap), so the classic
-    gaps-and-islands key ``sa_idx - row_number`` — constant within a
-    stretch, distinct across stretches — hash-routes whole stretches
-    across partitions. The one global-ordered window that assigns it
-    runs JVM-side over ONLY the two-long pair rows (dup-pair-sized; the
-    corpus never passes through it); the Python fold itself then runs
-    partition-parallel, which is what the old ``repartition(1)`` sweep
-    serialized."""
-    w = Window.orderBy("sa_idx")
-    return (
-        pairs.select("sa_idx", "lcp")
-        .withColumn("stretch", F.col("sa_idx") - F.row_number().over(w))
+    gaps-and-islands key ``sa_idx - rank`` — constant within a stretch,
+    distinct across stretches — hash-routes whole stretches across
+    partitions. The rank comes from the shared ``_dense_index`` idiom
+    (pairs are unique on ``sa_idx``, so a range-partitioned sort +
+    per-partition offsets gives it exactly), NOT from a global-ordered
+    ``row_number`` window: that window was the miner's one residual
+    single-task pass — at a multi-percent dup rate (Lee et al.) and
+    100x data, billions of 16-byte pair rows would stream through one
+    core before the parallel fold even started. Now every stage of the
+    sweep is partition-parallel."""
+    idx, pin = _dense_index(pairs.select("sa_idx", "lcp"), ["sa_idx"], "__rank")
+    swept = (
+        idx.withColumn("stretch", F.col("sa_idx") - F.col("__rank"))
+        .drop("__rank")
         .repartition("stretch")
         .sortWithinPartitions("sa_idx")
     )
+    return swept, [pin]
 
 
 def _mine_repeats(
@@ -495,7 +514,8 @@ def _mine_repeats(
                 rows, columns=["iv_lo", "iv_hi", "depth", "sa_idx"]
             )
 
-    iv_members = _sweep_input(pairs).mapInPandas(
+    swept, sweep_pins = _sweep_input(pairs)
+    iv_members = swept.mapInPandas(
         enumerate_intervals,
         schema="iv_lo long, iv_hi long, depth int, sa_idx long",
     ).join(info, "sa_idx")
@@ -533,7 +553,7 @@ def _mine_repeats(
         )
         .orderBy(F.desc("repeat_len"), F.desc("n_occurrences"), "fp")
     )
-    return out, [pairs]
+    return out, [pairs] + sweep_pins
 
 
 def exact_substring_coverage(
@@ -878,9 +898,9 @@ def write_gram_snapshot(
 ) -> None:
     """Persist the accumulated corpus's DISTINCT ``min_len``-gram md5
     set — the membership store ``remove_repeated_spans_incremental``
-    cleans nightly batches against (and, hashed to xxhash64 keys, the
-    static side ``streaming.ingest.remove_spans_stream`` probes at
-    ingest). One distinct per snapshot rebuild; append each cleaned
+    cleans nightly batches against (and the static side
+    ``streaming.ingest.remove_spans_stream`` folds to a broadcast key
+    row and probes at ingest — same full-md5 keys on every path). One distinct per snapshot rebuild; append each cleaned
     batch's grams and re-distinct, or just rebuild from the growing
     corpus. The build length is stamped on ``h``'s field metadata
     (parquet-durable, same contract as ``suffix_windows``)."""
@@ -922,6 +942,7 @@ def remove_repeated_spans_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_first: bool = True,
+    assume_distinct: bool = True,
     materialize: bool = False,
 ) -> DataFrame:
     """Nightly-batch form of the removal action, completing the
@@ -947,7 +968,18 @@ def remove_repeated_spans_incremental(
     join; everything downstream of the marks is the shared in-row
     excision fold. If the snapshot carries a ``min_len`` stamp it is
     ASSERTED (a snapshot built at a different L answers membership for
-    the wrong gram length)."""
+    the wrong gram length).
+
+    ``assume_distinct=True`` (the default) trusts ``write_gram_
+    snapshot``/``gram_snapshot``'s distinct contract (the same stamped
+    contract that carries ``min_len``) and skips re-distincting the
+    snapshot — that re-distinct was a full shuffle+aggregate of the
+    BIG side of the membership join on every nightly run. A duplicated
+    snapshot row would only duplicate marks, which the per-doc interval
+    union absorbs (the output text is identical either way) — the flag
+    buys back the shuffle, it is not a correctness guard; pass False
+    for an untrusted hand-built gram table to keep the join input
+    lean."""
     assert min_len >= 1, min_len
     stamped = gram_snapshot_len(gram_snapshot)
     if stamped is not None and stamped != min_len:
@@ -958,7 +990,9 @@ def remove_repeated_spans_incremental(
         )
     toks = _doc_tokens(new_docs, text_col, id_col)
     grams = _gram_rows(toks, min_len)
-    snap = gram_snapshot.select(F.col("h"), F.lit(True).alias("__in_snap")).distinct()
+    snap = gram_snapshot.select(F.col("h"), F.lit(True).alias("__in_snap"))
+    if not assume_distinct:
+        snap = snap.distinct()
     cls = grams.groupBy("h").agg(
         F.count(F.lit(1)).alias("cnt"),
         F.min(F.struct("doc_id", "pos")).alias("keeper"),
@@ -978,7 +1012,7 @@ def removal_quality_audit(
     text_col: str = "text",
     id_col: str = "doc_id",
     occ: DataFrame | None = None,
-    materialize: bool = False,
+    materialize: bool = True,
 ) -> DataFrame:
     """Did the removal action actually de-duplicate? One audit row, the
     family's counterpart of ``lsh_recall_audit``/``simhash_quality_
@@ -999,7 +1033,11 @@ def removal_quality_audit(
     corpus), then the cleaned corpus is re-grammed once. The cleaned
     corpus is also consumed twice (its removal sum and the re-measure),
     so it is persisted too; both pins release per the lifecycle
-    contract (``materialize`` as elsewhere)."""
+    contract. ``materialize`` defaults True — the AUDIT convention
+    (lifecycle.py; lsh_recall_audit/simhash_quality_audit do the same):
+    the result is one row, and the lazy path's internal corpus-sized
+    pins have no caller-reachable handle, so lazy-by-default would leak
+    them in a long-lived server."""
     toks = _doc_tokens(docs, text_col, id_col)
     if occ is None:
         occ = _dup_occ(_gram_rows(toks, min_len)).persist()

@@ -1109,12 +1109,13 @@ def test_suffix_windows_build_is_shuffle_free(spark):
     assert "BatchEvalPython" not in plan and "MapInPandas" not in plan
 
 
-def test_repeated_substrings_single_partition_carries_no_windows(spark):
-    """The one single-partition stage in the SA miner (the lcp-interval
-    stack sweep) may receive ONLY the dup-sized (sa_idx, lcp)
-    projection — never the token windows, whose single-task
-    serialization would be the scale killer. Also catalog-wide
-    contracts: no CartesianProduct, no row-at-a-time Python."""
+def test_repeated_substrings_has_no_single_task_stage(spark):
+    """Since r9 the SA miner has NO single-task stage at all: the
+    sweep's stretch-key rank comes from the range-partitioned
+    _dense_index idiom, not a global-ordered window, so the plan must
+    contain no SinglePartition exchange and no Window node (the r8
+    verdict's one `weak` finding). Also catalog-wide contracts: no
+    CartesianProduct, no row-at-a-time Python."""
     import re
 
     from irstats2_spark.pipeline.suffix import repeated_substrings
@@ -1126,9 +1127,10 @@ def test_repeated_substrings_single_partition_carries_no_windows(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "Window" not in plan, plan
     for block in re.split(r"\n\n", plan):
-        if re.match(r"\(\d+\) Exchange", block) and "SinglePartition" in block:
-            assert "w#" not in block and "prev#" not in block, block
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "SinglePartition" not in block, block
     assert df.count() >= 0  # the plan executes end-to-end
 
 
@@ -1178,3 +1180,47 @@ def test_exactsubstr_incremental_gram_exchanges_never_carry_text(spark, queries)
             assert "hashpartitioning(doc_id#" in block, block
             assert "h#" not in block, block
     assert "BatchEvalPython" not in plan
+
+
+def test_exactsubstr_incremental_trusts_snapshot_distinct(spark):
+    """The nightly cleaner must NOT re-distinct the gram snapshot on
+    every run (r8 verdict finding #2): write_gram_snapshot already
+    writes a distinct set under the same stamped contract that carries
+    min_len, and re-distincting is a full shuffle+aggregate of the BIG
+    side of the membership join. assume_distinct=True (the default)
+    drops exactly that exchange; the opt-out keeps it for hand-built
+    tables."""
+    import re
+
+    from irstats2_spark.pipeline.suffix import (
+        remove_repeated_spans_incremental,
+        write_gram_snapshot,
+    )
+    from irstats2_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        write_gram_snapshot(old, f"{td}/snap", min_len=6)
+        snap = spark.read.parquet(f"{td}/snap")
+
+        # the re-distinct shows up as aggregate keys over (h, __in_snap);
+        # join-strategy shifts can't fake or hide that
+        def n_redistincts(plan: str) -> int:
+            # the folded __in_snap literal rides the keys as `true`
+            return len(re.findall(r"Keys \[2\]: \[h#\d+, true", plan))
+
+        trusted = plan_of(
+            remove_repeated_spans_incremental(new, snap, min_len=6)
+        )
+        dedup = plan_of(
+            remove_repeated_spans_incremental(
+                new, snap, min_len=6, assume_distinct=False
+            )
+        )
+        assert n_redistincts(trusted) == 0, trusted
+        assert n_redistincts(dedup) > 0, dedup
+        assert trusted.count("Exchange") <= dedup.count("Exchange")

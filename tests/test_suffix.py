@@ -286,11 +286,14 @@ def test_min_count_filters_rare_runs(spark):
 
 
 def test_sweep_runs_stretch_parallel(spark):
-    """The r7-verdict `weak` fix: the lcp-interval fold must NOT funnel
-    through one partition. Contiguous pair stretches are independent
-    (the stack drains at every sa_idx gap), so the stretch key must (a)
-    keep each stretch whole within a partition and (b) spread distinct
-    stretches across >1 partition."""
+    """The r7-verdict `weak` fix (completed r9): the lcp-interval fold
+    must NOT funnel through one partition. Contiguous pair stretches
+    are independent (the stack drains at every sa_idx gap), so the
+    stretch key must (a) keep each stretch whole within a partition and
+    (b) spread distinct stretches across >1 partition — and (c, the r8
+    residual) the key ASSIGNMENT itself must not run a single-task
+    global window: the sweep plan may contain no Window node at all
+    (the rank comes from the range-partitioned _dense_index idiom)."""
     from pyspark.sql import functions as F
 
     # three stretches of qualifying pairs separated by sa_idx gaps
@@ -298,13 +301,20 @@ def test_sweep_runs_stretch_parallel(spark):
     pairs = spark.createDataFrame(rows, "sa_idx long, lcp long")
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    pins = []
     try:
-        swept = _sweep_input(pairs).withColumn(
-            "pid", F.spark_partition_id()
+        swept, pins = _sweep_input(pairs)
+        plan = swept._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan, plan  # no single-task rank pass
+        got = (
+            swept.withColumn("pid", F.spark_partition_id())
+            .select("stretch", "pid")
+            .collect()
         )
-        got = swept.select("stretch", "pid").collect()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+        for p in pins:
+            p.unpersist()
     by_stretch: dict[int, set[int]] = {}
     for r in got:
         by_stretch.setdefault(r["stretch"], set()).add(r["pid"])
