@@ -1,0 +1,116 @@
+"""EXPERIMENTAL streaming operators — shipped API, but not e2e-runnable
+in every environment.
+
+The public surface (`streaming.ingest`) holds only paths whose
+end-to-end tests run in this build container. Operators here have a
+hard environment dependency that the container may lack; each fails
+FAST at call time where its dependency is absent (with a pointer to the
+fully-tested twin) rather than building a query that would die inside
+an executor. An operator graduates back to `streaming.ingest` the first
+round its e2e test actually runs (r8 verdict #6: after two rounds of
+asking, protobuf has not landed in the driver env, so the
+transformWithState path is namespaced instead of shipped-but-untested).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def repeat_filter_stream_tws(
+    events: DataFrame,
+    timeout: int = 3600,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """EXPERIMENTAL — EXACT streaming Repeat filter (P9) on the
+    transformWithState
+    engine — the state-TTL upgrade ``repeat_filter_stream``'s docstring
+    promises: same first-kept-anchor semantics (Repeat.pm:63-102), but
+    the per-key anchor is a ``ValueState`` with ``ttlDurationMs`` =
+    timeout, so the state store ENFORCES the prune rule the older
+    operator could only describe — an anchor older than the timeout can
+    never drop another event, so expiring it is semantics-preserving
+    and state stays bounded by keys ACTIVE within the window instead of
+    all keys ever seen. At log scale (one key per
+    eprint-doc-ip) that is the difference between state ∝ traffic and
+    state ∝ history.
+
+    Requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``), which transformWithState needs;
+    TTL uses processing time (timeMode='ProcessingTime'), matching the
+    reference's wall-clock nightly runs. Output and semantics are
+    bit-identical to ``repeat_filter_stream`` while anchors are live —
+    both engines share ``_repeat_fold`` verbatim, so they cannot
+    diverge, and the e2e pytest runs whenever the environment can (the
+    transformWithState Python protocol needs ``google.protobuf``, which
+    this build container lacks — the test skips there; the fold itself
+    stays covered through the classic operator's cross-batch test).
+
+    EXPERIMENTAL STATUS: because the e2e test cannot run where protobuf
+    is absent, this path fails FAST at call time in such environments
+    (below) instead of shipping a silently-untested runtime surface —
+    use ``streaming.ingest.repeat_filter_stream`` (identical semantics,
+    applyInPandasWithState, fully e2e-tested) there. The guard + test
+    skip both auto-lift the moment the dependency lands, at which point
+    the operator graduates out of this namespace."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise RuntimeError(
+            "repeat_filter_stream_tws is EXPERIMENTAL here: "
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks (and its e2e test therefore skips). Use "
+            "repeat_filter_stream — same exact anchor semantics, tested — "
+            "or install protobuf to enable this state-TTL variant."
+        ) from exc
+    import pandas as pd  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    from irstats2_spark.operators.filters import repeat_key
+    from irstats2_spark.streaming.ingest import _repeat_fold
+
+    keyed = events.withColumn(
+        "__rk",
+        repeat_key(
+            F.col("referent_id"), F.col("referent_docid"), F.col("requester_id")
+        ),
+    )
+    out_schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in keyed.schema.fields
+        if f.name != "__rk"
+    )
+    cols = [f.name for f in keyed.schema.fields if f.name != "__rk"]
+    ttl_ms = int(timeout) * 1000
+
+    class RepeatAnchor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._anchor = handle.getValueState(
+                "anchor", "anchor double", ttlDurationMs=ttl_ms
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            anchor = self._anchor.get()[0] if self._anchor.exists() else None
+            for pdf in rows:
+                kept, anchor = _repeat_fold(
+                    pdf, anchor, timeout, epoch_col, cols
+                )
+                yield kept
+            if anchor is not None:
+                self._anchor.update((float(anchor),))
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy("__rk").transformWithStateInPandas(
+        RepeatAnchor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -163,8 +163,10 @@ def repeat_filter_stream(
     micro-batch. State is one double per active key and is pruned by the
     reference's own logic in spirit: a key whose anchor is older than the
     timeout can never drop anything again, so it is overwritten by the
-    next kept event; for bounded state with event-time cleanup, migrate
-    to transformWithStateInPandas TTL when the cluster runs Spark 4.x.
+    next kept event; for bounded state with event-time cleanup, use
+    ``streaming.experimental.repeat_filter_stream_tws`` (the
+    transformWithState TTL variant — experimental until its e2e can run
+    in this environment; identical fold, shared below).
     """
     import pandas as pd  # noqa: F811
 
@@ -861,102 +863,6 @@ def clean_chunks_stream(
     return remove_listed_chunks(docs, chunk_hashes, chunk_tokens, text_col, id_col)
 
 
-def repeat_filter_stream_tws(
-    events: DataFrame,
-    timeout: int = 3600,
-    epoch_col: str = "epoch",
-) -> DataFrame:
-    """EXPERIMENTAL — EXACT streaming Repeat filter (P9) on the
-    transformWithState
-    engine — the state-TTL upgrade ``repeat_filter_stream``'s docstring
-    promises: same first-kept-anchor semantics (Repeat.pm:63-102), but
-    the per-key anchor is a ``ValueState`` with ``ttlDurationMs`` =
-    timeout, so the state store ENFORCES the prune rule the older
-    operator could only describe — an anchor older than the timeout can
-    never drop another event, so expiring it is semantics-preserving
-    and state stays bounded by keys ACTIVE within the window instead of
-    all keys ever seen. At log scale (one key per
-    eprint-doc-ip) that is the difference between state ∝ traffic and
-    state ∝ history.
-
-    Requires the RocksDB state store provider
-    (``spark.sql.streaming.stateStore.providerClass`` =
-    ``...RocksDBStateStoreProvider``), which transformWithState needs;
-    TTL uses processing time (timeMode='ProcessingTime'), matching the
-    reference's wall-clock nightly runs. Output and semantics are
-    bit-identical to ``repeat_filter_stream`` while anchors are live —
-    both engines share ``_repeat_fold`` verbatim, so they cannot
-    diverge, and the e2e pytest runs whenever the environment can (the
-    transformWithState Python protocol needs ``google.protobuf``, which
-    this build container lacks — the test skips there; the fold itself
-    stays covered through the classic operator's cross-batch test).
-
-    EXPERIMENTAL STATUS (r7 verdict #4): because the e2e test cannot
-    run where protobuf is absent, this path fails FAST at call time in
-    such environments (below) instead of shipping a silently-untested
-    runtime surface — use ``repeat_filter_stream`` (identical
-    semantics, applyInPandasWithState, fully e2e-tested) there. The
-    guard + test skip both auto-lift the moment the dependency lands."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:
-        raise RuntimeError(
-            "repeat_filter_stream_tws is EXPERIMENTAL here: "
-            "transformWithStateInPandas needs google.protobuf, which this "
-            "environment lacks (and its e2e test therefore skips). Use "
-            "repeat_filter_stream — same exact anchor semantics, tested — "
-            "or install protobuf to enable this state-TTL variant."
-        ) from exc
-    import pandas as pd  # noqa: F811
-
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    from irstats2_spark.operators.filters import repeat_key
-
-    keyed = events.withColumn(
-        "__rk",
-        repeat_key(
-            F.col("referent_id"), F.col("referent_docid"), F.col("requester_id")
-        ),
-    )
-    out_schema = ", ".join(
-        f"`{f.name}` {f.dataType.simpleString()}"
-        for f in keyed.schema.fields
-        if f.name != "__rk"
-    )
-    cols = [f.name for f in keyed.schema.fields if f.name != "__rk"]
-    ttl_ms = int(timeout) * 1000
-
-    class RepeatAnchor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._anchor = handle.getValueState(
-                "anchor", "anchor double", ttlDurationMs=ttl_ms
-            )
-
-        def handleInputRows(self, key, rows, timerValues):
-            anchor = self._anchor.get()[0] if self._anchor.exists() else None
-            for pdf in rows:
-                kept, anchor = _repeat_fold(
-                    pdf, anchor, timeout, epoch_col, cols
-                )
-                yield kept
-            if anchor is not None:
-                self._anchor.update((float(anchor),))
-
-        def close(self) -> None:
-            pass
-
-    return keyed.groupBy("__rk").transformWithStateInPandas(
-        RepeatAnchor(),
-        outputStructType=out_schema,
-        outputMode="Append",
-        timeMode="ProcessingTime",
-    )
-
-
 def simhash_doc_stream(
     docs: DataFrame,
     old_sigs: DataFrame,
@@ -1314,16 +1220,23 @@ def remove_spans_stream(
     already holds, the same scoping as ``substring_match_stream``).
 
     Why this streams statelessly: the snapshot's gram set folds to ONE
-    static row of xxhash64 keys (8 bytes per distinct duplicated gram)
-    cross-joined onto the stream, and the mark -> interval-union ->
-    excision chain runs entirely IN-ROW (the batch operator's
-    ``merged_intervals``/``excised_tokens`` folds over an in-row
-    position filter) — no explode, no re-group, no watermark, no state
-    store. Same smallness contract as ``decontaminate_stream``: the
-    folded key set must fit the broadcast budget (it is the DISTINCT
-    duplicated-gram population, boilerplate-sized); past that, run the
-    nightly incremental path, whose snapshot side is a hash JOIN, via
-    ``foreachBatch``. Stream == batch is pytest-pinned.
+    static row of md5 keys cross-joined onto the stream, and the
+    mark -> interval-union -> excision chain runs entirely IN-ROW (the
+    batch operator's ``merged_intervals``/``excised_tokens`` folds over
+    an in-row position filter) — no explode, no re-group, no watermark,
+    no state store. Membership runs the ``decontaminate_stream`` idiom:
+    the row's gram-key array is built ONCE, ``array_intersect``-ed with
+    the snapshot (hash-set based, O(n_grams + |snapshot|) per row), and
+    positions filter against that small per-row HIT set — never a
+    linear scan of the snapshot per position. Keys are the FULL md5
+    strings the batch/incremental paths compare (32 bytes per distinct
+    duplicated gram, not a truncated 64-bit hash whose collision would
+    silently excise non-duplicated text and break the pinned
+    stream == batch equivalence). Same smallness contract as
+    ``decontaminate_stream``: the folded key set must fit the broadcast
+    budget (it is the DISTINCT duplicated-gram population,
+    boilerplate-sized); past that, run the nightly incremental path,
+    whose snapshot side is a hash JOIN, via ``foreachBatch``.
 
     Output: input columns plus (n_tokens, removed_tokens, text_clean)."""
     from irstats2_spark.pipeline.suffix import (
@@ -1343,7 +1256,7 @@ def remove_spans_stream(
         )
     L = min_len
     snap = gram_snapshot.agg(
-        F.array_sort(F.collect_set(F.xxhash64("h"))).alias("__snap")
+        F.array_sort(F.collect_set("h")).alias("__snap")
     )
     t = F.coalesce(
         tokens(F.col(text_col)), F.expr("CAST(array() AS array<string>)")
@@ -1353,11 +1266,31 @@ def remove_spans_stream(
     positions = F.when(
         F.size("__t") >= L, F.sequence(F.lit(0), F.size("__t") - L)
     ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    hit = lambda i: F.array_contains(  # noqa: E731
-        F.col("__snap"),
-        F.xxhash64(F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i + 1, L)))),
+    # the row's (position, gram-md5) table, built once; transform
+    # preserves order, so positions — and hence intervals — stay sorted
+    gp = F.transform(
+        positions,
+        lambda i: F.struct(
+            i.alias("p"),
+            F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i + 1, L))).alias("h"),
+        ),
     )
-    rm = F.filter(positions, hit)  # ascending, so the interval set is sorted
+    out = out.withColumn("__gp", gp)
+    # one hash-based set intersection per ROW against the snapshot …
+    out = out.withColumn(
+        "__hits",
+        F.array_intersect(
+            F.transform(F.col("__gp"), lambda s: s["h"]), F.col("__snap")
+        ),
+    )
+    # … then positions probe only the small per-row hit set
+    rm = F.transform(
+        F.filter(
+            F.col("__gp"),
+            lambda s: F.array_contains(F.col("__hits"), s["h"]),
+        ),
+        lambda s: s["p"],
+    )
     merged = merged_intervals(
         F.transform(
             rm,
@@ -1374,5 +1307,5 @@ def remove_spans_stream(
             (F.size("__t") - F.size(kept)).cast("long"),
         )
         .withColumn("text_clean", F.concat_ws(" ", kept))
-        .drop("__t", "__snap")
+        .drop("__t", "__snap", "__gp", "__hits")
     )

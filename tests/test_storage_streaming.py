@@ -478,11 +478,13 @@ def _has_protobuf() -> bool:
     reason="protobuf present: the guard is inert and the e2e below runs",
 )
 def test_streaming_repeat_tws_fails_fast_without_protobuf(spark):
-    """The EXPERIMENTAL flag (r7 verdict #4): where protobuf is absent
-    (so the e2e test below skips), the tws path must refuse to build a
-    query at all — no silently-untested runtime surface — and point at
-    the tested twin."""
-    from irstats2_spark.streaming.ingest import repeat_filter_stream_tws
+    """The EXPERIMENTAL flag (r7 verdict #4; namespaced r9 per r8
+    verdict #6): where protobuf is absent (so the e2e test below
+    skips), the tws path must refuse to build a query at all — no
+    silently-untested runtime surface — and point at the tested twin.
+    It now lives in streaming.experimental, OUT of the public ingest
+    surface, until its e2e can actually run."""
+    from irstats2_spark.streaming.experimental import repeat_filter_stream_tws
 
     with pytest.raises(RuntimeError, match="repeat_filter_stream"):
         repeat_filter_stream_tws(spark.range(1))
@@ -504,10 +506,8 @@ def test_streaming_repeat_tws_ttl_matches_classic(spark, tmp_path):
     not refresh it), 01:30 is kept. The TTL (= timeout) bounds state by
     construction: expiring an anchor older than the timeout cannot
     change any future decision."""
-    from irstats2_spark.streaming.ingest import (
-        read_access_stream,
-        repeat_filter_stream_tws,
-    )
+    from irstats2_spark.streaming.experimental import repeat_filter_stream_tws
+    from irstats2_spark.streaming.ingest import read_access_stream
 
     prev = spark.conf.get(
         "spark.sql.streaming.stateStore.providerClass", None
