@@ -38,102 +38,96 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-8 rotation. The ledger is now SCRIPTED: `python -m
-# tools.gate_ledger` reads every CORRECTNESS_r*.json and prints each
-# query's most recent driver-verified round (oldest first) — the cut
-# below is its output plus this round's changes. Slot budget (50):
-# - 3 NEW registrations: the suffix-array exact-substring family
-#   (repeated_substrings, repeated_substrings_incremental,
-#   exact_substring_coverage) — staged in r7, registered this round
-#   after parallelizing the interval sweep by stretch (the r7 verdict's
-#   one `weak` finding); their oracle is the independent declarative
-#   maximal-repeat characterization (>= 2 distinct left/right
-#   contexts). streaming/ingest.substring_match_stream stays
-#   pytest-pinned like the other streaming twins (no batch surface).
-# - 1 NEWLY ORACLED: bpe_train_merges — the last rows-only entry now
-#   carries an unrolled bounded-round CTE oracle (the graph-tier
-#   idiom), making the catalog 223/223 value-oracled.
-# - changed this round: dedup_simhash_quality_audit (truth side now
-#   flows lazily through one shared shingle pin — the r7 advice's
-#   double-checkpoint fix).
+# Round-9 rotation, cut from `python -m tools.gate_ledger` (and now
+# ENFORCED by it: `--check 6` fails when a query's newest driver row
+# would fall more than 6 rounds stale without a slot in this cut —
+# tests/test_gate_ledger.py runs it). Slot budget (50):
+# - 3 NEVER-GATED rows head the cut: the exact-substring REMOVAL
+#   family (exact_substring_remove, exact_substring_remove_incremental,
+#   exactsubstr_removal_audit) — implemented+oracled in r8 but
+#   registered past that round's frozen cut (r8 verdict "What's
+#   missing" #1).
+# - 3 CHANGED this round: the suffix miner family (repeated_substrings,
+#   repeated_substrings_incremental, exact_substring_coverage) — the
+#   sweep's stretch-key rank moved off the global row_number window
+#   onto the range-partitioned _dense_index idiom (r8 verdict "What's
+#   wrong" #1), and suffix_order itself was refactored onto the shared
+#   helper, so the whole family re-gates.
+#   (exact_substring_remove_incremental also changed — the redundant
+#   snapshot re-distinct is now opt-in — but it already heads the cut.)
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
-# - ALL 18 remaining r2-stale rows (the round-4 displaced-r2 list plus
-#   a2_sum_all / a3_daily_preagg / dedup_minhash_signatures) — after
-#   this cut nothing older than r3 remains;
-# - 25 oldest r3-stale rows (alphabetical head of the ledger); the
-#   ~14-query r3 remainder (search_term_extraction, the similarity_*
-#   base tier, text_* quantiles/vocab, view_compare_years) is round
-#   9's rotation debt.
+# - ALL 14 remaining r3-stale rows — after this cut nothing older than
+#   r4 remains;
+# - 28 oldest r4-stale rows (ledger order); the 10-query r4 remainder
+#   (similarity_rp_topk, similarity_scalar_quant_error, t1_month_trunc,
+#   t5_period_compare, text_chunk_windows,
+#   text_classifier_top_fraction_binned, text_classifier_votes,
+#   text_decontamination, text_lm_nll_score, text_ngram_novelty) is
+#   round 10's rotation debt, within the --check 6 window.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- new registrations (gate these FIRST) --
+    # -- never-gated registrations (gate these FIRST) --
+    "exact_substring_remove",
+    "exact_substring_remove_incremental",
+    "exactsubstr_removal_audit",
+    # -- implementation changed this round --
     "repeated_substrings",
     "repeated_substrings_incremental",
     "exact_substring_coverage",
-    # -- newly oracled / changed this round --
-    "bpe_train_merges",
-    "dedup_simhash_quality_audit",
     # -- continuously-verified core anchors --
     "a1_grouped_sum",
     "repeat_filter_exact",
-    # -- the 18 r2-stale rows (complete; nothing r2 remains after this) --
-    "a2_sum_all",
-    "a3_daily_preagg",
-    "a5_ratio_metric",
-    "ctx_data_min",
-    "ctx_grouping_top",
-    "ctx_prelive_clamp",
-    "ctx_set_series",
-    "ctx_top_sets",
-    "dedup_minhash_signatures",
-    "etl_downloads_fact",
-    "events_asof_prior",
-    "events_sessionize",
-    "events_unique_visitors_approx",
-    "geoip_range_join",
-    "s7_groupings_build",
-    "s7_sets_build",
-    "view_monthly_graph",
-    "view_sparkline",
-    # -- 25 oldest r3-stale rows (ledger order) --
-    "agg_argmax_order",
-    "agg_pivot_monthly",
-    "agg_rollup_monthly",
-    "agg_topk_per_group",
-    "ctx_daily_series",
-    "ctx_lifetime_total",
-    "ctx_top_eprints",
-    "dedup_embedding_cosine",
-    "dedup_exact_incremental",
-    "dedup_minhash_incremental",
-    "dedup_url_canonical",
-    "etl_doc_downloads_fact",
-    "etl_silver_views_fact",
-    "etl_views_fact",
-    "events_unique_visitors",
-    "join_anti_no_purchase",
-    "join_salted_skew",
-    "meta_json_extract",
-    "mix_by_source_cap",
-    "multimodal_decode_stub",
-    "o3_topn",
-    "p3_date_range",
-    "p7_semi_join",
-    "pack_training_sequences",
-    "sample_weighted",
+    # -- the 14 r3-stale rows (complete; nothing r3 remains after this) --
+    "search_term_extraction",
+    "similarity_bruteforce_topk",
+    "similarity_hyperplane_sig",
+    "similarity_hyperplane_topk",
+    "similarity_ivf_assign",
+    "similarity_kmeans_fit",
+    "text_chunk_dedup",
+    "text_length_quantiles",
+    "text_length_quantiles_approx",
+    "text_pii_scrub",
+    "text_tfidf_top_term",
+    "text_vocab_heavyhitters_approx",
+    "text_vocab_topk",
+    "view_compare_years",
+    # -- 28 oldest r4-stale rows (ledger order) --
+    "a10_top_values",
+    "a9_minmax_dates",
+    "agg_cube_status_priority",
+    "bpe_pair_counts",
+    "browser_classification",
+    "corpus_snapshot_diff",
+    "corpus_source_stats",
+    "ctx_single_eprint",
+    "dedup_bloom_prefilter",
+    "dedup_embedding_ivf",
+    "dedup_embedding_ivf_probe2",
+    "embed_text_stub",
+    "embedding_random_projection",
+    "mix_by_temperature",
+    "o2_limit_offset",
+    "o4_alpha_listing",
+    "p5_datafilter_eq",
+    "pairs_contrastive_mining",
+    "pipeline_curation_neardup",
+    "pipeline_curation_summary",
+    "pipeline_select_e2e",
+    "referrer_classification",
+    "sample_balanced_topk",
+    "select_dsir_weights",
+    "similarity_ivf_probe2_topk",
+    "similarity_ivf_topk",
+    "similarity_kmeans_ivf_topk",
+    "similarity_recall_audit",
 )
-# ROUND 9 SHOULD GATE: exact_substring_remove,
-# exact_substring_remove_incremental and exactsubstr_removal_audit
-# (registered r8 past the 50-slot cut — never-gated), whatever round 9
-# changes, the two anchors, then the r3-stale remainder per
-# `python -m tools.gate_ledger --debt 40`
-# (search_term_extraction, similarity_bruteforce_topk,
-# similarity_hyperplane_sig, similarity_hyperplane_topk,
-# similarity_ivf_assign, similarity_kmeans_fit, text_chunk_dedup,
-# text_length_quantiles, text_length_quantiles_approx, text_pii_scrub,
-# text_tfidf_top_term, text_vocab_heavyhitters_approx, text_vocab_topk,
-# view_compare_years), then oldest r4 rows.
+# ROUND 10 SHOULD GATE: the 10-query r4 remainder listed above, the two
+# anchors, whatever round 10 changes, then oldest-r5 rows per
+# `python -m tools.gate_ledger --debt 40`.
 # Append every NEW registration to this comment AND re-gate any query
-# whose implementation changes after the cut freezes.
+# whose implementation changes after the cut freezes;
+# `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
+# fails the suite if the rotation discipline slips.
 
 
 def register(name: str, oracle: str | None, doc: str = ""):

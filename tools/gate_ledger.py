@@ -9,6 +9,15 @@ next round's GATE_PRIORITY:
 
     python -m tools.gate_ledger            # full table, oldest first
     python -m tools.gate_ledger --debt 30  # the 30 stalest queries
+    python -m tools.gate_ledger --check 6  # ENFORCE the rotation
+
+``--check N`` makes the discipline a failing test, not a comment
+(tests/test_gate_ledger.py runs it with N=6): exit nonzero when any
+registered oracled query would end the UPCOMING round (max recorded
+round + 1) more than N rounds stale — i.e. its newest driver row is
+older than that, or it was never gated — AND it holds no slot in the
+upcoming GATE_PRIORITY cut. A stale query that IS in the cut passes:
+the cut is exactly the mechanism that refreshes it.
 
 Queries never gated (new registrations) sort first with round 0.
 Rows-only entries (no SQL oracle) are marked; they cannot take a gate
@@ -49,11 +58,52 @@ def last_verified() -> dict[str, tuple[int, bool]]:
     return seen
 
 
+GATE_SLOTS = 50  # the driver verifies the first 50 queries() entries
+
+
+def check(max_age: int) -> list[str]:
+    """Names that violate the rotation discipline at window ``max_age``:
+    oracled, registered, (would-be) more than ``max_age`` rounds stale
+    after the upcoming round, and NOT scheduled in the upcoming cut."""
+    from irstats2_spark import catalog
+
+    catalog._ensure_loaded()
+    rows = last_verified()
+    upcoming = max((r for r, _ in rows.values()), default=0) + 1
+    cut = set(list(catalog.queries())[:GATE_SLOTS])
+    bad = []
+    for name, spec in catalog._REGISTRY.items():
+        if spec.oracle is None or name in cut:
+            continue
+        rnd, _green = rows.get(name, (0, False))
+        if rnd == 0 or upcoming - rnd > max_age:
+            bad.append(name)
+    return sorted(bad)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--debt", type=int, default=None, metavar="N",
                     help="print only the N stalest queries")
+    ap.add_argument("--check", type=int, default=None, metavar="N",
+                    help="exit nonzero if any registered oracled query "
+                    "would exceed N rounds without a driver row and "
+                    "holds no slot in the upcoming gate cut")
     args = ap.parse_args()
+
+    if args.check is not None:
+        bad = check(args.check)
+        if bad:
+            print(
+                f"gate_ledger --check {args.check}: {len(bad)} quer"
+                f"{'y' if len(bad) == 1 else 'ies'} too stale and not "
+                f"in the upcoming cut:"
+            )
+            for name in bad:
+                print(f"  {name}")
+            raise SystemExit(1)
+        print(f"gate_ledger --check {args.check}: rotation discipline holds")
+        return
 
     from irstats2_spark import catalog
 
