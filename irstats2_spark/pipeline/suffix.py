@@ -49,7 +49,13 @@ on the mined fingerprints) is the production-scale default; full-corpus
 mining is for audits at the scale you can afford the sort. Measured at
 sf0.1 (local[32], 5k docs, ~1.7M positions, span 9): full mine ≈ 8 s
 wall, of which the windows+sort prefix is ~6 s (see BENCH_DETAIL.json
-``repeated_substrings``).
+``repeated_substrings``). Scaling point (one-off probe, same config,
+r9): 5x that corpus built as 5 doc_id-shifted copies — so EVERY
+document is a 5-way duplicate and the qualifying-pair set is
+corpus-sized, the sweep's worst case — mines in 13.8 s best-of-2 vs
+6.5 s best-of-3 at 1x: 2.1x wall for 5x positions at a saturated dup
+rate, i.e. the stretch-parallel sweep and the range sort absorb the
+blow-up with no superlinear term visible at this scale.
 
 Each maximal run reports the longest prefix shared by ALL its members
 (``repeat_len`` = min LCP over the run), its occurrence/document
@@ -923,6 +929,48 @@ def gram_snapshot(
     return grams.select(
         F.col("h").alias("h", metadata={"min_len": min_len})
     ).distinct()
+
+
+def merge_gram_snapshot(
+    snapshot: DataFrame,
+    new_docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The maintenance half of the clean-on-arrival loop the other
+    snapshot functions gesture at: fold a cleaned batch's grams into
+    the accumulated snapshot, keeping it EXACTLY distinct and stamped —
+    ``merge_gram_snapshot(stored, batch)`` written back is the store
+    the next nightly ``remove_repeated_spans_incremental`` (and the
+    ingest twin's broadcast row) answers membership from. Merging
+    half-corpus snapshots equals the whole corpus's snapshot — the
+    driver-oracled property.
+
+    WRITE TO A NEW VERSIONED PATH, never over the path the input was
+    read from: the scan is lazy, so an overwrite would race its own
+    input (the same contract as every Spark read-modify-write).
+
+    Cost: one (h)-keyed shuffle over snapshot+batch per merge — the
+    honest price of an exactly-distinct store. At 100 TB, batch appends
+    may instead write the batch's (small, distinct) gram set as extra
+    files WITHOUT this merge and let a periodic compaction re-distinct:
+    cross-file duplicates only duplicate marks downstream, which the
+    cleaner's interval union absorbs (see ``remove_repeated_spans_
+    incremental``'s ``assume_distinct`` note — pass False while riding
+    an uncompacted store), so the tradeoff is join-input bloat, not
+    correctness. The batch side reuses ``gram_snapshot`` (map-side
+    explode + its own distinct), so the merge's shuffle carries one row
+    per distinct gram per side, never per occurrence."""
+    _assert_gram_len(snapshot, min_len, "gram snapshot")
+    merged = (
+        snapshot.select("h")
+        .unionByName(gram_snapshot(new_docs, min_len, text_col, id_col))
+        .distinct()
+    )
+    return merged.select(
+        F.col("h").alias("h", metadata={"min_len": min_len})
+    )
 
 
 def gram_snapshot_len(snapshot: DataFrame) -> int | None:

@@ -7925,3 +7925,34 @@ def suffix_removal_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ=_exactsubstr_dup_occ(spark, sf_dir),
         materialize=True,
     )
+
+
+@register(
+    "gram_snapshot_merge",
+    f"""
+    WITH {_SFX_TOKS}
+    SELECT DISTINCT
+           md5(array_to_string(t[p.p : p.p + {_SUFFIX_MIN_LEN} - 1], ' '))
+               AS h
+    FROM sfx_toks,
+         unnest(range(1, len(t) - {_SUFFIX_MIN_LEN} + 2)) AS p(p)
+    WHERE len(t) >= {_SUFFIX_MIN_LEN}
+    """,
+    doc="gram-snapshot maintenance (the clean-on-arrival loop's store "
+    "update): folding the odd-doc batch's gram set into the even-doc "
+    "snapshot must equal the WHOLE corpus's distinct "
+    f"{_SUFFIX_MIN_LEN}-gram md5 set — exactly distinct across sides, "
+    "one (h)-keyed shuffle, stamp preserved",
+)
+def suffix_gram_snapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import (
+        gram_snapshot,
+        merge_gram_snapshot,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    stored = gram_snapshot(
+        docs.filter(F.col("doc_id") % 2 == 0), min_len=_SUFFIX_MIN_LEN
+    )
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    return merge_gram_snapshot(stored, batch, min_len=_SUFFIX_MIN_LEN)

@@ -1106,7 +1106,15 @@ def substring_match_stream(
     complete and sound detector (the arbitrary-length part of the SA
     miner needs the global sort and stays batch/incremental; at ingest
     time the question is membership, and membership at the threshold
-    length is prefix equality). PRECONDITION: ``min_len`` must be <=
+    length is prefix equality). COLLISION BOUND, on purpose: the 64-bit
+    key halves-or-better the width of every shuffle-carried row on both
+    exploded sides (vs 32-byte md5 strings), and a collision here only
+    ADDS a spurious flagged pair (birthday-bounded: ~n^2/2^65 expected
+    across n distinct prefixes — <0.003 false pairs at n=1e8), which a
+    reviewer of flagged pairs sees and discards. Contrast
+    ``remove_spans_stream``, where a collision would EXCISE clean text:
+    that twin pays for full md5 keys — but in one broadcast row, not on
+    a shuffle. PRECONDITION: ``min_len`` must be <=
     the span the snapshot was built with, or every stored window fails
     the size filter and the probe silently flags nothing — pass
     ``snapshot_span`` (store it next to the table) to turn that

@@ -591,6 +591,59 @@ def test_remove_incremental_matches_union_batch(spark, tmp_path):
         remove_repeated_spans(old, min_len=4, occ=occ3)
 
 
+def test_merge_gram_snapshot_equals_full_rebuild(spark, tmp_path):
+    """Snapshot maintenance: folding a batch into a stored snapshot
+    must equal rebuilding from the whole corpus — exactly distinct
+    across sides — with the min_len stamp surviving the merge (and a
+    parquet round-trip), mismatched stamps raising, and the merged
+    store driving the incremental cleaner identically to a rebuilt
+    one."""
+    from irstats2_spark.pipeline.suffix import (
+        gram_snapshot,
+        gram_snapshot_len,
+        merge_gram_snapshot,
+        remove_repeated_spans_incremental,
+        write_gram_snapshot,
+    )
+
+    rng = random.Random(23)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        for d in range(12)
+    }
+    old = _df(spark, {d: t for d, t in texts.items() if d < 5})
+    mid = _df(spark, {d: t for d, t in texts.items() if 5 <= d < 9})
+    new = _df(spark, {d: t for d, t in texts.items() if d >= 9})
+
+    path = str(tmp_path / "gram_snap")
+    write_gram_snapshot(old, path, min_len=3)
+    merged = merge_gram_snapshot(
+        spark.read.parquet(path), mid, min_len=3
+    )
+    assert gram_snapshot_len(merged) == 3
+    want = sorted(
+        r["h"]
+        for r in gram_snapshot(
+            _df(spark, {d: t for d, t in texts.items() if d < 9}), min_len=3
+        ).collect()
+    )
+    got = sorted(r["h"] for r in merged.collect())
+    assert got == want and len(got) == len(set(got))
+
+    with pytest.raises(ValueError, match="min_len=3"):
+        merge_gram_snapshot(spark.read.parquet(path), mid, min_len=4)
+
+    # a merged store cleans the next batch exactly like a rebuilt one
+    rebuilt = remove_repeated_spans_incremental(new, gram_snapshot(
+        _df(spark, {d: t for d, t in texts.items() if d < 9}), min_len=3
+    ), min_len=3).collect()
+    via_merge = remove_repeated_spans_incremental(
+        new, merged, min_len=3
+    ).collect()
+    assert sorted(map(tuple, via_merge)) == sorted(map(tuple, rebuilt))
+
+
 def test_removal_quality_audit_converges(spark):
     """The audit's whole point: dup mass before > 0 on a corpus with a
     pasted passage, keep-one cut equals the per-doc removal sum, and
