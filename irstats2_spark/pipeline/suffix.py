@@ -169,12 +169,17 @@ def _dense_index(
     single-task window: ``repartitionByRange`` + ``sortWithinPartitions``
     is the one sort; ``monotonically_increasing_id`` reads off
     (partition, row-in-partition) in scan order, a groupBy over the
-    persisted sort collects #partitions tiny counts, and a broadcast
-    offset map turns local row numbers into the dense global index.
-    Two passes over the cached sort, zero Python serialization — this
-    replaced an ``rdd.zipWithIndex()`` round-trip that double-ran the
-    sort through pickled rows and broke exchange reuse. Returns
-    ``(df + idx_name, pin)``; the caller owns the persisted pin."""
+    persisted sort collects #partitions tiny counts, and a BROADCAST
+    offset table turns local row numbers into the dense global index —
+    a broadcast hash join, O(1) probe per row, NOT a ``create_map``
+    literal (GetMapValue linear-scans its entries per row, so a literal
+    map is O(#partitions) per row at cluster partition counts, and a
+    many-thousand-arg literal also bloats the expression tree past
+    codegen limits). Two passes over the cached sort, zero Python
+    serialization — this replaced an ``rdd.zipWithIndex()`` round-trip
+    that double-ran the sort through pickled rows and broke exchange
+    reuse. Returns ``(df + idx_name, pin)``; the caller owns the
+    persisted pin."""
     spark = df.sparkSession
     n = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     part = (
@@ -191,17 +196,20 @@ def _dense_index(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()  # O(#partitions) rows — range partition ids ascend
     )
-    offsets: list = []
+    offsets = []
     running = 0
     for p, c in counts:
-        offsets += [F.lit(p), F.lit(running)]
+        offsets.append((p, running))
         running += c
-    # empty input: zero rows flow anyway, but create_map() with no args
-    # types as map<void,void> and breaks the long lookup — use a dummy
-    offmap = F.create_map(*(offsets or [F.lit(0), F.lit(0)]))
-    out = part.withColumn(
-        idx_name, (offmap[pid] + local).cast("long")
-    ).drop("__mid")
+    offs = spark.createDataFrame(
+        offsets or [(0, 0)], "__pid long, __off long"
+    )
+    out = (
+        part.withColumn("__pid", pid)
+        .join(F.broadcast(offs), "__pid")
+        .withColumn(idx_name, (F.col("__off") + local).cast("long"))
+        .drop("__mid", "__pid", "__off")
+    )
     return out, part
 
 

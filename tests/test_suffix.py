@@ -285,6 +285,35 @@ def test_min_count_filters_rare_runs(spark):
     assert four == []
 
 
+def test_dense_index_is_dense_ordered_and_scan_free(spark):
+    """The shared rank idiom under both suffix_order and the sweep key:
+    ranks must be exactly 0..n-1 in order-column order across many
+    partitions, the lookup must be a broadcast JOIN (O(1) probe per
+    row) — never a create_map literal whose GetMapValue linear-scans
+    #partitions entries per row — and no Window may appear. Empty input
+    must flow through (the dummy offsets row)."""
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.pipeline.suffix import _dense_index
+
+    perm = spark.range(0, 1000).select(((F.col("id") * 37) % 1000).alias("k"))
+    out, pin = _dense_index(perm, ["k"], "rank", num_partitions=8)
+    try:
+        rows = out.orderBy("k").collect()
+        assert [r["rank"] for r in rows] == list(range(1000))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+        assert "Window" not in plan and "map_keys" not in plan
+    finally:
+        pin.unpersist()
+    empty = spark.range(0).select(F.col("id").alias("k"))
+    out2, pin2 = _dense_index(empty, ["k"], "rank")
+    try:
+        assert out2.count() == 0
+    finally:
+        pin2.unpersist()
+
+
 def test_sweep_runs_stretch_parallel(spark):
     """The r7-verdict `weak` fix (completed r9): the lcp-interval fold
     must NOT funnel through one partition. Contiguous pair stretches
