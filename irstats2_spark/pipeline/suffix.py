@@ -736,6 +736,55 @@ def remove_repeated_spans(
     return release_after(out, [], materialize)
 
 
+def removed_span_log(
+    docs: DataFrame,
+    min_len: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_first: bool = True,
+    occ: DataFrame | None = None,
+    materialize: bool = False,
+) -> DataFrame:
+    """The removal action's PROVENANCE artifact: one row per merged
+    excised token interval — (doc_id, s, e, n_removed), [s, e) in
+    normalized-token coordinates — exactly the ranges
+    ``remove_repeated_spans`` cuts under the same arguments (the
+    published ExactSubstr tooling ships its removal ranges the same
+    way). Write it next to the cleaned shards so downstream consumers
+    can audit, diff, or reconstruct what was cut without re-running the
+    dedup; docs with nothing removed emit no rows.
+
+    Scale shape: the shared dup-class prefix (map-side gram hashing +
+    one combining class agg, pass ``occ=`` to reuse a materialized
+    set), then the same per-doc interval rollup as the rewrite — the
+    output is dup-interval-sized and never touches document text at
+    all, so unlike the rewrite there is NO text-carrying join
+    anywhere."""
+    assert min_len >= 1, min_len
+    if occ is None:
+        occ = _dup_occ(_gram_rows(_doc_tokens(docs, text_col, id_col), min_len))
+    else:
+        _assert_gram_len(occ, min_len, "shared occ")
+    iv = _dup_marks(occ, keep_first).select(
+        "doc_id",
+        F.struct(
+            F.col("pos").alias("s"), (F.col("pos") + min_len).alias("e")
+        ).alias("iv"),
+    )
+    out = (
+        iv.groupBy("doc_id")
+        .agg(merged_intervals(F.sort_array(F.collect_list("iv"))).alias("ivs"))
+        .select("doc_id", F.explode("ivs").alias("iv"))
+        .select(
+            "doc_id",
+            F.col("iv.s").cast("long").alias("s"),
+            F.col("iv.e").cast("long").alias("e"),
+            (F.col("iv.e") - F.col("iv.s")).cast("long").alias("n_removed"),
+        )
+    )
+    return release_after(out, [], materialize)
+
+
 def dup_gram_occurrences(
     docs: DataFrame,
     min_len: int = 8,

@@ -7928,6 +7928,59 @@ def suffix_removal_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exactsubstr_span_log",
+    f"""
+    WITH {_SFX_TOKS},
+    sl_grams AS (
+        SELECT doc_id, p.p - 1 AS pos,
+               md5(array_to_string(t[p.p : p.p + {_SUFFIX_MIN_LEN} - 1], ' '))
+                   AS h
+        FROM sfx_toks,
+             unnest(range(1, len(t) - {_SUFFIX_MIN_LEN} + 2)) AS p(p)
+        WHERE len(t) >= {_SUFFIX_MIN_LEN}
+    ),
+    sl_cls AS (
+        SELECT doc_id, pos,
+               COUNT(*) OVER (PARTITION BY h) AS cnt,
+               ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        FROM sl_grams
+    ),
+    sl_idx AS (
+        SELECT DISTINCT doc_id, pos + d.d AS idx
+        FROM sl_cls, unnest(range(0, {_SUFFIX_MIN_LEN})) AS d(d)
+        WHERE cnt >= 2 AND rn > 1
+    ),
+    sl_isl AS (
+        SELECT doc_id, idx,
+               idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx)
+                   AS g
+        FROM sl_idx
+    )
+    SELECT doc_id,
+           CAST(MIN(idx) AS BIGINT) AS s,
+           CAST(MAX(idx) + 1 AS BIGINT) AS e,
+           CAST(COUNT(*) AS BIGINT) AS n_removed
+    FROM sl_isl
+    GROUP BY doc_id, g
+    """,
+    doc="the removal action's provenance artifact: one row per merged "
+    "excised [s, e) token interval under the same keep-first semantics "
+    "as exact_substring_remove — ship it next to cleaned shards so "
+    "consumers can audit or reconstruct what was cut without re-running "
+    "the dedup; dup-interval-sized, no text-carrying join anywhere "
+    "(oracle: covered-index islands via gaps-and-islands)",
+)
+def suffix_exactsubstr_span_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.suffix import removed_span_log
+
+    return removed_span_log(
+        load_table(spark, "documents", sf_dir),
+        min_len=_SUFFIX_MIN_LEN,
+        occ=_exactsubstr_dup_occ(spark, sf_dir),
+    )
+
+
+@register(
     "gram_snapshot_merge",
     f"""
     WITH {_SFX_TOKS}

@@ -673,6 +673,85 @@ def test_merge_gram_snapshot_equals_full_rebuild(spark, tmp_path):
     assert sorted(map(tuple, via_merge)) == sorted(map(tuple, rebuilt))
 
 
+def test_removed_span_log_reconstructs_the_rewrite(spark):
+    """The provenance log must agree exactly with the rewrite it
+    documents: per doc, the logged intervals are sorted, disjoint,
+    non-adjacent (merged), sum to removed_tokens, and manually excising
+    them from the normalized tokens reproduces text_clean — so a
+    consumer holding only (cleaned shards + log) can verify the dedup
+    without re-running it. Remove-all mode and the occ= sharing guard
+    are covered too."""
+    from irstats2_spark.pipeline.suffix import (
+        dup_gram_occurrences,
+        remove_repeated_spans,
+        removed_span_log,
+    )
+
+    rng = random.Random(41)
+    vocab = ["aa", "bb", "cc", "dd"]
+    texts = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(5, 40))]
+        for d in range(12)
+    }
+    df = _df(spark, texts)
+    for keep_first in (True, False):
+        rr = {
+            r["doc_id"]: r
+            for r in remove_repeated_spans(
+                df, min_len=3, keep_first=keep_first
+            ).collect()
+        }
+        log: dict[int, list[tuple[int, int, int]]] = {}
+        for r in removed_span_log(
+            df, min_len=3, keep_first=keep_first
+        ).collect():
+            log.setdefault(r["doc_id"], []).append(
+                (r["s"], r["e"], r["n_removed"])
+            )
+        for d, toks in texts.items():
+            ivs = sorted(log.get(d, []))
+            assert all(e - s == n for s, e, n in ivs)
+            assert all(  # merged: disjoint AND non-adjacent
+                ivs[i][1] < ivs[i + 1][0] for i in range(len(ivs) - 1)
+            )
+            assert sum(n for _, _, n in ivs) == rr[d]["removed_tokens"]
+            cut = set()
+            for s, e, _ in ivs:
+                cut.update(range(s, e))
+            kept = " ".join(t for i, t in enumerate(toks) if i not in cut)
+            assert kept == rr[d]["text_clean"], (d, ivs)
+
+    occ3 = dup_gram_occurrences(df, min_len=3)
+    with pytest.raises(ValueError, match="min_len=3"):
+        removed_span_log(df, min_len=4, occ=occ3)
+
+
+def test_merge_gram_snapshot_is_associative_and_order_free(spark):
+    """Nightly folds must commute with how batches arrive: folding b1
+    then b2 equals folding b2 then b1 equals one rebuild over
+    everything — the property that lets operators replay missed nights
+    in any order against the same store."""
+    from irstats2_spark.pipeline.suffix import gram_snapshot, merge_gram_snapshot
+
+    rng = random.Random(31)
+    vocab = ["aa", "bb", "cc"]
+    texts = {
+        d: [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        for d in range(9)
+    }
+    base = _df(spark, {d: t for d, t in texts.items() if d < 3})
+    b1 = _df(spark, {d: t for d, t in texts.items() if 3 <= d < 6})
+    b2 = _df(spark, {d: t for d, t in texts.items() if d >= 6})
+    s0 = gram_snapshot(base, min_len=2)
+    onetwo = merge_gram_snapshot(merge_gram_snapshot(s0, b1, 2), b2, 2)
+    twoone = merge_gram_snapshot(merge_gram_snapshot(s0, b2, 2), b1, 2)
+    full = gram_snapshot(_df(spark, texts), min_len=2)
+    a = sorted(r["h"] for r in onetwo.collect())
+    b = sorted(r["h"] for r in twoone.collect())
+    c = sorted(r["h"] for r in full.collect())
+    assert a == b == c and len(a) == len(set(a))
+
+
 def test_removal_quality_audit_converges(spark):
     """The audit's whole point: dup mass before > 0 on a corpus with a
     pasted passage, keep-one cut equals the per-doc removal sum, and
