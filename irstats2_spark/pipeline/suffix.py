@@ -716,7 +716,12 @@ def remove_repeated_spans(
     (``aggregate`` over the merged interval array — O(n_tokens) per
     doc, no per-token join); the final doc_id hash join is the one
     unavoidable text-carrying shuffle, because the operator's OUTPUT is
-    rewritten text.
+    rewritten text. Scaling point (one-off probe, sf0.1 local[32],
+    min_len 6, r9): 5x the corpus built as 5 doc_id-shifted copies —
+    every doc a 5-way duplicate, keep-one correctly excising 81% of all
+    text, the mark set corpus-sized — rewrites in 4.4 s best-of-2 vs
+    2.8 s best-of-3 at 1x: 1.6x wall for 5x data at a saturated dup
+    rate.
 
     Lifecycle: ``materialize`` as elsewhere (lifecycle.py); the lazy
     form pins nothing."""
