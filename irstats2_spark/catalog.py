@@ -42,14 +42,14 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # ENFORCED by it: `--check 6` fails when a query's newest driver row
 # would fall more than 6 rounds stale without a slot in this cut —
 # tests/test_gate_ledger.py runs it). Slot budget (50):
-# - 5 NEVER-GATED rows head the cut: the exact-substring REMOVAL
+# - 7 NEVER-GATED rows head the cut: the exact-substring REMOVAL
 #   family (exact_substring_remove, exact_substring_remove_incremental,
 #   exactsubstr_removal_audit) — implemented+oracled in r8 but
 #   registered past that round's frozen cut (r8 verdict "What's
-#   missing" #1) — plus gram_snapshot_merge and exactsubstr_span_log,
-#   NEW this round (the family's snapshot-maintenance and
-#   removal-provenance ops; new registrations take a slot immediately
-#   now, so never-gated debt cannot accrue again).
+#   missing" #1) — plus the rows NEW this round (gram_snapshot_merge,
+#   exactsubstr_span_log, select_pareto_skyline and its incremental
+#   twin; new registrations take a slot immediately now, so never-gated
+#   debt cannot accrue again).
 # - 3 CHANGED this round: the suffix miner family (repeated_substrings,
 #   repeated_substrings_incremental, exact_substring_coverage) — the
 #   sweep's stretch-key rank moved off the global row_number window
@@ -61,9 +61,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
 # - ALL 14 remaining r3-stale rows — after this cut nothing older than
 #   r4 remains;
-# - 26 oldest r4-stale rows (ledger order); the 12-query r4 remainder
-#   (similarity_kmeans_ivf_topk and similarity_recall_audit — displaced
-#   by the two new registrations — similarity_rp_topk, similarity_scalar_quant_error, t1_month_trunc,
+# - 24 oldest r4-stale rows (ledger order); the 14-query r4 remainder
+#   (similarity_ivf_probe2_topk, similarity_ivf_topk,
+#   similarity_kmeans_ivf_topk and similarity_recall_audit — displaced
+#   by the four new registrations — similarity_rp_topk,
+#   similarity_scalar_quant_error, t1_month_trunc,
 #   t5_period_compare, text_chunk_windows,
 #   text_classifier_top_fraction_binned, text_classifier_votes,
 #   text_decontamination, text_lm_nll_score, text_ngram_novelty) is
@@ -75,6 +77,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "exactsubstr_removal_audit",
     "gram_snapshot_merge",
     "exactsubstr_span_log",
+    "select_pareto_skyline",
+    "select_pareto_skyline_incremental",
     # -- implementation changed this round --
     "repeated_substrings",
     "repeated_substrings_incremental",
@@ -97,7 +101,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_heavyhitters_approx",
     "text_vocab_topk",
     "view_compare_years",
-    # -- 26 oldest r4-stale rows (ledger order) --
+    # -- 24 oldest r4-stale rows (ledger order) --
     "a10_top_values",
     "a9_minmax_dates",
     "agg_cube_status_priority",
@@ -122,10 +126,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "referrer_classification",
     "sample_balanced_topk",
     "select_dsir_weights",
-    "similarity_ivf_probe2_topk",
-    "similarity_ivf_topk",
 )
-# ROUND 10 SHOULD GATE: the 12-query r4 remainder listed above, the two
+# ROUND 10 SHOULD GATE: the 14-query r4 remainder listed above, the two
 # anchors, whatever round 10 changes, then oldest-r5 rows per
 # `python -m tools.gate_ledger --debt 40`.
 # Append every NEW registration to this comment AND re-gate any query

@@ -1,0 +1,135 @@
+"""Distributed skyline (Pareto-frontier) selection.
+
+Multi-criteria data curation keeps the documents no other document
+beats on EVERY axis at once — e.g. maximize a quality score while
+minimizing duplicate coverage and toxicity — without collapsing the
+axes into one weighted scalar first (every weighting picks a different
+single winner; the skyline is exactly the set of documents that are
+optimal under SOME monotone weighting). The algorithm follows the
+published Spark integration (Grasmann, Pichler, Selzer: "Integration of
+Skyline Queries into Spark SQL", EDBT 2023): a per-partition
+block-nested-loop skyline — each partition's local frontier, computed
+with a vectorized dominance test — then one merge over the UNION of
+local frontiers, which is frontier-sized, not corpus-sized (a point
+dominated globally is dominated by some point in the same partition OR
+survives into the candidate union; skyline(union of local skylines) ==
+skyline(corpus)).
+
+Scale shape: phase 1 is embarrassingly parallel and Arrow-batched (one
+numpy dominance matrix per block, no Python-per-row); only local
+SURVIVORS leave each partition, so the one single-partition stage (the
+merge fold) sees frontier-sized data — same honest shape as a top-k
+gather, and documented here because corpus-sized single tasks are this
+package's red line. Points are pre-sorted by dimension sum inside each
+fold: a BNL skyline scan in that order only ever inserts
+non-dominated-so-far points, which empirically keeps the running
+frontier (and the O(n x frontier) comparisons) small.
+
+Dominance: minimize-normalized (``directions`` flips max axes by
+negation); p dominates q iff p <= q on every axis and p < q on at
+least one. Exact duplicates on all axes dominate nothing and are
+dominated by nothing — ALL copies surface, so runs are deterministic
+with no hidden tie-break. Rows with a NULL in any skyline axis are
+dropped up front (NULL is not comparable under dominance; filter or
+impute upstream if those rows matter).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _fold(cols: list[str]):
+    """A mapInPandas fold computing the skyline of whatever rows its
+    partition holds (minimize-all convention)."""
+    import numpy as np
+
+    def fold(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        dims = pdf[cols].to_numpy(dtype="float64")
+        order = np.argsort(dims.sum(axis=1), kind="stable")
+        dims = dims[order]
+        keep_idx: list[int] = []
+        front = np.empty((0, dims.shape[1]))
+        for i in range(dims.shape[0]):
+            p = dims[i]
+            # scanning in dim-sum order, earlier points never have a
+            # LARGER sum, so p can never dominate a frontier member of
+            # strictly smaller sum; equal-sum members it dominates are
+            # impossible too (dominating with equal sum => equal point,
+            # and equal points don't dominate) — the frontier only grows
+            if front.size and bool(
+                ((front <= p).all(axis=1) & (front < p).any(axis=1)).any()
+            ):
+                continue  # dominated by the running frontier
+            front = np.vstack([front, p])
+            keep_idx.append(order[i])
+        yield pdf.iloc[sorted(keep_idx)]
+
+    return fold
+
+
+def skyline(
+    df: DataFrame,
+    cols: list[str],
+    directions: dict[str, str] | None = None,
+) -> DataFrame:
+    """All rows of ``df`` not Pareto-dominated on ``cols``.
+
+    ``directions`` maps a column to ``"min"`` (default) or ``"max"``.
+    Output carries the input schema unchanged (the negation used for
+    max axes is internal). See the module docstring for semantics,
+    the two-phase plan shape, and the EDBT 2023 reference."""
+    directions = directions or {}
+    unknown = set(directions) - set(cols)
+    assert not unknown, f"directions for non-skyline columns: {unknown}"
+    bad = {c: d for c, d in directions.items() if d not in ("min", "max")}
+    assert not bad, f"directions must be 'min' or 'max': {bad}"
+    work = df
+    for c in cols:
+        work = work.filter(F.col(c).isNotNull())
+        if directions.get(c) == "max":
+            work = work.withColumn(c, -F.col(c).cast("double"))
+        else:
+            work = work.withColumn(c, F.col(c).cast("double"))
+    schema = work.schema
+    local = work.mapInPandas(_fold(cols), schema=schema)
+    # the candidate union is frontier-sized — one partition is the
+    # merge's honest cost (a top-k-gather shape, never corpus-sized)
+    merged = local.repartition(1).mapInPandas(_fold(cols), schema=schema)
+    out = merged
+    for c in cols:
+        src = df.schema[c].dataType
+        if directions.get(c) == "max":
+            out = out.withColumn(c, (-F.col(c)).cast(src))
+        else:
+            out = out.withColumn(c, F.col(c).cast(src))
+    return out.select([f.name for f in df.schema.fields])
+
+
+def skyline_incremental(
+    frontier: DataFrame,
+    new_rows: DataFrame,
+    cols: list[str],
+    directions: dict[str, str] | None = None,
+) -> DataFrame:
+    """Nightly maintenance of a stored frontier: the skyline of
+    (stored frontier UNION new batch) — correct because dominated
+    points can never re-enter a skyline (dominance is transitive, so
+    anything the old frontier's losers could have dominated is also
+    dominated by the frontier itself). Store the (small) result and
+    feed it back the next night; batches fold in any order to the same
+    frontier, like the other incremental stores in this package."""
+    cols_and_rest = [f.name for f in frontier.schema.fields]
+    assert cols_and_rest == [f.name for f in new_rows.schema.fields], (
+        "frontier and batch schemas must line up"
+    )
+    return skyline(
+        frontier.unionByName(new_rows), cols, directions
+    )

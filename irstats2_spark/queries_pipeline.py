@@ -7927,6 +7927,84 @@ def suffix_removal_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKYLINE_ORACLE = f"""
+    WITH {_SFX_TOKS},
+    sky_feats AS (
+        SELECT doc_id,
+               CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(list_distinct(t)), 0) AS BIGINT)
+                   AS n_distinct
+        FROM sfx_toks
+    )
+    SELECT f.doc_id, f.n_tokens, f.n_distinct
+    FROM sky_feats f
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sky_feats g
+        WHERE g.n_tokens <= f.n_tokens AND g.n_distinct >= f.n_distinct
+          AND (g.n_tokens < f.n_tokens OR g.n_distinct > f.n_distinct)
+    )
+    """
+
+
+def _skyline_doc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.textstats import tokens
+
+    t = tokens(F.col("text"))
+    return load_table(spark, "documents", sf_dir).select(
+        "doc_id",
+        F.greatest(F.size(t), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.greatest(F.size(F.array_distinct(t)), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+
+
+@register(
+    "select_pareto_skyline",
+    _SKYLINE_ORACLE,
+    doc="Pareto-frontier document selection (skyline; Grasmann/Pichler/"
+    "Selzer EDBT 2023 Spark integration): the documents no other "
+    "document beats on every axis at once — here minimize n_tokens "
+    "while maximizing distinct-token count, i.e. the densest-vocabulary-"
+    "per-length frontier — computed as per-partition Arrow-vectorized "
+    "BNL skylines merged over the frontier-sized candidate union "
+    "(oracle: quadratic NOT EXISTS dominance)",
+)
+def pipeline_select_pareto_skyline(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.skyline import skyline
+
+    return skyline(
+        _skyline_doc_feats(spark, sf_dir),
+        ["n_tokens", "n_distinct"],
+        {"n_distinct": "max"},
+    )
+
+
+@register(
+    "select_pareto_skyline_incremental",
+    _SKYLINE_ORACLE,
+    doc="nightly frontier maintenance: skyline(stored frontier UNION new "
+    "batch) — dominance is transitive, so points the old frontier's "
+    "losers dominated are dominated by the frontier itself and batches "
+    "fold in any order; the ORACLE is deliberately the same full-corpus "
+    "skyline, so this row verifies incremental == batch end-to-end "
+    "(even-doc frontier folded with the odd-doc batch)",
+)
+def pipeline_select_pareto_skyline_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.skyline import skyline, skyline_incremental
+
+    feats = _skyline_doc_feats(spark, sf_dir)
+    dims = ["n_tokens", "n_distinct"]
+    dirs = {"n_distinct": "max"}
+    stored = skyline(feats.filter(F.col("doc_id") % 2 == 0), dims, dirs)
+    batch = feats.filter(F.col("doc_id") % 2 == 1)
+    return skyline_incremental(stored, batch, dims, dirs)
+
+
 @register(
     "exactsubstr_span_log",
     f"""

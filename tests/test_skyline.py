@@ -1,0 +1,119 @@
+"""Skyline (Pareto frontier) vs a brute-force sequential reference.
+
+The distributed two-phase algorithm (per-partition BNL + frontier-sized
+merge, EDBT 2023's Spark integration) must return EXACTLY the
+reference dominance semantics: p dominates q iff p <= q on every axis
+(after direction normalization) and p < q on at least one; duplicates
+all survive. Partitioning must never change the answer.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from irstats2_spark.pipeline.skyline import skyline, skyline_incremental
+
+
+def _ref_skyline(rows, dims, maxdims):
+    def norm(r):
+        return tuple(-r[d] if d in maxdims else r[d] for d in dims)
+
+    out = []
+    for r in rows:
+        p = norm(r)
+        dominated = any(
+            all(qq <= pp for qq, pp in zip(q, p))
+            and any(qq < pp for qq, pp in zip(q, p))
+            for q in map(norm, rows)
+        )
+        if not dominated:
+            out.append(r)
+    return sorted(out, key=lambda r: tuple(r.values()))
+
+
+def _rows(rng, n, d, lo=0, hi=6):
+    # a small value range forces duplicates and axis ties
+    return [
+        {"id": i, **{f"x{k}": rng.randint(lo, hi) for k in range(d)}}
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("d,maxdims", [(2, set()), (3, {"x1"}), (4, {"x0", "x3"})])
+def test_skyline_matches_bruteforce(spark, d, maxdims):
+    rng = random.Random(100 + d)
+    rows = _rows(rng, 120, d)
+    dims = [f"x{k}" for k in range(d)]
+    df = spark.createDataFrame(rows)
+    got = sorted(
+        (tuple(sorted(r.asDict().items())) for r in
+         skyline(df, dims, {m: "max" for m in maxdims}).collect())
+    )
+    want = sorted(
+        tuple(sorted(r.items()))
+        for r in _ref_skyline(rows, dims, maxdims)
+    )
+    assert got == want
+
+
+def test_skyline_partitioning_invariant_and_duplicates_survive(spark):
+    rng = random.Random(7)
+    rows = _rows(rng, 90, 2, lo=0, hi=3)  # heavy duplication
+    df = spark.createDataFrame(rows)
+    dims = ["x0", "x1"]
+    base = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in skyline(df, dims).collect()
+    )
+    for parts in (1, 7, 32):
+        again = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in skyline(df.repartition(parts), dims).collect()
+        )
+        assert again == base, parts
+    # every copy of a frontier point survives (no hidden tie-break)
+    best = min((r["x0"], r["x1"]) for r in rows)
+    n_copies = sum(1 for r in rows if (r["x0"], r["x1"]) == best)
+    got_ids = {
+        r["id"]
+        for r in skyline(df, dims).collect()
+        if (r["x0"], r["x1"]) == best
+    }
+    assert len(got_ids) == n_copies
+
+
+def test_skyline_nulls_dropped_and_directions_validated(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 1), (2, None, 0), (3, 0, 2)], "id long, a long, b long"
+    )
+    got = sorted(r["id"] for r in skyline(df, ["a", "b"]).collect())
+    assert got == [1, 3]  # the null row can neither win nor lose
+    with pytest.raises(AssertionError):
+        skyline(df, ["a"], {"b": "max"})
+    with pytest.raises(AssertionError):
+        skyline(df, ["a"], {"a": "down"})
+
+
+def test_skyline_incremental_folds_in_any_order(spark):
+    rng = random.Random(13)
+    rows = _rows(rng, 150, 3, lo=0, hi=8)
+    dims = ["x0", "x1", "x2"]
+    dirs = {"x2": "max"}
+    df = spark.createDataFrame(rows)
+    full = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in skyline(df, dims, dirs).collect()
+    )
+    thirds = [
+        spark.createDataFrame(rows[i::3]) for i in range(3)
+    ]
+    for order in ([0, 1, 2], [2, 0, 1]):
+        frontier = skyline(thirds[order[0]], dims, dirs)
+        for i in order[1:]:
+            frontier = skyline_incremental(frontier, thirds[i], dims, dirs)
+        got = sorted(
+            tuple(sorted(r.asDict().items())) for r in frontier.collect()
+        )
+        assert got == full, order
