@@ -113,6 +113,74 @@ def skyline(
     return out.select([f.name for f in df.schema.fields])
 
 
+def skyline_probe_stream(
+    docs: DataFrame,
+    frontier: DataFrame,
+    cols: list[str],
+    directions: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming twin — the ingest-time half of the frontier loop
+    (``skyline_incremental`` is the nightly half, same split as the
+    gram-snapshot family): tag each arriving row ``dominated`` (True =
+    some STORED frontier point beats it on every axis, so it can never
+    be on any future skyline and may be diverted immediately; False =
+    a frontier candidate for tonight's fold).
+
+    Why this streams statelessly (the ``decontaminate_stream`` idiom):
+    the stored frontier folds to ONE static row carrying its
+    (frontier-sized by definition) dimension vectors, cross-joined onto
+    the stream, and dominance is an in-row ``exists`` over that array —
+    no state store, no watermark; a re-written frontier swaps in under
+    the checkpoint between runs. NULL axes make a row non-comparable:
+    it is tagged not-dominated and left for the nightly fold's
+    null-drop, mirroring the batch operator's contract."""
+    directions = directions or {}
+    sdims = [
+        (-F.col(c)).cast("double") if directions.get(c) == "max"
+        else F.col(c).cast("double")
+        for c in cols
+    ]
+    farr = frontier.select(
+        F.struct(
+            *[d.alias(f"d{i}") for i, d in enumerate(sdims)]
+        ).alias("__p")
+    ).agg(F.collect_list("__p").alias("__front"))
+    p = [d for d in sdims]
+    dominated = F.exists(
+        F.col("__front"),
+        lambda q: (
+            # q <= p on every axis AND q < p on at least one
+            _all([q[f"d{i}"] <= p[i] for i in range(len(cols))])
+            & _any([q[f"d{i}"] < p[i] for i in range(len(cols))])
+        ),
+    )
+    comparable = _all([F.col(c).isNotNull() for c in cols])
+    return (
+        docs.crossJoin(farr)
+        .withColumn(
+            "dominated",
+            F.when(comparable, F.coalesce(dominated, F.lit(False))).otherwise(
+                F.lit(False)
+            ),
+        )
+        .drop("__front")
+    )
+
+
+def _all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def _any(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out | c
+    return out
+
+
 def skyline_incremental(
     frontier: DataFrame,
     new_rows: DataFrame,

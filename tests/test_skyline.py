@@ -96,6 +96,52 @@ def test_skyline_nulls_dropped_and_directions_validated(spark):
         skyline(df, ["a"], {"a": "down"})
 
 
+def test_skyline_probe_stream_matches_batch_dominance(spark, tmp_path):
+    """Clean-on-arrival twin: the streamed ``dominated`` tag must equal
+    batch dominance against the same stored frontier (a row the
+    frontier beats on every axis can be diverted at ingest; frontier
+    candidates and null-axis rows pass through untagged for the nightly
+    fold)."""
+    import json
+
+    from irstats2_spark.pipeline.skyline import skyline_probe_stream
+
+    frontier = spark.createDataFrame(
+        [(100, 2, 9), (101, 5, 12)], "id long, cost long, quality long"
+    )
+    rows = [
+        {"id": 1, "cost": 3, "quality": 8},   # dominated by (2, 9)
+        {"id": 2, "cost": 1, "quality": 1},   # cheaper than the frontier
+        {"id": 3, "cost": 2, "quality": 9},   # ties a frontier point: kept
+        {"id": 4, "cost": 9, "quality": 13},  # better quality than any
+        {"id": 5, "cost": None, "quality": 4},  # non-comparable: kept
+    ]
+    src = tmp_path / "rows"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n"
+    )
+    stream = spark.readStream.schema("id long, cost long, quality long").json(
+        str(src)
+    )
+    out = skyline_probe_stream(
+        stream, frontier, ["cost", "quality"], {"quality": "max"}
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skyline_probe_out")
+        .option("checkpointLocation", str(tmp_path / "ck_sky"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: r["dominated"]
+        for r in spark.sql("SELECT * FROM skyline_probe_out").collect()
+    }
+    assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
 def test_skyline_incremental_folds_in_any_order(spark):
     rng = random.Random(13)
     rows = _rows(rng, 150, 3, lo=0, hi=8)
