@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from irstats2_spark.pipeline.lifecycle import release_after
+
 
 def _fold(cols: list[str]):
     """A mapInPandas fold computing the skyline of whatever rows its
@@ -79,13 +81,32 @@ def skyline(
     df: DataFrame,
     cols: list[str],
     directions: dict[str, str] | None = None,
+    max_merge_rows: int | None = 5_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """All rows of ``df`` not Pareto-dominated on ``cols``.
 
     ``directions`` maps a column to ``"min"`` (default) or ``"max"``.
     Output carries the input schema unchanged (the negation used for
     max axes is internal). See the module docstring for semantics,
-    the two-phase plan shape, and the EDBT 2023 reference."""
+    the two-phase plan shape, and the EDBT 2023 reference.
+
+    ``max_merge_rows`` guards the merge (the embedding-exact-path
+    precedent: guarded, never silently serial): on correlated curation
+    axes the frontier is tiny (O(log^(d-1) n) expected for independent
+    dims), but ANTI-correlated axes can make it corpus-sized, and a
+    corpus-sized single-partition merge is this package's red line.
+    With the guard set, the local survivors are persisted and counted
+    (one extra pass over frontier-candidate-sized data) and the call
+    raises past the cap — reduce the axes, bucket one axis, or accept
+    the cost explicitly with ``max_merge_rows=None``.
+
+    ``materialize`` defaults True (the audit-convention rationale,
+    lifecycle.py): the guard's candidate pin has no caller-reachable
+    handle and the result is frontier-sized, so the default
+    localCheckpoints the result and releases the pin; pass False for a
+    lazy plan only together with ``max_merge_rows=None`` (which pins
+    nothing) or when the caller manages the pin lifetime itself."""
     directions = directions or {}
     unknown = set(directions) - set(cols)
     assert not unknown, f"directions for non-skyline columns: {unknown}"
@@ -100,17 +121,32 @@ def skyline(
             work = work.withColumn(c, F.col(c).cast("double"))
     schema = work.schema
     local = work.mapInPandas(_fold(cols), schema=schema)
+    pins: list[DataFrame] = []
+    if max_merge_rows is not None:
+        local = local.persist()
+        pins.append(local)
+        n = local.count()
+        if n > max_merge_rows:
+            local.unpersist()
+            raise ValueError(
+                f"skyline merge would gather {n} candidate rows (> "
+                f"max_merge_rows={max_merge_rows}): the axes are "
+                "anti-correlated enough that the frontier is not "
+                "small — drop or bucket an axis, or pass "
+                "max_merge_rows=None to accept a large single-task "
+                "merge explicitly"
+            )
     # the candidate union is frontier-sized — one partition is the
     # merge's honest cost (a top-k-gather shape, never corpus-sized)
-    merged = local.repartition(1).mapInPandas(_fold(cols), schema=schema)
-    out = merged
+    out = local.repartition(1).mapInPandas(_fold(cols), schema=schema)
     for c in cols:
         src = df.schema[c].dataType
         if directions.get(c) == "max":
             out = out.withColumn(c, (-F.col(c)).cast(src))
         else:
             out = out.withColumn(c, F.col(c).cast(src))
-    return out.select([f.name for f in df.schema.fields])
+    out = out.select([f.name for f in df.schema.fields])
+    return release_after(out, pins, materialize)
 
 
 def skyline_probe_stream(
@@ -186,6 +222,8 @@ def skyline_incremental(
     new_rows: DataFrame,
     cols: list[str],
     directions: dict[str, str] | None = None,
+    max_merge_rows: int | None = 5_000_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Nightly maintenance of a stored frontier: the skyline of
     (stored frontier UNION new batch) — correct because dominated
@@ -199,5 +237,6 @@ def skyline_incremental(
         "frontier and batch schemas must line up"
     )
     return skyline(
-        frontier.unionByName(new_rows), cols, directions
+        frontier.unionByName(new_rows), cols, directions,
+        max_merge_rows, materialize,
     )

@@ -96,6 +96,19 @@ def test_skyline_nulls_dropped_and_directions_validated(spark):
         skyline(df, ["a"], {"a": "down"})
 
 
+def test_skyline_merge_guard_refuses_huge_frontiers(spark):
+    """Anti-correlated axes (here x1 = -x0: EVERY point is on the
+    frontier) must trip the merge guard instead of silently funneling a
+    corpus-sized candidate set through one task; lifting the guard
+    accepts the cost explicitly and still returns the right answer."""
+    rows = [{"id": i, "x0": i, "x1": 200 - i} for i in range(200)]
+    df = spark.createDataFrame(rows)
+    with pytest.raises(ValueError, match="max_merge_rows=100"):
+        skyline(df, ["x0", "x1"], max_merge_rows=100)
+    got = skyline(df, ["x0", "x1"], max_merge_rows=None)
+    assert got.count() == 200  # the whole anti-chain IS the skyline
+
+
 def test_skyline_probe_stream_matches_batch_dominance(spark, tmp_path):
     """Clean-on-arrival twin: the streamed ``dominated`` tag must equal
     batch dominance against the same stored frontier (a row the
