@@ -96,6 +96,33 @@ def test_skyline_nulls_dropped_and_directions_validated(spark):
         skyline(df, ["a"], {"a": "down"})
 
 
+def test_skyline_local_phase_is_shuffle_free(spark):
+    """100 TB shape: phase 1 (per-partition local skylines) must run on
+    the input partitions as-is — the ONLY exchange in the lazy plan is
+    the frontier-sized merge gather, and no row-at-a-time Python
+    appears (the folds are Arrow mapInPandas)."""
+    import re
+
+    df = spark.createDataFrame(
+        [{"id": i, "x0": i % 7, "x1": i % 5} for i in range(100)]
+    )
+    out = skyline(
+        df, ["x0", "x1"], max_merge_rows=None, materialize=False
+    )
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    n_exchanges = len(
+        [b for b in re.split(r"\n\n", plan) if re.match(r"\(\d+\) Exchange", b)]
+    )
+    assert n_exchanges == 1, plan  # just the merge gather
+    assert "BatchEvalPython" not in plan
+    n_folds = len(re.findall(r"\(\d+\) MapInPandas", plan))
+    assert n_folds == 2, plan  # local fold + merge fold
+
+
 def test_skyline_merge_guard_refuses_huge_frontiers(spark):
     """Anti-correlated axes (here x1 = -x0: EVERY point is on the
     frontier) must trip the merge guard instead of silently funneling a
