@@ -129,7 +129,12 @@ GATE_PRIORITY: tuple[str, ...] = (
 )
 # ROUND 10 SHOULD GATE: the 14-query r4 remainder listed above, the two
 # anchors, whatever round 10 changes, then oldest-r5 rows per
-# `python -m tools.gate_ledger --debt 40`.
+# `python -m tools.gate_ledger --debt 40`. Also refresh the committed
+# bench baseline (BENCH_DETAIL.json, still the 227-query 187.2 s run —
+# five r9 attempts hit VM contention) at the first calm window so the
+# r9 registrations (gram_snapshot_merge, exactsubstr_span_log, the two
+# select_pareto_skyline entries) get per-query baseline rows; compare
+# runs with `python -m tools.bench_compare`.
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
 # `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
