@@ -29,9 +29,17 @@ Dominance: minimize-normalized (``directions`` flips max axes by
 negation); p dominates q iff p <= q on every axis and p < q on at
 least one. Exact duplicates on all axes dominate nothing and are
 dominated by nothing — ALL copies surface, so runs are deterministic
-with no hidden tie-break. Rows with a NULL in any skyline axis are
-dropped up front (NULL is not comparable under dominance; filter or
-impute upstream if those rows matter).
+with no hidden tie-break. Rows with a NULL or NaN in any skyline axis
+are dropped up front (neither is comparable under dominance — NaN in
+particular is neither dominated nor dominating under IEEE float
+comparisons, so leaving it in would inflate the frontier with
+incomparable rows; filter or impute upstream if those rows matter).
+
+Precision bound: axes are compared as float64, so integer axes are
+exact only up to 2**53 — beyond that, two distinct longs can collapse
+to the same double and a genuinely dominated row may survive (never
+the reverse: collapsing values can only weaken strict inequalities).
+Pre-scale or bucket counters that large.
 """
 
 from __future__ import annotations
@@ -40,6 +48,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from irstats2_spark.pipeline.lifecycle import release_after
+
+
+def _validate_directions(
+    cols: list[str], directions: dict[str, str] | None
+) -> None:
+    """Shared by every entry point (batch, incremental, streaming probe)
+    so a typo like ``{"quality": "maximize"}`` fails loudly instead of
+    silently minimizing — the streaming tag and the nightly batch fold
+    must agree on axis orientation."""
+    directions = directions or {}
+    unknown = set(directions) - set(cols)
+    assert not unknown, f"directions for non-skyline columns: {unknown}"
+    bad = {c: d for c, d in directions.items() if d not in ("min", "max")}
+    assert not bad, f"directions must be 'min' or 'max': {bad}"
 
 
 def _fold(cols: list[str]):
@@ -106,19 +128,30 @@ def skyline(
     handle and the result is frontier-sized, so the default
     localCheckpoints the result and releases the pin; pass False for a
     lazy plan only together with ``max_merge_rows=None`` (which pins
-    nothing) or when the caller manages the pin lifetime itself."""
+    nothing) — combining False with an active guard emits a warning,
+    because the pin has no caller-reachable handle and only
+    ``spark.catalog.clearCache()`` can free it."""
+    _validate_directions(cols, directions)
     directions = directions or {}
-    unknown = set(directions) - set(cols)
-    assert not unknown, f"directions for non-skyline columns: {unknown}"
-    bad = {c: d for c, d in directions.items() if d not in ("min", "max")}
-    assert not bad, f"directions must be 'min' or 'max': {bad}"
+    if not materialize and max_merge_rows is not None:
+        import warnings
+
+        warnings.warn(
+            "skyline(materialize=False) with a max_merge_rows guard "
+            "leaves an internal candidate pin with no caller-reachable "
+            "handle (only spark.catalog.clearCache() frees it) — pass "
+            "max_merge_rows=None for a fully lazy plan, or keep the "
+            "default materialize=True",
+            stacklevel=2,
+        )
     work = df
     for c in cols:
-        work = work.filter(F.col(c).isNotNull())
+        # cast first so isnan is legal on every axis type; NULL and NaN
+        # are both incomparable under dominance (module docstring)
+        work = work.withColumn(c, F.col(c).cast("double"))
+        work = work.filter(F.col(c).isNotNull() & ~F.isnan(F.col(c)))
         if directions.get(c) == "max":
-            work = work.withColumn(c, -F.col(c).cast("double"))
-        else:
-            work = work.withColumn(c, F.col(c).cast("double"))
+            work = work.withColumn(c, -F.col(c))
     schema = work.schema
     local = work.mapInPandas(_fold(cols), schema=schema)
     pins: list[DataFrame] = []
@@ -167,9 +200,13 @@ def skyline_probe_stream(
     (frontier-sized by definition) dimension vectors, cross-joined onto
     the stream, and dominance is an in-row ``exists`` over that array —
     no state store, no watermark; a re-written frontier swaps in under
-    the checkpoint between runs. NULL axes make a row non-comparable:
-    it is tagged not-dominated and left for the nightly fold's
-    null-drop, mirroring the batch operator's contract."""
+    the checkpoint between runs. NULL or NaN axes make a row
+    non-comparable: it is tagged not-dominated and left for the
+    nightly fold's null/NaN-drop, mirroring the batch operator's
+    contract (NaN needs an explicit guard here because Spark SQL
+    orders NaN above every other value, which would otherwise let
+    stored frontier points spuriously dominate a NaN row)."""
+    _validate_directions(cols, directions)
     directions = directions or {}
     sdims = [
         (-F.col(c)).cast("double") if directions.get(c) == "max"
@@ -190,7 +227,12 @@ def skyline_probe_stream(
             & _any([q[f"d{i}"] < p[i] for i in range(len(cols))])
         ),
     )
-    comparable = _all([F.col(c).isNotNull() for c in cols])
+    comparable = _all(
+        [
+            F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+            for c in cols
+        ]
+    )
     return (
         docs.crossJoin(farr)
         .withColumn(
@@ -215,6 +257,158 @@ def _any(conds):
     for c in conds[1:]:
         out = out | c
     return out
+
+
+def _skyband_fold(cols: list[str], k: int):
+    """A mapInPandas fold keeping rows with FEWER than ``k`` dominators
+    among the rows its partition holds (minimize-all convention).
+
+    Correctness of two-phase pruning (the k-skyband analog of
+    skyline(union of local skylines) == skyline(corpus)): a locally
+    pruned row has >= k same-partition dominators, all global
+    dominators, so pruning is safe; and a survivor with >= k GLOBAL
+    dominators has >= k dominators inside the union of local k-skybands
+    — take any linear extension of its dominator set D: each of the
+    first k points of D has < k dominators (all of a dominator's
+    dominators dominate the survivor too, hence lie in D and precede
+    it), so each is in its partition's local k-skyband. Counting within
+    the union therefore decides membership exactly; the WITHIN-union
+    count itself may undercount the global count, which is why the
+    operator returns rows, never dominator counts."""
+    import numpy as np
+
+    def fold(batches):
+        import pandas as pd
+
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        dims = pdf[cols].to_numpy(dtype="float64")
+        order = np.argsort(dims.sum(axis=1), kind="stable")
+        dims = dims[order]
+        sums = dims.sum(axis=1)
+        n = dims.shape[0]
+        keep_idx: list[int] = []
+        # a dominator's dim-sum is strictly smaller (equal-sum dominance
+        # would need an equal point, and equal points don't dominate),
+        # so row i's dominators live in the strict-sum prefix; count
+        # them in blocks, stopping early once the cap k is reached
+        for i in range(n):
+            p = dims[i]
+            limit = int(np.searchsorted(sums, sums[i], side="left"))
+            cnt = 0
+            for s in range(0, limit, 4096):
+                blk = dims[s : min(s + 4096, limit)]
+                cnt += int(
+                    ((blk <= p).all(axis=1) & (blk < p).any(axis=1)).sum()
+                )
+                if cnt >= k:
+                    break
+            if cnt < k:
+                keep_idx.append(order[i])
+        yield pdf.iloc[sorted(keep_idx)]
+
+    return fold
+
+
+def skyband(
+    df: DataFrame,
+    cols: list[str],
+    k: int,
+    directions: dict[str, str] | None = None,
+    max_merge_rows: int | None = 5_000_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """The k-skyband of ``df`` on ``cols``: every row Pareto-dominated
+    by FEWER than ``k`` other rows — the standard skyline
+    generalization (Papadias et al., "Progressive Skyline Computation
+    in Database Systems", TODS 2005: the skyline is the 1-skyband) and
+    the curation form of "keep the k frontier LAYERS' worth of
+    near-optimal documents" without first deleting each layer.
+
+    Same axis semantics, NULL/NaN drop, float64 precision bound,
+    ``directions``, merge guard, and ``materialize`` contract as
+    ``skyline`` (module docstring); ``skyband(df, cols, 1)`` ==
+    ``skyline(df, cols)``. Plan shape is identical too: one shuffle-free
+    Arrow-batched local fold, then one merge over the candidate union —
+    k-skyband-sized, i.e. output-sized, not corpus-sized (proof sketch
+    on ``_skyband_fold``). Local folds cap the dominator count at k and
+    scan in dim-sum order so only the strict-sum prefix is compared;
+    the worst case is O(n_part * skyband) comparisons per partition,
+    the BNL envelope the EDBT 2023 integration also accepts."""
+    assert k >= 1, k
+    _validate_directions(cols, directions)
+    directions = directions or {}
+    if not materialize and max_merge_rows is not None:
+        import warnings
+
+        warnings.warn(
+            "skyband(materialize=False) with a max_merge_rows guard "
+            "leaves an internal candidate pin with no caller-reachable "
+            "handle (only spark.catalog.clearCache() frees it) — pass "
+            "max_merge_rows=None for a fully lazy plan, or keep the "
+            "default materialize=True",
+            stacklevel=2,
+        )
+    work = df
+    for c in cols:
+        work = work.withColumn(c, F.col(c).cast("double"))
+        work = work.filter(F.col(c).isNotNull() & ~F.isnan(F.col(c)))
+        if directions.get(c) == "max":
+            work = work.withColumn(c, -F.col(c))
+    schema = work.schema
+    local = work.mapInPandas(_skyband_fold(cols, k), schema=schema)
+    pins: list[DataFrame] = []
+    if max_merge_rows is not None:
+        local = local.persist()
+        pins.append(local)
+        n = local.count()
+        if n > max_merge_rows:
+            local.unpersist()
+            raise ValueError(
+                f"skyband merge would gather {n} candidate rows (> "
+                f"max_merge_rows={max_merge_rows}): the axes are "
+                "anti-correlated enough that the k-skyband is not "
+                "small — drop or bucket an axis, lower k, or pass "
+                "max_merge_rows=None to accept a large single-task "
+                "merge explicitly"
+            )
+    out = local.repartition(1).mapInPandas(_skyband_fold(cols, k), schema=schema)
+    for c in cols:
+        src = df.schema[c].dataType
+        if directions.get(c) == "max":
+            out = out.withColumn(c, (-F.col(c)).cast(src))
+        else:
+            out = out.withColumn(c, F.col(c).cast(src))
+    out = out.select([f.name for f in df.schema.fields])
+    return release_after(out, pins, materialize)
+
+
+def skyband_incremental(
+    stored: DataFrame,
+    new_rows: DataFrame,
+    cols: list[str],
+    k: int,
+    directions: dict[str, str] | None = None,
+    max_merge_rows: int | None = 5_000_000,
+    materialize: bool = True,
+) -> DataFrame:
+    """Nightly maintenance of a stored k-skyband: the k-skyband of
+    (stored UNION new batch). Correct for the same reason the two-phase
+    merge is (``_skyband_fold``): a discarded row had >= k dominators
+    in the store it was discarded from, all of which remain dominators
+    forever, so it can never re-enter; and membership of the survivors
+    is decided exactly by counting within stored-union-batch. Batches
+    fold in any order to the same result, like ``skyline_incremental``."""
+    cols_and_rest = [f.name for f in stored.schema.fields]
+    assert cols_and_rest == [f.name for f in new_rows.schema.fields], (
+        "stored skyband and batch schemas must line up"
+    )
+    return skyband(
+        stored.unionByName(new_rows), cols, k, directions,
+        max_merge_rows, materialize,
+    )
 
 
 def skyline_incremental(

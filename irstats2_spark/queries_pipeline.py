@@ -8006,6 +8006,119 @@ def pipeline_select_pareto_skyline_incremental(
 
 
 @register(
+    "select_pareto_skyline_3axis",
+    f"""
+    WITH {_SFX_TOKS},
+    sky3_feats0 AS (
+        SELECT doc_id,
+               CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(list_distinct(t)), 0) AS BIGINT)
+                   AS n_distinct
+        FROM sfx_toks
+    ),
+    sky3_wins AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(t[i + 1 : i + 8], ' ')) AS h
+        FROM sfx_toks,
+             LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i) s
+        WHERE len(t) >= 8
+    ),
+    sky3_freq AS (
+        SELECT h FROM sky3_wins GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    sky3_dup AS (
+        SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM sky3_wins WHERE h IN (SELECT h FROM sky3_freq)
+    ),
+    sky3_cov AS (
+        SELECT doc_id,
+               SUM(CASE WHEN prev IS NULL THEN 8
+                        ELSE LEAST(8, pos - prev) END) AS covered
+        FROM sky3_dup GROUP BY 1
+    ),
+    sky3_feats AS (
+        SELECT f.doc_id, f.n_tokens, f.n_distinct,
+               CAST(COALESCE(c.covered, 0) AS BIGINT) AS covered_tokens
+        FROM sky3_feats0 f LEFT JOIN sky3_cov c USING (doc_id)
+    )
+    SELECT f.doc_id, f.n_tokens, f.n_distinct, f.covered_tokens
+    FROM sky3_feats f
+    WHERE NOT EXISTS (
+        SELECT 1 FROM sky3_feats g
+        WHERE g.n_tokens <= f.n_tokens AND g.n_distinct >= f.n_distinct
+          AND g.covered_tokens <= f.covered_tokens
+          AND (g.n_tokens < f.n_tokens OR g.n_distinct > f.n_distinct
+               OR g.covered_tokens < f.covered_tokens)
+    )
+    """,
+    doc="3-axis skyline — the operator's risk surface is d >= 3 (the "
+    "merge guard's own rationale, skyline.py): minimize n_tokens AND "
+    "duplicated-span coverage (text_dup_span_coverage's covered_tokens, "
+    "8-token stride-1 windows, interval-union) while maximizing "
+    "distinct-token count — the short, vocabulary-dense, low-boilerplate "
+    "frontier a curation pass would keep; oracle is the quadratic "
+    "3-axis NOT EXISTS dominance over the same features",
+)
+def pipeline_select_pareto_skyline_3axis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.skyline import skyline
+    from irstats2_spark.pipeline.textstats import duplicate_span_coverage
+
+    cov = duplicate_span_coverage(
+        load_table(spark, "documents", sf_dir),
+        span_tokens=8,
+        min_docs=2,
+        materialize=True,
+    ).select("doc_id", "covered_tokens")
+    feats = _skyline_doc_feats(spark, sf_dir).join(cov, "doc_id")
+    return skyline(
+        feats.select("doc_id", "n_tokens", "n_distinct", "covered_tokens"),
+        ["n_tokens", "n_distinct", "covered_tokens"],
+        {"n_distinct": "max"},
+    )
+
+
+@register(
+    "select_k_skyband",
+    f"""
+    WITH {_SFX_TOKS},
+    skb_feats AS (
+        SELECT doc_id,
+               CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(list_distinct(t)), 0) AS BIGINT)
+                   AS n_distinct
+        FROM sfx_toks
+    )
+    SELECT f.doc_id, f.n_tokens, f.n_distinct
+    FROM skb_feats f
+    WHERE (
+        SELECT COUNT(*) FROM skb_feats g
+        WHERE g.n_tokens <= f.n_tokens AND g.n_distinct >= f.n_distinct
+          AND (g.n_tokens < f.n_tokens OR g.n_distinct > f.n_distinct)
+    ) < 2
+    """,
+    doc="k-skyband selection (Papadias et al. TODS 2005; skyline is the "
+    "1-skyband): documents dominated by FEWER than k=2 others on "
+    "(min n_tokens, max n_distinct) — the 'k frontier layers' worth of "
+    "near-optimal documents' curation form, same two-phase local-fold + "
+    "frontier-sized-merge plan as the skyline family with the local "
+    "dominator count capped at k (oracle: correlated quadratic "
+    "dominator-count subquery)",
+)
+def pipeline_select_k_skyband(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.skyline import skyband
+
+    return skyband(
+        _skyline_doc_feats(spark, sf_dir),
+        ["n_tokens", "n_distinct"],
+        k=2,
+        directions={"n_distinct": "max"},
+    )
+
+
+@register(
     "exactsubstr_span_log",
     f"""
     WITH {_SFX_TOKS},

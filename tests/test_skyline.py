@@ -13,24 +13,34 @@ import random
 
 import pytest
 
-from irstats2_spark.pipeline.skyline import skyline, skyline_incremental
+from irstats2_spark.pipeline.skyline import (
+    skyband,
+    skyband_incremental,
+    skyline,
+    skyline_incremental,
+)
 
 
-def _ref_skyline(rows, dims, maxdims):
+def _ref_skyband(rows, dims, maxdims, k):
     def norm(r):
         return tuple(-r[d] if d in maxdims else r[d] for d in dims)
 
     out = []
     for r in rows:
         p = norm(r)
-        dominated = any(
-            all(qq <= pp for qq, pp in zip(q, p))
-            and any(qq < pp for qq, pp in zip(q, p))
+        n_dom = sum(
+            1
             for q in map(norm, rows)
+            if all(qq <= pp for qq, pp in zip(q, p))
+            and any(qq < pp for qq, pp in zip(q, p))
         )
-        if not dominated:
+        if n_dom < k:
             out.append(r)
     return sorted(out, key=lambda r: tuple(r.values()))
+
+
+def _ref_skyline(rows, dims, maxdims):
+    return _ref_skyband(rows, dims, maxdims, 1)
 
 
 def _rows(rng, n, d, lo=0, hi=6):
@@ -96,6 +106,46 @@ def test_skyline_nulls_dropped_and_directions_validated(spark):
         skyline(df, ["a"], {"a": "down"})
 
 
+def test_skyline_nans_dropped_like_nulls(spark):
+    """NaN is neither dominated nor dominating under IEEE comparisons,
+    so an unfiltered NaN row would survive both folds and inflate the
+    frontier — the operator must drop it exactly like NULL (r9 ADVICE)."""
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, float("nan"), 0.0), (3, 0.0, 2.0)],
+        "id long, a double, b double",
+    )
+    got = sorted(r["id"] for r in skyline(df, ["a", "b"]).collect())
+    assert got == [1, 3]
+
+
+def test_skyline_probe_stream_validates_directions(spark):
+    from irstats2_spark.pipeline.skyline import skyline_probe_stream
+
+    frontier = spark.createDataFrame([(1, 2)], "a long, b long")
+    with pytest.raises(AssertionError):
+        skyline_probe_stream(frontier, frontier, ["a"], {"a": "maximize"})
+    with pytest.raises(AssertionError):
+        skyline_probe_stream(frontier, frontier, ["a"], {"b": "max"})
+
+
+def test_skyline_lazy_mode_with_guard_warns(spark):
+    """materialize=False with an active max_merge_rows leaves an
+    internal pin nothing but clearCache() can free — the combination
+    must warn (r9 ADVICE)."""
+    import warnings
+
+    df = spark.createDataFrame([{"id": 1, "x0": 1, "x1": 2}])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        skyline(df, ["x0", "x1"], max_merge_rows=10, materialize=False)
+    assert any("clearCache" in str(w.message) for w in caught)
+    spark.catalog.clearCache()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        skyline(df, ["x0", "x1"], max_merge_rows=None, materialize=False)
+    assert not caught
+
+
 def test_skyline_local_phase_is_shuffle_free(spark):
     """100 TB shape: phase 1 (per-partition local skylines) must run on
     the input partitions as-is — the ONLY exchange in the lazy plan is
@@ -134,6 +184,18 @@ def test_skyline_merge_guard_refuses_huge_frontiers(spark):
         skyline(df, ["x0", "x1"], max_merge_rows=100)
     got = skyline(df, ["x0", "x1"], max_merge_rows=None)
     assert got.count() == 200  # the whole anti-chain IS the skyline
+    # d=3 — the operator's actual risk surface: an anti-correlated
+    # third axis must trip the same guard (and the full anti-chain
+    # still comes back exactly when the cost is accepted)
+    rows3 = [
+        {"id": i, "x0": i, "x1": 300 - i, "x2": (i * 7) % 300}
+        for i in range(300)
+    ]
+    df3 = spark.createDataFrame(rows3)
+    with pytest.raises(ValueError, match="max_merge_rows=100"):
+        skyline(df3, ["x0", "x1", "x2"], max_merge_rows=100)
+    got3 = skyline(df3, ["x0", "x1", "x2"], max_merge_rows=None)
+    assert got3.count() == 300  # x0/x1 alone make every row optimal
 
 
 def test_skyline_probe_stream_matches_batch_dominance(spark, tmp_path):
@@ -180,6 +242,96 @@ def test_skyline_probe_stream_matches_batch_dominance(spark, tmp_path):
         for r in spark.sql("SELECT * FROM skyline_probe_out").collect()
     }
     assert got == {1: True, 2: False, 3: False, 4: False, 5: False}
+
+
+@pytest.mark.parametrize(
+    "k,d,maxdims", [(1, 2, set()), (2, 2, {"x1"}), (3, 3, {"x0"}), (4, 2, set())]
+)
+def test_skyband_matches_bruteforce(spark, k, d, maxdims):
+    """k-skyband (rows with < k dominators) vs the quadratic reference;
+    k=1 must equal the skyline; partitioning must not change the answer
+    (two-phase prune proof on _skyband_fold)."""
+    rng = random.Random(500 + 10 * k + d)
+    rows = _rows(rng, 130, d)
+    dims = [f"x{j}" for j in range(d)]
+    dirs = {m: "max" for m in maxdims}
+    df = spark.createDataFrame(rows)
+    want = sorted(
+        tuple(sorted(r.items())) for r in _ref_skyband(rows, dims, maxdims, k)
+    )
+    for parts in (1, 13):
+        got = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in skyband(df.repartition(parts), dims, k, dirs).collect()
+        )
+        assert got == want, (k, parts)
+    if k == 1:
+        sky = sorted(
+            tuple(sorted(r.asDict().items()))
+            for r in skyline(df, dims, dirs).collect()
+        )
+        assert sky == want
+
+
+def test_skyband_monotone_in_k_and_guard(spark):
+    """Skybands nest (k-skyband ⊆ (k+1)-skyband) and the anti-chain
+    corpus trips the same merge guard as the skyline."""
+    rows = [{"id": i, "x0": i % 9, "x1": (3 * i) % 11} for i in range(120)]
+    df = spark.createDataFrame(rows)
+    prev: set[int] = set()
+    for k in (1, 2, 3):
+        cur = {r["id"] for r in skyband(df, ["x0", "x1"], k).collect()}
+        assert prev <= cur, k
+        prev = cur
+    anti = spark.createDataFrame(
+        [{"id": i, "x0": i, "x1": 300 - i} for i in range(300)]
+    )
+    with pytest.raises(ValueError, match="max_merge_rows=50"):
+        skyband(anti, ["x0", "x1"], 2, max_merge_rows=50)
+    assert skyband(anti, ["x0", "x1"], 2, max_merge_rows=None).count() == 300
+
+
+def test_skyband_incremental_folds_in_any_order(spark):
+    rng = random.Random(77)
+    rows = _rows(rng, 140, 2, lo=0, hi=9)
+    dims = ["x0", "x1"]
+    dirs = {"x1": "max"}
+    df = spark.createDataFrame(rows)
+    full = sorted(
+        tuple(sorted(r.asDict().items()))
+        for r in skyband(df, dims, 3, dirs).collect()
+    )
+    thirds = [spark.createDataFrame(rows[i::3]) for i in range(3)]
+    for order in ([0, 1, 2], [1, 2, 0]):
+        stored = skyband(thirds[order[0]], dims, 3, dirs)
+        for i in order[1:]:
+            stored = skyband_incremental(stored, thirds[i], dims, 3, dirs)
+        got = sorted(
+            tuple(sorted(r.asDict().items())) for r in stored.collect()
+        )
+        assert got == full, order
+
+
+def test_skyband_local_phase_is_shuffle_free(spark):
+    """Same 100 TB shape contract as the skyline: one exchange (the
+    merge gather), two Arrow folds, no row-at-a-time Python."""
+    import re
+
+    df = spark.createDataFrame(
+        [{"id": i, "x0": i % 7, "x1": i % 5} for i in range(100)]
+    )
+    out = skyband(df, ["x0", "x1"], 2, max_merge_rows=None, materialize=False)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    n_exchanges = len(
+        [b for b in re.split(r"\n\n", plan) if re.match(r"\(\d+\) Exchange", b)]
+    )
+    assert n_exchanges == 1, plan
+    assert "BatchEvalPython" not in plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
 
 
 def test_skyline_incremental_folds_in_any_order(spark):
