@@ -1216,6 +1216,7 @@ def remove_spans_stream(
     min_len: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_snapshot_grams: int | None = 2_000_000,
 ) -> DataFrame:
     """Streaming twin of ``pipeline.suffix.remove_repeated_spans``:
     rewrite documents AS THEY ARRIVE with every span whose
@@ -1246,6 +1247,15 @@ def remove_spans_stream(
     boilerplate-sized); past that, run the nightly incremental path,
     whose snapshot side is a hash JOIN, via ``foreachBatch``.
 
+    The smallness contract is ENFORCED, not prose (the skyline-merge
+    precedent: guarded, never silently over-budget): the snapshot is a
+    STORED batch table, so one metadata-cheap ``count()`` at
+    plan-build time checks it against ``max_snapshot_grams`` (default
+    2M grams ~= 64 MB of md5 keys folded into the one static row) and
+    raises past the cap instead of quietly building an over-budget
+    cross-join row; lift with ``max_snapshot_grams=None`` to accept the
+    memory cost explicitly.
+
     Output: input columns plus (n_tokens, removed_tokens, text_clean)."""
     from irstats2_spark.pipeline.suffix import (
         excised_tokens,
@@ -1262,6 +1272,18 @@ def remove_spans_stream(
             f"asked for min_len={min_len}; membership at the wrong gram "
             "length silently mis-cleans — rebuild or pass the matching value"
         )
+    if max_snapshot_grams is not None:
+        n_grams = gram_snapshot.count()
+        if n_grams > max_snapshot_grams:
+            raise ValueError(
+                f"gram snapshot holds {n_grams} distinct duplicated grams "
+                f"(> max_snapshot_grams={max_snapshot_grams}): too large to "
+                "fold into the stream's static broadcast row — clean via "
+                "the nightly remove_repeated_spans_incremental path (its "
+                "snapshot side is a hash JOIN) driven by foreachBatch, or "
+                "pass max_snapshot_grams=None to accept the memory cost "
+                "explicitly"
+            )
     L = min_len
     snap = gram_snapshot.agg(
         F.array_sort(F.collect_set("h")).alias("__snap")

@@ -31,16 +31,18 @@ def test_rotation_discipline_holds():
 
 
 def test_cli_check_exit_codes():
+    # run from the repo root the module itself resolves, not a literal
+    # path, so the test works on any checkout location
     ok = subprocess.run(
         [sys.executable, "-m", "tools.gate_ledger", "--check",
          str(AGREED_WINDOW)],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=gate_ledger.HERE,
     )
     assert ok.returncode == 0, ok.stdout + ok.stderr
     # an impossibly tight window must trip the nonzero exit path
     tight = subprocess.run(
         [sys.executable, "-m", "tools.gate_ledger", "--check", "0"],
-        capture_output=True, text=True, cwd="/root/repo",
+        capture_output=True, text=True, cwd=gate_ledger.HERE,
     )
     assert tight.returncode == 1, tight.stdout + tight.stderr
     assert "too stale" in tight.stdout

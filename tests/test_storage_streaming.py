@@ -1576,3 +1576,14 @@ def test_remove_spans_stream_matches_batch_incremental(spark, tmp_path):
 
     with pytest.raises(ValueError, match="min_len=5"):
         remove_spans_stream(stream, snap, min_len=6)
+
+    # the smallness contract is a guard, not prose (r9 verdict #5): a
+    # snapshot past max_snapshot_grams raises toward the foreachBatch
+    # incremental path instead of silently building an over-budget
+    # broadcast row; None lifts it explicitly
+    with pytest.raises(ValueError, match="max_snapshot_grams=1"):
+        remove_spans_stream(stream, snap, min_len=5, max_snapshot_grams=1)
+    lifted = remove_spans_stream(
+        stream, snap, min_len=5, max_snapshot_grams=None
+    )
+    assert lifted.isStreaming
