@@ -26,6 +26,23 @@ def main() -> None:
 
     spark = get_spark("irstats2_spark_bench")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # events-ts freshness probe: the driver's events.parquet ts encoding
+    # has changed across data generations (nanos-as-long, then us/NTZ —
+    # both normalized by sources.testdata.load_table). A THIRD encoding
+    # must fail loudly HERE at calibration time, not as dozens of
+    # cryptic per-query failures mid-run.
+    from irstats2_spark.sources.testdata import load_table
+
+    ts_dtype = dict(load_table(spark, "events", sf_dir).dtypes).get("ts")
+    if ts_dtype != "timestamp":
+        raise SystemExit(
+            f"bench: events.ts normalized to {ts_dtype!r}, expected "
+            "'timestamp' — the testdata generation likely changed its "
+            "parquet ts encoding again; extend sources/testdata.py's "
+            "_TS_COLS normalization (see verify skill gotchas)"
+        )
+
     all_queries = catalog.queries()
     names = list(all_queries)
     # warm the JVM + parquet footers + Python/Arrow workers once so

@@ -38,38 +38,40 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-9 rotation, cut from `python -m tools.gate_ledger` (and now
-# ENFORCED by it: `--check 6` fails when a query's newest driver row
-# would fall more than 6 rounds stale without a slot in this cut —
-# tests/test_gate_ledger.py runs it). Slot budget (50):
-# - 7 NEVER-GATED rows head the cut: the exact-substring REMOVAL
-#   family (exact_substring_remove, exact_substring_remove_incremental,
-#   exactsubstr_removal_audit) — implemented+oracled in r8 but
-#   registered past that round's frozen cut (r8 verdict "What's
-#   missing" #1) — plus the rows NEW this round (gram_snapshot_merge,
-#   exactsubstr_span_log, select_pareto_skyline and its incremental
-#   twin; new registrations take a slot immediately now, so never-gated
-#   debt cannot accrue again).
-# - 3 CHANGED this round: the suffix miner family (repeated_substrings,
-#   repeated_substrings_incremental, exact_substring_coverage) — the
-#   sweep's stretch-key rank moved off the global row_number window
-#   onto the range-partitioned _dense_index idiom (r8 verdict "What's
-#   wrong" #1), and suffix_order itself was refactored onto the shared
-#   helper, so the whole family re-gates.
-#   (exact_substring_remove_incremental also changed — the redundant
-#   snapshot re-distinct is now opt-in — but it already heads the cut.)
+# Round-10 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
+# `--check 6` fails when a query's newest driver row would fall more
+# than 6 rounds stale without a slot in this cut —
+# tests/test_gate_ledger.py runs it).
+#
+# CONTEXT: CORRECTNESS_r09.json landed EMPTY ({}) even though the same
+# driver's BENCH_r09 ran all 230 queries green minutes later and the r9
+# judge's independent re-run of the identical compare passed 50/50 — so
+# the ENTIRE r9 cut never got driver rows and re-gates here. If r10's
+# file is empty again with a green local mirror, that is two rounds of
+# missing driver artifacts: escalate as a driver bug (r9 verdict #1).
+#
+# Slot budget (50):
+# - 9 never-gated rows head the cut: the r9 cut's removal/snapshot/
+#   skyline rows whose first driver rows were lost to the empty r9
+#   artifact, plus the rows NEW this round (select_pareto_skyline_3axis
+#   — the d>=3 risk surface, r9 verdict #4 — and select_k_skyband, the
+#   family's TODS-2005 k-dominator generalization; new registrations
+#   take a slot immediately). The two select_pareto_skyline* rows also
+#   CHANGED this round (NaN axes now dropped like NULL, r9 ADVICE) —
+#   already here.
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
-# - ALL 14 remaining r3-stale rows — after this cut nothing older than
-#   r4 remains;
-# - 24 oldest r4-stale rows (ledger order); the 14-query r4 remainder
-#   (similarity_ivf_probe2_topk, similarity_ivf_topk,
-#   similarity_kmeans_ivf_topk and similarity_recall_audit — displaced
-#   by the four new registrations — similarity_rp_topk,
-#   similarity_scalar_quant_error, t1_month_trunc,
+# - the suffix-miner family re-gates (its r9 re-gate was lost with the
+#   artifact; the _dense_index rework has no driver row yet);
+# - ALL 14 r3-stale rows (their r9 slots were lost the same way);
+# - 22 oldest r4-stale rows (ledger order). The 16-query r4 remainder
+#   (sample_balanced_topk, select_dsir_weights,
+#   similarity_ivf_probe2_topk, similarity_ivf_topk,
+#   similarity_kmeans_ivf_topk, similarity_recall_audit,
+#   similarity_rp_topk, similarity_scalar_quant_error, t1_month_trunc,
 #   t5_period_compare, text_chunk_windows,
 #   text_classifier_top_fraction_binned, text_classifier_votes,
 #   text_decontamination, text_lm_nll_score, text_ngram_novelty) is
-#   round 10's rotation debt, within the --check 6 window.
+#   round 11's rotation debt, within the --check 6 window.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- never-gated registrations (gate these FIRST) --
     "exact_substring_remove",
@@ -79,7 +81,9 @@ GATE_PRIORITY: tuple[str, ...] = (
     "exactsubstr_span_log",
     "select_pareto_skyline",
     "select_pareto_skyline_incremental",
-    # -- implementation changed this round --
+    "select_pareto_skyline_3axis",
+    "select_k_skyband",
+    # -- re-gate: r9's _dense_index rework, driver row lost with r9 --
     "repeated_substrings",
     "repeated_substrings_incremental",
     "exact_substring_coverage",
@@ -101,7 +105,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_heavyhitters_approx",
     "text_vocab_topk",
     "view_compare_years",
-    # -- 24 oldest r4-stale rows (ledger order) --
+    # -- 22 oldest r4-stale rows (ledger order) --
     "a10_top_values",
     "a9_minmax_dates",
     "agg_cube_status_priority",
@@ -124,17 +128,10 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_curation_summary",
     "pipeline_select_e2e",
     "referrer_classification",
-    "sample_balanced_topk",
-    "select_dsir_weights",
 )
-# ROUND 10 SHOULD GATE: the 14-query r4 remainder listed above, the two
-# anchors, whatever round 10 changes, then oldest-r5 rows per
-# `python -m tools.gate_ledger --debt 40`. Also refresh the committed
-# bench baseline (BENCH_DETAIL.json, still the 227-query 187.2 s run —
-# five r9 attempts hit VM contention) at the first calm window so the
-# r9 registrations (gram_snapshot_merge, exactsubstr_span_log, the two
-# select_pareto_skyline entries) get per-query baseline rows; compare
-# runs with `python -m tools.bench_compare`.
+# ROUND 11 SHOULD GATE: the 16-query r4 remainder listed above, the two
+# anchors, whatever round 11 changes, then oldest rows per
+# `python -m tools.gate_ledger --debt 40`.
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
 # `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
