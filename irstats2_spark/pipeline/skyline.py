@@ -245,6 +245,68 @@ def skyline_probe_stream(
     )
 
 
+def skyband_probe_stream(
+    docs: DataFrame,
+    stored: DataFrame,
+    cols: list[str],
+    k: int,
+    directions: dict[str, str] | None = None,
+) -> DataFrame:
+    """Streaming twin of ``skyband`` — the ingest-time half of the
+    store loop (``skyband_incremental`` is the nightly half): tag each
+    arriving row ``dominated`` (True = at least ``k`` STORED rows beat
+    it on every axis, so it can never be in any future k-skyband — the
+    k dominators persist in the corpus forever — and may be diverted
+    immediately; False = tonight's fold decides). Counting against the
+    store is conservative: the store holds the corpus's k-skyband,
+    which the membership proof on ``_skyband_fold`` shows contains at
+    least k dominators of ANY row with k global dominators, so the tag
+    has no false negatives against the batch semantics either — it
+    equals batch membership exactly when ``stored`` IS the current
+    k-skyband. Same stateless one-static-row cross-join shape and
+    NULL/NaN non-comparability contract as ``skyline_probe_stream``;
+    ``skyband_probe_stream(..., k=1)`` == the skyline probe."""
+    assert k >= 1, k
+    _validate_directions(cols, directions)
+    directions = directions or {}
+    sdims = [
+        (-F.col(c)).cast("double") if directions.get(c) == "max"
+        else F.col(c).cast("double")
+        for c in cols
+    ]
+    farr = stored.select(
+        F.struct(
+            *[d.alias(f"d{i}") for i, d in enumerate(sdims)]
+        ).alias("__p")
+    ).agg(F.collect_list("__p").alias("__front"))
+    p = [d for d in sdims]
+    n_dom = F.size(
+        F.filter(
+            F.col("__front"),
+            lambda q: (
+                _all([q[f"d{i}"] <= p[i] for i in range(len(cols))])
+                & _any([q[f"d{i}"] < p[i] for i in range(len(cols))])
+            ),
+        )
+    )
+    comparable = _all(
+        [
+            F.col(c).isNotNull() & ~F.isnan(F.col(c).cast("double"))
+            for c in cols
+        ]
+    )
+    return (
+        docs.crossJoin(farr)
+        .withColumn(
+            "dominated",
+            F.when(
+                comparable, F.coalesce(n_dom >= k, F.lit(False))
+            ).otherwise(F.lit(False)),
+        )
+        .drop("__front")
+    )
+
+
 def _all(conds):
     out = conds[0]
     for c in conds[1:]:

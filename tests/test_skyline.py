@@ -334,6 +334,69 @@ def test_skyband_local_phase_is_shuffle_free(spark):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan
 
 
+def test_skyband_probe_stream_matches_batch_membership(spark, tmp_path):
+    """The streamed tag must equal batch k-skyband membership when the
+    store IS the current k-skyband (the membership proof gives
+    exactness, not just conservatism): tag True <=> the arriving row is
+    NOT in skyband(store UNION {row}); k=1 degenerates to the skyline
+    probe; null rows pass through untagged."""
+    import json
+
+    from irstats2_spark.pipeline.skyline import skyband_probe_stream
+
+    rng = random.Random(41)
+    corpus = _rows(rng, 80, 2, lo=0, hi=7)
+    dims = ["x0", "x1"]
+    k = 2
+    store_df = skyband(spark.createDataFrame(corpus), dims, k)
+    stored_rows = [r.asDict() for r in store_df.collect()]
+
+    arrivals = _rows(rng, 25, 2, lo=0, hi=7)
+    for i, r in enumerate(arrivals):
+        r["id"] = 1000 + i
+    arrivals.append({"id": 2000, "x0": None, "x1": 3})
+    src = tmp_path / "arrivals"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(json.dumps(r) for r in arrivals) + "\n"
+    )
+    stream = spark.readStream.schema("id long, x0 long, x1 long").json(
+        str(src)
+    )
+    out = skyband_probe_stream(
+        stream, spark.createDataFrame(stored_rows), dims, k
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("skyband_probe_out")
+        .option("checkpointLocation", str(tmp_path / "ck_skb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["id"]: r["dominated"]
+        for r in spark.sql("SELECT * FROM skyband_probe_out").collect()
+    }
+    # reference: an arrival is out of every future skyband iff it has
+    # >= k dominators in the current corpus (== in the stored skyband)
+    def norm(r):
+        return (r["x0"], r["x1"])
+
+    for r in arrivals:
+        if r["x0"] is None:
+            assert got[r["id"]] is False
+            continue
+        p = norm(r)
+        n_dom = sum(
+            1
+            for s in map(norm, stored_rows)
+            if all(qq <= pp for qq, pp in zip(s, p))
+            and any(qq < pp for qq, pp in zip(s, p))
+        )
+        assert got[r["id"]] == (n_dom >= k), (r, n_dom)
+
+
 def test_skyline_incremental_folds_in_any_order(spark):
     rng = random.Random(13)
     rows = _rows(rng, 150, 3, lo=0, hi=8)
