@@ -51,20 +51,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # missing driver artifacts: escalate as a driver bug (r9 verdict #1).
 #
 # Slot budget (50):
-# - 9 never-gated rows head the cut: the r9 cut's removal/snapshot/
+# - 10 never-gated rows head the cut: the r9 cut's removal/snapshot/
 #   skyline rows whose first driver rows were lost to the empty r9
 #   artifact, plus the rows NEW this round (select_pareto_skyline_3axis
-#   — the d>=3 risk surface, r9 verdict #4 — and select_k_skyband, the
-#   family's TODS-2005 k-dominator generalization; new registrations
-#   take a slot immediately). The two select_pareto_skyline* rows also
-#   CHANGED this round (NaN axes now dropped like NULL, r9 ADVICE) —
-#   already here.
+#   — the d>=3 risk surface, r9 verdict #4 — and the k-skyband pair,
+#   the family's TODS-2005 k-dominator generalization with its
+#   incremental==batch e2e row; new registrations take a slot
+#   immediately). The two select_pareto_skyline* rows also CHANGED this
+#   round (NaN axes now dropped like NULL, r9 ADVICE) — already here.
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
 # - the suffix-miner family re-gates (its r9 re-gate was lost with the
 #   artifact; the _dense_index rework has no driver row yet);
 # - ALL 14 r3-stale rows (their r9 slots were lost the same way);
-# - 22 oldest r4-stale rows (ledger order). The 16-query r4 remainder
-#   (sample_balanced_topk, select_dsir_weights,
+# - 21 oldest r4-stale rows (ledger order). The 17-query r4 remainder
+#   (referrer_classification, sample_balanced_topk, select_dsir_weights,
 #   similarity_ivf_probe2_topk, similarity_ivf_topk,
 #   similarity_kmeans_ivf_topk, similarity_recall_audit,
 #   similarity_rp_topk, similarity_scalar_quant_error, t1_month_trunc,
@@ -83,6 +83,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "select_pareto_skyline_incremental",
     "select_pareto_skyline_3axis",
     "select_k_skyband",
+    "select_k_skyband_incremental",
     # -- re-gate: r9's _dense_index rework, driver row lost with r9 --
     "repeated_substrings",
     "repeated_substrings_incremental",
@@ -105,7 +106,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_heavyhitters_approx",
     "text_vocab_topk",
     "view_compare_years",
-    # -- 22 oldest r4-stale rows (ledger order) --
+    # -- 21 oldest r4-stale rows (ledger order) --
     "a10_top_values",
     "a9_minmax_dates",
     "agg_cube_status_priority",
@@ -127,9 +128,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pipeline_curation_neardup",
     "pipeline_curation_summary",
     "pipeline_select_e2e",
-    "referrer_classification",
 )
-# ROUND 11 SHOULD GATE: the 16-query r4 remainder listed above, the two
+# ROUND 11 SHOULD GATE: the 17-query r4 remainder listed above, the two
 # anchors, whatever round 11 changes, then oldest rows per
 # `python -m tools.gate_ledger --debt 40`.
 # Append every NEW registration to this comment AND re-gate any query

@@ -8119,6 +8119,46 @@ def pipeline_select_k_skyband(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "select_k_skyband_incremental",
+    f"""
+    WITH {_SFX_TOKS},
+    skbi_feats AS (
+        SELECT doc_id,
+               CAST(COALESCE(len(t), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(len(list_distinct(t)), 0) AS BIGINT)
+                   AS n_distinct
+        FROM sfx_toks
+    )
+    SELECT f.doc_id, f.n_tokens, f.n_distinct
+    FROM skbi_feats f
+    WHERE (
+        SELECT COUNT(*) FROM skbi_feats g
+        WHERE g.n_tokens <= f.n_tokens AND g.n_distinct >= f.n_distinct
+          AND (g.n_tokens < f.n_tokens OR g.n_distinct > f.n_distinct)
+    ) < 2
+    """,
+    doc="nightly k-skyband store maintenance: skyband(stored UNION new "
+    "batch) — discarded rows had k dominators that persist forever, so "
+    "they can never re-enter, and survivor membership is decided "
+    "exactly within stored-union-batch (proof on _skyband_fold); the "
+    "oracle is deliberately the full-corpus 2-skyband, so this row "
+    "verifies incremental == batch end-to-end (even-doc store folded "
+    "with the odd-doc batch), the skyline-incremental precedent",
+)
+def pipeline_select_k_skyband_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.skyline import skyband, skyband_incremental
+
+    feats = _skyline_doc_feats(spark, sf_dir)
+    dims = ["n_tokens", "n_distinct"]
+    dirs = {"n_distinct": "max"}
+    stored = skyband(feats.filter(F.col("doc_id") % 2 == 0), dims, 2, dirs)
+    batch = feats.filter(F.col("doc_id") % 2 == 1)
+    return skyband_incremental(stored, batch, dims, 2, dirs)
+
+
+@register(
     "exactsubstr_span_log",
     f"""
     WITH {_SFX_TOKS},
