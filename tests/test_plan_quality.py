@@ -1224,3 +1224,42 @@ def test_exactsubstr_incremental_trusts_snapshot_distinct(spark):
         assert n_redistincts(trusted) == 0, trusted
         assert n_redistincts(dedup) > 0, dedup
         assert trusted.count("Exchange") <= dedup.count("Exchange")
+
+
+def test_skyline_3axis_exchanges_never_carry_text(spark):
+    """The 3-axis skyline composition (doc features x duplicated-span
+    coverage x skyline) joins per-doc COUNTERS: every exchange in the
+    lazy end-to-end plan must carry ids/hashes/counters, never document
+    bodies, and no row-at-a-time Python may appear (the folds are Arrow
+    mapInPandas)."""
+    import re
+
+    from irstats2_spark.pipeline.skyline import skyline
+    from irstats2_spark.pipeline.textstats import duplicate_span_coverage, tokens
+    from irstats2_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", SF)
+    t = tokens(F.col("text"))
+    feats = docs.select(
+        "doc_id",
+        F.greatest(F.size(t), F.lit(0)).cast("bigint").alias("n_tokens"),
+        F.greatest(F.size(F.array_distinct(t)), F.lit(0))
+        .cast("bigint")
+        .alias("n_distinct"),
+    )
+    cov = duplicate_span_coverage(
+        docs, span_tokens=8, min_docs=2, materialize=False
+    ).select("doc_id", "covered_tokens")
+    out = skyline(
+        feats.join(cov, "doc_id"),
+        ["n_tokens", "n_distinct", "covered_tokens"],
+        {"n_distinct": "max"},
+        max_merge_rows=None,
+        materialize=False,
+    )
+    plan = plan_of(out)
+    assert "BatchEvalPython" not in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "text#" not in block, block
+    spark.catalog.clearCache()
