@@ -54,7 +54,15 @@ def repeat_filter_stream_tws(
     use ``streaming.ingest.repeat_filter_stream`` (identical semantics,
     applyInPandasWithState, fully e2e-tested) there. The guard + test
     skip both auto-lift the moment the dependency lands, at which point
-    the operator graduates out of this namespace."""
+    the operator graduates out of this namespace.
+
+    SUPERSEDED FOR MOST USES (r10): ``repeat_filter_stream`` now takes
+    ``state_ttl`` — the same TTL-bounded state, enforced via
+    ProcessingTimeTimeout on the stable engine, e2e-tested in THIS
+    container. What remains unique here is the state store's native
+    per-value TTL (no per-key timer bookkeeping) and compatibility with
+    availableNow termination; this path stays the parity benchmark for
+    when protobuf lands, no longer the only route to bounded state."""
     try:
         import google.protobuf  # noqa: F401
     except ImportError as exc:

@@ -149,6 +149,7 @@ def repeat_filter_stream(
     events: DataFrame,
     timeout: int = 3600,
     epoch_col: str = "epoch",
+    state_ttl: int | None = None,
 ) -> DataFrame:
     """EXACT streaming Repeat filter (P9) via applyInPandasWithState.
 
@@ -160,13 +161,31 @@ def repeat_filter_stream(
 
     Exact under per-key in-order arrival (the reference's situation:
     time-sorted log files); events are sorted by epoch within each
-    micro-batch. State is one double per active key and is pruned by the
-    reference's own logic in spirit: a key whose anchor is older than the
-    timeout can never drop anything again, so it is overwritten by the
-    next kept event; for bounded state with event-time cleanup, use
-    ``streaming.experimental.repeat_filter_stream_tws`` (the
-    transformWithState TTL variant — experimental until its e2e can run
-    in this environment; identical fold, shared below).
+    micro-batch. State is one double per active key.
+
+    ``state_ttl`` (seconds of PROCESSING time; None = keep state
+    forever) is the reference's own prune rule (Repeat.pm:39-56: purge
+    anchors older than the timeout) enforced by the engine: a
+    per-key ProcessingTimeTimeout timer, re-armed on every update,
+    removes idle keys' anchors — state stays bounded by keys ACTIVE
+    within the TTL window instead of all keys ever seen, which at log
+    scale (one key per eprint-doc-ip) is the difference between
+    state ∝ traffic and state ∝ history. Semantics-preserving when
+    ``state_ttl`` >= timeout + the stream's max event lag: an anchor
+    idle for that long can never drop another in-order event, so
+    expiring it changes nothing (the same contract the
+    transformWithState TTL variant in ``streaming.experimental``
+    documents; this is that upgrade on the stable, fully-e2e-testable
+    engine — no protobuf dependency).
+
+    DEPLOYMENT: ``state_ttl`` is for the CONTINUOUS-trigger ingest
+    deployment — with ``Trigger.AvailableNow`` a pending
+    processing-time timer prevents the run from self-terminating
+    (measured on this Spark build: the NoTimeout form terminates, the
+    TTL form idles until externally stopped), so nightly availableNow
+    runs keep the default ``state_ttl=None``; they restart from the
+    checkpoint anyway and their state growth is bounded by the night's
+    key traffic.
     """
     import pandas as pd  # noqa: F811
 
@@ -186,19 +205,28 @@ def repeat_filter_stream(
     cols = [f.name for f in keyed.schema.fields if f.name != "__rk"]
 
     def fn(key, pdfs, state):
+        if state_ttl is not None and state.hasTimedOut:
+            # the key went idle past the TTL: its anchor can no longer
+            # drop anything (contract above) — purge and emit nothing
+            state.remove()
+            return
         anchor = state.get[0] if state.exists else None
         for pdf in pdfs:
             kept, anchor = _repeat_fold(pdf, anchor, timeout, epoch_col, cols)
             yield kept
         if anchor is not None:
             state.update((float(anchor),))
+            if state_ttl is not None:
+                state.setTimeoutDuration(int(state_ttl) * 1000)
 
     return keyed.groupBy("__rk").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="anchor double",
         outputMode="append",
-        timeoutConf="NoTimeout",
+        timeoutConf=(
+            "NoTimeout" if state_ttl is None else "ProcessingTimeTimeout"
+        ),
     )
 
 

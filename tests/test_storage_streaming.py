@@ -464,6 +464,72 @@ def test_streaming_repeat_exact_state_across_batches(spark, tmp_path):
     assert got == [base, base + 5400]
 
 
+def test_streaming_repeat_state_ttl_prunes_idle_anchors(spark, tmp_path):
+    """state_ttl enforces Repeat.pm:39-56's prune on the stable engine
+    (ProcessingTimeTimeout): an anchor idle past the TTL is purged — a
+    later event that WOULD have been inside the first anchor's window
+    is kept because the anchor is gone (without TTL the same event is
+    dropped — pinned by test_streaming_repeat_exact_state_across_batches).
+    The purge path emits nothing (no phantom rows). Runs under a
+    continuous trigger: state_ttl's documented deployment (a pending
+    processing-time timer blocks availableNow self-termination)."""
+    import time
+
+    from irstats2_spark.streaming.ingest import (
+        read_access_stream,
+        repeat_filter_stream,
+    )
+
+    def line(ts, ip="10.0.0.1"):
+        return "\t".join(
+            [ts, ip, "Mozilla/5.0 Chrome/1", "", "?fulltext=yes", "1", "100"]
+        )
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    logs = tmp_path / "cur"
+    logs.mkdir()
+
+    stream = repeat_filter_stream(
+        read_access_stream(spark, str(logs), dedup_lines=False),
+        timeout=3600,
+        state_ttl=1,
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("repeat_ttl_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+
+        def rows():
+            return sorted(
+                r.epoch
+                for r in spark.sql("SELECT * FROM repeat_ttl_out").collect()
+            )
+
+        def wait_for(expected, deadline=60):
+            t0 = time.time()
+            while time.time() - t0 < deadline:
+                if rows() == expected:
+                    return
+                time.sleep(0.5)
+            assert rows() == expected
+
+        # anchor at 00:00 for the 10.0.0.1 key
+        (logs / "b1.log").write_text(line("2024-01-01T00:00:00Z") + "\n")
+        wait_for([base])
+        time.sleep(2.5)  # idle past the 1 s TTL; timers fire in the
+        # scheduled micro-batches and purge the anchor, emitting nothing
+        # 00:30 is inside the 00:00 anchor's 3600 s window — kept only
+        # because the anchor was purged
+        (logs / "b2.log").write_text(line("2024-01-01T00:30:00Z") + "\n")
+        wait_for([base, base + 1800])
+    finally:
+        q.stop()
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
