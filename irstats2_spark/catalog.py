@@ -51,20 +51,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # missing driver artifacts: escalate as a driver bug (r9 verdict #1).
 #
 # Slot budget (50):
-# - 10 never-gated rows head the cut: the r9 cut's removal/snapshot/
+# - 12 never-gated rows head the cut: the r9 cut's removal/snapshot/
 #   skyline rows whose first driver rows were lost to the empty r9
 #   artifact, plus the rows NEW this round (select_pareto_skyline_3axis
-#   — the d>=3 risk surface, r9 verdict #4 — and the k-skyband pair,
-#   the family's TODS-2005 k-dominator generalization with its
-#   incremental==batch e2e row; new registrations take a slot
-#   immediately). The two select_pareto_skyline* rows also CHANGED this
-#   round (NaN axes now dropped like NULL, r9 ADVICE) — already here.
+#   — the d>=3 risk surface, r9 verdict #4 — the k-skyband pair, the
+#   family's TODS-2005 k-dominator generalization with its
+#   incremental==batch e2e row, and the per-source score-calibration
+#   pair, window + binned-100TB forms sharing one percent_rank oracle;
+#   new registrations take a slot immediately). The two
+#   select_pareto_skyline* rows also CHANGED this round (NaN axes now
+#   dropped like NULL, r9 ADVICE) — already here.
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
 # - the suffix-miner family re-gates (its r9 re-gate was lost with the
 #   artifact; the _dense_index rework has no driver row yet);
 # - ALL 14 r3-stale rows (their r9 slots were lost the same way);
-# - 21 oldest r4-stale rows (ledger order). The 17-query r4 remainder
-#   (referrer_classification, sample_balanced_topk, select_dsir_weights,
+# - 19 oldest r4-stale rows (ledger order). The 19-query r4 remainder
+#   (pipeline_curation_summary, pipeline_select_e2e,
+#   referrer_classification, sample_balanced_topk, select_dsir_weights,
 #   similarity_ivf_probe2_topk, similarity_ivf_topk,
 #   similarity_kmeans_ivf_topk, similarity_recall_audit,
 #   similarity_rp_topk, similarity_scalar_quant_error, t1_month_trunc,
@@ -84,6 +87,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "select_pareto_skyline_3axis",
     "select_k_skyband",
     "select_k_skyband_incremental",
+    "sample_score_calibration_by_source",
+    "sample_score_calibration_binned",
     # -- re-gate: r9's _dense_index rework, driver row lost with r9 --
     "repeated_substrings",
     "repeated_substrings_incremental",
@@ -106,7 +111,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "text_vocab_heavyhitters_approx",
     "text_vocab_topk",
     "view_compare_years",
-    # -- 21 oldest r4-stale rows (ledger order) --
+    # -- 19 oldest r4-stale rows (ledger order) --
     "a10_top_values",
     "a9_minmax_dates",
     "agg_cube_status_priority",
@@ -126,10 +131,8 @@ GATE_PRIORITY: tuple[str, ...] = (
     "p5_datafilter_eq",
     "pairs_contrastive_mining",
     "pipeline_curation_neardup",
-    "pipeline_curation_summary",
-    "pipeline_select_e2e",
 )
-# ROUND 11 SHOULD GATE: the 17-query r4 remainder listed above, the two
+# ROUND 11 SHOULD GATE: the 19-query r4 remainder listed above, the two
 # anchors, whatever round 11 changes, then oldest rows per
 # `python -m tools.gate_ledger --debt 40`. Bench baseline note: the
 # committed BENCH_DETAIL.json is the r10 best-of-3 idle run (205.4 s,

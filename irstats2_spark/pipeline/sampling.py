@@ -263,6 +263,83 @@ def balanced_topk_sample(
     )
 
 
+def calibrate_scores_by_source(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Within-source exact percentile of ``score_col`` (ascending):
+    adds ``score_pctl`` = percent_rank within the row's source — the
+    cross-source comparability step a mixed-corpus quality cut needs
+    (a classifier scores Wikipedia and web crawl on different scales;
+    cutting the RAW score keeps almost none of one source and almost
+    all of the other, while cutting the per-source percentile keeps the
+    top (1-p) of EVERY source — the CCNet/FineWeb per-bucket idiom).
+
+    percent_rank = (min-rank - 1) / (n_source - 1), 0.0 for a
+    single-row source; ties share the min rank, so the value is
+    deterministic under any partitioning and engine-portable (one
+    double division of exact ints — bit-identical in the DuckDB
+    oracle).
+
+    Plan: ONE exchange on the source with a partition-local sort (the
+    ranked-window shape). A hot source sorts on one task; for
+    low-cardinality integer scores use
+    ``calibrate_scores_by_source_binned`` — same values, no corpus
+    sort."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(source_col).orderBy(F.col(score_col).asc())
+    return df.withColumn("score_pctl", F.percent_rank().over(w))
+
+
+def calibrate_scores_by_source_binned(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """``calibrate_scores_by_source`` for LOW-CARDINALITY scores
+    (classifier margins, star ratings, length buckets) — the 100 TB
+    form: one tiny (source, score) histogram aggregate (map-side
+    combining), a cumulative count over the HISTOGRAM rows (window over
+    ~|sources|x|distinct scores| rows, never the corpus), then a
+    broadcast join assigns every row its percentile map-side. The
+    corpus itself is never sorted and never re-shuffled.
+
+    Values are bit-identical to the window form: ties share the min
+    rank, so percent_rank = (#rows with strictly smaller score) /
+    (n_source - 1) — exactly the histogram's exclusive cumulative
+    count over the same integer division."""
+    from pyspark.sql import Window
+
+    hist = (
+        df.groupBy(source_col, score_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.col(score_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wsrc = Window.partitionBy(source_col)
+    pctl = (
+        hist.withColumn(
+            "__below", F.coalesce(F.sum("__n").over(w), F.lit(0))
+        )
+        .withColumn("__total", F.sum("__n").over(wsrc))
+        .withColumn(
+            "score_pctl",
+            F.when(
+                F.col("__total") > 1,
+                F.col("__below").cast("double")
+                / (F.col("__total") - 1).cast("double"),
+            ).otherwise(F.lit(0.0)),
+        )
+        .select(source_col, score_col, "score_pctl")
+    )
+    return df.join(F.broadcast(pctl), [source_col, score_col])
+
+
 def top_fraction(
     df: DataFrame,
     order_col: str,

@@ -3244,6 +3244,64 @@ def text_classifier_top_fraction_binned(
     return top_fraction_binned(margins, "vote_margin", 0.3, "doc_id")
 
 
+_SCORE_CALIBRATION_ORACLE = """
+    SELECT doc_id, source, n_chars,
+           percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars ASC
+           ) AS score_pctl
+    FROM documents
+    """
+
+
+@register(
+    "sample_score_calibration_by_source",
+    _SCORE_CALIBRATION_ORACLE,
+    doc="cross-source score calibration (CCNet/FineWeb per-bucket "
+    "idiom): within-source exact percentile of a quality score (here "
+    "n_chars) so a single GLOBAL percentile cut keeps the top (1-p) of "
+    "EVERY source — cutting the raw score instead keeps almost none of "
+    "one source and almost all of another when their scales differ; "
+    "ties share the min rank, so the value is partitioning- and "
+    "engine-invariant (oracle: SQL percent_rank)",
+)
+def sample_score_calibration_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import calibrate_scores_by_source
+
+    return calibrate_scores_by_source(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "source", "n_chars"
+        ),
+        "n_chars",
+    )
+
+
+@register(
+    "sample_score_calibration_binned",
+    _SCORE_CALIBRATION_ORACLE,
+    doc="the 100-TB form of per-source score calibration: one tiny "
+    "(source, score) histogram aggregate, a cumulative count over the "
+    "HISTOGRAM rows (never the corpus), and a broadcast join assigns "
+    "percentiles map-side — bit-identical to the window form (min-rank "
+    "ties == exclusive cumulative count), verified by sharing its "
+    "full percent_rank oracle",
+)
+def sample_score_calibration_binned(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import (
+        calibrate_scores_by_source_binned,
+    )
+
+    return calibrate_scores_by_source_binned(
+        load_table(spark, "documents", sf_dir).select(
+            "doc_id", "source", "n_chars"
+        ),
+        "n_chars",
+    ).select("doc_id", "source", "n_chars", "score_pctl")
+
+
 @register(
     "text_ngram_novelty",
     f"""

@@ -1315,6 +1315,42 @@ def test_top_fraction_binned_matches_global_rank_size_and_upper_set(spark):
     assert all(r.score >= boundary for r in b.select("score").collect())
 
 
+def test_score_calibration_window_and_binned_agree(spark):
+    """The binned per-source percentile must be BIT-identical to the
+    percent_rank window form on adversarial shapes: heavy ties, a
+    single-row source (pctl 0.0), a two-row source, and a constant
+    source (all ties -> all 0.0); hand-checked values pin the min-rank
+    tie convention."""
+    from irstats2_spark.pipeline.sampling import (
+        calibrate_scores_by_source,
+        calibrate_scores_by_source_binned,
+    )
+
+    rows = (
+        [(i, "web", (i * 3) % 7) for i in range(200)]
+        + [(1000, "single", 42)]
+        + [(1100, "pair", 1), (1101, "pair", 2)]
+        + [(1200 + i, "const", 5) for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    win = {
+        r.doc_id: r.score_pctl
+        for r in calibrate_scores_by_source(df, "score").collect()
+    }
+    binned = {
+        r.doc_id: r.score_pctl
+        for r in calibrate_scores_by_source_binned(df, "score").collect()
+    }
+    assert win == binned  # exact equality, no rounding
+    assert win[1000] == 0.0  # single-row source
+    assert win[1100] == 0.0 and win[1101] == 1.0  # two-row source
+    assert all(win[1200 + i] == 0.0 for i in range(10))  # all-ties source
+    # min-rank ties: every web row scoring 0 sits at pctl 0; the global
+    # cut 'pctl >= 0.5' keeps the same per-source upper half everywhere
+    zero_web = [win[i] for i in range(200) if (i * 3) % 7 == 0]
+    assert set(zero_web) == {0.0}
+
+
 def test_ngram_novelty_hand_computed(spark):
     """Novelty on a hand-computable fixture: all-unique shingles -> 1.0,
     an exact twin -> 0.0 for both copies, partial overlap in between,

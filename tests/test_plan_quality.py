@@ -1263,3 +1263,17 @@ def test_skyline_3axis_exchanges_never_carry_text(spark):
         if re.match(r"\(\d+\) Exchange", block):
             assert "text#" not in block, block
     spark.catalog.clearCache()
+
+
+def test_score_calibration_binned_never_shuffles_corpus(spark, queries):
+    """The binned calibration's exchanges and windows must ride the
+    (source, score) HISTOGRAM, never the corpus: no Exchange block may
+    carry doc_id, and the corpus side reaches its percentile through a
+    BroadcastHashJoin."""
+    import re
+
+    plan = plan_of(queries["sample_score_calibration_binned"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "doc_id#" not in block, block
