@@ -136,11 +136,15 @@ GATE_PRIORITY: tuple[str, ...] = (
 # anchors, whatever round 11 changes, then oldest rows per
 # `python -m tools.gate_ledger --debt 40`. Bench baseline note: the
 # committed BENCH_DETAIL.json is the r10 best-of-3 idle run (205.4 s,
-# 232 queries); select_k_skyband_incremental registered after that run
-# and is the one run-only row (1.68/1.75 s in the two later
-# builder-idle BENCH_HISTORY lines, which hit slower VM windows —
-# 243/251 s totals, calib 0.15-0.20 vs 0.125) — fold it into the
-# baseline at round 11's first calm window.
+# 232 queries); three rows registered after that run and are run-only
+# (with their builder-idle BENCH_HISTORY measurements):
+# select_k_skyband_incremental 1.68/1.75/1.88 s,
+# sample_score_calibration_by_source 0.21 s,
+# sample_score_calibration_binned 0.41 s. Three later refresh attempts
+# all hit slower VM windows (244/252/264 s totals on the common set vs
+# the kept run's 205 s — even at good calib, so the contention is not
+# CPU-shaped) — fold the three rows into the baseline at round 11's
+# first genuinely calm window.
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
 # `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
