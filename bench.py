@@ -68,6 +68,21 @@ def main() -> None:
         e = time.perf_counter() - t0
         calib = e if calib is None else min(calib, e)
     calib = round(calib, 4)
+    # Second probe, I/O-and-memory-bandwidth-shaped (r10: three refresh
+    # attempts ran 1.2-1.3x slower on the common query set while
+    # calib_sec was NORMAL, so whatever contended was invisible to a
+    # cache-resident CPU loop): scan+decode a real parquet table and
+    # hash-aggregate it, best-of-3. Slow calib_io with normal calib =>
+    # storage/memory-bandwidth pressure, not CPU.
+    calib_io = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).groupBy(
+            "l_returnflag"
+        ).agg({"l_extendedprice": "sum"}).collect()
+        e = time.perf_counter() - t0
+        calib_io = e if calib_io is None else min(calib_io, e)
+    calib_io = round(calib_io, 4)
     try:
         loadavg = [round(x, 2) for x in os.getloadavg()]
     except OSError:
@@ -126,6 +141,7 @@ def main() -> None:
         "sf": sf,
         "unit": "sec",
         "calib_sec": calib,
+        "calib_io_sec": calib_io,
         "loadavg": loadavg,
         "n_queries": len(per_query),
         "failed": failed,
@@ -195,6 +211,7 @@ def main() -> None:
                 "n_queries": len(per_query),
                 "n_failed": len(failed),
                 "calib_sec": calib,
+                "calib_io_sec": calib_io,
                 "loadavg": loadavg,
             }
         )
