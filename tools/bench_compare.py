@@ -60,11 +60,13 @@ def _load_run(path: str | None) -> dict:
         }
         parsed = payload.get("parsed") or {}
         # summary fields share the tail's "key": float shape — not queries
-        for k in ("value", "sf", "calib_sec", "total", "total_first_pass"):
+        for k in ("value", "sf", "calib_sec", "calib_io_sec", "total",
+                  "total_first_pass"):
             q.pop(k, None)
         return {
             "queries": q,
             "calib_sec": parsed.get("calib_sec"),
+            "calib_io_sec": parsed.get("calib_io_sec"),
             "producer": f"driver r{payload.get('n')}",
         }
     return payload
@@ -82,6 +84,10 @@ def main() -> None:
 
     run = _load_run(args.run)
     base = _load_run(args.baseline)
+    rsf, bsf = run.get("sf"), base.get("sf")
+    if rsf is not None and bsf is not None and rsf != bsf:
+        print(f"WARNING: scale factors differ (run sf={rsf}, baseline "
+              f"sf={bsf}) — ratios below compare different workloads")
     rq, bq = _queries_of(run), _queries_of(base)
     common = sorted(set(rq) & set(bq))
     only_run = sorted(set(rq) - set(bq))
@@ -103,6 +109,10 @@ def main() -> None:
     if rc and bc:
         print(f"calib_sec ratio: {rc / bc:.2f}  (per-query ratios near "
               "this value = VM contention, not code)")
+    ri, bi = run.get("calib_io_sec"), base.get("calib_io_sec")
+    if ri and bi:
+        print(f"calib_io_sec ratio: {ri / bi:.2f}  (high with a normal "
+              "calib_sec = storage/memory-bandwidth pressure, not CPU)")
     producer = run.get("producer")
     if producer:
         print(f"run producer: {producer}")
