@@ -135,16 +135,13 @@ GATE_PRIORITY: tuple[str, ...] = (
 # ROUND 11 SHOULD GATE: the 19-query r4 remainder listed above, the two
 # anchors, whatever round 11 changes, then oldest rows per
 # `python -m tools.gate_ledger --debt 40`. Bench baseline note: the
-# committed BENCH_DETAIL.json is the r10 best-of-3 idle run (205.4 s,
-# 232 queries); three rows registered after that run and are run-only
-# (with their builder-idle BENCH_HISTORY measurements):
-# select_k_skyband_incremental 1.68/1.75/1.88 s,
-# sample_score_calibration_by_source 0.21 s,
-# sample_score_calibration_binned 0.41 s. Three later refresh attempts
-# all hit slower VM windows (244/252/264 s totals on the common set vs
-# the kept run's 205 s — even at good calib, so the contention is not
-# CPU-shaped) — fold the three rows into the baseline at round 11's
-# first genuinely calm window.
+# committed BENCH_DETAIL.json is the r10 closing idle run — 199.9 s
+# over ALL 235 catalog queries, 0 failed, 0 run-only, faster than any
+# earlier r10 attempt (205.4/218.7/224.4 s complete runs; three
+# rejected slow-window attempts at 244-264 s), with both calibration
+# probes recorded (calib_sec 0.144 CPU, calib_io_sec 0.315 parquet
+# scan+agg — the new second probe that catches the non-CPU-shaped
+# slowdowns r10 observed).
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
 # `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
