@@ -21,13 +21,17 @@ def test_driver_artifact_tail_extraction(tmp_path):
         # front-truncated: first pair is partial and must be dropped
         "tail": '123, "q_beta": 0.5, "q_gamma": 12.25, '
         '"failed": [], "unit": "sec", "sf": 0.1, "value": 13.75}',
-        "parsed": {"metric": "headline_queries_total", "value": 13.75},
+        "parsed": {"metric": "headline_queries_total", "value": 13.75,
+                   "sf": 0.1},
     }
     p = tmp_path / "BENCH_r99.json"
     p.write_text(json.dumps(artifact))
     run = bench_compare._load_run(str(p))
     assert run["queries"] == {"q_beta": 0.5, "q_gamma": 12.25}
     assert run["producer"] == "driver r8"
+    # r10 ADVICE: the driver branch must propagate sf so the cross-sf
+    # warning can fire for exactly the artifacts most likely to differ
+    assert run["sf"] == 0.1
 
 
 def test_builder_artifact_passthrough(tmp_path):

@@ -65,6 +65,7 @@ def _load_run(path: str | None) -> dict:
             q.pop(k, None)
         return {
             "queries": q,
+            "sf": parsed.get("sf"),
             "calib_sec": parsed.get("calib_sec"),
             "calib_io_sec": parsed.get("calib_io_sec"),
             "producer": f"driver r{payload.get('n')}",
