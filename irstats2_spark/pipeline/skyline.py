@@ -352,13 +352,16 @@ def _skyband_fold(cols: list[str], k: int):
         sums = dims.sum(axis=1)
         n = dims.shape[0]
         keep_idx: list[int] = []
-        # a dominator's dim-sum is strictly smaller (equal-sum dominance
-        # would need an equal point, and equal points don't dominate),
-        # so row i's dominators live in the strict-sum prefix; count
-        # them in blocks, stopping early once the cap k is reached
+        # a dominator's dim-sum is <= row i's (strictly smaller in exact
+        # arithmetic, but float64 rounding across axes can land the two
+        # sums EQUAL even when every axis is within the 2**53 bound), so
+        # scan the inclusive prefix (side='right'): equal-sum
+        # non-dominators — including row i itself and its duplicates —
+        # are harmless, the (blk < p).any test rejects them; count in
+        # blocks, stopping early once the cap k is reached
         for i in range(n):
             p = dims[i]
-            limit = int(np.searchsorted(sums, sums[i], side="left"))
+            limit = int(np.searchsorted(sums, sums[i], side="right"))
             cnt = 0
             for s in range(0, limit, 4096):
                 blk = dims[s : min(s + 4096, limit)]

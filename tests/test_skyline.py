@@ -291,6 +291,35 @@ def test_skyband_monotone_in_k_and_guard(spark):
     assert skyband(anti, ["x0", "x1"], 2, max_merge_rows=None).count() == 300
 
 
+def test_skyband_counts_dominator_whose_float_sum_rounds_equal(spark):
+    """r10 ADVICE: several ~2**52 axes can sum (in float64) to the SAME
+    rounded value for a dominator and its dominated row, even though
+    every axis is within the 2**53 exact-integer bound. The fold's
+    strict-sum-prefix scan (searchsorted side='left') excluded such a
+    dominator, letting the dominated row survive; side='right' includes
+    the equal-sum block, and the (blk < p).any test still rejects the
+    row itself and its duplicates. Pin the exact case: d=(2**52,
+    2**52, 1) dominates p=(2**52+1, 2**52, 1); both rows' float64
+    dim-sums round to 2**53 (ties-to-even)."""
+    import numpy as np
+
+    d = (2**52, 2**52, 1)
+    p = (2**52 + 1, 2**52, 1)
+    assert np.float64(d[0]) + np.float64(d[1]) + np.float64(d[2]) == np.float64(
+        p[0]
+    ) + np.float64(p[1]) + np.float64(p[2])  # the rounding collision
+    rows = [
+        {"id": 0, "x0": d[0], "x1": d[1], "x2": d[2]},
+        {"id": 1, "x0": p[0], "x1": p[1], "x2": p[2]},
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+    kept = {r["id"] for r in skyband(df, ["x0", "x1", "x2"], 1).collect()}
+    assert kept == {0}  # p is dominated and must NOT survive
+    # both survive the 2-skyband (p has exactly one dominator)
+    kept2 = {r["id"] for r in skyband(df, ["x0", "x1", "x2"], 2).collect()}
+    assert kept2 == {0, 1}
+
+
 def test_skyband_incremental_folds_in_any_order(spark):
     rng = random.Random(77)
     rows = _rows(rng, 140, 2, lo=0, hi=9)
