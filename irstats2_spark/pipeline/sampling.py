@@ -309,13 +309,73 @@ def calibrate_scores_by_source_binned(
     Values are bit-identical to the window form: ties share the min
     rank, so percent_rank = (#rows with strictly smaller score) /
     (n_source - 1) — exactly the histogram's exclusive cumulative
-    count over the same integer division."""
+    count over the same integer division. NULL scores (and NULL
+    sources) are kept and calibrated, not dropped: Spark's ascending
+    window is NULLS FIRST, so the window form assigns NULL scores the
+    lowest percentile, the histogram groupBy keeps a NULL bin in the
+    same position, and the assignment join is NULL-SAFE on both keys
+    (a plain equi-join would silently drop every NULL-score row —
+    NULL != NULL — shrinking the corpus relative to the window form).
+
+    Composition of ``score_histogram`` + ``calibrate_scores_apply``;
+    for incremental corpora fold new batches into a stored histogram
+    with ``calibrate_scores_merge`` and apply that instead — same
+    values, no rescan of old batches."""
+    return calibrate_scores_apply(
+        df, score_histogram(df, score_col, source_col), score_col, source_col
+    )
+
+
+def score_histogram(
+    df: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """The (source, score) -> count histogram: the MERGEABLE sufficient
+    statistic for per-source percentile calibration (counts add, so
+    ``score_histogram(A union B)`` == ``calibrate_scores_merge(
+    score_histogram(A), score_histogram(B))`` — the zonemap/
+    gram-snapshot merge-law idiom). Histogram-sized (~|sources| x
+    |distinct scores| rows), never corpus-sized; NULL bins are kept
+    (groupBy groups NULLs)."""
+    return df.groupBy(source_col, score_col).agg(
+        F.count(F.lit(1)).alias("hist_n")
+    )
+
+
+def calibrate_scores_merge(hist_a: DataFrame, hist_b: DataFrame) -> DataFrame:
+    """Fold one ``score_histogram`` into another: union + re-sum. The
+    incremental tier of per-source calibration — a stored corpus
+    histogram absorbs each new batch's histogram without rescanning old
+    batches; ``calibrate_scores_apply`` over the merged histogram is
+    bit-identical to recomputing the binned (or window) form over the
+    concatenated corpus, because only the COUNTS enter the percentile
+    arithmetic. Associative and commutative (integer sums), so batches
+    fold in any order. Both inputs must share the histogram schema
+    (key columns + ``hist_n``)."""
+    keys = [c for c in hist_a.columns if c != "hist_n"]
+    return (
+        hist_a.unionByName(hist_b)
+        .groupBy(*keys)
+        .agg(F.sum("hist_n").cast("long").alias("hist_n"))
+    )
+
+
+def calibrate_scores_apply(
+    df: DataFrame,
+    hist: DataFrame,
+    score_col: str,
+    source_col: str = "source",
+) -> DataFrame:
+    """Assign ``score_pctl`` to every row of ``df`` from a (possibly
+    merged) ``score_histogram``: exclusive cumulative count over the
+    HISTOGRAM rows (window over histogram-sized input, never the
+    corpus), then a NULL-SAFE broadcast join — the corpus is never
+    sorted or re-shuffled. ``hist`` must cover every (source, score)
+    pair present in ``df`` (true by construction when built/merged from
+    the same batches)."""
     from pyspark.sql import Window
 
-    hist = (
-        df.groupBy(source_col, score_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-    )
     w = (
         Window.partitionBy(source_col)
         .orderBy(F.col(score_col).asc())
@@ -324,9 +384,9 @@ def calibrate_scores_by_source_binned(
     wsrc = Window.partitionBy(source_col)
     pctl = (
         hist.withColumn(
-            "__below", F.coalesce(F.sum("__n").over(w), F.lit(0))
+            "__below", F.coalesce(F.sum("hist_n").over(w), F.lit(0))
         )
-        .withColumn("__total", F.sum("__n").over(wsrc))
+        .withColumn("__total", F.sum("hist_n").over(wsrc))
         .withColumn(
             "score_pctl",
             F.when(
@@ -335,9 +395,20 @@ def calibrate_scores_by_source_binned(
                 / (F.col("__total") - 1).cast("double"),
             ).otherwise(F.lit(0.0)),
         )
-        .select(source_col, score_col, "score_pctl")
+        .select(
+            F.col(source_col).alias("__src"),
+            F.col(score_col).alias("__scr"),
+            "score_pctl",
+        )
     )
-    return df.join(F.broadcast(pctl), [source_col, score_col])
+    return (
+        df.join(
+            F.broadcast(pctl),
+            F.col(source_col).eqNullSafe(F.col("__src"))
+            & F.col(score_col).eqNullSafe(F.col("__scr")),
+        )
+        .drop("__src", "__scr")
+    )
 
 
 def top_fraction(

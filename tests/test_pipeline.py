@@ -245,6 +245,77 @@ def test_frame_sample(spark, docs):
     assert n_expected[1] == 5  # 43 bytes -> ceil-ish chunks of 10
 
 
+def test_image_header_parse_pure():
+    """_parse_image_header against hand-built byte fixtures: real PNG
+    IHDR / JPEG SOF (behind skippable APP segments and standalone
+    markers) / GIF87a+89a headers, truncated variants, and garbage."""
+    from irstats2_spark.pipeline.multimodal import _parse_image_header
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + (13).to_bytes(4, "big") + b"IHDR"
+        + (640).to_bytes(4, "big") + (360).to_bytes(4, "big")
+        + bytes([8, 6, 0, 0, 0]) + b"\xde\xad\xbe\xef"
+    )
+    assert _parse_image_header(png) == ("png", 640, 360, 4)
+    # recognized container, truncated header -> dims None
+    assert _parse_image_header(png[:14]) == ("png", None, None, None)
+
+    app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + b"JFIF\x00" + bytes(9)
+    sof2 = (
+        b"\xff\xc2" + (17).to_bytes(2, "big") + bytes([8])
+        + (480).to_bytes(2, "big") + (852).to_bytes(2, "big")
+        + bytes([3]) + bytes(9)
+    )
+    # standalone TEM marker (no length field) between segments
+    jpeg = b"\xff\xd8" + app0 + b"\xff\x01" + sof2
+    assert _parse_image_header(jpeg) == ("jpeg", 852, 480, 3)
+    assert _parse_image_header(b"\xff\xd8\xff\xe0\x00\x10JF") == (
+        "jpeg", None, None, None,
+    )
+
+    gif = b"GIF87a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little")
+    assert _parse_image_header(gif + b"\xf7\x00\x00") == ("gif", 320, 200, 3)
+    assert _parse_image_header(b"GIF89a\x01") == ("gif", None, None, None)
+
+    assert _parse_image_header(b"") == ("unknown", None, None, None)
+    assert _parse_image_header(b"plain text") == ("unknown", None, None, None)
+
+
+def test_parse_image_dims_roundtrip(spark):
+    """parse(synthesize(doc)) recovers the doc_id-derived properties for
+    every format branch, with NULL dims on the bare branch — the local
+    twin of the multimodal_dims computed-property oracle."""
+    from irstats2_spark.pipeline.multimodal import (
+        media_with_real_headers,
+        parse_image_dims,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i} " * (i % 5 + 1)) for i in range(24)],
+        "doc_id long, text string",
+    )
+    out = {r.media_id: r for r in
+           parse_image_dims(media_with_real_headers(docs)).collect()}
+    assert len(out) == 24
+    for i in range(24):
+        r = out[i]
+        if i % 4 == 3:
+            assert (r.format, r.width, r.height, r.channels) == (
+                "unknown", None, None, None,
+            )
+            continue
+        assert r.format == {0: "png", 1: "jpeg", 2: "gif"}[i % 4]
+        assert r.width == i % 640 + 1
+        assert r.height == (i * 3) % 480 + 1
+        if i % 4 == 0:
+            assert r.channels == {0: 1, 1: 3, 2: 2, 3: 4}[(i // 4) % 4]
+        elif i % 4 == 1:
+            assert r.channels == (1 if (i // 4) % 2 == 0 else 3)
+        else:
+            assert r.channels == 3
+
+
 def test_multimodal_resize_stub(spark):
     from irstats2_spark.pipeline.multimodal import (
         media_from_documents,
@@ -1331,6 +1402,11 @@ def test_score_calibration_window_and_binned_agree(spark):
         + [(1000, "single", 42)]
         + [(1100, "pair", 1), (1101, "pair", 2)]
         + [(1200 + i, "const", 5) for i in range(10)]
+        # NULL scores (and a NULL source): the window form keeps them
+        # (asc = NULLS FIRST -> lowest pctl); the binned form must too
+        # (r10 ADVICE: a plain equi-join silently dropped them)
+        + [(1300, "web", None), (1301, "web", None)]
+        + [(1400, None, 1), (1401, None, 2), (1402, None, None)]
     )
     df = spark.createDataFrame(rows, "doc_id long, source string, score long")
     win = {
@@ -1341,14 +1417,69 @@ def test_score_calibration_window_and_binned_agree(spark):
         r.doc_id: r.score_pctl
         for r in calibrate_scores_by_source_binned(df, "score").collect()
     }
+    assert set(win) == set(binned) == {r[0] for r in rows}  # nothing dropped
     assert win == binned  # exact equality, no rounding
     assert win[1000] == 0.0  # single-row source
     assert win[1100] == 0.0 and win[1101] == 1.0  # two-row source
     assert all(win[1200 + i] == 0.0 for i in range(10))  # all-ties source
-    # min-rank ties: every web row scoring 0 sits at pctl 0; the global
-    # cut 'pctl >= 0.5' keeps the same per-source upper half everywhere
+    assert win[1300] == win[1301] == 0.0  # NULL scores sort first
+    assert win[1402] == 0.0 and win[1401] == 1.0  # NULL source is a group
+    # min-rank ties: every web row scoring 0 shares ONE percentile — the
+    # two NULL-score rows occupy web's lowest ranks, so score 0's min
+    # rank is 3 of 202 -> pctl (3-1)/(202-1)
     zero_web = [win[i] for i in range(200) if (i * 3) % 7 == 0]
-    assert set(zero_web) == {0.0}
+    assert set(zero_web) == {2.0 / 201.0}
+
+
+def test_score_calibration_merge_law_and_incremental_equals_batch(spark):
+    """The histogram is a mergeable sufficient statistic: hist(A) ⊕
+    hist(B) == hist(A ∪ B) exactly (counts add), folds are order-
+    insensitive, and applying a merged histogram is bit-identical to
+    the batch binned form — including NULL score bins."""
+    from irstats2_spark.pipeline.sampling import (
+        calibrate_scores_apply,
+        calibrate_scores_by_source_binned,
+        calibrate_scores_merge,
+        score_histogram,
+    )
+
+    rows = [
+        (i, ["web", "wiki", None][i % 3], [0, 1, 2, None][i % 4])
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score long")
+    a = df.filter(F.col("doc_id") % 3 == 0)
+    b = df.filter((F.col("doc_id") % 3 == 1))
+    c = df.filter((F.col("doc_id") % 3 == 2))
+
+    def hkey(r):
+        return (r.source, r.score)
+
+    full = {hkey(r): r.hist_n for r in score_histogram(df, "score").collect()}
+    merged_ab_c = calibrate_scores_merge(
+        calibrate_scores_merge(
+            score_histogram(a, "score"), score_histogram(b, "score")
+        ),
+        score_histogram(c, "score"),
+    )
+    merged_c_ba = calibrate_scores_merge(
+        score_histogram(c, "score"),
+        calibrate_scores_merge(
+            score_histogram(b, "score"), score_histogram(a, "score")
+        ),
+    )
+    assert {hkey(r): r.hist_n for r in merged_ab_c.collect()} == full
+    assert {hkey(r): r.hist_n for r in merged_c_ba.collect()} == full
+
+    batch = {
+        r.doc_id: r.score_pctl
+        for r in calibrate_scores_by_source_binned(df, "score").collect()
+    }
+    inc = {
+        r.doc_id: r.score_pctl
+        for r in calibrate_scores_apply(df, merged_ab_c, "score").collect()
+    }
+    assert inc == batch  # exact equality, no rounding
 
 
 def test_ngram_novelty_hand_computed(spark):
