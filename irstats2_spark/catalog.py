@@ -38,103 +38,106 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-10 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
+# Round-11 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
 # `--check 6` fails when a query's newest driver row would fall more
 # than 6 rounds stale without a slot in this cut —
 # tests/test_gate_ledger.py runs it).
 #
-# CONTEXT: CORRECTNESS_r09.json landed EMPTY ({}) even though the same
-# driver's BENCH_r09 ran all 230 queries green minutes later and the r9
-# judge's independent re-run of the identical compare passed 50/50 — so
-# the ENTIRE r9 cut never got driver rows and re-gates here. If r10's
-# file is empty again with a green local mirror, that is two rounds of
-# missing driver artifacts: escalate as a driver bug (r9 verdict #1).
-#
 # Slot budget (50):
-# - 12 never-gated rows head the cut: the r9 cut's removal/snapshot/
-#   skyline rows whose first driver rows were lost to the empty r9
-#   artifact, plus the rows NEW this round (select_pareto_skyline_3axis
-#   — the d>=3 risk surface, r9 verdict #4 — the k-skyband pair, the
-#   family's TODS-2005 k-dominator generalization with its
-#   incremental==batch e2e row, and the per-source score-calibration
-#   pair, window + binned-100TB forms sharing one percent_rank oracle;
-#   new registrations take a slot immediately). The two
-#   select_pareto_skyline* rows also CHANGED this round (NaN axes now
-#   dropped like NULL, r9 ADVICE) — already here.
+# - the complete 19-query r4 remainder (pre-enumerated in the round-10
+#   comment and in the r10 verdict/advice) — these would exceed the
+#   6-round window in round 11 without a slot, so they head the cut;
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
-# - the suffix-miner family re-gates (its r9 re-gate was lost with the
-#   artifact; the _dense_index rework has no driver row yet);
-# - ALL 14 r3-stale rows (their r9 slots were lost the same way);
-# - 19 oldest r4-stale rows (ledger order). The 19-query r4 remainder
-#   (pipeline_curation_summary, pipeline_select_e2e,
-#   referrer_classification, sample_balanced_topk, select_dsir_weights,
-#   similarity_ivf_probe2_topk, similarity_ivf_topk,
-#   similarity_kmeans_ivf_topk, similarity_recall_audit,
-#   similarity_rp_topk, similarity_scalar_quant_error, t1_month_trunc,
-#   t5_period_compare, text_chunk_windows,
-#   text_classifier_top_fraction_binned, text_classifier_votes,
-#   text_decontamination, text_lm_nll_score, text_ngram_novelty) is
-#   round 11's rotation debt, within the --check 6 window.
+# - new registrations this round gate immediately: multimodal_dims
+#   (real PNG/JPEG/GIF header decode, r10 verdict #3) and
+#   sample_score_calibration_merge (the mergeable-histogram
+#   incremental calibration tier, r10 verdict #6);
+# - 4 rows CHANGED this round: the score-calibration pair (the binned
+#   form's NULL-score join drop — r10 ADVICE medium — means both forms
+#   change together to keep the bit-identity contract) and the
+#   k-skyband pair (the `_skyband_fold` searchsorted side fix — r10
+#   ADVICE low);
+# - the remaining 23 slots go to the stalest r5 rows in ledger order
+#   (`python -m tools.gate_ledger --debt 40`). The r5 remainder
+#   (text_cdc_chunks .. text_winnow_fingerprints) is round 12's
+#   rotation debt, within the --check 6 window.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- never-gated registrations (gate these FIRST) --
-    "exact_substring_remove",
-    "exact_substring_remove_incremental",
-    "exactsubstr_removal_audit",
-    "gram_snapshot_merge",
-    "exactsubstr_span_log",
-    "select_pareto_skyline",
-    "select_pareto_skyline_incremental",
-    "select_pareto_skyline_3axis",
-    "select_k_skyband",
-    "select_k_skyband_incremental",
-    "sample_score_calibration_by_source",
-    "sample_score_calibration_binned",
-    # -- re-gate: r9's _dense_index rework, driver row lost with r9 --
-    "repeated_substrings",
-    "repeated_substrings_incremental",
-    "exact_substring_coverage",
+    # -- the 19-query r4 remainder (mandatory this round) --
+    "pipeline_curation_summary",
+    "pipeline_select_e2e",
+    "referrer_classification",
+    "sample_balanced_topk",
+    "select_dsir_weights",
+    "similarity_ivf_probe2_topk",
+    "similarity_ivf_topk",
+    "similarity_kmeans_ivf_topk",
+    "similarity_recall_audit",
+    "similarity_rp_topk",
+    "similarity_scalar_quant_error",
+    "t1_month_trunc",
+    "t5_period_compare",
+    "text_chunk_windows",
+    "text_classifier_top_fraction_binned",
+    "text_classifier_votes",
+    "text_decontamination",
+    "text_lm_nll_score",
+    "text_ngram_novelty",
     # -- continuously-verified core anchors --
     "a1_grouped_sum",
     "repeat_filter_exact",
-    # -- the 14 r3-stale rows (complete; nothing r3 remains after this) --
-    "search_term_extraction",
-    "similarity_bruteforce_topk",
-    "similarity_hyperplane_sig",
-    "similarity_hyperplane_topk",
-    "similarity_ivf_assign",
-    "similarity_kmeans_fit",
-    "text_chunk_dedup",
-    "text_length_quantiles",
-    "text_length_quantiles_approx",
-    "text_pii_scrub",
-    "text_tfidf_top_term",
-    "text_vocab_heavyhitters_approx",
-    "text_vocab_topk",
-    "view_compare_years",
-    # -- 19 oldest r4-stale rows (ledger order) --
-    "a10_top_values",
-    "a9_minmax_dates",
-    "agg_cube_status_priority",
-    "bpe_pair_counts",
-    "browser_classification",
-    "corpus_snapshot_diff",
-    "corpus_source_stats",
-    "ctx_single_eprint",
-    "dedup_bloom_prefilter",
-    "dedup_embedding_ivf",
-    "dedup_embedding_ivf_probe2",
-    "embed_text_stub",
-    "embedding_random_projection",
-    "mix_by_temperature",
-    "o2_limit_offset",
-    "o4_alpha_listing",
-    "p5_datafilter_eq",
-    "pairs_contrastive_mining",
-    "pipeline_curation_neardup",
+    # -- NEW registrations this round (gate immediately) --
+    "multimodal_dims",
+    "sample_score_calibration_merge",
+    # -- re-gate: rows changed in round 11 (ADVICE fixes) --
+    "sample_score_calibration_by_source",
+    "sample_score_calibration_binned",
+    "select_k_skyband",
+    "select_k_skyband_incremental",
+    # -- stalest r5 rows, ledger order --
+    "a6_a7_cumulative_running_avg",
+    "a8_count_rows",
+    "anon_md5_values",
+    "corpus_deterministic_shuffle",
+    "corpus_dup_rate_by_source",
+    "corpus_length_histogram",
+    "corpus_shard_manifest",
+    "corpus_shard_manifest_hierarchical",
+    "dedup_cluster_quality_keepers",
+    "dedup_simhash_incremental",
+    "dedup_winnowing",
+    "dedup_winnowing_incremental",
+    "j1_fact_join_dim",
+    "j2_grouping_join",
+    "mix_by_temperature_tokens",
+    "mix_with_epochs",
+    "mix_with_epochs_tokens",
+    "pack_efficiency_audit",
+    "pack_sequences_offsets",
+    "pipeline_semdedup_e2e",
+    "similarity_ivf_balance_audit",
+    "similarity_knn_graph_ivf",
+    "t2_densify",
 )
-# ROUND 11 SHOULD GATE: the 19-query r4 remainder listed above, the two
-# anchors, whatever round 11 changes, then oldest rows per
-# `python -m tools.gate_ledger --debt 40`. Bench baseline note: the
+# NEXT_CUT: the STAGED round-12 cut (r10 verdict #5). The driver writes
+# CORRECTNESS_r11.json AFTER this round's final commit, which advances
+# the ledger's "upcoming round" to 12 while GATE_PRIORITY still holds
+# the consumed r11 cut — without staging, `--check 6` goes red at HEAD
+# every round by construction. gate_ledger consults NEXT_CUT *only*
+# when the newest artifact round has caught up with GATE_CUT_ROUND
+# (i.e. the GATE_PRIORITY cut is consumed); until then the active cut
+# is GATE_PRIORITY and NEXT_CUT is inert. Round 12's first commit must
+# still PROMOTE this tuple into GATE_PRIORITY (bumping GATE_CUT_ROUND)
+# — queries() ordering, which is what the driver actually gates on,
+# always follows GATE_PRIORITY. Empty until cut at end of round 11.
+GATE_CUT_ROUND = 11  # the round GATE_PRIORITY was cut FOR
+NEXT_CUT: tuple[str, ...] = ()
+# ROUND 12 SHOULD GATE: the two anchors, whatever round 12 changes,
+# the r5 remainder (text_cdc_remove_frequent,
+# text_classifier_top_fraction, text_dup_span_coverage,
+# text_gopher_quality_gate, text_vocab_encode,
+# text_winnow_fingerprints and the rest per
+# `python -m tools.gate_ledger --debt 40`), then oldest r6 rows.
+# Bench baseline note: the
 # committed BENCH_DETAIL.json is the r10 closing idle run — 199.9 s
 # over ALL 235 catalog queries, 0 failed, 0 run-only, faster than any
 # earlier r10 attempt (205.4/218.7/224.4 s complete runs; three

@@ -50,12 +50,77 @@ def test_cli_check_exit_codes():
 
 def test_gate_priority_names_are_registered():
     """A typo'd GATE_PRIORITY name silently wastes a driver slot (the
-    ordering helper skips unknown names) — catch it here instead."""
+    ordering helper skips unknown names) — catch it here instead.
+    NEXT_CUT names are held to the same bar: a typo there would leave
+    a query unscheduled exactly when the check consults the staging."""
     from irstats2_spark import catalog
 
     catalog._ensure_loaded()
     unknown = [n for n in catalog.GATE_PRIORITY if n not in catalog._REGISTRY]
     assert unknown == [], unknown
+    unknown_next = [n for n in catalog.NEXT_CUT if n not in catalog._REGISTRY]
+    assert unknown_next == [], unknown_next
+    assert len(set(catalog.NEXT_CUT)) == len(catalog.NEXT_CUT)
+
+
+def test_staged_next_cut_bridges_the_artifact_race(monkeypatch, tmp_path):
+    """r10 verdict #5: the driver writes CORRECTNESS_r{N} AFTER round
+    N's final commit, advancing 'upcoming' past the round GATE_PRIORITY
+    was cut for — which made the suite red at HEAD every round. With a
+    staged NEXT_CUT, check() must be green BOTH before the artifact
+    lands (GATE_PRIORITY active) and after (NEXT_CUT active); with
+    nothing staged, the post-artifact state must fail as before."""
+    import json
+
+    from irstats2_spark import catalog
+
+    catalog._ensure_loaded()
+    names = sorted(catalog._REGISTRY)
+    oracled = [n for n in names if catalog._REGISTRY[n].oracle is not None]
+    cut_round = 7
+    # synthetic ledger: every oracled query verified at r1 (very stale),
+    # except the GATE_PRIORITY cut's names which r6 verified
+    pre = {n: {"rows_match": True, "schema_match": True,
+               "hash_match": True, "err": None} for n in oracled}
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps(pre))
+    monkeypatch.setattr(gate_ledger, "HERE", str(tmp_path))
+    monkeypatch.setattr(catalog, "GATE_CUT_ROUND", cut_round)
+
+    active_cut = list(catalog.queries())[:gate_ledger.GATE_SLOTS]
+    oracled_cut = [n for n in active_cut
+                   if catalog._REGISTRY[n].oracle is not None]
+    # PRE-artifact (latest < cut_round): GATE_PRIORITY is the schedule
+    # and NEXT_CUT must be IGNORED even if present. At window 0 every
+    # oracled query is stale, so exactly the unscheduled ones violate.
+    monkeypatch.setattr(catalog, "NEXT_CUT", tuple(oracled))
+    pre_bad = set(gate_ledger.check(0))
+    assert pre_bad == {n for n in oracled if n not in active_cut}
+    assert not pre_bad & set(oracled_cut)  # scheduled => never flagged
+    # POST-artifact: r{cut_round-1} refreshed everything except a small
+    # stale handful, then CORRECTNESS for cut_round lands verifying the
+    # active cut; upcoming becomes cut_round+1 and only the handful is
+    # past the window
+    stale = [n for n in oracled if n not in active_cut][:5]
+    refresh = {n: {"rows_match": True, "schema_match": True,
+                   "hash_match": True, "err": None}
+               for n in oracled if n not in stale}
+    (tmp_path / f"CORRECTNESS_r{cut_round - 1:02d}.json").write_text(
+        json.dumps(refresh)
+    )
+    post = {n: {"rows_match": True, "schema_match": True,
+                "hash_match": True, "err": None} for n in active_cut}
+    (tmp_path / f"CORRECTNESS_r{cut_round:02d}.json").write_text(
+        json.dumps(post)
+    )
+    # nothing staged -> the stale handful violates (old behavior)
+    monkeypatch.setattr(catalog, "NEXT_CUT", ())
+    assert set(gate_ledger.check(cut_round - 2)) == set(stale)
+    # staging the stale handful bridges the race -> green
+    monkeypatch.setattr(catalog, "NEXT_CUT", tuple(stale))
+    assert gate_ledger.check(cut_round - 2) == []
+    # a partial staging still flags what it leaves out
+    monkeypatch.setattr(catalog, "NEXT_CUT", tuple(stale[:1]))
+    assert set(gate_ledger.check(cut_round - 2)) == set(stale[1:])
 
 
 def test_gate_priority_fills_every_slot():

@@ -64,13 +64,29 @@ GATE_SLOTS = 50  # the driver verifies the first 50 queries() entries
 def check(max_age: int) -> list[str]:
     """Names that violate the rotation discipline at window ``max_age``:
     oracled, registered, (would-be) more than ``max_age`` rounds stale
-    after the upcoming round, and NOT scheduled in the upcoming cut."""
+    after the upcoming round, and NOT scheduled in the upcoming cut.
+
+    The upcoming cut is GATE_PRIORITY while that cut is still pending
+    (no artifact for GATE_CUT_ROUND yet); once the driver has written
+    the artifact GATE_PRIORITY was cut for, the consumed cut no longer
+    counts as "scheduled" and the STAGED ``catalog.NEXT_CUT`` (if
+    non-empty) takes its place — so a round's final commit can land
+    artifacts + next cut together without the suite flashing red in
+    the artifact-after-final-commit window (r10 verdict #5). An empty
+    NEXT_CUT keeps the old behavior: a consumed cut with nothing
+    staged fails the check, which is the reminder to recut."""
     from irstats2_spark import catalog
 
     catalog._ensure_loaded()
     rows = last_verified()
-    upcoming = max((r for r, _ in rows.values()), default=0) + 1
-    cut = set(list(catalog.queries())[:GATE_SLOTS])
+    latest = max((r for r, _ in rows.values()), default=0)
+    upcoming = latest + 1
+    cut_round = getattr(catalog, "GATE_CUT_ROUND", None)
+    staged = tuple(getattr(catalog, "NEXT_CUT", ()))
+    if cut_round is not None and latest >= cut_round and staged:
+        cut = set(staged[:GATE_SLOTS])
+    else:
+        cut = set(list(catalog.queries())[:GATE_SLOTS])
     bad = []
     for name, spec in catalog._REGISTRY.items():
         if spec.oracle is None or name in cut:
