@@ -150,6 +150,8 @@ def repeat_filter_stream(
     timeout: int = 3600,
     epoch_col: str = "epoch",
     state_ttl: int | None = None,
+    state_ttl_mode: str = "processing",
+    max_event_lag: int = 7200,
 ) -> DataFrame:
     """EXACT streaming Repeat filter (P9) via applyInPandasWithState.
 
@@ -178,31 +180,64 @@ def repeat_filter_stream(
     documents; this is that upgrade on the stable, fully-e2e-testable
     engine — no protobuf dependency).
 
-    DEPLOYMENT: ``state_ttl`` is for the CONTINUOUS-trigger ingest
-    deployment — with ``Trigger.AvailableNow`` a pending
-    processing-time timer prevents the run from self-terminating
-    (measured on this Spark build: the NoTimeout form terminates, the
-    TTL form idles until externally stopped), so nightly availableNow
-    runs keep the default ``state_ttl=None``; they restart from the
-    checkpoint anyway and their state growth is bounded by the night's
-    key traffic.
+    ``state_ttl_mode`` picks the clock the TTL runs on:
+
+    - ``"processing"`` (default): a per-key ProcessingTimeTimeout timer.
+      For the CONTINUOUS-trigger ingest deployment ONLY — with
+      ``Trigger.AvailableNow`` a pending processing-time timer prevents
+      the run from self-terminating (measured on this Spark build: the
+      NoTimeout form terminates, the processing-TTL form idles until
+      externally stopped).
+    - ``"event"``: a per-key EventTimeTimeout timer armed at
+      anchor-event-time + state_ttl — the nightly/availableNow-
+      compatible bounded-state option (r10 verdict #2): event-time
+      timers fire off WATERMARK advancement, never wall-clock waits, so
+      availableNow runs self-terminate normally while idle anchors are
+      purged in the run's trailing no-data micro-batch once the
+      watermark passes anchor + state_ttl. If the input already carries
+      a watermark (``read_access_stream`` defines one on ``datestamp``)
+      that watermark drives the timers — Spark disallows redefining it;
+      otherwise a ``max_event_lag``-second watermark is added on
+      ``epoch_col``. The semantics-preserving contract tightens to
+      ``state_ttl >= timeout + <the effective watermark delay>``: a
+      purged anchor is at least state_ttl of EVENT time behind the
+      watermark, and any event the watermark still admits is at least
+      (state_ttl - delay) >= timeout past that anchor, i.e. the fold
+      would have kept it anyway. This is the batch-boundary clear_cache
+      analog of Repeat.pm:39-56 — expiry advances with the data's own
+      clock, exactly like the reference's log-time purge.
     """
     import pandas as pd  # noqa: F811
 
     from irstats2_spark.operators.filters import repeat_key
 
+    if state_ttl_mode not in ("processing", "event"):
+        raise ValueError(
+            f"state_ttl_mode={state_ttl_mode!r}: use 'processing' "
+            "(continuous triggers) or 'event' (availableNow-compatible)"
+        )
+    event_mode = state_ttl is not None and state_ttl_mode == "event"
     keyed = events.withColumn(
         "__rk",
         repeat_key(
             F.col("referent_id"), F.col("referent_docid"), F.col("requester_id")
         ),
     )
+    has_watermark = any(
+        "spark.watermarkDelayMs" in (f.metadata or {})
+        for f in keyed.schema.fields
+    )
+    if event_mode and not has_watermark:
+        keyed = keyed.withColumn(
+            "__ts", F.timestamp_seconds(F.col(epoch_col))
+        ).withWatermark("__ts", f"{int(max_event_lag)} seconds")
+    hidden = {"__rk", "__ts"}
     out_schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}"
         for f in keyed.schema.fields
-        if f.name != "__rk"
+        if f.name not in hidden
     )
-    cols = [f.name for f in keyed.schema.fields if f.name != "__rk"]
+    cols = [f.name for f in keyed.schema.fields if f.name not in hidden]
 
     def fn(key, pdfs, state):
         if state_ttl is not None and state.hasTimedOut:
@@ -216,17 +251,29 @@ def repeat_filter_stream(
             yield kept
         if anchor is not None:
             state.update((float(anchor),))
-            if state_ttl is not None:
+            if event_mode:
+                # expire when the WATERMARK passes anchor + ttl; Spark
+                # requires the target to sit above the current watermark
+                target = max(
+                    int(anchor * 1000) + int(state_ttl) * 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+                state.setTimeoutTimestamp(target)
+            elif state_ttl is not None:
                 state.setTimeoutDuration(int(state_ttl) * 1000)
 
+    if state_ttl is None:
+        timeout_conf = "NoTimeout"
+    elif event_mode:
+        timeout_conf = "EventTimeTimeout"
+    else:
+        timeout_conf = "ProcessingTimeTimeout"
     return keyed.groupBy("__rk").applyInPandasWithState(
         fn,
         outputStructType=out_schema,
         stateStructType="anchor double",
         outputMode="append",
-        timeoutConf=(
-            "NoTimeout" if state_ttl is None else "ProcessingTimeTimeout"
-        ),
+        timeoutConf=timeout_conf,
     )
 
 

@@ -530,6 +530,90 @@ def test_streaming_repeat_state_ttl_prunes_idle_anchors(spark, tmp_path):
         q.stop()
 
 
+def test_streaming_repeat_event_ttl_bounded_state_under_available_now(
+    spark, tmp_path
+):
+    """state_ttl_mode='event' (r10 verdict #2): bounded repeat-filter
+    state for NIGHTLY availableNow runs. Three restarts over one
+    checkpoint must (a) each SELF-TERMINATE — the processing-time TTL
+    can't (a pending wall-clock timer blocks availableNow) — (b) emit
+    bit-identical rows to the unbounded twin (state_ttl >= timeout +
+    max_event_lag makes the purge invisible), and (c) actually prune:
+    the idle key A's anchor is gone once the watermark passes
+    anchor + state_ttl, so the TTL twin ends with 2 state rows where
+    the unbounded twin holds 3."""
+    from irstats2_spark.streaming.ingest import (
+        read_access_stream,
+        repeat_filter_stream,
+    )
+
+    def line(ts, ip):
+        return "\t".join(
+            [ts, ip, "Mozilla/5.0 Chrome/1", "", "?fulltext=yes", "1", "100"]
+        )
+
+    logs = tmp_path / "cur"
+    logs.mkdir()
+
+    def drive(tag, state_ttl, mode):
+        # the stream's own datestamp watermark (60 s delay) drives the
+        # event-time timers; contract: state_ttl >= timeout + delay
+        stream = repeat_filter_stream(
+            read_access_stream(
+                spark, str(logs), dedup_lines=False, watermark="60 seconds"
+            ),
+            timeout=3600,
+            state_ttl=state_ttl,
+            state_ttl_mode=mode,
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", str(tmp_path / f"out_{tag}"))
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120), (
+            f"{tag}: availableNow run did not self-terminate"
+        )
+        return q.lastProgress["stateOperators"][0]["numRowsTotal"]
+
+    def drive_both():
+        n_ttl = drive("ttl", 3700, "event")  # 3700 >= 3600 + 60
+        n_unbounded = drive("raw", None, "processing")
+        return n_ttl, n_unbounded
+
+    # run 1: anchors for A and B; A's 00:30 event drops (in-window)
+    (logs / "b1.log").write_text(
+        line("2024-01-01T00:00:00Z", "10.0.0.1")
+        + "\n"
+        + line("2024-01-01T00:00:00Z", "10.0.0.2")
+        + "\n"
+        + line("2024-01-01T00:30:00Z", "10.0.0.1")
+        + "\n"
+    )
+    drive_both()
+    # run 2: B again (kept; past its window) — advances the watermark to
+    # 03:00-60s, far past A's expiry at 00:00 + 3700s
+    (logs / "b2.log").write_text(line("2024-01-01T03:00:00Z", "10.0.0.2") + "\n")
+    drive_both()
+    # run 3: a NEW key C; A's timer fires no later than this run
+    (logs / "b3.log").write_text(line("2024-01-01T03:10:00Z", "10.0.0.3") + "\n")
+    n_ttl, n_unbounded = drive_both()
+
+    base = 1704067200  # 2024-01-01T00:00:00Z
+    expected = sorted([base, base, base + 10800, base + 11400])
+    got_ttl = sorted(
+        r.epoch for r in spark.read.parquet(str(tmp_path / "out_ttl")).collect()
+    )
+    got_raw = sorted(
+        r.epoch for r in spark.read.parquet(str(tmp_path / "out_raw")).collect()
+    )
+    assert got_ttl == got_raw == expected  # purge is semantics-invisible
+    assert n_unbounded == 3  # A, B, C anchors all retained forever
+    assert n_ttl == 2  # idle A purged; B, C alive
+
+
 def _has_protobuf() -> bool:
     try:
         from google.protobuf import descriptor  # noqa: F401
