@@ -286,7 +286,14 @@ def calibrate_scores_by_source(
     ranked-window shape). A hot source sorts on one task; for
     low-cardinality integer scores use
     ``calibrate_scores_by_source_binned`` — same values, no corpus
-    sort."""
+    sort. Measured crossover (local[32], r11, forced via
+    sum(score_pctl) so Catalyst cannot elide the window): on sf0.1
+    documents' near-unique n_chars (3,933 distinct over 5,000 docs)
+    this window form wins — 0.41 s vs 0.93 s binned (the histogram IS
+    the corpus there); on 5M rows x 1,000 distinct scores x 20 sources
+    the binned form wins — 1.14 s vs 1.60 s (ratio 0.71) — and its
+    margin grows with corpus size, since its corpus-side work is
+    map-only while this form shuffles and sorts every row."""
     from pyspark.sql import Window
 
     w = Window.partitionBy(source_col).orderBy(F.col(score_col).asc())
@@ -320,7 +327,20 @@ def calibrate_scores_by_source_binned(
     Composition of ``score_histogram`` + ``calibrate_scores_apply``;
     for incremental corpora fold new batches into a stored histogram
     with ``calibrate_scores_merge`` and apply that instead — same
-    values, no rescan of old batches."""
+    values, no rescan of old batches.
+
+    WHEN TO USE (measured, local[32], r11): this form wins when the
+    (source, score) cardinality is small relative to the corpus — 5M
+    rows x 1,000 distinct scores x 20 sources: 1.14 s here vs 1.60 s
+    window (ratio 0.71), with the gap widening at scale because the
+    corpus-side work is map-only (histogram + broadcast join) while the
+    window form shuffles and sorts every row. When scores are
+    near-unique the histogram IS the corpus and the window form wins
+    (sf0.1 documents, 3,933 distinct n_chars over 5,000 docs: 0.93 s
+    here vs 0.41 s window; same 2x at the 5x doc_id-shift scale
+    point, 0.88 s vs 0.45 s — the shift recipe adds rows, not
+    cardinality, so both forms stay flat). Rule of thumb: binned iff
+    the histogram is broadcastable (<< shuffle-partition size)."""
     return calibrate_scores_apply(
         df, score_histogram(df, score_col, source_col), score_col, source_col
     )
