@@ -52,15 +52,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   (real PNG/JPEG/GIF header decode, r10 verdict #3) and
 #   sample_score_calibration_merge (the mergeable-histogram
 #   incremental calibration tier, r10 verdict #6);
-# - 4 rows CHANGED this round: the score-calibration pair (the binned
+# - 7 rows CHANGED this round: the score-calibration pair (the binned
 #   form's NULL-score join drop — r10 ADVICE medium — means both forms
-#   change together to keep the bit-identity contract) and the
-#   k-skyband pair (the `_skyband_fold` searchsorted side fix — r10
-#   ADVICE low);
-# - the remaining 23 slots go to the stalest r5 rows in ledger order
+#   change together to keep the bit-identity contract), the k-skyband
+#   pair (the `_skyband_fold` searchsorted side fix — r10 ADVICE low),
+#   and the three skyline rows (unique-vector collapse + d=2 staircase
+#   + partition-parallel merges — r10 verdict #4);
+# - the remaining 20 slots go to the stalest r5 rows in ledger order
 #   (`python -m tools.gate_ledger --debt 40`). The r5 remainder
-#   (text_cdc_chunks .. text_winnow_fingerprints) is round 12's
-#   rotation debt, within the --check 6 window.
+#   (similarity_ivf_balance_audit .. text_winnow_fingerprints) is
+#   round 12's rotation debt — the first three of those turn 7 rounds
+#   stale at round 12, so they are staged in NEXT_CUT below.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- the 19-query r4 remainder (mandatory this round) --
     "pipeline_curation_summary",
@@ -88,11 +90,15 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- NEW registrations this round (gate immediately) --
     "multimodal_dims",
     "sample_score_calibration_merge",
-    # -- re-gate: rows changed in round 11 (ADVICE fixes) --
+    # -- re-gate: rows changed in round 11 (ADVICE fixes + the
+    #    unique-collapse/staircase/parallel-merge fold rework) --
     "sample_score_calibration_by_source",
     "sample_score_calibration_binned",
     "select_k_skyband",
     "select_k_skyband_incremental",
+    "select_pareto_skyline",
+    "select_pareto_skyline_incremental",
+    "select_pareto_skyline_3axis",
     # -- stalest r5 rows, ledger order --
     "a6_a7_cumulative_running_avg",
     "a8_count_rows",
@@ -114,9 +120,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "pack_efficiency_audit",
     "pack_sequences_offsets",
     "pipeline_semdedup_e2e",
-    "similarity_ivf_balance_audit",
-    "similarity_knn_graph_ivf",
-    "t2_densify",
 )
 # NEXT_CUT: the STAGED round-12 cut (r10 verdict #5). The driver writes
 # CORRECTNESS_r11.json AFTER this round's final commit, which advances
