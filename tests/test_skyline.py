@@ -173,6 +173,27 @@ def test_skyline_local_phase_is_shuffle_free(spark):
     assert n_folds == 2, plan  # local fold + merge fold
 
 
+def test_skyline_guarded_merge_is_parallel_broadcast_antijoin(spark):
+    """100 TB shape of the GUARDED merge (r11): the candidate union is
+    merged via a broadcast nested-loop LEFT ANTI join — partition-
+    parallel, JVM-side — never a single-partition fold. The plan must
+    show the BNLJ with LeftAnti and a broadcast exchange, and must NOT
+    gather the candidates to one partition."""
+    df = spark.createDataFrame(
+        [{"id": i, "x0": i % 7, "x1": i % 5} for i in range(100)]
+    )
+    out = skyline(df, ["x0", "x1"], max_merge_rows=10_000, materialize=False)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "SinglePartition" not in plan, plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_skyline_merge_guard_refuses_huge_frontiers(spark):
     """Anti-correlated axes (here x1 = -x0: EVERY point is on the
     frontier) must trip the merge guard instead of silently funneling a
