@@ -49,20 +49,22 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   6-round window in round 11 without a slot, so they head the cut;
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
 # - new registrations this round gate immediately: multimodal_dims
-#   (real PNG/JPEG/GIF header decode, r10 verdict #3) and
+#   (real PNG/JPEG/GIF header decode, r10 verdict #3),
 #   sample_score_calibration_merge (the mergeable-histogram
-#   incremental calibration tier, r10 verdict #6);
+#   incremental calibration tier, r10 verdict #6), and
+#   text_classifier_top_fraction_approx (the continuous-score
+#   two-phase quality cut the exact form's docstring promised);
 # - 7 rows CHANGED this round: the score-calibration pair (the binned
 #   form's NULL-score join drop — r10 ADVICE medium — means both forms
 #   change together to keep the bit-identity contract), the k-skyband
 #   pair (the `_skyband_fold` searchsorted side fix — r10 ADVICE low),
 #   and the three skyline rows (unique-vector collapse + d=2 staircase
 #   + partition-parallel merges — r10 verdict #4);
-# - the remaining 20 slots go to the stalest r5 rows in ledger order
+# - the remaining 19 slots go to the stalest r5 rows in ledger order
 #   (`python -m tools.gate_ledger --debt 40`). The r5 remainder
-#   (similarity_ivf_balance_audit .. text_winnow_fingerprints) is
-#   round 12's rotation debt — the first three of those turn 7 rounds
-#   stale at round 12, so they are staged in NEXT_CUT below.
+#   (pipeline_semdedup_e2e .. text_winnow_fingerprints) is round 12's
+#   rotation debt — the displaced r5 rows turn 7 rounds stale at
+#   round 12, so they are staged in NEXT_CUT below.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- the 19-query r4 remainder (mandatory this round) --
     "pipeline_curation_summary",
@@ -90,6 +92,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     # -- NEW registrations this round (gate immediately) --
     "multimodal_dims",
     "sample_score_calibration_merge",
+    "text_classifier_top_fraction_approx",
     # -- re-gate: rows changed in round 11 (ADVICE fixes + the
     #    unique-collapse/staircase/parallel-merge fold rework) --
     "sample_score_calibration_by_source",
@@ -119,7 +122,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mix_with_epochs_tokens",
     "pack_efficiency_audit",
     "pack_sequences_offsets",
-    "pipeline_semdedup_e2e",
 )
 # NEXT_CUT: the STAGED round-12 cut (r10 verdict #5). The driver writes
 # CORRECTNESS_r11.json AFTER this round's final commit, which advances

@@ -527,6 +527,67 @@ def top_fraction_binned(
     return above.unionByName(boundary).drop("__cut", "__cut_above", "__k")
 
 
+def top_fraction_approx(
+    df: DataFrame,
+    order_col: str,
+    frac: float,
+    key_col: str,
+    n_bins: int = 1024,
+    salt: str = "cut:",
+) -> DataFrame:
+    """``top_fraction`` for CONTINUOUS scores — the two-phase 100-TB
+    path the exact form's docstring prices: one bounds pass (min/max),
+    a uniform quantization into ``n_bins`` buckets, then the
+    ``top_fraction_binned`` machinery over the BIN ids (tiny histogram
+    -> boundary bin -> map-side keep above it -> deterministic
+    hash-ranked fill from the boundary bin).
+
+    Exactly floor(frac * N) rows survive — the approximation is WHERE
+    the boundary falls, not how many rows pass: every kept row scores
+    within one bin width ((max-min)/n_bins) of the exact cutoff, and
+    rows strictly above the boundary bin agree with the exact form
+    bit-for-bit. Fully deterministic (fixed bins + salted-hash
+    tie-break), so it carries the same exact SQL oracle as the other
+    forms rather than an epsilon assertion. NULL scores quantize to a
+    NULL bin that a descending sort places last; like
+    ``top_fraction_binned`` this form cannot DRAW from that bin (the
+    boundary equality never matches NULL), so when the budget exceeds
+    the non-NULL population it returns fewer rows than the exact form
+    (which back-fills with NULL rows) — pre-filter NULL scores upstream
+    if that regime is reachable. A constant column (max == min)
+    collapses to one bin and degenerates to the pure hash draw.
+
+    Plan: two tiny aggregates (bounds, bin histogram; both map-side
+    combined) + two broadcasts; the corpus is scanned map-side — never
+    globally sorted or shuffled."""
+    lo = F.min(F.col(order_col).cast("double"))
+    hi = F.max(F.col(order_col).cast("double"))
+    bounds = df.agg(lo.alias("__lo"), hi.alias("__hi"))
+    x = F.col(order_col).cast("double")
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__qbin",
+            F.when(
+                F.col("__hi") > F.col("__lo"),
+                F.least(
+                    F.floor(
+                        (x - F.col("__lo"))
+                        / ((F.col("__hi") - F.col("__lo")) / n_bins)
+                    ),
+                    F.lit(n_bins - 1),
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("__lo", "__hi")
+    )
+    return top_fraction_binned(binned, "__qbin", frac, key_col, salt=salt).drop(
+        "__qbin"
+    )
+
+
 def dsir_logweights(
     docs: DataFrame,
     target: DataFrame,

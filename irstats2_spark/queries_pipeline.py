@@ -3282,6 +3282,98 @@ def text_classifier_top_fraction_binned(
     return top_fraction_binned(margins, "vote_margin", 0.3, "doc_id")
 
 
+@register(
+    "text_classifier_top_fraction_approx",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, source, unnest(list_filter(
+                   string_split({_NORM_SQL}, ' '), w -> length(w) > 0)) AS tok
+        FROM documents
+    ),
+    seed AS (
+        SELECT tok, CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS is_pos
+        FROM toks WHERE source IN ('src0', 'src1')
+    ),
+    vocab AS (
+        SELECT tok, CAST(SUM(is_pos) AS BIGINT) AS c_pos,
+               CAST(SUM(1 - is_pos) AS BIGINT) AS c_neg
+        FROM seed GROUP BY 1
+    ),
+    totals AS (
+        SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos,
+               CAST(SUM(c_neg) AS BIGINT) AS t_neg
+        FROM vocab
+    ),
+    votes AS (
+        SELECT t.doc_id,
+               CASE WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         > COALESCE(v.c_neg, 0) * tt.t_pos THEN 1
+                    WHEN COALESCE(v.c_pos, 0) * tt.t_neg
+                         < COALESCE(v.c_neg, 0) * tt.t_pos THEN -1
+                    ELSE 0 END AS vote
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok CROSS JOIN totals tt
+    ),
+    margins AS (
+        SELECT doc_id, CAST(SUM(vote) AS BIGINT) AS vote_margin
+        FROM votes GROUP BY 1
+    ),
+    bounds AS (
+        SELECT MIN(CAST(vote_margin AS DOUBLE)) AS lo,
+               MAX(CAST(vote_margin AS DOUBLE)) AS hi
+        FROM margins
+    ),
+    qb AS (
+        SELECT m.doc_id, m.vote_margin,
+               CASE WHEN b.hi > b.lo THEN
+                   CAST(LEAST(FLOOR((CAST(m.vote_margin AS DOUBLE) - b.lo)
+                                    / ((b.hi - b.lo) / 64)), 63) AS BIGINT)
+               ELSE 0 END AS qbin
+        FROM margins m, bounds b
+    ),
+    n AS (SELECT CAST(FLOOR(COUNT(*) * 0.3) AS BIGINT) AS k FROM margins),
+    hist AS (SELECT qbin, COUNT(*) AS cnt FROM qb GROUP BY 1),
+    cum AS (
+        SELECT qbin, cnt, SUM(cnt) OVER (ORDER BY qbin DESC) - cnt AS above
+        FROM hist
+    ),
+    cut AS (
+        SELECT MIN(qbin) AS cut, CAST(MAX(above) AS BIGINT) AS cut_above,
+               MIN(k) AS k
+        FROM cum, n WHERE above < k
+    )
+    SELECT doc_id, vote_margin FROM qb, cut WHERE qbin > cut
+    UNION ALL
+    SELECT doc_id, vote_margin FROM (
+        SELECT q.doc_id, q.vote_margin,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5('cut:' || CAST(q.doc_id AS VARCHAR)) ASC,
+                            q.doc_id ASC) AS r,
+               c.k - c.cut_above AS need
+        FROM qb q, cut c WHERE q.qbin = c.cut
+    ) WHERE r <= need
+    """,
+    doc="the CONTINUOUS-score 100-TB quality cut (two-phase: bounds "
+    "pass, uniform 64-bin quantization, histogram boundary, map-side "
+    "keep + hash-ranked boundary fill) — exactly floor(0.3*N) rows, "
+    "kept scores within one bin width of the exact cutoff, fully "
+    "deterministic so the oracle replays the quantization exactly "
+    "instead of asserting an epsilon",
+)
+def text_classifier_top_fraction_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from irstats2_spark.pipeline.sampling import top_fraction_approx
+    from irstats2_spark.pipeline.textstats import classifier_vote_scores
+
+    docs = load_table(spark, "documents", sf_dir)
+    margins = classifier_vote_scores(
+        docs,
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") == "src1"),
+    ).select("doc_id", "vote_margin")
+    return top_fraction_approx(margins, "vote_margin", 0.3, "doc_id", n_bins=64)
+
+
 _SCORE_CALIBRATION_ORACLE = """
     SELECT doc_id, source, n_chars,
            percent_rank() OVER (

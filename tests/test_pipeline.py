@@ -1386,6 +1386,43 @@ def test_top_fraction_binned_matches_global_rank_size_and_upper_set(spark):
     assert all(r.score >= boundary for r in b.select("score").collect())
 
 
+def test_top_fraction_approx_exact_size_and_bounded_boundary_error(spark):
+    """The continuous-score two-phase cut keeps EXACTLY floor(frac*N)
+    rows; every kept score is within one bin width of the exact form's
+    cutoff; rows strictly above the boundary bin agree with the exact
+    form; and a constant column degenerates to the pure hash draw."""
+    from irstats2_spark.pipeline.sampling import (
+        top_fraction,
+        top_fraction_approx,
+    )
+
+    # continuous scores: irrational-ish spacing, two interleaved scales
+    rows = [(i, (i * 0.7310585) % 97.3 + (i % 3) * 31.7) for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    exact = {r.doc_id: r.score for r in
+             top_fraction(df, "score", 0.4, "doc_id").collect()}
+    approx = {r.doc_id: r.score for r in
+              top_fraction_approx(df, "score", 0.4, "doc_id", n_bins=32).collect()}
+    assert len(exact) == len(approx) == 360  # exact output size
+    lo = min(r[1] for r in rows)
+    hi = max(r[1] for r in rows)
+    width = (hi - lo) / 32
+    cutoff = min(exact.values())
+    assert all(s >= cutoff - width for s in approx.values())  # bounded err
+    # rows above the boundary BIN are bit-identical between forms
+    boundary_bin_lo = lo + width * int((cutoff - lo) / width)
+    surely_kept = {d for d, s in exact.items() if s >= boundary_bin_lo + width}
+    assert surely_kept <= set(approx)
+    # constant scores: one bin, pure deterministic hash draw, exact size
+    const = spark.createDataFrame(
+        [(i, 5.0) for i in range(100)], "doc_id long, score double"
+    )
+    got = top_fraction_approx(const, "score", 0.25, "doc_id", n_bins=8)
+    assert got.count() == 25
+    again = top_fraction_approx(const, "score", 0.25, "doc_id", n_bins=8)
+    assert {r.doc_id for r in got.collect()} == {r.doc_id for r in again.collect()}
+
+
 def test_score_calibration_window_and_binned_agree(spark):
     """The binned per-source percentile must be BIT-identical to the
     percent_rank window form on adversarial shapes: heavy ties, a
