@@ -393,7 +393,12 @@ def calibrate_scores_apply(
     corpus), then a NULL-SAFE broadcast join — the corpus is never
     sorted or re-shuffled. ``hist`` must cover every (source, score)
     pair present in ``df`` (true by construction when built/merged from
-    the same batches)."""
+    the same batches). This is also the family's STREAMING tier as-is:
+    with a streaming ``df`` the histogram side stays static and the
+    assignment is a stateless stream-static broadcast join, so arriving
+    rows score identically to the batch form
+    (test_streaming_score_calibration_matches_batch pins stream ==
+    batch, NULL bins included)."""
     from pyspark.sql import Window
 
     w = (

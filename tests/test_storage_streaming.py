@@ -922,6 +922,63 @@ def test_streaming_decontamination_matches_batch_scores(spark, tmp_path):
     assert got[0][3] is True and got[1][3] is False and got[3][3] is False
 
 
+def test_streaming_score_calibration_matches_batch(spark, tmp_path):
+    """calibrate_scores_apply is the calibration family's STREAMING tier
+    as-is (the decontaminate_stream idiom): the stored histogram side is
+    static — its windows run over histogram rows only — and the
+    assignment is a stateless NULL-safe stream-static broadcast join, so
+    arriving documents get the same score_pctl the batch form assigns,
+    bit-for-bit, NULL scores included."""
+    import json
+
+    from irstats2_spark.pipeline.sampling import (
+        calibrate_scores_apply,
+        score_histogram,
+    )
+
+    corpus_rows = [
+        (i, ["web", "wiki"][i % 2], [0, 1, 2, 5, None][i % 5])
+        for i in range(60)
+    ]
+    corpus = spark.createDataFrame(
+        corpus_rows, "doc_id long, source string, score long"
+    )
+    hist = score_histogram(corpus, "score")
+    batch = {
+        r.doc_id: r.score_pctl
+        for r in calibrate_scores_apply(corpus, hist, "score").collect()
+    }
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            json.dumps({"doc_id": d, "source": s, "score": v})
+            for d, s, v in corpus_rows
+        )
+        + "\n"
+    )
+    stream = spark.readStream.schema(
+        "doc_id long, source string, score long"
+    ).json(str(src))
+    out = calibrate_scores_apply(stream, hist, "score")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("calib_stream_out")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.doc_id: r.score_pctl
+        for r in spark.sql(
+            "SELECT doc_id, score_pctl FROM calib_stream_out"
+        ).collect()
+    }
+    assert got == batch  # exact equality, NULL-score rows included
+
+
 def test_bucketed_snapshot_dedup_join_without_snapshot_exchange(spark, tmp_path):
     """write_corpus_snapshot_bucketed: an incremental-dedup join against
     the bucketed snapshot must plan NO exchange on the snapshot side —
