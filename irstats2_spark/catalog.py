@@ -143,13 +143,12 @@ NEXT_CUT: tuple[str, ...] = ()
 # text_winnow_fingerprints and the rest per
 # `python -m tools.gate_ledger --debt 40`), then oldest r6 rows.
 # Bench baseline note: the
-# committed BENCH_DETAIL.json is the r10 closing idle run — 199.9 s
-# over ALL 235 catalog queries, 0 failed, 0 run-only, faster than any
-# earlier r10 attempt (205.4/218.7/224.4 s complete runs; three
-# rejected slow-window attempts at 244-264 s), with both calibration
-# probes recorded (calib_sec 0.144 CPU, calib_io_sec 0.315 parquet
-# scan+agg — the new second probe that catches the non-CPU-shaped
-# slowdowns r10 observed).
+# committed BENCH_DETAIL.json is the r11 closing idle run — 203.3 s
+# over ALL 238 catalog queries, 0 failed, 0 run-only, ratio 1.003 vs
+# the r10 baseline over the 235 common queries (one contention-window
+# attempt at 228.9 s with calib_io 1.3x was rejected per protocol),
+# calib_sec 0.145 / calib_io_sec 0.268. The r10 numbers for
+# reference: 199.9 s / 235 queries, calib 0.144 / 0.315.
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
 # `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
