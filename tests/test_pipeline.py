@@ -316,6 +316,47 @@ def test_parse_image_dims_roundtrip(spark):
             assert r.channels == 3
 
 
+def test_parse_image_dims_streams_stateless(spark, tmp_path):
+    """parse_image_dims is the multimodal family's streaming tier as-is:
+    a stateless Arrow mapInPandas runs unchanged on a streaming frame —
+    arriving payloads parse bit-identically to batch."""
+    from irstats2_spark.pipeline.multimodal import (
+        media_with_real_headers,
+        parse_image_dims,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"payload {i}") for i in range(12)], "doc_id long, text string"
+    )
+    batch = {
+        r.media_id: (r.format, r.width, r.height, r.channels)
+        for r in parse_image_dims(media_with_real_headers(docs)).collect()
+    }
+    src = tmp_path / "docs"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            '{"doc_id": %d, "text": "payload %d"}' % (i, i) for i in range(12)
+        )
+        + "\n"
+    )
+    stream = spark.readStream.schema("doc_id long, text string").json(str(src))
+    out = parse_image_dims(media_with_real_headers(stream))
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mm_dims_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        r.media_id: (r.format, r.width, r.height, r.channels)
+        for r in spark.sql("SELECT * FROM mm_dims_stream").collect()
+    }
+    assert got == batch
+
+
 def test_multimodal_resize_stub(spark):
     from irstats2_spark.pipeline.multimodal import (
         media_from_documents,
