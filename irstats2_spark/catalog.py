@@ -135,13 +135,26 @@ GATE_PRIORITY: tuple[str, ...] = (
 # — queries() ordering, which is what the driver actually gates on,
 # always follows GATE_PRIORITY. Empty until cut at end of round 11.
 GATE_CUT_ROUND = 11  # the round GATE_PRIORITY was cut FOR
-NEXT_CUT: tuple[str, ...] = ()
-# ROUND 12 SHOULD GATE: the two anchors, whatever round 12 changes,
-# the r5 remainder (text_cdc_remove_frequent,
-# text_classifier_top_fraction, text_dup_span_coverage,
-# text_gopher_quality_gate, text_vocab_encode,
-# text_winnow_fingerprints and the rest per
-# `python -m tools.gate_ledger --debt 40`), then oldest r6 rows.
+# The 12 names below are exactly the queries whose newest driver row
+# (assuming CORRECTNESS_r11 verifies the cut above) turns 7 rounds
+# stale at round 12 — the complete r5 remainder. Round 12's first
+# commit must PROMOTE these into GATE_PRIORITY (bump GATE_CUT_ROUND to
+# 12, add the two anchors, round-12 changes, then stalest r6 rows per
+# `python -m tools.gate_ledger --debt 40` to fill 50 slots).
+NEXT_CUT: tuple[str, ...] = (
+    "pipeline_semdedup_e2e",
+    "similarity_ivf_balance_audit",
+    "similarity_knn_graph_ivf",
+    "t2_densify",
+    "text_cdc_chunks",
+    "text_cdc_frequent_chunks",
+    "text_cdc_remove_frequent",
+    "text_classifier_top_fraction",
+    "text_dup_span_coverage",
+    "text_gopher_quality_gate",
+    "text_vocab_encode",
+    "text_winnow_fingerprints",
+)
 # Bench baseline note: the
 # committed BENCH_DETAIL.json is the r11 closing idle run — 203.3 s
 # over ALL 238 catalog queries, 0 failed, 0 run-only, ratio 1.003 vs
