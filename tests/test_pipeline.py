@@ -282,6 +282,62 @@ def test_image_header_parse_pure():
     assert _parse_image_header(b"plain text") == ("unknown", None, None, None)
 
 
+def test_image_header_parse_property(  # hypothesis: random valid + garbage
+):
+    """Property check on the pure header parser: randomized valid
+    PNG/JPEG/GIF headers round-trip their dims/channels exactly, and
+    arbitrary byte garbage never crashes (returns 'unknown' or a
+    recognized container with NULL dims)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from irstats2_spark.pipeline.multimodal import (
+        PNG_COLOR_CHANNELS,
+        _parse_image_header,
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        w=st.integers(1, 65535),
+        h=st.integers(1, 65535),
+        color=st.sampled_from([0, 2, 3, 4, 6]),
+        ncomp=st.integers(1, 4),
+        trailer=st.binary(max_size=40),
+        kind=st.sampled_from(["png", "jpeg", "gif", "garbage"]),
+    )
+    def check(w, h, color, ncomp, trailer, kind):
+        if kind == "png":
+            b = (
+                b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+                + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+                + bytes([8, color, 0, 0, 0]) + b"\x00\x00\x00\x00" + trailer
+            )
+            assert _parse_image_header(b) == (
+                "png", w, h, PNG_COLOR_CHANNELS[color],
+            )
+        elif kind == "jpeg":
+            app0 = b"\xff\xe0" + (16).to_bytes(2, "big") + bytes(14)
+            sof = (
+                b"\xff\xc0" + (8 + 3 * ncomp).to_bytes(2, "big") + bytes([8])
+                + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+                + bytes([ncomp]) + bytes(3 * ncomp)
+            )
+            b = b"\xff\xd8" + app0 + sof + trailer
+            assert _parse_image_header(b) == ("jpeg", w, h, ncomp)
+        elif kind == "gif":
+            b = (
+                b"GIF89a" + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+                + trailer
+            )
+            assert _parse_image_header(b) == ("gif", w, h, 3)
+        else:
+            fmt, pw, ph, pc = _parse_image_header(trailer)  # never raises
+            if fmt == "unknown":
+                assert (pw, ph, pc) == (None, None, None)
+
+    check()
+
+
 def test_parse_image_dims_roundtrip(spark):
     """parse(synthesize(doc)) recovers the doc_id-derived properties for
     every format branch, with NULL dims on the bare branch — the local

@@ -1277,3 +1277,48 @@ def test_score_calibration_binned_never_shuffles_corpus(spark, queries):
     for block in plan.split("\n\n"):
         if re.match(r"\(\d+\) Exchange", block):
             assert "doc_id#" not in block, block
+
+
+def test_score_calibration_merge_never_shuffles_corpus(spark, queries):
+    """The incremental (merged-histogram) calibration keeps the binned
+    form's scale shape: histogram union/re-sum and percentile windows
+    ride histogram-sized data; the corpus itself is assigned via
+    broadcast join and never crosses an exchange."""
+    import re
+
+    plan = plan_of(queries["sample_score_calibration_merge"](spark, SF))
+    assert "BroadcastHashJoin" in plan
+    for block in plan.split("\n\n"):
+        if re.match(r"\(\d+\) Exchange", block):
+            assert "doc_id#" not in block, block
+
+
+def test_multimodal_dims_plan_is_shuffle_free_and_arrow(spark, queries):
+    """The header decode is a pure map pipeline: synthesize headers
+    JVM-side, parse in ONE Arrow mapInPandas — no exchange anywhere,
+    no row-at-a-time Python."""
+    import re
+
+    plan = plan_of(queries["multimodal_dims"](spark, SF))
+    assert "BatchEvalPython" not in plan
+    assert not [
+        b for b in plan.split("\n\n") if re.match(r"\(\d+\) Exchange", b)
+    ], plan
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+
+
+def test_top_fraction_approx_never_sorts_corpus(spark, queries):
+    """The continuous-score cut's global sorts/windows must ride the
+    BIN histogram (and the one boundary bin), never the corpus: no
+    Sort or Exchange block may carry doc_id except the boundary-bin
+    rank (which filters to a single bin first)."""
+    import re
+
+    plan = plan_of(
+        queries["text_classifier_top_fraction_approx"](spark, SF)
+    )
+    # corpus-sized global sort would appear as Sort over doc_id WITHOUT
+    # a preceding bin-equality filter; assert every Window in the final
+    # cut stage is the boundary rank (over the hash), not a score rank
+    # over every row: the exact form has 'quality_rank' — approx none
+    assert "quality_rank" not in plan

@@ -447,6 +447,75 @@ def test_skyband_probe_stream_matches_batch_membership(spark, tmp_path):
         assert got[r["id"]] == (n_dom >= k), (r, n_dom)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _brute_keep(pts, k):
+    out = []
+    for p in pts:
+        dom = sum(
+            1
+            for q in pts
+            if all(a <= b for a, b in zip(q, p))
+            and any(a < b for a, b in zip(q, p))
+        )
+        out.append(dom < k)
+    return out
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    d=st.integers(2, 4),
+    data=st.data(),
+)
+def test_skyline_mask_matches_bruteforce_pure(d, data):
+    """_skyline_mask (the d=2 staircase AND the d>=3 blocked BNL with
+    the equal-sum band) against brute-force dominance on random small
+    integer grids — heavy ties and duplicates by construction."""
+    import numpy as np
+
+    from irstats2_spark.pipeline.skyline import _skyline_mask
+
+    n = data.draw(st.integers(1, 60))
+    pts = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 5) for _ in range(d)]),
+            min_size=n, max_size=n,
+        )
+    )
+    dims = np.array(pts, dtype="float64")
+    got = list(_skyline_mask(dims))
+    assert got == _brute_keep(pts, 1)
+
+
+@settings(max_examples=120, deadline=None)
+@given(k=st.integers(1, 4), data=st.data())
+def test_skyband_keep_matches_bruteforce_pure(k, data):
+    """_skyband_keep (unique collapse + weighted inclusive-prefix scan)
+    against brute-force dominator counting, duplicates included."""
+    import numpy as np
+
+    from irstats2_spark.pipeline.skyline import _skyband_keep
+
+    n = data.draw(st.integers(1, 50))
+    d = data.draw(st.integers(2, 3))
+    pts = data.draw(
+        st.lists(
+            st.tuples(*[st.integers(0, 4) for _ in range(d)]),
+            min_size=n, max_size=n,
+        )
+    )
+    dims = np.array(pts, dtype="float64")
+    uniq, inverse, counts = np.unique(
+        dims, axis=0, return_inverse=True, return_counts=True
+    )
+    order = np.argsort(uniq.sum(axis=1), kind="stable")
+    keep_u = _skyband_keep(uniq, uniq[order], counts[order], k)
+    got = list(keep_u[inverse])
+    assert got == _brute_keep(pts, k)
+
+
 def test_skyline_incremental_folds_in_any_order(spark):
     rng = random.Random(13)
     rows = _rows(rng, 150, 3, lo=0, hi=8)
