@@ -51,16 +51,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # - new registrations this round gate immediately: multimodal_dims
 #   (real PNG/JPEG/GIF header decode, r10 verdict #3),
 #   sample_score_calibration_merge (the mergeable-histogram
-#   incremental calibration tier, r10 verdict #6), and
+#   incremental calibration tier, r10 verdict #6),
 #   text_classifier_top_fraction_approx (the continuous-score
-#   two-phase quality cut the exact form's docstring promised);
+#   two-phase quality cut the exact form's docstring promised), and
+#   pipeline_multimodal_e2e (the eighth gated e2e composition:
+#   synthesize -> decode -> gate -> per-format stats);
 # - 7 rows CHANGED this round: the score-calibration pair (the binned
 #   form's NULL-score join drop — r10 ADVICE medium — means both forms
 #   change together to keep the bit-identity contract), the k-skyband
 #   pair (the `_skyband_fold` searchsorted side fix — r10 ADVICE low),
 #   and the three skyline rows (unique-vector collapse + d=2 staircase
 #   + partition-parallel merges — r10 verdict #4);
-# - the remaining 19 slots go to the stalest r5 rows in ledger order
+# - the remaining 18 slots go to the stalest r5 rows in ledger order
 #   (`python -m tools.gate_ledger --debt 40`). The r5 remainder
 #   (pipeline_semdedup_e2e .. text_winnow_fingerprints) is round 12's
 #   rotation debt — the displaced r5 rows turn 7 rounds stale at
@@ -93,6 +95,7 @@ GATE_PRIORITY: tuple[str, ...] = (
     "multimodal_dims",
     "sample_score_calibration_merge",
     "text_classifier_top_fraction_approx",
+    "pipeline_multimodal_e2e",
     # -- re-gate: rows changed in round 11 (ADVICE fixes + the
     #    unique-collapse/staircase/parallel-merge fold rework) --
     "sample_score_calibration_by_source",
@@ -121,7 +124,6 @@ GATE_PRIORITY: tuple[str, ...] = (
     "mix_with_epochs",
     "mix_with_epochs_tokens",
     "pack_efficiency_audit",
-    "pack_sequences_offsets",
 )
 # NEXT_CUT: the STAGED round-12 cut (r10 verdict #5). The driver writes
 # CORRECTNESS_r11.json AFTER this round's final commit, which advances
@@ -135,13 +137,14 @@ GATE_PRIORITY: tuple[str, ...] = (
 # — queries() ordering, which is what the driver actually gates on,
 # always follows GATE_PRIORITY. Empty until cut at end of round 11.
 GATE_CUT_ROUND = 11  # the round GATE_PRIORITY was cut FOR
-# The 12 names below are exactly the queries whose newest driver row
+# The 13 names below are exactly the queries whose newest driver row
 # (assuming CORRECTNESS_r11 verifies the cut above) turns 7 rounds
 # stale at round 12 — the complete r5 remainder. Round 12's first
 # commit must PROMOTE these into GATE_PRIORITY (bump GATE_CUT_ROUND to
 # 12, add the two anchors, round-12 changes, then stalest r6 rows per
 # `python -m tools.gate_ledger --debt 40` to fill 50 slots).
 NEXT_CUT: tuple[str, ...] = (
+    "pack_sequences_offsets",
     "pipeline_semdedup_e2e",
     "similarity_ivf_balance_audit",
     "similarity_knn_graph_ivf",

@@ -1158,6 +1158,83 @@ def multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pipeline_multimodal_e2e",
+    """
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                    WHEN 2 THEN 'gif' ELSE 'unknown' END AS format,
+               CASE WHEN doc_id % 4 <= 2
+                    THEN CAST(doc_id % 640 + 1 AS INT) END AS width,
+               CASE WHEN doc_id % 4 <= 2
+                    THEN CAST((doc_id * 3) % 480 + 1 AS INT) END AS height,
+               (CASE doc_id % 4
+                    WHEN 0 THEN 33
+                    WHEN 1 THEN CASE WHEN (doc_id // 4) % 2 = 0
+                                THEN 33 ELSE 39 END
+                    WHEN 2 THEN 13
+                    ELSE 0 END)
+               + octet_length(encode(text)) AS n_bytes
+        FROM documents
+    ),
+    gated AS (
+        SELECT *, CAST(GREATEST(CEIL(n_bytes / 1024.0), 1) AS BIGINT)
+                      AS n_frames
+        FROM media WHERE width >= 100
+    )
+    SELECT format,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           ROUND(AVG(CAST(width AS DOUBLE)), 6) AS avg_width,
+           ROUND(AVG(CAST(height AS DOUBLE)), 6) AS avg_height,
+           CAST(SUM(n_frames) AS BIGINT) AS sum_frames,
+           CAST(SUM(n_bytes) AS BIGINT) AS sum_bytes
+    FROM gated GROUP BY format ORDER BY format
+    """,
+    doc="multimodal e2e composition (synthesize byte-valid headers -> "
+    "Arrow header decode -> width>=100 quality gate -> frame-chunk + "
+    "byte accounting -> per-format stats): every stage's output is an "
+    "arithmetic function of doc_id and the documented header byte "
+    "layouts (PNG 33 B, JPEG 33/39 B by component count, GIF 13 B), so "
+    "the oracle replays the whole chain without touching bytes",
+)
+def pipeline_multimodal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from irstats2_spark.pipeline.multimodal import (
+        frame_sample,
+        media_with_real_headers,
+        parse_image_dims,
+    )
+
+    media = media_with_real_headers(load_table(spark, "documents", sf_dir))
+    dims = parse_image_dims(media)
+    sizes = media.select(
+        "media_id", F.length("content").cast("long").alias("n_bytes")
+    )
+    frames = (
+        frame_sample(media, every_n_bytes=1024)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
+    )
+    gated = (
+        dims.join(sizes, "media_id")
+        .join(frames, "media_id")
+        .filter(F.col("width") >= 100)
+    )
+    return (
+        gated.groupBy("format")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_media"),
+            F.round(F.avg(F.col("width").cast("double")), 6).alias("avg_width"),
+            F.round(F.avg(F.col("height").cast("double")), 6).alias(
+                "avg_height"
+            ),
+            F.sum("n_frames").cast("long").alias("sum_frames"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+        )
+        .orderBy("format")
+    )
+
+
+@register(
     "similarity_ivf_topk",
     f"""
     WITH cents AS (
