@@ -452,9 +452,10 @@ def top_fraction(
 
     Plan: one count (cheap aggregate) + ONE global-sort window for the
     rank. A global rank is the honest semantics of a corpus-wide
-    top-fraction; for 100-TB inputs prefer the two-phase approximation
-    (per-partition histogram -> threshold -> map-side filter) when a
-    +-epsilon boundary is acceptable."""
+    top-fraction; for 100-TB inputs use ``top_fraction_binned``
+    (low-cardinality scores, exact) or ``top_fraction_approx``
+    (continuous scores, boundary within one bin width) — both keep the
+    exact output SIZE and never sort the corpus."""
     n_keep = df.select(
         F.floor(F.count(F.lit(1)) * frac).cast("long").alias("k")
     )
