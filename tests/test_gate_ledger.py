@@ -48,6 +48,30 @@ def test_cli_check_exit_codes():
     assert "too stale" in tight.stdout
 
 
+def test_simulate_next_covers_staged_window():
+    """The end-of-round dry run: with the committed NEXT_CUT staged, no
+    query may fall past the window once GATE_CUT_ROUND's artifact lands
+    — this is the live assertion that the staging in catalog.py is
+    complete (the synthetic-race test below covers the mechanism)."""
+    bad = gate_ledger.check_simulated_next(AGREED_WINDOW)
+    assert bad == [], (
+        f"staged NEXT_CUT leaves {len(bad)} queries past the window "
+        f"after the round's artifact lands — extend NEXT_CUT: {bad}"
+    )
+
+
+def test_simulate_next_cli_flags_incomplete_staging(monkeypatch):
+    from irstats2_spark import catalog
+
+    catalog._ensure_loaded()
+    monkeypatch.setattr(catalog, "NEXT_CUT", ())
+    # with nothing staged, everything outside the active cut violates
+    # at window 0; the simulated check must flag it
+    bad = gate_ledger.check_simulated_next(0)
+    active = set(list(catalog.queries())[:gate_ledger.GATE_SLOTS])
+    assert bad and not set(bad) & active
+
+
 def test_gate_priority_names_are_registered():
     """A typo'd GATE_PRIORITY name silently wastes a driver slot (the
     ordering helper skips unknown names) — catch it here instead.

@@ -61,6 +61,33 @@ def last_verified() -> dict[str, tuple[int, bool]]:
 GATE_SLOTS = 50  # the driver verifies the first 50 queries() entries
 
 
+def check_simulated_next(max_age: int) -> list[str]:
+    """``check`` as if the driver had just written the artifact for
+    ``catalog.GATE_CUT_ROUND`` verifying the active GATE_PRIORITY cut —
+    the end-of-round dry run for the staged NEXT_CUT: names that would
+    violate the window at round GATE_CUT_ROUND + 1 with only NEXT_CUT
+    scheduled. Run it before the round's final commit; a non-empty
+    result means the staging is incomplete."""
+    from irstats2_spark import catalog
+
+    catalog._ensure_loaded()
+    rows = last_verified()
+    cut_round = getattr(catalog, "GATE_CUT_ROUND", None)
+    if cut_round is None:
+        return []
+    upcoming = cut_round + 1
+    active = list(catalog.queries())[:GATE_SLOTS]
+    staged = set(tuple(getattr(catalog, "NEXT_CUT", ()))[:GATE_SLOTS])
+    bad = []
+    for name, spec in catalog._REGISTRY.items():
+        if spec.oracle is None or name in staged:
+            continue
+        rnd = cut_round if name in active else rows.get(name, (0, False))[0]
+        if rnd == 0 or upcoming - rnd > max_age:
+            bad.append(name)
+    return sorted(bad)
+
+
 def check(max_age: int) -> list[str]:
     """Names that violate the rotation discipline at window ``max_age``:
     oracled, registered, (would-be) more than ``max_age`` rounds stale
@@ -105,7 +132,29 @@ def main() -> None:
                     help="exit nonzero if any registered oracled query "
                     "would exceed N rounds without a driver row and "
                     "holds no slot in the upcoming gate cut")
+    ap.add_argument("--simulate-next", type=int, default=None, metavar="N",
+                    help="dry-run the staged NEXT_CUT: exit nonzero if, "
+                    "after GATE_CUT_ROUND's artifact lands verifying the "
+                    "active cut, any query would exceed N rounds without "
+                    "a slot in NEXT_CUT")
     args = ap.parse_args()
+
+    if args.simulate_next is not None:
+        bad = check_simulated_next(args.simulate_next)
+        if bad:
+            print(
+                f"gate_ledger --simulate-next {args.simulate_next}: "
+                f"{len(bad)} quer{'y' if len(bad) == 1 else 'ies'} would "
+                f"be too stale with only NEXT_CUT staged:"
+            )
+            for name in bad:
+                print(f"  {name}")
+            raise SystemExit(1)
+        print(
+            f"gate_ledger --simulate-next {args.simulate_next}: staged "
+            f"NEXT_CUT covers the post-artifact window"
+        )
+        return
 
     if args.check is not None:
         bad = check(args.check)
