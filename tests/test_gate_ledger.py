@@ -65,9 +65,10 @@ def test_simulate_next_cli_flags_incomplete_staging(monkeypatch):
 
     catalog._ensure_loaded()
     monkeypatch.setattr(catalog, "NEXT_CUT", ())
-    # with nothing staged, everything outside the active cut violates
-    # at window 0; the simulated check must flag it
-    bad = gate_ledger.check_simulated_next(0)
+    # with nothing staged, window 1 flags every query whose newest row
+    # predates the previous round — but never the just-verified active
+    # cut (staleness exactly 1 after the simulated artifact)
+    bad = gate_ledger.check_simulated_next(1)
     active = set(list(catalog.queries())[:gate_ledger.GATE_SLOTS])
     assert bad and not set(bad) & active
 
