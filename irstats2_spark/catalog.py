@@ -159,11 +159,14 @@ NEXT_CUT: tuple[str, ...] = (
     "text_winnow_fingerprints",
 )
 # Bench baseline note: the
-# committed BENCH_DETAIL.json is the r11 closing idle run — 203.3 s
-# over ALL 238 catalog queries, 0 failed, 0 run-only, ratio 1.003 vs
-# the r10 baseline over the 235 common queries (one contention-window
-# attempt at 228.9 s with calib_io 1.3x was rejected per protocol),
-# calib_sec 0.145 / calib_io_sec 0.268. The r10 numbers for
+# committed BENCH_DETAIL.json is the r11 idle run — 203.3 s over 238
+# catalog queries (ratio 1.003 vs the r10 baseline over the 235 common
+# queries; one contention-window attempt at 228.9 s with calib_io 1.3x
+# was rejected per protocol; calib_sec 0.145 / calib_io_sec 0.268) —
+# plus pipeline_multimodal_e2e (0.77 s) spliced from the follow-up
+# idle run whose whole-run ratio was 1.056, so that one entry may read
+# ~3-5% pessimistic (provenance in the file's producer field). Total
+# 204.1 s / 239 queries, 0 failed, 0 run-only. The r10 numbers for
 # reference: 199.9 s / 235 queries, calib 0.144 / 0.315.
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
