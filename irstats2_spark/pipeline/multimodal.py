@@ -193,7 +193,9 @@ def _parse_image_header(b: bytes):
     return "unknown", None, None, None
 
 
-def parse_image_dims(media: DataFrame) -> DataFrame:
+def parse_image_dims(
+    media: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """Header-level image decode over MEDIA_SCHEMA rows via Arrow-batched
     mapInPandas: emits (media_id, format, width, height, channels) with
     REAL parsed values for PNG/JPEG/GIF (see ``_parse_image_header``) —
@@ -203,7 +205,16 @@ def parse_image_dims(media: DataFrame) -> DataFrame:
     synthesize+parse+aggregate end to end): 500k payloads 0.83 s ->
     2.5M payloads 1.51 s best-of-N (1.8x wall for 5x rows — the pure
     map pipeline is sub-linear until the scan saturates; sf0.1's 5k
-    docs are pure overhead at 0.8 s flat)."""
+    docs are pure overhead at 0.8 s flat).
+
+    ``passthrough`` names input columns copied verbatim into the output
+    (e.g. a pre-computed ``n_bytes``), so downstream per-media features
+    compose in the SAME map pass instead of re-joining on media_id —
+    the difference between zero corpus shuffles and three."""
+    extra = [f for f in media.schema.fields if f.name in set(passthrough)]
+    missing = set(passthrough) - {f.name for f in extra}
+    assert not missing, f"passthrough columns not in input: {missing}"
+    schema = T.StructType(list(IMAGE_DIMS_SCHEMA.fields) + extra)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -211,7 +222,7 @@ def parse_image_dims(media: DataFrame) -> DataFrame:
                 _parse_image_header(bytes(c) if c is not None else b"")
                 for c in pdf["content"]
             ]
-            yield pd.DataFrame(
+            out = pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "format": [p[0] for p in parsed],
@@ -222,8 +233,11 @@ def parse_image_dims(media: DataFrame) -> DataFrame:
                     ),
                 }
             )
+            for f in extra:
+                out[f.name] = pdf[f.name]
+            yield out
 
-    return media.mapInPandas(batches, schema=IMAGE_DIMS_SCHEMA)
+    return media.mapInPandas(batches, schema=schema)
 
 
 def _hex_u32be(col) -> "F.Column":

@@ -1195,29 +1195,27 @@ def multimodal_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     "byte accounting -> per-format stats): every stage's output is an "
     "arithmetic function of doc_id and the documented header byte "
     "layouts (PNG 33 B, JPEG 33/39 B by component count, GIF 13 B), so "
-    "the oracle replays the whole chain without touching bytes",
+    "the oracle replays the whole chain without touching bytes. Scale "
+    "shape: ONE map pass — n_bytes rides through the decode via "
+    "passthrough and the frame count is the chunk-count law "
+    "ceil(n_bytes/1024) (the law itself is value-verified against the "
+    "real explode sampler by multimodal_decode_stub's oracle), so the "
+    "only exchange is the final |formats|-row aggregate, not three "
+    "corpus-wide media_id joins",
 )
 def pipeline_multimodal_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     from irstats2_spark.pipeline.multimodal import (
-        frame_sample,
         media_with_real_headers,
         parse_image_dims,
     )
 
-    media = media_with_real_headers(load_table(spark, "documents", sf_dir))
-    dims = parse_image_dims(media)
-    sizes = media.select(
-        "media_id", F.length("content").cast("long").alias("n_bytes")
-    )
-    frames = (
-        frame_sample(media, every_n_bytes=1024)
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_frames"))
-    )
-    gated = (
-        dims.join(sizes, "media_id")
-        .join(frames, "media_id")
-        .filter(F.col("width") >= 100)
+    media = media_with_real_headers(
+        load_table(spark, "documents", sf_dir)
+    ).withColumn("n_bytes", F.length("content").cast("long"))
+    dims = parse_image_dims(media, passthrough=("n_bytes",))
+    gated = dims.filter(F.col("width") >= 100).withColumn(
+        "n_frames",
+        F.greatest(F.ceil(F.col("n_bytes") / 1024.0), F.lit(1)).cast("long"),
     )
     return (
         gated.groupBy("format")

@@ -1307,6 +1307,22 @@ def test_multimodal_dims_plan_is_shuffle_free_and_arrow(spark, queries):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
 
 
+def test_multimodal_e2e_single_exchange_no_media_joins(spark, queries):
+    """The multimodal e2e composes in ONE map pass (n_bytes rides the
+    decode via passthrough, frame count is the chunk-count law): the
+    only Exchange is the |formats|-row final aggregate — never a
+    corpus-wide media_id join — and no exchange carries the payload."""
+    import re
+
+    plan = plan_of(queries["pipeline_multimodal_e2e"](spark, SF))
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    exchanges = [
+        b for b in plan.split("\n\n") if re.match(r"\(\d+\) Exchange", b)
+    ]
+    for block in exchanges:
+        assert "content#" not in block and "media_id#" not in block, block
+
+
 def test_top_fraction_approx_never_sorts_corpus(spark, queries):
     """The continuous-score cut's global sorts/windows must ride the
     BIN histogram (and the one boundary bin), never the corpus: no
