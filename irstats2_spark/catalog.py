@@ -38,112 +38,32 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-11 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
+# Round-12 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
 # `--check 6` fails when a query's newest driver row would fall more
 # than 6 rounds stale without a slot in this cut —
 # tests/test_gate_ledger.py runs it).
 #
 # Slot budget (50):
-# - the complete 19-query r4 remainder (pre-enumerated in the round-10
-#   comment and in the r10 verdict/advice) — these would exceed the
-#   6-round window in round 11 without a slot, so they head the cut;
+# - the complete 13-query r5 remainder, promoted verbatim from the
+#   round-11 staged NEXT_CUT (r11 verdict #1) — these turn 7 rounds
+#   stale at round 12 without a slot, so they head the cut;
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
-# - new registrations this round gate immediately: multimodal_dims
-#   (real PNG/JPEG/GIF header decode, r10 verdict #3),
-#   sample_score_calibration_merge (the mergeable-histogram
-#   incremental calibration tier, r10 verdict #6),
-#   text_classifier_top_fraction_approx (the continuous-score
-#   two-phase quality cut the exact form's docstring promised), and
-#   pipeline_multimodal_e2e (the eighth gated e2e composition:
-#   synthesize -> decode -> gate -> per-format stats);
-# - 7 rows CHANGED this round: the score-calibration pair (the binned
-#   form's NULL-score join drop — r10 ADVICE medium — means both forms
-#   change together to keep the bit-identity contract), the k-skyband
-#   pair (the `_skyband_fold` searchsorted side fix — r10 ADVICE low),
-#   and the three skyline rows (unique-vector collapse + d=2 staircase
-#   + partition-parallel merges — r10 verdict #4);
-# - the remaining 18 slots go to the stalest r5 rows in ledger order
-#   (`python -m tools.gate_ledger --debt 40`). The r5 remainder
-#   (pipeline_semdedup_e2e .. text_winnow_fingerprints) is round 12's
-#   rotation debt — the displaced r5 rows turn 7 rounds stale at
-#   round 12, so they are staged in NEXT_CUT below.
+# - new registrations this round gate immediately: multimodal_av_props
+#   (WAV/RIFF + MP4 moov/mvhd real header decode, r11 verdict #3);
+# - 5 rows CHANGED this round: pipeline_select_e2e + its components
+#   text_lm_nll_score / select_dsir_weights (the x1.77 idle regression
+#   rework, r11 verdict #2), and multimodal_dims /
+#   pipeline_multimodal_e2e (the corrupt-PNG >=2^31 dims guard, r11
+#   ADVICE medium);
+# - the remaining 29 slots go to the stalest r6 rows in ledger order
+#   (`python -m tools.gate_ledger --debt 60`), with
+#   similarity_ivf_probe_sweep swapped in ahead of its ledger position
+#   because the AQE-reuse re-measurement (r11 verdict #5) may change
+#   it. The 14 r6 rows this displaces (pipeline_release_e2e ..
+#   text_vocab_decode_roundtrip) turn 7 rounds stale at round 13 and
+#   will be staged in NEXT_CUT at end of round 12.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- the 19-query r4 remainder (mandatory this round) --
-    "pipeline_curation_summary",
-    "pipeline_select_e2e",
-    "referrer_classification",
-    "sample_balanced_topk",
-    "select_dsir_weights",
-    "similarity_ivf_probe2_topk",
-    "similarity_ivf_topk",
-    "similarity_kmeans_ivf_topk",
-    "similarity_recall_audit",
-    "similarity_rp_topk",
-    "similarity_scalar_quant_error",
-    "t1_month_trunc",
-    "t5_period_compare",
-    "text_chunk_windows",
-    "text_classifier_top_fraction_binned",
-    "text_classifier_votes",
-    "text_decontamination",
-    "text_lm_nll_score",
-    "text_ngram_novelty",
-    # -- continuously-verified core anchors --
-    "a1_grouped_sum",
-    "repeat_filter_exact",
-    # -- NEW registrations this round (gate immediately) --
-    "multimodal_dims",
-    "sample_score_calibration_merge",
-    "text_classifier_top_fraction_approx",
-    "pipeline_multimodal_e2e",
-    # -- re-gate: rows changed in round 11 (ADVICE fixes + the
-    #    unique-collapse/staircase/parallel-merge fold rework) --
-    "sample_score_calibration_by_source",
-    "sample_score_calibration_binned",
-    "select_k_skyband",
-    "select_k_skyband_incremental",
-    "select_pareto_skyline",
-    "select_pareto_skyline_incremental",
-    "select_pareto_skyline_3axis",
-    # -- stalest r5 rows, ledger order --
-    "a6_a7_cumulative_running_avg",
-    "a8_count_rows",
-    "anon_md5_values",
-    "corpus_deterministic_shuffle",
-    "corpus_dup_rate_by_source",
-    "corpus_length_histogram",
-    "corpus_shard_manifest",
-    "corpus_shard_manifest_hierarchical",
-    "dedup_cluster_quality_keepers",
-    "dedup_simhash_incremental",
-    "dedup_winnowing",
-    "dedup_winnowing_incremental",
-    "j1_fact_join_dim",
-    "j2_grouping_join",
-    "mix_by_temperature_tokens",
-    "mix_with_epochs",
-    "mix_with_epochs_tokens",
-    "pack_efficiency_audit",
-)
-# NEXT_CUT: the STAGED round-12 cut (r10 verdict #5). The driver writes
-# CORRECTNESS_r11.json AFTER this round's final commit, which advances
-# the ledger's "upcoming round" to 12 while GATE_PRIORITY still holds
-# the consumed r11 cut — without staging, `--check 6` goes red at HEAD
-# every round by construction. gate_ledger consults NEXT_CUT *only*
-# when the newest artifact round has caught up with GATE_CUT_ROUND
-# (i.e. the GATE_PRIORITY cut is consumed); until then the active cut
-# is GATE_PRIORITY and NEXT_CUT is inert. Round 12's first commit must
-# still PROMOTE this tuple into GATE_PRIORITY (bumping GATE_CUT_ROUND)
-# — queries() ordering, which is what the driver actually gates on,
-# always follows GATE_PRIORITY. Empty until cut at end of round 11.
-GATE_CUT_ROUND = 11  # the round GATE_PRIORITY was cut FOR
-# The 13 names below are exactly the queries whose newest driver row
-# (assuming CORRECTNESS_r11 verifies the cut above) turns 7 rounds
-# stale at round 12 — the complete r5 remainder. Round 12's first
-# commit must PROMOTE these into GATE_PRIORITY (bump GATE_CUT_ROUND to
-# 12, add the two anchors, round-12 changes, then stalest r6 rows per
-# `python -m tools.gate_ledger --debt 40` to fill 50 slots).
-NEXT_CUT: tuple[str, ...] = (
+    # -- the 13-query r5 remainder (mandatory this round) --
     "pack_sequences_offsets",
     "pipeline_semdedup_e2e",
     "similarity_ivf_balance_audit",
@@ -157,6 +77,83 @@ NEXT_CUT: tuple[str, ...] = (
     "text_gopher_quality_gate",
     "text_vocab_encode",
     "text_winnow_fingerprints",
+    # -- continuously-verified core anchors --
+    "a1_grouped_sum",
+    "repeat_filter_exact",
+    # -- NEW registrations this round (gate immediately) --
+    # (multimodal_av_props takes this slot once registered; until then
+    #  the placeholder below keeps the budget spent on a real row)
+    "pipeline_release_e2e",
+    # -- re-gate: rows changed in round 12 (select-e2e perf rework +
+    #    corrupt-header dims guard) --
+    "pipeline_select_e2e",
+    "text_lm_nll_score",
+    "select_dsir_weights",
+    "multimodal_dims",
+    "pipeline_multimodal_e2e",
+    # -- stalest r6 rows, ledger order (probe_sweep pulled forward) --
+    "agg_grouping_sets",
+    "corpus_curriculum_order",
+    "corpus_ngram_diversity",
+    "corpus_ngram_diversity_approx",
+    "corpus_quota_pack",
+    "corpus_source_overlap",
+    "corpus_zonemap_merge",
+    "corpus_zonemap_prune_audit",
+    "corpus_zorder_layout",
+    "corpus_zorder_prune_gain",
+    "dedup_edit_distance",
+    "dedup_lsh_band_sweep",
+    "similarity_ivf_probe_sweep",
+    "embedding_class_separation",
+    "embedding_covariance",
+    "embedding_pca_project",
+    "events_attribution_windows",
+    "events_covisit_lift",
+    "events_funnel_conversion",
+    "events_interval_overlap",
+    "events_markov_transitions",
+    "events_retention_cohorts",
+    "events_rolling_anomaly",
+    "events_session_quantiles_exact",
+    "events_top_paths",
+    "events_trending_types",
+    "mix_doremi_proxy_reweight",
+    "pipeline_dedup_cascade_audit",
+    "pipeline_quality_funnel_e2e",
+)
+# NEXT_CUT: the STAGED round-13 cut (r10 verdict #5 mechanism). The
+# driver writes CORRECTNESS_r12.json AFTER this round's final commit,
+# which advances the ledger's "upcoming round" to 13 while
+# GATE_PRIORITY still holds the consumed r12 cut — without staging,
+# `--check 6` goes red at HEAD every round by construction.
+# gate_ledger consults NEXT_CUT *only* when the newest artifact round
+# EQUALS GATE_CUT_ROUND (i.e. the GATE_PRIORITY cut was just
+# consumed); if a later artifact lands without a promotion, the check
+# fails on purpose to surface the missed recut (r11 ADVICE medium).
+# Round 13's first commit must still PROMOTE this tuple into
+# GATE_PRIORITY (bumping GATE_CUT_ROUND) — queries() ordering, which
+# is what the driver actually gates on, always follows GATE_PRIORITY.
+# Staged at round-12 promotion time (the 13 r6 rows the round-12 fill
+# displaces — the complete r6 remainder, which turns 7 rounds stale at
+# round 13); extended at end of round 12 with any round-12-changed
+# rows and re-verified with `--simulate-next 6` before the final
+# commit.
+GATE_CUT_ROUND = 12  # the round GATE_PRIORITY was cut FOR
+NEXT_CUT: tuple[str, ...] = (
+    "sample_coreset_diverse",
+    "similarity_cluster_purity",
+    "similarity_knn_mutual_graph",
+    "similarity_opq_distortion",
+    "text_burstiness_audit",
+    "text_ccnet_perplexity_buckets",
+    "text_cosine_pairs_inverted",
+    "text_encoding_anomaly",
+    "text_lang_confusion_audit",
+    "text_quality_calibration_audit",
+    "text_token_entropy",
+    "text_tokenizer_fertility",
+    "text_vocab_decode_roundtrip",
 )
 # Bench baseline note: the
 # committed BENCH_DETAIL.json is the r11 idle run — 203.3 s over 238

@@ -146,6 +146,18 @@ def test_staged_next_cut_bridges_the_artifact_race(monkeypatch, tmp_path):
     # a partial staging still flags what it leaves out
     monkeypatch.setattr(catalog, "NEXT_CUT", tuple(stale[:1]))
     assert set(gate_ledger.check(cut_round - 2)) == set(stale[1:])
+    # FORGOTTEN PROMOTION (r11 ADVICE medium): a LATER artifact lands
+    # (latest > cut_round) while NEXT_CUT was never moved into
+    # GATE_PRIORITY — the driver gated the stale first-50, not the
+    # staged names, so the staging must STOP counting as scheduled and
+    # the stale handful must flag again instead of staying silenced.
+    later = {n: {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None} for n in active_cut}
+    (tmp_path / f"CORRECTNESS_r{cut_round + 1:02d}.json").write_text(
+        json.dumps(later)
+    )
+    monkeypatch.setattr(catalog, "NEXT_CUT", tuple(stale))
+    assert set(gate_ledger.check(cut_round - 1)) == set(stale)
 
 
 def test_gate_priority_fills_every_slot():

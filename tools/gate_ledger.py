@@ -95,13 +95,20 @@ def check(max_age: int) -> list[str]:
 
     The upcoming cut is GATE_PRIORITY while that cut is still pending
     (no artifact for GATE_CUT_ROUND yet); once the driver has written
-    the artifact GATE_PRIORITY was cut for, the consumed cut no longer
-    counts as "scheduled" and the STAGED ``catalog.NEXT_CUT`` (if
-    non-empty) takes its place — so a round's final commit can land
-    artifacts + next cut together without the suite flashing red in
-    the artifact-after-final-commit window (r10 verdict #5). An empty
-    NEXT_CUT keeps the old behavior: a consumed cut with nothing
-    staged fails the check, which is the reminder to recut."""
+    the artifact GATE_PRIORITY was cut for (``latest == cut_round``,
+    EXACTLY), the consumed cut no longer counts as "scheduled" and the
+    STAGED ``catalog.NEXT_CUT`` (if non-empty) takes its place — so a
+    round's final commit can land artifacts + next cut together
+    without the suite flashing red in the artifact-after-final-commit
+    window (r10 verdict #5). If a LATER artifact lands without a
+    promotion (``latest > cut_round``: a whole round went by and
+    nobody moved NEXT_CUT into GATE_PRIORITY), the staged cut is NOT
+    honored — the driver gates on queries() order, i.e. the stale
+    GATE_PRIORITY, so pretending NEXT_CUT is scheduled would silence
+    the red-suite reminder in exactly the forgotten-promotion case
+    (r11 ADVICE medium). An empty NEXT_CUT keeps the old behavior: a
+    consumed cut with nothing staged fails the check, which is the
+    reminder to recut."""
     from irstats2_spark import catalog
 
     catalog._ensure_loaded()
@@ -110,7 +117,7 @@ def check(max_age: int) -> list[str]:
     upcoming = latest + 1
     cut_round = getattr(catalog, "GATE_CUT_ROUND", None)
     staged = tuple(getattr(catalog, "NEXT_CUT", ()))
-    if cut_round is not None and latest >= cut_round and staged:
+    if cut_round is not None and latest == cut_round and staged:
         cut = set(staged[:GATE_SLOTS])
     else:
         cut = set(list(catalog.queries())[:GATE_SLOTS])
