@@ -242,6 +242,43 @@ def _lcp(a, b):
     )
 
 
+_ADJ_BUCKET_BITS = 16  # lead-window bucket: 65536 suffixes per bucket
+
+
+def _adjacent_rows(sa: DataFrame, cols: list[str]) -> DataFrame:
+    """Each suffix row joined IN-ROW with its suffix-order successor:
+    for every ``c`` in ``cols`` the output adds ``c_b`` = the value of
+    ``c`` on the row with ``sa_idx + 1`` (rows with no successor are
+    dropped — exactly the inner self-join on ``sa_idx = sa_idx + 1``
+    this replaces).
+
+    Shape: ONE hash exchange instead of the self-join's two. ``sa_idx``
+    is dense, so bucketing it by ``sa_idx >> 16`` yields uniform
+    65536-row buckets; a ``lead`` window per bucket pairs neighbors
+    within a bucket, and each bucket's FIRST row is duplicated into the
+    preceding bucket so the cross-boundary pair is formed there (the
+    duplicate carrier rows — one per 65536 suffixes — are consumed as
+    lead targets and filtered from the output by the
+    ``lead(sa_idx) == sa_idx + 1`` guard, which also drops the true
+    last suffix). Buckets hash-spread across partitions and are
+    size-bounded by construction, so no task ever sees more than
+    2^16 + 1 rows per bucket at any corpus size — same parallelism
+    guarantee as the join, one exchange cheaper."""
+    bucket = F.shiftright("sa_idx", _ADJ_BUCKET_BITS)
+    carrier = sa.withColumn("__b", bucket)
+    low_bits = F.col("sa_idx").bitwiseAND(F.lit((1 << _ADJ_BUCKET_BITS) - 1))
+    dup = sa.filter((low_bits == 0) & (F.col("sa_idx") > 0)).withColumn(
+        "__b", bucket - 1
+    )
+    win = Window.partitionBy("__b").orderBy("sa_idx")
+    nxt = F.lead(F.struct("sa_idx", *cols)).over(win)
+    led = carrier.unionByName(dup).select("sa_idx", *cols, nxt.alias("__n"))
+    out = led.filter(F.col("__n.sa_idx") == F.col("sa_idx") + 1)
+    for c in cols:
+        out = out.withColumn(f"{c}_b", F.col(f"__n.{c}"))
+    return out.drop("__n")
+
+
 def repeated_substrings(
     docs: DataFrame,
     min_len: int = 8,
@@ -412,22 +449,44 @@ def _sweep_input(pairs: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
     (the fold's stack drains at every ``sa_idx`` gap), so the classic
     gaps-and-islands key ``sa_idx - rank`` — constant within a stretch,
     distinct across stretches — hash-routes whole stretches across
-    partitions. The rank comes from the shared ``_dense_index`` idiom
-    (pairs are unique on ``sa_idx``, so a range-partitioned sort +
-    per-partition offsets gives it exactly), NOT from a global-ordered
-    ``row_number`` window: that window was the miner's one residual
-    single-task pass — at a multi-percent dup rate (Lee et al.) and
-    100x data, billions of 16-byte pair rows would stream through one
-    core before the parallel fold even started. Now every stage of the
-    sweep is partition-parallel."""
-    idx, pin = _dense_index(pairs.select("sa_idx", "lcp"), ["sa_idx"], "__rank")
+    partitions. The rank is NOT a global-ordered ``row_number`` window
+    (that would be a single-task pass over billions of pair rows at
+    scale): pairs are unique on ``sa_idx``, so bucketing by
+    ``sa_idx >> 16`` gives uniform size-bounded buckets, a per-bucket
+    ``row_number`` gives the local rank, and per-bucket offsets come
+    from ONE tiny count aggregate over the (already persisted) pairs —
+    #buckets rows, collected and prefix-summed like ``_dense_index``'s
+    offsets, broadcast back. One hash exchange + one pair-sized count
+    pass, where the previous ``_dense_index`` form paid a range-sample
+    pass, a second persisted copy of the pairs, and an extra read; no
+    stage funnels through a single task."""
+    spark = pairs.sparkSession
+    bucket = F.shiftright("sa_idx", _ADJ_BUCKET_BITS)
+    counts = sorted(
+        (r["b"], r["cnt"])
+        for r in pairs.groupBy(bucket.alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()  # #buckets rows: pairs/65536, the offsets contract
+    )
+    offsets = []
+    running = 0
+    for b, c in counts:
+        offsets.append((b, running))
+        running += c
+    offs = spark.createDataFrame(offsets or [(0, 0)], "__b long, __off long")
+    local = F.row_number().over(
+        Window.partitionBy("__b").orderBy("sa_idx")
+    )
     swept = (
-        idx.withColumn("stretch", F.col("sa_idx") - F.col("__rank"))
-        .drop("__rank")
+        pairs.select("sa_idx", "lcp")
+        .withColumn("__b", bucket)
+        .join(F.broadcast(offs), "__b")
+        .withColumn("stretch", F.col("sa_idx") - (F.col("__off") + local - 1))
+        .drop("__b", "__off")
         .repartition("stretch")
         .sortWithinPartitions("sa_idx")
     )
-    return swept, [pin]
+    return swept, []
 
 
 def _mine_repeats(
@@ -441,30 +500,10 @@ def _mine_repeats(
     for semantics. Returns (result, pins-this-call-made)."""
     import pandas as pd
 
-    nxt = sa.select(
-        (F.col("sa_idx") - 1).alias("sa_idx"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("w").alias("w_b"),
-        F.col("prev").alias("prev_b"),
-        F.col("is_new").alias("is_new_b"),
-    )
     pairs = (
-        sa.join(nxt, "sa_idx")
-        .select(
-            "sa_idx",
-            "doc_id",
-            "pos",
-            "doc_b",
-            "pos_b",
-            "w",
-            "w_b",
-            "prev",
-            "prev_b",
-            "is_new",
-            "is_new_b",
-            _lcp(F.col("w"), F.col("w_b")).alias("lcp"),
-        )
+        _adjacent_rows(sa, ["doc_id", "pos", "w", "prev", "is_new"])
+        .withColumnRenamed("doc_id_b", "doc_b")
+        .withColumn("lcp", _lcp(F.col("w"), F.col("w_b")))
         .filter(F.col("lcp") >= min_len)
         .persist()  # dup-pair-sized; consumed by the sweep AND the info union
     )
@@ -601,14 +640,10 @@ def exact_substring_coverage(
     inputs)."""
     assert 1 <= min_len <= max_span, (min_len, max_span)
     sa, pins = _resolve_sa(docs, max_span, text_col, id_col, windows, sa)
-    nxt = sa.select(
-        (F.col("sa_idx") - 1).alias("sa_idx"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("pos").alias("pos_b"),
-        F.col("w").alias("w_b"),
-    )
     pairs = (
-        sa.join(nxt, "sa_idx")
+        _adjacent_rows(sa.select("doc_id", "pos", "w", "sa_idx"),
+                       ["doc_id", "pos", "w"])
+        .withColumnRenamed("doc_id_b", "doc_b")
         .withColumn("lcp", _lcp(F.col("w"), F.col("w_b")))
         .filter(F.col("lcp") >= min_len)
         .persist()  # dup-pair-sized; consumed by both union sides below

@@ -1110,11 +1110,14 @@ def test_suffix_windows_build_is_shuffle_free(spark):
 
 
 def test_repeated_substrings_has_no_single_task_stage(spark):
-    """Since r9 the SA miner has NO single-task stage at all: the
-    sweep's stretch-key rank comes from the range-partitioned
-    _dense_index idiom, not a global-ordered window, so the plan must
-    contain no SinglePartition exchange and no Window node (the r8
-    verdict's one `weak` finding). Also catalog-wide contracts: no
+    """Since r9 the SA miner has NO single-task stage at all; since r12
+    the adjacency pairs and the sweep's stretch-key rank come from
+    BUCKET-keyed windows (sa_idx >> 16 buckets, size-bounded by
+    construction) instead of the sa_idx self-join + range-sorted
+    _dense_index — one exchange each instead of two — so keyed Window
+    nodes are expected, but a SinglePartition exchange (the signature
+    of a global-ordered pass, the r8 verdict's one `weak` finding)
+    must never appear. Also catalog-wide contracts: no
     CartesianProduct, no row-at-a-time Python."""
     import re
 
@@ -1127,10 +1130,13 @@ def test_repeated_substrings_has_no_single_task_stage(spark):
     plan = plan_of(df)
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "Window" not in plan, plan
     for block in re.split(r"\n\n", plan):
         if re.match(r"\(\d+\) Exchange", block):
             assert "SinglePartition" not in block, block
+        if re.match(r"\(\d+\) Window", block):
+            # keyed windows only: a global-ordered window has an empty
+            # partition spec and funnels through one task
+            assert "windowspecdefinition(__b" in block, block
     assert df.count() >= 0  # the plan executes end-to-end
 
 

@@ -285,6 +285,48 @@ def test_min_count_filters_rare_runs(spark):
     assert four == []
 
 
+def test_adjacent_rows_matches_self_join_across_buckets(spark):
+    """r12: suffix-order adjacency via the bucketed lead window must
+    produce exactly the pairs of the sa_idx self-join it replaced —
+    including across bucket boundaries (a bucket's first row is
+    duplicated into the previous bucket as the lead target) and at the
+    array end (the last suffix pairs with nothing). Exercised with a
+    tiny bucket width via monkeypatched _ADJ_BUCKET_BITS so boundaries
+    actually occur, plus gaps in sa_idx (the incremental miner's
+    only_touching_new filter upstream can never make gaps, but the
+    guard must still only pair true successors)."""
+    from pyspark.sql import functions as F
+
+    from irstats2_spark.pipeline import suffix as sfx
+
+    rows = [(i, f"v{i}") for i in range(0, 40) if i % 11 != 7]
+    df = spark.createDataFrame(rows, "sa_idx long, val string").repartition(5)
+    expect = sorted(
+        (i, f"v{i}", f"v{i + 1}")
+        for i, _ in rows
+        if any(j == i + 1 for j, _ in rows)
+    )
+    old = sfx._ADJ_BUCKET_BITS
+    sfx._ADJ_BUCKET_BITS = 3  # 8-row buckets: several boundaries in 40 rows
+    try:
+        got = sorted(
+            (r["sa_idx"], r["val"], r["val_b"])
+            for r in sfx._adjacent_rows(df, ["val"]).collect()
+        )
+    finally:
+        sfx._ADJ_BUCKET_BITS = old
+    assert got == expect
+    # plan shape: one keyed window, no join, no SinglePartition exchange
+    plan = (
+        sfx._adjacent_rows(df, ["val"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
 def test_dense_index_is_dense_ordered_and_scan_free(spark):
     """The shared rank idiom under both suffix_order and the sweep key:
     ranks must be exactly 0..n-1 in order-column order across many
@@ -321,8 +363,11 @@ def test_sweep_runs_stretch_parallel(spark):
     stretch key must (a) keep each stretch whole within a partition and
     (b) spread distinct stretches across >1 partition — and (c, the r8
     residual) the key ASSIGNMENT itself must not run a single-task
-    global window: the sweep plan may contain no Window node at all
-    (the rank comes from the range-partitioned _dense_index idiom)."""
+    global pass: since r12 the rank comes from a BUCKET-keyed
+    row_number window (sa_idx >> 16 buckets, size-bounded by
+    construction) + collected per-bucket offsets, so the plan may
+    contain keyed Window nodes but never a SinglePartition exchange
+    (the signature of a global-ordered window)."""
     from pyspark.sql import functions as F
 
     # three stretches of qualifying pairs separated by sa_idx gaps
@@ -334,7 +379,7 @@ def test_sweep_runs_stretch_parallel(spark):
     try:
         swept, pins = _sweep_input(pairs)
         plan = swept._jdf.queryExecution().executedPlan().toString()
-        assert "Window" not in plan, plan  # no single-task rank pass
+        assert "SinglePartition" not in plan, plan  # no single-task rank pass
         got = (
             swept.withColumn("pid", F.spark_partition_id())
             .select("stretch", "pid")
