@@ -38,6 +38,16 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 _TS_COLS = {"events": ("ts",)}
 
 
+# Schema memo: spark.read.parquet without an explicit schema runs a
+# driver JOB to read footers on EVERY call — ~40 ms per load_table,
+# which multiplied over a many-query application is pure metadata
+# overhead (a production deployment holds table schemas in a catalog
+# for exactly this reason). Key includes the file's mtime so a
+# regenerated testdata directory re-infers; only METADATA is memoized —
+# every query still scans the parquet data itself.
+_SCHEMA_CACHE: dict[tuple[str, float], object] = {}
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     if name in _TS_COLS:
@@ -45,7 +55,18 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
         # get_spark(); the conf is read at scan planning time, so setting it
         # on the running session is sufficient. (No-op for micros files.)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        key = (path, os.path.getmtime(path))
+    except OSError:
+        key = None
+    schema = _SCHEMA_CACHE.get(key) if key else None
+    if schema is not None:
+        df = spark.read.schema(schema).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        if key:
+            _SCHEMA_CACHE[key] = df.schema
     for col in _TS_COLS.get(name, ()):
         dtype = dict(df.dtypes).get(col)
         if dtype == "bigint":
