@@ -1921,16 +1921,20 @@ def lsh_band_sweep_audit(
     the end-to-end miss rate, not just a blocking statistic.
 
     Scale shape: ONE cached shingle scan feeds the truth side and the
-    signature aggregation, which is computed ONCE and persisted (the
-    branches differ only in how the same mh_* columns are GROUPED into
-    bands, so re-running the expensive minima per branch would triple
-    the dominant aggregation); the truth pair set and each branch's
-    candidate pair set are persisted too — both are pair-sized (bounded
-    by real dup mass, not the corpus) and are each consumed by two or
-    more count-aggregates. At web scale, run on a sample — the audit
-    needs the curve, not the census."""
-    from functools import reduce
-
+    signature aggregation, which is computed ONCE (the branches differ
+    only in how the same mh_* columns are GROUPED into bands, so
+    re-running the expensive minima per branch would triple the
+    dominant aggregation) — and since r12 ALL band splits ride ONE
+    banded explode tagged with the config: every doc emits its
+    sum(band_options) banded rows in a single pass, one bucket
+    aggregation and one pair rollup keyed by (bands, ...) replace the
+    per-config branch pipelines (2 exchanges total instead of 2 per
+    config, one persisted pair set instead of one per config — the
+    per-config candidate sets are unchanged, just stacked). The truth
+    pair set and the combined candidate set are pair-sized (bounded by
+    real dup mass, not the corpus) and each consumed by two
+    count-aggregates. At web scale, run on a sample — the audit needs
+    the curve, not the census."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     truth = (
         ngram_jaccard_pairs(
@@ -1939,45 +1943,77 @@ def lsh_band_sweep_audit(
         .select("doc_a", "doc_b")
         .persist()
     )
-    sig = minhash_signatures(sh, n_hashes).persist()
-    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    branches = []
-    cands = []
+    sig = minhash_signatures(sh, n_hashes)
+    band_cols = []
     for b in band_options:
         assert n_hashes % b == 0
-        cand = (
-            _band_candidates(sig, n_hashes, b)
-            .select("doc_a", "doc_b")
-            .persist()
-        )
-        cands.append(cand)
-        nc = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates")
-        )
-        nf = truth.join(cand, ["doc_a", "doc_b"]).agg(
-            F.count(F.lit(1)).cast("long").alias("n_found")
-        )
-        branches.append(
-            nc.crossJoin(nf)
-            .crossJoin(nt)
-            .select(
-                F.lit(b).cast("int").alias("bands"),
-                F.lit(n_hashes // b).cast("int").alias("rows_per_band"),
-                "n_candidates",
-                "n_found",
-                "n_truth",
-                F.when(
-                    F.col("n_truth") > 0,
-                    F.round(F.col("n_found") / F.col("n_truth"), 6),
-                ).alias("recall"),
+        rows_per_band = n_hashes // b
+        for bi in range(b):
+            cols = [
+                F.col(f"mh_{bi * rows_per_band + r}")
+                for r in range(rows_per_band)
+            ]
+            band_cols.append(
+                F.struct(
+                    F.lit(b).alias("bands"),
+                    F.lit(bi).alias("band"),
+                    F.md5(F.concat_ws("|", *cols)).alias("sig"),
+                )
             )
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bs")
+    ).select("doc_id", "bs.bands", "bs.band", "bs.sig")
+    pair_structs = _ordered_pair_structs(
+        F.array_sort(F.col("ids")),
+        lambda x, y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+    )
+    cand = (
+        banded.groupBy("bands", "band", "sig")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select("bands", F.explode(pair_structs).alias("p"))
+        .select("bands", "p.doc_a", "p.doc_b")
+        .dropDuplicates(["bands", "doc_a", "doc_b"])
+        .persist()
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    nc = cand.groupBy("bands").agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates")
+    )
+    nf = (
+        cand.join(truth, ["doc_a", "doc_b"])
+        .groupBy("bands")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+    )
+    opts = docs.sparkSession.createDataFrame(
+        [(int(b),) for b in band_options], "bands int"
+    )
+    out = (
+        opts.join(nc, "bands", "left")
+        .join(nf, "bands", "left")
+        .crossJoin(nt)
+        .select(
+            F.col("bands").cast("int").alias("bands"),
+            (F.lit(n_hashes) / F.col("bands")).cast("int").alias(
+                "rows_per_band"
+            ),
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("n_found", F.lit(0)).cast("long").alias("n_found"),
+            "n_truth",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(F.col("n_found") / F.col("n_truth"), 6),
+            ).alias("recall"),
         )
-    # eager-materialize the len(band_options)-row curve, then RELEASE the
-    # 2 + len(band_options) pinned datasets (shingles, truth pairs,
-    # signatures, per-band candidates) — in a long-lived application the
-    # audit must not hold corpus-sized caches past its return
-    out = reduce(lambda a, c: a.unionByName(c), branches).localCheckpoint()
-    for cached in (sh, truth, sig, *cands):
+    )
+    # eager-materialize the len(band_options)-row curve, then RELEASE
+    # the pinned datasets (shingles, truth pairs, combined candidates)
+    # — in a long-lived application the audit must not hold
+    # corpus-sized caches past its return
+    out = out.localCheckpoint()
+    for cached in (sh, truth, cand):
         cached.unpersist()
     return out
 
