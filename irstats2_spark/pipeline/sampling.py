@@ -623,12 +623,19 @@ def dsir_logweights(
     100-TB token counts; IEEE double products of identical inputs round
     identically in any engine).
 
-    Scale shape: two groupBys over hashed-int token buckets (map-side
-    combine; results are <= n_buckets rows each), one BROADCAST of the
-    n_buckets-row score table onto the exploded corpus tokens, and a
-    per-doc integer rollup whose shuffle carries (doc_id, long) partials
-    — never text. The target side is usually a domain sample, but
-    nothing here materializes it beyond its bucket histogram."""
+    Scale shape (reworked r12 — same values, fewer passes): the corpus
+    is tokenized ONCE into per-(doc, bucket) counts behind a single
+    exchange that both consumers share (the bucket histogram derives
+    from it by a second tiny rollup, and Spark's ReuseExchange dedups
+    the identical subtree, so the corpus text is read and tokenized
+    exactly once); the grand totals derive from the histograms
+    (SUM over <= n_buckets rows) instead of two extra corpus/target
+    passes — the previous shape paid three tokenize passes over the
+    corpus and two over the target. One BROADCAST of the n_buckets-row
+    score table onto the per-doc bucket counts, and a per-doc integer
+    rollup whose shuffle carries (doc_id, long) partials — never text.
+    The target side is usually a domain sample, but nothing here
+    materializes it beyond its bucket histogram."""
     def tok(df: DataFrame) -> DataFrame:
         from irstats2_spark.pipeline.textstats import tokens
 
@@ -637,12 +644,19 @@ def dsir_logweights(
             F.explode(tokens(F.col(text_col))).alias("tok"),
         ).withColumn("bucket", hash_bucket(F.col("tok"), n_buckets, salt))
 
-    corpus_tok = tok(docs)
-    target_tok = tok(target)
-    raw = corpus_tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_raw"))
-    tgt = target_tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
-    t_raw = corpus_tok.agg(F.count(F.lit(1)).alias("t_raw"))
-    t_t = target_tok.agg(F.count(F.lit(1)).alias("t_t"))
+    # per-(doc, bucket) instance counts: the one corpus-sized aggregate;
+    # the bucket histogram and the per-doc rollup both read THIS shuffle
+    db = (
+        tok(docs)
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    raw = db.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
+    tgt = tok(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
+    # grand totals from the histograms — no extra tokenize pass; SUM of
+    # COUNTs equals the direct COUNT, exactly
+    t_raw = raw.agg(F.sum("c_raw").alias("t_raw"))
+    t_t = tgt.agg(F.sum("c_t").alias("t_t"))
     b = float(n_buckets)
     num = (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double") * (
         F.col("t_raw") + b
@@ -659,12 +673,14 @@ def dsir_logweights(
             .alias("lq"),
         )
     )
+    # sum(cnt * lq) over buckets == sum(lq) over token instances:
+    # integer multiply-add, order-free, bit-identical to the oracle
     scored = (
-        corpus_tok.join(F.broadcast(stats), "bucket")
+        db.join(F.broadcast(stats), "bucket")
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.sum("lq").alias("lw_micro"),
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lq")).alias("lw_micro"),
         )
     )
     return (
