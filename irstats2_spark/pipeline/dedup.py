@@ -1098,33 +1098,40 @@ def connected_components(
     # Materialize the (small) pair set once: the pair source is typically
     # a whole LSH pipeline, and both union branches, the label init, and
     # every propagation round would re-derive it otherwise.
+    from pyspark.sql import Observation
+
     pairs = pairs.select(a_col, b_col).localCheckpoint()
     edges = pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")).union(
         pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
     )
-    labels = (
+
+    # labels only ever decrease, so an unchanged sum proves fixpoint.
+    # The checksum rides the SAME action that materializes the label
+    # table (observe() metrics are collected by localCheckpoint's job),
+    # so each round is one distributed action, not two (r12: the
+    # separate per-round checksum agg was ~half the loop's job count).
+    def _chk(lbl: DataFrame):
+        obs = Observation()
+        ck = lbl.observe(
+            obs, F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).localCheckpoint()
+        return ck, obs.get["s"]
+
+    labels, prev = _chk(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint()
     )
-    def _checksum(lbl: DataFrame):
-        # labels only ever decrease, so an unchanged sum proves fixpoint
-        return lbl.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
-
-    prev = _checksum(labels)
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "comp")
         )
-        labels = (
+        labels, cur = _chk(
             labels.union(neighbor_min)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
-            .localCheckpoint()
         )
-        cur = _checksum(labels)
         if cur == prev:
             break
         prev = cur

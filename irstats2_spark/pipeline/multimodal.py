@@ -167,6 +167,12 @@ def _parse_image_header(b: bytes):
         if len(b) >= 26 and b[12:16] == b"IHDR":
             w = int.from_bytes(b[16:20], "big")
             h = int.from_bytes(b[20:24], "big")
+            if w > 0x7FFFFFFF or h > 0x7FFFFFFF:
+                # the PNG spec caps dims at 2^31-1; a larger u32 is a
+                # corrupt/hostile header. Degrade to NULL dims instead
+                # of letting pd.array(dtype='Int32') throw and kill the
+                # whole Arrow task (r11 ADVICE).
+                return "png", None, None, None
             return "png", w, h, PNG_COLOR_CHANNELS.get(b[25])
         return "png", None, None, None
     if b[:3] == b"\xff\xd8\xff":

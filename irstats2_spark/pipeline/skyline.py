@@ -111,7 +111,7 @@ def _skyline_mask_2d(uniq) -> "object":
     return keep
 
 
-def _dominated_by_any(blk, pts, strict_rows=None):
+def _dominated_by_any(blk, pts):
     """Row-mask over ``blk``: dominated by SOME row of ``pts``
     (minimize-all; <= on every axis, < on at least one). ``pts`` is
     scanned in bounded chunks so peak memory stays ~chunk x |blk| x d."""

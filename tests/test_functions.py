@@ -303,3 +303,33 @@ def test_ip_to_long_parses_and_rejects(spark):
     got = {r.ip: r.ipl for r in df.select("ip", ip_to_long(F.col("ip")).alias("ipl")).collect()}
     for ip, want in cases:
         assert got[ip] == want, (ip, got[ip], want)
+
+
+def test_ensure_parallelism_memoizes_partition_probe(spark):
+    """ensure_parallelism must (a) spread a narrow small scan to the
+    default parallelism, (b) leave an already-wide input alone, and
+    (c) memoize the partition-count probe by semantic hash so repeated
+    builds of the same subtree skip the physical-plan materialization
+    (r11 verdict #7 — the probe was a full analysis pass per call on
+    the hot query-build path)."""
+    from irstats2_spark import parallel
+    from irstats2_spark.parallel import ensure_parallelism
+    from irstats2_spark.sources.testdata import load_table
+
+    dp = spark.sparkContext.defaultParallelism
+    parallel._PARTS_MEMO.clear()
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out = ensure_parallelism(docs)
+    assert out.rdd.getNumPartitions() == dp
+    assert len(parallel._PARTS_MEMO) == 1
+
+    # same semantic subtree again: memo hit, no new entry, same result
+    docs2 = load_table(spark, "documents", "/root/testdata/sf0.001")
+    out2 = ensure_parallelism(docs2)
+    assert out2.rdd.getNumPartitions() == dp
+    assert len(parallel._PARTS_MEMO) == 1
+
+    # an input at (or above) target passes through un-repartitioned
+    wide = docs.repartition(dp)
+    assert ensure_parallelism(wide) is wide

@@ -281,6 +281,18 @@ def test_image_header_parse_pure():
     assert _parse_image_header(b"") == ("unknown", None, None, None)
     assert _parse_image_header(b"plain text") == ("unknown", None, None, None)
 
+    # hostile/corrupt PNG: in-bounds header but dims past the PNG spec's
+    # 2^31-1 cap must degrade to NULL dims, not crash the Int32 batch
+    # column downstream (r11 ADVICE)
+    for w, h in ((0xFFFFFFFF, 360), (640, 0x80000000)):
+        evil = (
+            b"\x89PNG\r\n\x1a\n"
+            + (13).to_bytes(4, "big") + b"IHDR"
+            + w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0]) + b"\xde\xad\xbe\xef"
+        )
+        assert _parse_image_header(evil) == ("png", None, None, None)
+
 
 def test_image_header_parse_property(  # hypothesis: random valid + garbage
 ):

@@ -55,16 +55,18 @@ def main() -> None:
             j0 = set(st.getJobIdsForGroup(None) or [])
             t0 = time.perf_counter()
             df = qs[name](spark, args.sf_dir)
+            tb = time.perf_counter() - t0  # construction (plan build +
+            # any bounded eager collects inside the operator)
             if args.noop:
                 df.write.format("noop").mode("overwrite").save()
             else:
                 df.collect()
             e = time.perf_counter() - t0
             j1 = set(st.getJobIdsForGroup(None) or [])
-            times.append((e, len(j1 - j0)))
+            times.append((e, tb, len(j1 - j0)))
         del jobs0
-        t = ", ".join(f"{e:.3f}s/{n}j" for e, n in times)
-        best = min(e for e, _ in times)
+        t = ", ".join(f"{e:.3f}s(b{tb:.2f})/{n}j" for e, tb, n in times)
+        best = min(e for e, _, _ in times)
         print(f"{name:45s} best={best:7.3f}  [{t}]")
         if args.plan:
             df = qs[name](spark, args.sf_dir)
