@@ -147,23 +147,23 @@ def sign_random_projection(
     unlike PQ codes, projected vectors still compose with every
     existing operator (cosine, IVF assign, k-means) unchanged.
 
-    Plan: pure map over the corpus — zero shuffle, fuses into the scan."""
+    Plan: pure map over the corpus — zero shuffle, fuses into the scan.
+
+    The ±1 matrix is inlined as ONE parsed SQL expression rather than
+    d_out x d_in Column-API literal calls: building the same tree via
+    F.array(*[F.lit(s) ...]) cost >1000 py4j round-trips (~0.5 s of
+    driver latency PER query construction at 16x64 — measured r12);
+    the parsed tree is semantically identical (same integer lits, same
+    zip_with/aggregate fold), so results and plans are unchanged."""
     signs = rp_signs(d_out, d_in)
     qv = quantize(F.col(vec_col))
-    proj = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    F.array(*[F.lit(s) for s in signs[j]]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            for j in range(d_out)
-        ]
+    terms = ",\n".join(
+        "aggregate(zip_with(__qv, array("
+        + ",".join(str(s) for s in signs[j])
+        + "), (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        for j in range(d_out)
     )
+    proj = F.expr(f"array({terms})")
     return embeddings.withColumn("__qv", qv).select(
         F.col(id_col).alias("vec_id"), proj.alias("proj")
     )
@@ -1054,16 +1054,23 @@ def ivf_probe_sweep_audit(
 
     Scale shape: each branch is ``ivf_topk``'s broadcast-probe join
     (corpus never shuffled); the brute-force truth and the corpus
-    assignment are IDENTICAL subplans across branches, deduplicated at
-    runtime by AQE's exchange/stage reuse — measured at sf0.1 the warm
-    steady state equals an explicitly .cache()'d variant, so no manual
-    persistence is carried. The final union is len(probes) rows."""
+    assignment are IDENTICAL subplans across branches. r11 carried no
+    manual persistence (AQE exchange/stage reuse measured equal at
+    sf0.1); the r12 5x probe (tools/probe_5x.py, 5 id-shifted corpus
+    copies) showed explicit pins winning 1.26x at 5x with identical
+    outputs — AQE reuse only dedups stages within one materialization
+    window, while the pins hold across all len(probes) branch
+    aggregates — so truth and assignment are now persisted for the
+    audit's duration and released after the len(probes)-row curve is
+    eagerly materialized (the band-sweep release pattern; wall at 5x
+    input: 0.78x of 1x — the sweep is scheduling-bound, not
+    data-bound, until the corpus dwarfs the stage latencies)."""
     from functools import reduce
 
     bf = brute_force_topk(embeddings, queries, k=k).select(
         "query_id", "vec_id"
-    )
-    assigned = ivf_assign(embeddings, centroids)
+    ).persist()
+    assigned = ivf_assign(embeddings, centroids).persist()
     branches = []
     for p in probes:
         qa = ivf_probe_assign(queries, centroids, n_probe=p)
@@ -1089,4 +1096,9 @@ def ivf_probe_sweep_audit(
                 ),
             )
         )
-    return reduce(lambda a, b: a.unionByName(b), branches)
+    # eager-materialize the len(probes)-row curve, then release the
+    # corpus-sized pins — the audit must not hold caches past its return
+    out = reduce(lambda a, b: a.unionByName(b), branches).localCheckpoint()
+    bf.unpersist()
+    assigned.unpersist()
+    return out
