@@ -450,15 +450,18 @@ def top_fraction(
     integer cutoff — no percentile interpolation to drift between
     engines.
 
-    Plan: one count (cheap aggregate) + ONE global-sort window for the
-    rank. A global rank is the honest semantics of a corpus-wide
-    top-fraction; for 100-TB inputs use ``top_fraction_binned``
-    (low-cardinality scores, exact) or ``top_fraction_approx``
-    (continuous scores, boundary within one bin width) — both keep the
-    exact output SIZE and never sort the corpus."""
-    n_keep = df.select(
-        F.floor(F.count(F.lit(1)) * frac).cast("long").alias("k")
-    )
+    Plan: ONE global-sort window computes both the rank and the total
+    count (an unordered whole-partition COUNT window rides the same
+    single-partition exchange), so the input subtree is evaluated
+    exactly once. (The r11 shape computed the cutoff as a separate
+    count aggregate crossJoined back in, which re-evaluated the entire
+    upstream plan — for pipeline_select_e2e that meant scoring the
+    corpus twice; measured ~1.6 s of the chain at sf0.1.) A global
+    rank is the honest semantics of a corpus-wide top-fraction; for
+    100-TB inputs use ``top_fraction_binned`` (low-cardinality scores,
+    exact) or ``top_fraction_approx`` (continuous scores, boundary
+    within one bin width) — both keep the exact output SIZE and never
+    sort the corpus."""
     order = [
         F.col(order_col).asc() if ascending else F.col(order_col).desc(),
         F.col(key_col).asc(),
@@ -467,10 +470,13 @@ def top_fraction(
 
     ranked = df.withColumn(
         "quality_rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    ).withColumn(
+        "__k",
+        F.floor(
+            F.count(F.lit(1)).over(Window.partitionBy()) * frac
+        ).cast("long"),
     )
-    return ranked.crossJoin(F.broadcast(n_keep)).filter(
-        F.col("quality_rank") <= F.col("k")
-    ).drop("k")
+    return ranked.filter(F.col("quality_rank") <= F.col("__k")).drop("__k")
 
 
 def top_fraction_binned(
@@ -509,7 +515,12 @@ def top_fraction_binned(
         "__n",
         (F.sum("__n").over(w_cum) - F.col("__n")).alias("__above"),
     )
-    total = df.agg(F.floor(F.count(F.lit(1)) * frac).cast("long").alias("__k"))
+    # k derives from the histogram (SUM of per-score counts == COUNT,
+    # exactly) — a separate count aggregate would re-evaluate the whole
+    # upstream subtree a second time (r12, same lesson as top_fraction)
+    total = hist.agg(
+        F.floor(F.sum("__n") * frac).cast("long").alias("__k")
+    )
     # boundary = highest score whose strictly-above count < k
     cut = (
         cum.crossJoin(F.broadcast(total))
