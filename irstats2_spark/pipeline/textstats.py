@@ -247,8 +247,12 @@ def heavy_hitters_checked(
     aggregate used only to VERIFY the sketch at gate scale.
     """
     toks = docs.select(F.explode(tokens(F.col(text_col))).alias("word"))
-    total = toks.agg(F.count(F.lit(1)).alias("__n"))
     counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    # total derives from the per-word counts (SUM == COUNT of instances,
+    # exactly) so the corpus explode is not re-evaluated a third time;
+    # ReuseExchange then shares the one groupBy exchange between the
+    # heavy-side scan and this scalar (r12)
+    total = counts.agg(F.sum("n_occurrences").alias("__n"))
     heavy = counts.crossJoin(F.broadcast(total)).filter(
         F.col("n_occurrences") > F.lit(support) * F.col("__n")
     )
