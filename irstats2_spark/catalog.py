@@ -156,15 +156,18 @@ NEXT_CUT: tuple[str, ...] = (
     "text_vocab_decode_roundtrip",
 )
 # Bench baseline note: the
-# committed BENCH_DETAIL.json is the r11 idle run — 203.3 s over 238
-# catalog queries (ratio 1.003 vs the r10 baseline over the 235 common
-# queries; one contention-window attempt at 228.9 s with calib_io 1.3x
-# was rejected per protocol; calib_sec 0.145 / calib_io_sec 0.268) —
-# plus pipeline_multimodal_e2e (0.77 s) spliced from the follow-up
-# idle run whose whole-run ratio was 1.056, so that one entry may read
-# ~3-5% pessimistic (provenance in the file's producer field). Total
-# 204.1 s / 239 queries, 0 failed, 0 run-only. The r10 numbers for
-# reference: 199.9 s / 235 queries, calib 0.144 / 0.315.
+# committed BENCH_DETAIL.json is the r12 end-of-round idle run — the
+# cleanest window of the round (calib_sec 0.129 / calib_io_sec 0.275,
+# better than the prior committed run's 0.145/0.268): 165.8 s over all
+# 239 catalog queries, 0 failed, no splices (closes the r11 verdict #8
+# splice). Ratio vs the r11 committed baseline (204.1 s): 0.81; vs the
+# round-12 pre-optimization baseline taken this round at matched
+# calibration (BENCH_r12_baseline, 209.7 s): 0.79 — the r12
+# optimization round's fleet-wide result (see OPTIMIZATION_r12.md;
+# the splice-free matched-calibration cross-check BENCH_r12_post2.json
+# reads 182.0 s at calib 0.155/0.277, median per-query ratio 0.863).
+# The r11 numbers for reference: 204.1 s / 239 queries, calib
+# 0.145 / 0.268.
 # Append every NEW registration to this comment AND re-gate any query
 # whose implementation changes after the cut freezes;
 # `tools/gate_ledger --check 6` (run by tests/test_gate_ledger.py)
