@@ -55,13 +55,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   rework, r11 verdict #2), and multimodal_dims /
 #   pipeline_multimodal_e2e (the corrupt-PNG >=2^31 dims guard, r11
 #   ADVICE medium);
-# - the remaining 29 slots go to the stalest r6 rows in ledger order
+# - 11 MORE rows changed by the r12 optimization work after the cut
+#   was first promoted (re-gate discipline): the suffix lead-window
+#   rework (repeated_substrings[_incremental],
+#   exact_substring_coverage), the single-parse RP sign matrix
+#   (embedding_random_projection, similarity_rp_topk), the
+#   top-fraction single-evaluation cut (text_classifier_top_fraction_
+#   binned/_approx), the heavy-hitters total derivation
+#   (text_vocab_heavyhitters_approx), and the connected-components
+#   observe fusion's direct consumers not already in the cut
+#   (dedup_clusters, pipeline_curation_neardup,
+#   dedup_cluster_quality_keepers);
+# - the remaining 18 slots go to the stalest r6 rows in ledger order
 #   (`python -m tools.gate_ledger --debt 60`), with
 #   similarity_ivf_probe_sweep swapped in ahead of its ledger position
-#   because the AQE-reuse re-measurement (r11 verdict #5) may change
-#   it. The 14 r6 rows this displaces (pipeline_release_e2e ..
-#   text_vocab_decode_roundtrip) turn 7 rounds stale at round 13 and
-#   will be staged in NEXT_CUT at end of round 12.
+#   because the AQE-reuse re-measurement (r11 verdict #5) changed it.
+#   The r6 rows displaced by this cut turn 7 rounds stale at round 13
+#   and are staged in NEXT_CUT below.
 GATE_PRIORITY: tuple[str, ...] = (
     # -- the 13-query r5 remainder (mandatory this round) --
     "pack_sequences_offsets",
@@ -91,23 +101,27 @@ GATE_PRIORITY: tuple[str, ...] = (
     "select_dsir_weights",
     "multimodal_dims",
     "pipeline_multimodal_e2e",
+    # -- re-gate: rows changed by the r12 optimization work (suffix
+    #    lead windows, RP single-parse matrix, top-fraction single
+    #    evaluation, heavy-hitters total derivation, components
+    #    observe fusion) --
+    "repeated_substrings",
+    "repeated_substrings_incremental",
+    "exact_substring_coverage",
+    "embedding_random_projection",
+    "similarity_rp_topk",
+    "text_classifier_top_fraction_binned",
+    "text_classifier_top_fraction_approx",
+    "text_vocab_heavyhitters_approx",
+    "dedup_clusters",
+    "pipeline_curation_neardup",
+    "dedup_cluster_quality_keepers",
     # -- stalest r6 rows, ledger order (probe_sweep pulled forward) --
     "agg_grouping_sets",
     "corpus_curriculum_order",
-    "corpus_ngram_diversity",
-    "corpus_ngram_diversity_approx",
-    "corpus_quota_pack",
     "corpus_source_overlap",
-    "corpus_zonemap_merge",
-    "corpus_zonemap_prune_audit",
-    "corpus_zorder_layout",
-    "corpus_zorder_prune_gain",
-    "dedup_edit_distance",
     "dedup_lsh_band_sweep",
     "similarity_ivf_probe_sweep",
-    "embedding_class_separation",
-    "embedding_covariance",
-    "embedding_pca_project",
     "events_attribution_windows",
     "events_covisit_lift",
     "events_funnel_conversion",
@@ -141,6 +155,7 @@ GATE_PRIORITY: tuple[str, ...] = (
 # commit.
 GATE_CUT_ROUND = 12  # the round GATE_PRIORITY was cut FOR
 NEXT_CUT: tuple[str, ...] = (
+    # the r6 remainder displaced by the original round-12 cut
     "sample_coreset_diverse",
     "similarity_cluster_purity",
     "similarity_knn_mutual_graph",
@@ -154,6 +169,20 @@ NEXT_CUT: tuple[str, ...] = (
     "text_token_entropy",
     "text_tokenizer_fertility",
     "text_vocab_decode_roundtrip",
+    # r6 rows further displaced when the round-12 optimization work
+    # swapped its changed rows into the active cut (re-gate
+    # discipline) — these too turn 7 rounds stale at round 13
+    "corpus_ngram_diversity",
+    "corpus_ngram_diversity_approx",
+    "corpus_quota_pack",
+    "corpus_zonemap_merge",
+    "corpus_zonemap_prune_audit",
+    "corpus_zorder_layout",
+    "corpus_zorder_prune_gain",
+    "dedup_edit_distance",
+    "embedding_class_separation",
+    "embedding_covariance",
+    "embedding_pca_project",
 )
 # Bench baseline note: the
 # committed BENCH_DETAIL.json is the r12 end-of-round idle run — the
