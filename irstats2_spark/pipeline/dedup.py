@@ -1936,12 +1936,15 @@ def lsh_band_sweep_audit(
     sum(band_options) banded rows in a single pass, one bucket
     aggregation and one pair rollup keyed by (bands, ...) replace the
     per-config branch pipelines (2 exchanges total instead of 2 per
-    config, one persisted pair set instead of one per config — the
-    per-config candidate sets are unchanged, just stacked). The truth
-    pair set and the combined candidate set are pair-sized (bounded by
-    real dup mass, not the corpus) and each consumed by two
-    count-aggregates. At web scale, run on a sample — the audit needs
-    the curve, not the census.
+    config — the per-config candidate sets are unchanged, just
+    stacked). The truth pair set is pair-sized (bounded by real dup
+    mass, not the corpus) and persisted for its two consumers (the
+    truth total and the marker join); the candidate set STREAMS once
+    through a single marker-join aggregate yielding candidate volume
+    and found-truth count together (r12 — persisting it for a second
+    aggregate pass bought nothing once the counts fused). At web
+    scale, run on a sample — the audit needs the curve, not the
+    census.
 
     Measured 5x point (r12, tools/probe_5x.py, 5 doc_id-shifted corpus
     copies so every pair's dup mass saturates): 5.1 s -> 9.4 s
@@ -1988,23 +1991,28 @@ def lsh_band_sweep_audit(
         .select("bands", F.explode(pair_structs).alias("p"))
         .select("bands", "p.doc_a", "p.doc_b")
         .dropDuplicates(["bands", "doc_a", "doc_b"])
-        .persist()
     )
     nt = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
-    nc = cand.groupBy("bands").agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidates")
-    )
-    nf = (
-        cand.join(truth, ["doc_a", "doc_b"])
+    # candidate volume and found-truth count in ONE pass over the
+    # candidate set (r12, the lsh_recall_audit marker-join pattern):
+    # truth pairs are unique by construction, so the left
+    # join preserves candidate multiplicity and COUNT(marker) equals
+    # the inner-join count — two aggregate jobs become one
+    nc_nf = (
+        cand.join(
+            truth.withColumn("__t", F.lit(1)), ["doc_a", "doc_b"], "left"
+        )
         .groupBy("bands")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_found"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("__t").cast("long").alias("n_found"),
+        )
     )
     opts = docs.sparkSession.createDataFrame(
         [(int(b),) for b in band_options], "bands int"
     )
     out = (
-        opts.join(nc, "bands", "left")
-        .join(nf, "bands", "left")
+        opts.join(nc_nf, "bands", "left")
         .crossJoin(nt)
         .select(
             F.col("bands").cast("int").alias("bands"),
@@ -2027,7 +2035,7 @@ def lsh_band_sweep_audit(
     # — in a long-lived application the audit must not hold
     # corpus-sized caches past its return
     out = out.localCheckpoint()
-    for cached in (sh, truth, cand):
+    for cached in (sh, truth):
         cached.unpersist()
     return out
 
