@@ -1052,29 +1052,86 @@ def ivf_probe_sweep_audit(
     queries; n_exact = k x |queries| by construction, monotone
     non-decreasing n_hit in n_probes (more probes only ADD candidates).
 
-    Scale shape: each branch is ``ivf_topk``'s broadcast-probe join
-    (corpus never shuffled); the brute-force truth and the corpus
-    assignment are IDENTICAL subplans across branches. r11 carried no
-    manual persistence (AQE exchange/stage reuse measured equal at
-    sf0.1); the r12 5x probe (tools/probe_5x.py, 5 id-shifted corpus
-    copies) showed explicit pins winning 1.26x at 5x with identical
-    outputs — AQE reuse only dedups stages within one materialization
-    window, while the pins hold across all len(probes) branch
-    aggregates — so truth and assignment are now persisted for the
-    audit's duration and released after the len(probes)-row curve is
-    eagerly materialized (the band-sweep release pattern; wall at 5x
-    input: 0.78x of 1x — the sweep is scheduling-bound, not
-    data-bound, until the corpus dwarfs the stage latencies)."""
+    Scale shape (reworked r12, second pass): candidates are generated
+    and scored ONCE at max(probes) — probe assignments are
+    prefix-nested and a corpus vector matches at most one probed
+    cluster per query, so each branch's candidate set is exactly the
+    probe-rank <= p filter of the p_max set; per-branch work is a
+    filter + rank window + marker-join aggregate over the persisted
+    (pair-sized) candidate table. The corpus is touched exactly once
+    (ivf_assign's pure-map assignment into the broadcast-probe join,
+    never shuffled), where the first r12 shape re-scored the nested
+    candidate sets once per branch against a persisted corpus
+    assignment. The brute-force truth stays persisted across the
+    branch aggregates (r11 carried no manual persistence; the r12 5x
+    probe — tools/probe_5x.py, 5 id-shifted corpus copies — showed
+    explicit pins beating AQE stage reuse 1.26x at 5x with identical
+    outputs, since AQE reuse only dedups stages within one
+    materialization window). Both pins release after the
+    len(probes)-row curve is eagerly materialized (the band-sweep
+    release pattern)."""
     from functools import reduce
 
     bf = brute_force_topk(embeddings, queries, k=k).select(
         "query_id", "vec_id"
     ).persist()
-    assigned = ivf_assign(embeddings, centroids).persist()
+    # ONE candidate-generation pass at max(probes) (r12): probe
+    # assignments are prefix-nested (ivf_probe_assign(p) is exactly the
+    # probe-rank <= p prefix of the p_max assignment — same rounded
+    # cosine, same (cosine DESC, centroid_id ASC) tie-break), and a
+    # corpus vector matches at most one probed cluster per query, so
+    # the p-probe candidate set is exactly the __probe <= p filter of
+    # the p_max candidate set. Scoring the p_max set once and deriving
+    # each branch by filter + rank replaces len(probes) ivf_topk
+    # passes over the assigned corpus — every query-candidate cosine
+    # is computed exactly once (the old shape re-scored the p=1 set 4x,
+    # the p=2 set 3x, ...). The persisted candidate table is
+    # (|queries| x probed-cluster population)-sized, strictly smaller
+    # than the previously-persisted corpus assignment it replaces.
+    p_max = max(probes)
+    qa = ivf_probe_assign(queries, centroids, n_probe=p_max)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("centroid_cosine").desc(), F.col("centroid_id").asc()
+    )
+    qs = (
+        qa.withColumn("__probe", F.row_number().over(w_probe))
+        .select(
+            "query_id",
+            quantize(F.col("query_vec")).alias("__qq"),
+            F.col("centroid_id").alias("c_query"),
+            "__probe",
+        )
+    )
+    corpus = ivf_assign(embeddings, centroids).select(
+        "vec_id",
+        quantize(F.col("embedding")).alias("__qv"),
+        F.col("centroid_id").alias("c_corpus"),
+    )
+    cand = (
+        corpus.join(
+            F.broadcast(qs), F.col("c_corpus") == F.col("c_query"), "inner"
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                cosine_pre_quantized(F.col("__qv"), F.col("__qq")), 6
+            ).alias("cosine"),
+            "__probe",
+        )
+        .persist()
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
     branches = []
     for p in probes:
-        qa = ivf_probe_assign(queries, centroids, n_probe=p)
-        approx = ivf_topk(assigned, qa, k=k).select("query_id", "vec_id")
+        approx = (
+            cand.filter(F.col("__probe") <= p)
+            .withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "vec_id")
+        )
         joined = bf.alias("b").join(
             approx.alias("i"),
             (F.col("b.query_id") == F.col("i.query_id"))
@@ -1097,8 +1154,8 @@ def ivf_probe_sweep_audit(
             )
         )
     # eager-materialize the len(probes)-row curve, then release the
-    # corpus-sized pins — the audit must not hold caches past its return
+    # pair-sized pins — the audit must not hold caches past its return
     out = reduce(lambda a, b: a.unionByName(b), branches).localCheckpoint()
     bf.unpersist()
-    assigned.unpersist()
+    cand.unpersist()
     return out
