@@ -1947,11 +1947,16 @@ def lsh_band_sweep_audit(
     census.
 
     Measured 5x point (r12, tools/probe_5x.py, 5 doc_id-shifted corpus
-    copies so every pair's dup mass saturates): 5.1 s -> 9.4 s
-    best-of-3 — 1.85x wall for 5x docs with the candidate/truth pair
-    sets growing superlinearly by construction; the explicit
-    cache/persist pins (not AQE stage reuse) are what hold the shape,
-    so no reuse-degradation risk at scale (r11 verdict #5 closed)."""
+    copies so every pair's dup mass saturates): clean-window best-of-3
+    2.69 s -> 9.50 s — **3.54x wall for 5x docs**, with the
+    candidate/truth pair sets growing superlinearly by construction
+    (the id-shifted copies multiply every dup class's pair count
+    ~25x, so super-proportional wall is the workload, not the shape).
+    An earlier in-round measurement read 1.85x (5.1 -> 9.4 s) — its 1x
+    leg was inflated ~2x by host contention; the clean-window figure
+    is the honest one. The explicit cache/persist pins (not AQE stage
+    reuse) are what hold the shape, so no reuse-degradation risk at
+    scale (r11 verdict #5 closed)."""
     sh = word_shingles(docs, text_col, id_col, k).cache()
     truth = (
         ngram_jaccard_pairs(

@@ -1063,13 +1063,17 @@ def ivf_probe_sweep_audit(
     never shuffled), where the first r12 shape re-scored the nested
     candidate sets once per branch against a persisted corpus
     assignment. The brute-force truth stays persisted across the
-    branch aggregates (r11 carried no manual persistence; the r12 5x
-    probe — tools/probe_5x.py, 5 id-shifted corpus copies — showed
-    explicit pins beating AQE stage reuse 1.26x at 5x with identical
-    outputs, since AQE reuse only dedups stages within one
-    materialization window). Both pins release after the
-    len(probes)-row curve is eagerly materialized (the band-sweep
-    release pattern)."""
+    branch aggregates; both pins release after the len(probes)-row
+    curve is eagerly materialized (the band-sweep release pattern).
+
+    Measured 5x point (r12 clean window, tools/probe_5x.py, 5
+    id-shifted corpus copies): this shape 2.23 s at 1x / 2.11 s at 5x
+    best-of-3 — scheduling-bound, 5x/1x = 0.94 — and it beats the
+    previous per-branch shape (persisted corpus assignment + 4
+    ivf_topk passes) at BOTH scales: 0.91x at 1x, 0.85x at 5x,
+    outputs row-identical. The earlier persist-vs-AQE-reuse question
+    (r11 verdict #5) is superseded: with one scoring pass there is no
+    repeated subplan left for either mechanism to dedup."""
     from functools import reduce
 
     bf = brute_force_topk(embeddings, queries, k=k).select(

@@ -1,13 +1,15 @@
-"""5x scaling probe for the two sweep audits whose single-scan claim
-rests on runtime stage reuse (r11 verdict #5): build the 5x corpus as
-id-shifted copies (the skyline/suffix probe recipe), then measure
+"""5x scaling probe for the two sweep audits (r11 verdict #5): build
+the 5x corpus as id-shifted copies (the skyline/suffix probe recipe),
+then measure
 
-- similarity_ivf_probe_sweep's ivf_probe_sweep_audit at 1x vs 5x,
-  as-is (AQE exchange reuse) vs an explicitly persisted variant
-  (bf + assigned pinned);
+- similarity_ivf_probe_sweep's ivf_probe_sweep_audit at 1x vs 5x:
+  the SHIPPED shape (since the second r12 pass: candidates scored once
+  at p_max, branches derived by probe-rank filter) vs the superseded
+  per-branch shape (persisted corpus assignment + one ivf_topk pass
+  per probe count), with an output-equality check;
 - dedup_lsh_band_sweep's lsh_band_sweep_audit at 1x vs 5x (its shared
-  scans are already explicitly cached since the r12 single-explode
-  rework — the 5x point documents the wall-clock growth).
+  scans are explicitly cached since the r12 single-explode rework —
+  the 5x point documents the wall-clock growth).
 
 Usage: python -m tools.probe_5x [--passes 3]
 """
@@ -118,14 +120,14 @@ def main() -> None:
         assigned.unpersist()
         return out
 
-    b1, r1 = bench("probe_sweep 1x (AQE reuse)", lambda: sweep(emb1))
-    b5, r5 = bench("probe_sweep 5x (AQE reuse)", lambda: sweep(emb5))
-    p1, pr1 = bench("probe_sweep 1x (explicit persist)", lambda: sweep_persisted(emb1))
-    p5, pr5 = bench("probe_sweep 5x (explicit persist)", lambda: sweep_persisted(emb5))
+    b1, r1 = bench("probe_sweep 1x (shipped single-scoring)", lambda: sweep(emb1))
+    b5, r5 = bench("probe_sweep 5x (shipped single-scoring)", lambda: sweep(emb5))
+    p1, pr1 = bench("probe_sweep 1x (superseded per-branch persist)", lambda: sweep_persisted(emb1))
+    p5, pr5 = bench("probe_sweep 5x (superseded per-branch persist)", lambda: sweep_persisted(emb5))
     same1 = sorted(map(tuple, r1)) == sorted(map(tuple, pr1))
     same5 = sorted(map(tuple, r5)) == sorted(map(tuple, pr5))
-    print(f"probe_sweep: 5x/1x reuse={b5 / b1:.2f}  persist={p5 / p1:.2f}  "
-          f"reuse-vs-persist at 5x: {b5 / p5:.2f}x  outputs equal: {same1 and same5}")
+    print(f"probe_sweep: 5x/1x shipped={b5 / b1:.2f}  per-branch={p5 / p1:.2f}  "
+          f"shipped-vs-per-branch at 5x: {b5 / p5:.2f}x  outputs equal: {same1 and same5}")
 
     l1, _ = bench("band_sweep 1x", lambda: lsh_band_sweep_audit(docs1))
     l5, _ = bench("band_sweep 5x", lambda: lsh_band_sweep_audit(docs5))
