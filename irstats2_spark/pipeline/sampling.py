@@ -510,21 +510,24 @@ def top_fraction_binned(
         .agg(F.count(F.lit(1)).alias("__n"))
     )
     w_cum = Window.orderBy(F.col("__score").desc())
+    # k derives from the histogram (SUM of per-score counts == COUNT,
+    # exactly) — a separate count aggregate would re-evaluate the whole
+    # upstream subtree a second time (r12, same lesson as top_fraction);
+    # and it rides the SAME single-partition window exchange as the
+    # cumulative count (an unordered whole-partition SUM window beside
+    # the ordered one), so the histogram subtree appears exactly once
+    # in the plan instead of once per consumer (cum + total).
     cum = hist.select(
         "__score",
         "__n",
         (F.sum("__n").over(w_cum) - F.col("__n")).alias("__above"),
-    )
-    # k derives from the histogram (SUM of per-score counts == COUNT,
-    # exactly) — a separate count aggregate would re-evaluate the whole
-    # upstream subtree a second time (r12, same lesson as top_fraction)
-    total = hist.agg(
-        F.floor(F.sum("__n") * frac).cast("long").alias("__k")
+        F.floor(F.sum("__n").over(Window.partitionBy()) * frac)
+        .cast("long")
+        .alias("__k"),
     )
     # boundary = highest score whose strictly-above count < k
     cut = (
-        cum.crossJoin(F.broadcast(total))
-        .filter(F.col("__above") < F.col("__k"))
+        cum.filter(F.col("__above") < F.col("__k"))
         .agg(
             F.min("__score").alias("__cut"),
             F.min_by("__above", "__score").alias("__cut_above"),
