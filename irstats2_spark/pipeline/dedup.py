@@ -360,18 +360,26 @@ def ngram_containment_pairs(
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
     both = common.join(sa, "doc_a").join(sb, "doc_b")
-    a_in_b = both.select(
-        F.col("doc_a").alias("doc_id"),
-        F.col("doc_b").alias("contained_in"),
-        F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
-    )
-    b_in_a = both.select(
-        F.col("doc_b").alias("doc_id"),
-        F.col("doc_a").alias("contained_in"),
-        F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
+    # both directed containments come out of the one undirected pair row
+    # IN-ROW (explode of two structs) — a union of two projections of
+    # `both` would put the whole join subtree in the plan twice (r12;
+    # rows identical: same two directed rows per pair, same filter)
+    directed = F.array(
+        F.struct(
+            F.col("doc_a").alias("doc_id"),
+            F.col("doc_b").alias("contained_in"),
+            F.round(F.col("n_common") / F.col("na"), 6).alias("containment"),
+        ),
+        F.struct(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("contained_in"),
+            F.round(F.col("n_common") / F.col("nb"), 6).alias("containment"),
+        ),
     )
     return release_after(
-        a_in_b.unionByName(b_in_a).filter(F.col("containment") >= threshold),
+        both.select(F.explode(directed).alias("__p"))
+        .select("__p.*")
+        .filter(F.col("containment") >= threshold),
         [sh],
         materialize,
     )

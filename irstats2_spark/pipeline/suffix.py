@@ -508,19 +508,29 @@ def _mine_repeats(
         .persist()  # dup-pair-sized; consumed by the sweep AND the info union
     )
     # dup-pair-sized suffix info: every suffix inside a repeat appears
-    # as the a-side of pair sa_idx and/or the b-side of pair sa_idx-1
+    # as the a-side of pair sa_idx and/or the b-side of pair sa_idx-1 —
+    # both emitted IN-ROW (explode of two structs) so the cached pair
+    # table is read once per evaluation here, not once per union side
+    # (r12; identical row multiset feeding the same dropDuplicates)
     info = (
-        pairs.select("sa_idx", "doc_id", "pos", "prev", "w", "is_new")
-        .unionByName(
-            pairs.select(
-                (F.col("sa_idx") + 1).alias("sa_idx"),
-                F.col("doc_b").alias("doc_id"),
-                F.col("pos_b").alias("pos"),
-                F.col("prev_b").alias("prev"),
-                F.col("w_b").alias("w"),
-                F.col("is_new_b").alias("is_new"),
-            )
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        "sa_idx", "doc_id", "pos", "prev", "w", "is_new"
+                    ),
+                    F.struct(
+                        (F.col("sa_idx") + 1).alias("sa_idx"),
+                        F.col("doc_b").alias("doc_id"),
+                        F.col("pos_b").alias("pos"),
+                        F.col("prev_b").alias("prev"),
+                        F.col("w_b").alias("w"),
+                        F.col("is_new_b").alias("is_new"),
+                    ),
+                )
+            ).alias("__s")
         )
+        .select("__s.*")
         .dropDuplicates(["sa_idx"])
     )
 
@@ -646,16 +656,21 @@ def exact_substring_coverage(
         .withColumnRenamed("doc_id_b", "doc_b")
         .withColumn("lcp", _lcp(F.col("w"), F.col("w_b")))
         .filter(F.col("lcp") >= min_len)
-        .persist()  # dup-pair-sized; consumed by both union sides below
     )
-    # both endpoints of a qualifying adjacency are covered for lcp tokens
-    spans = pairs.select(
-        F.col("doc_id").alias("doc_id"), F.col("pos").alias("pos"), "lcp"
-    ).unionByName(
-        pairs.select(
-            F.col("doc_b").alias("doc_id"), F.col("pos_b").alias("pos"), "lcp"
-        )
+    # both endpoints of a qualifying adjacency are covered for lcp
+    # tokens — emitted IN-ROW (explode of two structs), so the pair
+    # table has exactly one consumer and needs no persist; the previous
+    # union of two projections read it twice (one cache fill + an extra
+    # cached pass per evaluation) for the identical row multiset (r12)
+    ends = F.array(
+        F.struct(F.col("doc_id"), F.col("pos"), F.col("lcp")),
+        F.struct(
+            F.col("doc_b").alias("doc_id"),
+            F.col("pos_b").alias("pos"),
+            F.col("lcp"),
+        ),
     )
+    spans = pairs.select(F.explode(ends).alias("__e")).select("__e.*")
     spans = spans.groupBy("doc_id", "pos").agg(F.max("lcp").alias("span"))
     w = (
         Window.partitionBy("doc_id")
@@ -695,7 +710,7 @@ def exact_substring_coverage(
             6,
         ).alias("dup_frac"),
     )
-    return release_after(out, pins + [pairs], materialize)
+    return release_after(out, pins, materialize)
 
 
 def remove_repeated_spans(
