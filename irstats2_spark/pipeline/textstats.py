@@ -801,28 +801,36 @@ def remove_corpus_frequent_chunks(
         .filter(F.col("__nd") >= min_docs)
         .select("chunk_hash")
     )
-    kept = chunks.join(
-        F.broadcast(frequent),
+    # one broadcast LEFT join tags each chunk kept/dropped (frequent's
+    # hash key is unique by construction, so multiplicity is preserved
+    # exactly — COUNT(marker IS NULL) == the anti-join count), and ONE
+    # doc-keyed aggregation yields the totals, the kept count, and the
+    # rebuilt text together (collect_list skips the NULLed dropped
+    # chunks). The previous shape ran two separate groupBys over the
+    # cached scan plus two spine joins — one extra cached pass, one
+    # extra doc-keyed shuffle, one extra join per evaluation (r12).
+    tagged = chunks.join(
+        F.broadcast(frequent.withColumn("__freq", F.lit(True))),
         F.md5(F.col("chunk")) == F.col("chunk_hash"),
-        "left_anti",
+        "left",
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    keep_flag = F.col("__freq").isNull()
+    rebuilt = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_chunks"),
+        F.sum(F.when(keep_flag, 1).otherwise(0)).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                F.array_sort(
+                    F.collect_list(F.when(keep_flag, F.struct("pos", "chunk")))
+                ),
                 lambda s: s["chunk"],
             ),
         ).alias("new_text"),
     )
-    totals = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_chunks")
-    )
     spine = docs.select(F.col(id_col).alias("doc_id"))
     return release_after(
-        spine.join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        spine.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
@@ -954,22 +962,36 @@ def remove_cdc_frequent_chunks(
         .filter(F.col("__df") >= min_docs)
         .select("chunk_hash")
     )
-    kept = chunks.join(F.broadcast(frequent), "chunk_hash", "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
+    # same fused shape as remove_corpus_frequent_chunks (r12): tag via
+    # one broadcast LEFT marker join (frequent's key is unique, so the
+    # NULL-marker count equals the anti-join count), aggregate totals +
+    # kept + rebuilt text in ONE doc-keyed pass (collect_list skips the
+    # NULLed dropped chunks) — one cached pass, one shuffle, one join
+    # fewer per evaluation than the two-groupBy + two-spine-join shape.
+    tagged = chunks.join(
+        F.broadcast(frequent.withColumn("__freq", F.lit(True))),
+        "chunk_hash",
+        "left",
+    )
+    keep_flag = F.col("__freq").isNull()
+    rebuilt = tagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.when(keep_flag, 1).otherwise(0)).alias("n_kept"),
         F.concat_ws(
             " ",
             F.transform(
-                F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep_flag, F.struct("chunk_idx", "chunk_text"))
+                    )
+                ),
                 lambda s: s["chunk_text"],
             ),
         ).alias("new_text"),
     )
-    totals = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     spine = docs.select(F.col(id_col).alias("doc_id"))
     return release_after(
-        spine.join(totals, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        spine.join(rebuilt, "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_chunks", F.lit(0)).cast("int").alias("n_chunks"),
