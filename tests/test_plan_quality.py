@@ -721,12 +721,16 @@ def test_shard_manifest_shuffles_hashes_not_text(spark, queries):
 
 
 def test_remove_frequent_chunks_broadcasts_frequent_set(spark, queries):
-    """The cross-doc rewrite's membership drop must plan as a broadcast
-    LeftAnti on the chunk hash — the frequent set is small by contract
-    (boilerplate only), and a sort-merge anti here would shuffle the
-    corpus chunks a second time."""
+    """The cross-doc rewrite's membership tagging must plan as a
+    broadcast join on the chunk hash — the frequent set is small by
+    contract (boilerplate only), and a sort-merge join here would
+    shuffle the corpus chunks a second time. Since the r12 fusion the
+    drop is a LEFT marker join (the NULL-marker count equals the old
+    LeftAnti's count) feeding ONE doc-keyed aggregation, so the plan
+    must show the broadcast LeftOuter and exactly one exchange carrying
+    doc_id partials — not the old second groupBy + spine-join pair."""
     plan = plan_of(queries["text_remove_frequent_chunks"](spark, SF))
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
 
 
