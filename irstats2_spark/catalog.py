@@ -38,124 +38,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # everything else follows in registration order. Names not (yet) registered
 # are ignored, so entries can be staged ahead of their implementations.
 #
-# Round-12 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
+# Round-13 rotation, cut from `python -m tools.gate_ledger` (ENFORCED:
 # `--check 6` fails when a query's newest driver row would fall more
 # than 6 rounds stale without a slot in this cut —
 # tests/test_gate_ledger.py runs it).
 #
 # Slot budget (50):
-# - the complete 13-query r5 remainder, promoted verbatim from the
-#   round-11 staged NEXT_CUT (r11 verdict #1) — these turn 7 rounds
-#   stale at round 12 without a slot, so they head the cut;
+# - the complete 24-query r6 remainder, promoted verbatim from the
+#   round-12 staged NEXT_CUT (r12 verdict #7) — these turn 7 rounds
+#   stale at round 13 without a slot, so they head the cut;
 # - 2 anchors (A1 grouped sum, exact repeat) every round;
-# - new registrations this round gate immediately: multimodal_av_props
-#   (WAV/RIFF + MP4 moov/mvhd real header decode, r11 verdict #3);
-# - 5 rows CHANGED this round: pipeline_select_e2e + its components
-#   text_lm_nll_score / select_dsir_weights (the x1.77 idle regression
-#   rework, r11 verdict #2), and multimodal_dims /
-#   pipeline_multimodal_e2e (the corrupt-PNG >=2^31 dims guard, r11
-#   ADVICE medium);
-# - 11 MORE rows changed by the r12 optimization work after the cut
-#   was first promoted (re-gate discipline): the suffix lead-window
-#   rework (repeated_substrings[_incremental],
-#   exact_substring_coverage), the single-parse RP sign matrix
-#   (embedding_random_projection, similarity_rp_topk), the
-#   top-fraction single-evaluation cut (text_classifier_top_fraction_
-#   binned/_approx), the heavy-hitters total derivation
-#   (text_vocab_heavyhitters_approx), and the connected-components
-#   observe fusion's direct consumers not already in the cut
-#   (dedup_clusters, pipeline_curation_neardup,
-#   dedup_cluster_quality_keepers);
-# - the remaining 18 slots go to the stalest r6 rows in ledger order
-#   (`python -m tools.gate_ledger --debt 60`), with
-#   similarity_ivf_probe_sweep swapped in ahead of its ledger position
-#   because the AQE-reuse re-measurement (r11 verdict #5) changed it.
-#   The r6 rows displaced by this cut turn 7 rounds stale at round 13
-#   and are staged in NEXT_CUT below.
+# - 1 re-gate slot for pack_sequences_offsets, the r12 verdict #2
+#   reproduced regression this round must fix (fresh at r12, but its
+#   implementation will change — re-gate discipline);
+# - the remaining 23 slots go to the stalest r7 rows in ledger order
+#   (`python -m tools.gate_ledger --debt 60`). This fill deliberately
+#   covers the round-13 optimization targets
+#   pipeline_embed_index_search_e2e and the graph family (r12 verdict
+#   #4), so this round's changed rows mostly gate without extra swaps.
+#   The 23 r7 rows displaced by this cut turn 7 rounds stale at
+#   round 14 and are staged in NEXT_CUT below.
+# - further rows CHANGED by round-13 optimization work are swapped
+#   into the cut as they land (re-gate discipline), displacing the
+#   newest ledger rows from the r7 fill.
 GATE_PRIORITY: tuple[str, ...] = (
-    # -- the 13-query r5 remainder (mandatory this round) --
-    "pack_sequences_offsets",
-    "pipeline_semdedup_e2e",
-    "similarity_ivf_balance_audit",
-    "similarity_knn_graph_ivf",
-    "t2_densify",
-    "text_cdc_chunks",
-    "text_cdc_frequent_chunks",
-    "text_cdc_remove_frequent",
-    "text_classifier_top_fraction",
-    "text_dup_span_coverage",
-    "text_gopher_quality_gate",
-    "text_vocab_encode",
-    "text_winnow_fingerprints",
-    # -- continuously-verified core anchors --
-    "a1_grouped_sum",
-    "repeat_filter_exact",
-    # -- NEW registrations this round (gate immediately) --
-    # (multimodal_av_props takes this slot once registered; until then
-    #  the placeholder below keeps the budget spent on a real row)
-    "pipeline_release_e2e",
-    # -- re-gate: rows changed in round 12 (select-e2e perf rework +
-    #    corrupt-header dims guard) --
-    "pipeline_select_e2e",
-    "text_lm_nll_score",
-    "select_dsir_weights",
-    "multimodal_dims",
-    "pipeline_multimodal_e2e",
-    # -- re-gate: rows changed by the r12 optimization work (suffix
-    #    lead windows, RP single-parse matrix, top-fraction single
-    #    evaluation, heavy-hitters total derivation, components
-    #    observe fusion) --
-    "repeated_substrings",
-    "repeated_substrings_incremental",
-    "exact_substring_coverage",
-    "embedding_random_projection",
-    "similarity_rp_topk",
-    "text_classifier_top_fraction_binned",
-    "text_classifier_top_fraction_approx",
-    "text_vocab_heavyhitters_approx",
-    "dedup_clusters",
-    "pipeline_curation_neardup",
-    "dedup_cluster_quality_keepers",
-    # -- stalest r6 rows, ledger order (probe_sweep pulled forward) --
-    "agg_grouping_sets",
-    "corpus_curriculum_order",
-    "corpus_source_overlap",
-    "dedup_lsh_band_sweep",
-    "similarity_ivf_probe_sweep",
-    "events_attribution_windows",
-    "events_covisit_lift",
-    "events_funnel_conversion",
-    "events_interval_overlap",
-    "events_markov_transitions",
-    "events_retention_cohorts",
-    "events_rolling_anomaly",
-    "events_session_quantiles_exact",
-    "events_top_paths",
-    "events_trending_types",
-    "mix_doremi_proxy_reweight",
-    "pipeline_dedup_cascade_audit",
-    "pipeline_quality_funnel_e2e",
-)
-# NEXT_CUT: the STAGED round-13 cut (r10 verdict #5 mechanism). The
-# driver writes CORRECTNESS_r12.json AFTER this round's final commit,
-# which advances the ledger's "upcoming round" to 13 while
-# GATE_PRIORITY still holds the consumed r12 cut — without staging,
-# `--check 6` goes red at HEAD every round by construction.
-# gate_ledger consults NEXT_CUT *only* when the newest artifact round
-# EQUALS GATE_CUT_ROUND (i.e. the GATE_PRIORITY cut was just
-# consumed); if a later artifact lands without a promotion, the check
-# fails on purpose to surface the missed recut (r11 ADVICE medium).
-# Round 13's first commit must still PROMOTE this tuple into
-# GATE_PRIORITY (bumping GATE_CUT_ROUND) — queries() ordering, which
-# is what the driver actually gates on, always follows GATE_PRIORITY.
-# Staged at round-12 promotion time (the 13 r6 rows the round-12 fill
-# displaces — the complete r6 remainder, which turns 7 rounds stale at
-# round 13); extended at end of round 12 with any round-12-changed
-# rows and re-verified with `--simulate-next 6` before the final
-# commit.
-GATE_CUT_ROUND = 12  # the round GATE_PRIORITY was cut FOR
-NEXT_CUT: tuple[str, ...] = (
-    # the r6 remainder displaced by the original round-12 cut
+    # -- the 24-query r6 remainder (mandatory this round) --
     "sample_coreset_diverse",
     "similarity_cluster_purity",
     "similarity_knn_mutual_graph",
@@ -169,9 +76,6 @@ NEXT_CUT: tuple[str, ...] = (
     "text_token_entropy",
     "text_tokenizer_fertility",
     "text_vocab_decode_roundtrip",
-    # r6 rows further displaced when the round-12 optimization work
-    # swapped its changed rows into the active cut (re-gate
-    # discipline) — these too turn 7 rounds stale at round 13
     "corpus_ngram_diversity",
     "corpus_ngram_diversity_approx",
     "corpus_quota_pack",
@@ -183,6 +87,79 @@ NEXT_CUT: tuple[str, ...] = (
     "embedding_class_separation",
     "embedding_covariance",
     "embedding_pca_project",
+    # -- continuously-verified core anchors --
+    "a1_grouped_sum",
+    "repeat_filter_exact",
+    # -- re-gate: rows changed by round-13 optimization work --
+    "pack_sequences_offsets",
+    # -- stalest r7 rows, ledger order --
+    "corpus_compaction_plan",
+    "dedup_edit_distance_incremental",
+    "dedup_embedding_pq_blocking",
+    "dedup_exact",
+    "dedup_lsh_recall_audit",
+    "dedup_minhash_lsh",
+    "dedup_ngram_containment",
+    "dedup_ngram_idf_jaccard",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_hamming",
+    "f1_f3_url_parse",
+    "f9_subject_closure",
+    "graph_label_propagation",
+    "graph_pagerank",
+    "graph_triangles",
+    "mix_temperature_sweep",
+    "o4_listing_engine",
+    "pipeline_embed_index_search_e2e",
+    "pipeline_neardup_maintenance_e2e",
+    "pipeline_pretrain_e2e",
+    "pipeline_rag_index_e2e",
+    "robots_filter_outcome",
+)
+# NEXT_CUT: the STAGED round-14 cut (r10 verdict #5 mechanism). The
+# driver writes CORRECTNESS_r13.json AFTER this round's final commit,
+# which advances the ledger's "upcoming round" to 14 while
+# GATE_PRIORITY still holds the consumed r13 cut — without staging,
+# `--check 6` goes red at HEAD every round by construction.
+# gate_ledger consults NEXT_CUT *only* when the newest artifact round
+# EQUALS GATE_CUT_ROUND (i.e. the GATE_PRIORITY cut was just
+# consumed); if a later artifact lands without a promotion, the check
+# fails on purpose to surface the missed recut (r11 ADVICE medium).
+# Round 14's first commit must still PROMOTE this tuple into
+# GATE_PRIORITY (bumping GATE_CUT_ROUND) — queries() ordering, which
+# is what the driver actually gates on, always follows GATE_PRIORITY.
+# Staged at round-13 promotion time (the 23 r7 rows the round-13 fill
+# displaces — the complete r7 remainder, which turns 7 rounds stale at
+# round 14); extended at end of round 13 with any round-13-changed
+# rows and re-verified with `--simulate-next 6` before the final
+# commit.
+GATE_CUT_ROUND = 13  # the round GATE_PRIORITY was cut FOR
+NEXT_CUT: tuple[str, ...] = (
+    # the r7 remainder displaced by the round-13 cut
+    "sample_split_assign",
+    "sample_split_leakage_safe",
+    "sample_stratified",
+    "similarity_ivfpq_topk",
+    "similarity_pq_balance_audit",
+    "similarity_pq_encode",
+    "similarity_pq_fit",
+    "similarity_pq_m_sweep",
+    "similarity_pq_rerank_topk",
+    "similarity_pq_topk",
+    "t6_f12_formatting",
+    "text_decontamination_spans",
+    "text_dedup_chunks_inplace",
+    "text_fingerprint",
+    "text_frequent_chunks",
+    "text_lang_id",
+    "text_minhash_containment_asym",
+    "text_quality_features",
+    "text_remove_frequent_chunks",
+    "text_remove_frequent_chunks_incremental",
+    "text_repetition_score",
+    "text_token_counts",
+    "text_vocab_coverage_curve",
 )
 # Bench baseline note: the
 # committed BENCH_DETAIL.json is the r12 end-of-round idle run — the

@@ -505,7 +505,7 @@ def _mine_repeats(
         .withColumnRenamed("doc_id_b", "doc_b")
         .withColumn("lcp", _lcp(F.col("w"), F.col("w_b")))
         .filter(F.col("lcp") >= min_len)
-        .persist()  # dup-pair-sized; consumed by the sweep AND the info union
+        .persist()  # dup-pair-sized; consumed by the sweep AND the info projection
     )
     # dup-pair-sized suffix info: every suffix inside a repeat appears
     # as the a-side of pair sa_idx and/or the b-side of pair sa_idx-1 —

@@ -780,9 +780,12 @@ def remove_corpus_frequent_chunks(
     the dominant per-pass cost. Mining is the ``corpus_frequent_chunks``
     groupBy (hash-keyed, two-phase distinct); with a boilerplate-grade
     ``min_docs`` the frequent set is small by contract and broadcast;
-    the rewrite drops members via a broadcast LeftAnti and rebuilds
-    each doc with one doc-keyed groupBy — the corpus text crosses an
-    exchange once, the unavoidable cost of any corpus-wide rewrite (the
+    the rewrite tags members via a broadcast LEFT marker join and
+    rebuilds each doc with ONE doc-keyed aggregation (collect_list
+    skips the NULL-marked dropped chunks; the frequent set's key is
+    unique, so the NULL-marker count equals an anti-join's count) —
+    the corpus text crosses an exchange once, the unavoidable cost of
+    any corpus-wide rewrite (the
     intra-doc rewrite stays zero-shuffle because its decision is
     row-local). Docs whose every chunk is boilerplate (or that are too
     short to chunk) are restored via a left join from the bare id
@@ -949,9 +952,11 @@ def remove_cdc_frequent_chunks(
 
     Scale shape: identical to the fixed-chunk rewrite — mine frequent
     chunk hashes (two-phase-distinct groupBy, boilerplate-grade
-    ``min_docs`` keeps the set broadcast-small), drop members via a
-    broadcast LeftAnti, rebuild each doc with one doc-keyed groupBy
-    ordered by chunk_idx. The corpus text crosses an exchange once."""
+    ``min_docs`` keeps the set broadcast-small), tag members via a
+    broadcast LEFT marker join, rebuild each doc with one doc-keyed
+    aggregation ordered by chunk_idx (collect_list skips the
+    NULL-marked dropped chunks). The corpus text crosses an exchange
+    once."""
     chunks = cdc_chunks(
         docs, gram_tokens, divisor, text_col, id_col, with_text=True
     ).persist()  # mined AND rewritten from the same scan; the

@@ -126,6 +126,29 @@ def main() -> None:
     for d, k in deltas[-args.top:][::-1]:
         print(f"  {k}: {bq[k]:.2f} -> {rq[k]:.2f}  ({d:+.2f})")
 
+    # first_pass diff (r12 verdict #8): the best-of-3 `queries` map
+    # excludes the memoized cross-query prefix builds (kNN edges,
+    # SimHash banded pairs, suffix index — built on pass 1, hit on
+    # passes 2-3), so a prefix-build regression is invisible above.
+    # Diff the first-pass maps too so that cost stays audited.
+    rf, bf = run.get("first_pass"), base.get("first_pass")
+    if isinstance(rf, dict) and isinstance(bf, dict) and rf and bf:
+        fcommon = sorted(set(rf) & set(bf))
+        rfs = sum(float(rf[k]) for k in fcommon)
+        bfs = sum(float(bf[k]) for k in fcommon)
+        print(f"first_pass total over common: {rfs:.1f}s vs baseline "
+              f"{bfs:.1f}s -> ratio {rfs / bfs:.2f}")
+        fdeltas = sorted(
+            ((float(rf[k]) - float(bf[k]), k) for k in fcommon), reverse=True
+        )
+        print(f"widest first_pass regressions (top {args.top}) — prefix "
+              "builds live here:")
+        for d, k in fdeltas[: args.top]:
+            print(f"  {k}: {float(bf[k]):.2f} -> {float(rf[k]):.2f}  (+{d:.2f})")
+    elif rf or bf:
+        print("first_pass map present on only one side — prefix-build "
+              "diff skipped")
+
 
 if __name__ == "__main__":
     try:

@@ -45,9 +45,10 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — audit must not die
             print(f"!! {name}: {type(exc).__name__}: {exc}", file=sys.stderr)
             continue
-        n_ex = len(re.findall(r"\bExchange\b", plan)) - len(
-            re.findall(r"ReusedExchange", plan)
-        )
+        # \bExchange\b already excludes ReusedExchange (no word boundary
+        # between 'd' and 'E') and BroadcastExchange — no subtraction
+        # (the old one double-counted and could go negative, r12 ADVICE)
+        n_ex = len(re.findall(r"\bExchange\b", plan))
         n_reuse = len(re.findall(r"ReusedExchange", plan))
         n_inmem = len(re.findall(r"InMemoryTableScan", plan))
         scans = Counter(

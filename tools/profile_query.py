@@ -25,7 +25,9 @@ def main() -> None:
     ap.add_argument("names", nargs="+")
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--plan", default=None,
-                    help="write plans/r12/<name>_<PLAN>.txt explain output")
+                    help="write plans/<round>/<name>_<PLAN>.txt explain output")
+    ap.add_argument("--plan-round", default="r13",
+                    help="plans/ subdirectory the --plan output lands in")
     ap.add_argument("--noop", action="store_true")
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -74,7 +76,7 @@ def main() -> None:
                 df._jdf.queryExecution(), "formatted")
             path = os.path.join(
                 os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                "plans", "r12", f"{name}_{args.plan}.txt")
+                "plans", args.plan_round, f"{name}_{args.plan}.txt")
             os.makedirs(os.path.dirname(path), exist_ok=True)
             with open(path, "w") as fh:
                 fh.write(out)
