@@ -191,6 +191,25 @@ def pack_sequences(
 
     Net: one wide shuffle of the corpus (the bucket exchange), one tiny
     agg, one broadcast — and byte-identical output to the one-task form.
+
+    The totals table derives from the LOCAL CUMSUM branch itself —
+    a bucket's total is its cumulative sum's maximum (sizes are
+    nonnegative by the packing contract: they are token counts), so
+    ``totals = max(__lcum) per __obk`` — instead of a separate
+    aggregate grown from the pre-exchange rows. The previous shape's
+    separate aggregate put a SECOND scan + ``size``-projection in the
+    plan (a full tokenize when callers pass a token count — the
+    dominant map cost, r12 verdict #2); deriving from the cumsum makes
+    the two join branches share ONE canonically-identical exchange
+    subtree, which runtime ReuseExchange dedups — one size projection,
+    one corpus shuffle, verified by an executed-plan test pinning
+    FileScan count and ReusedExchange presence. Two details make the
+    branches canonical-equal: the bucket-key null filter is applied
+    HERE (the inner join infers isnotnull(__obk) and pushes it below
+    the exchange on the probe side only — it cannot push through the
+    prefix window on the build side), and ``size`` is summed as the
+    caller's expression directly (an alias column would make the probe
+    side carry one extra attribute below the exchange).
     """
     from pyspark.sql import Window
 
@@ -198,14 +217,14 @@ def pack_sequences(
     order = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     rows = df.withColumn("__ord", order).withColumn(
         "__obk", F.conv(F.substring(F.col("__ord"), 1, hexlen), 16, 10).cast("long")
-    )
+    ).filter(F.col("__obk").isNotNull())
     w_local = (
         Window.partitionBy("__obk")
         .orderBy("__ord", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = rows.withColumn("__lcum", F.sum(size).over(w_local))
-    totals = rows.groupBy("__obk").agg(F.sum(size).alias("__tot"))
+    totals = local.groupBy("__obk").agg(F.max("__lcum").alias("__tot"))
     w_prefix = Window.orderBy("__obk").rowsBetween(
         Window.unboundedPreceding, -1
     )
@@ -637,49 +656,75 @@ def dsir_logweights(
     100-TB token counts; IEEE double products of identical inputs round
     identically in any engine).
 
-    Scale shape (reworked r12 — same values, fewer passes): the corpus
-    is tokenized ONCE into per-(doc, bucket) counts behind a single
-    exchange that both consumers share (the bucket histogram derives
-    from it by a second tiny rollup, and Spark's ReuseExchange dedups
-    the identical subtree, so the corpus text is read and tokenized
-    exactly once); the grand totals derive from the histograms
-    (SUM over <= n_buckets rows) instead of two extra corpus/target
-    passes — the previous shape paid three tokenize passes over the
-    corpus and two over the target. One BROADCAST of the n_buckets-row
-    score table onto the per-doc bucket counts, and a per-doc integer
-    rollup whose shuffle carries (doc_id, long) partials — never text.
-    The target side is usually a domain sample, but nothing here
-    materializes it beyond its bucket histogram."""
+    Scale shape (reworked r12, fixed r13 — same values, fewer passes):
+    the corpus is tokenized ONCE into per-(doc, bucket) counts behind a
+    single exchange that both consumers share (the bucket histogram is
+    a second tiny rollup of that subtree; an EXPLICIT isnotnull(bucket)
+    filter — a no-op, the bucket hash is never null — keeps the two
+    references canonically identical so runtime ReuseExchange actually
+    dedups them: constraint propagation pushes the scored join's
+    inferred isnotnull into only ONE branch otherwise, and the r12
+    shape's executed plan was measured re-tokenizing the corpus 3x and
+    the target 2x because of exactly that). The grand totals ride the
+    histogram join itself — raw FULL OUTER tgt (so target-only buckets
+    keep their mass) + single-partition window SUMs over the
+    <= 2*n_buckets joined rows — instead of two standalone aggregate
+    branches whose subtrees re-derived the histograms from scratch.
+    One BROADCAST of the n_buckets-row score table onto the per-doc
+    bucket counts, and a per-doc integer rollup whose shuffle carries
+    (doc_id, long) partials — never text. The target side is usually a
+    domain sample, but nothing here materializes it beyond its bucket
+    histogram. Executed-plan test pins: ONE corpus text scan, ONE
+    target text scan, ReusedExchange present."""
+    from pyspark.sql import Window
+
     def tok(df: DataFrame) -> DataFrame:
         from irstats2_spark.pipeline.textstats import tokens
 
-        return df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("tok"),
-        ).withColumn("bucket", hash_bucket(F.col("tok"), n_buckets, salt))
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(tokens(F.col(text_col))).alias("tok"),
+            )
+            .withColumn("bucket", hash_bucket(F.col("tok"), n_buckets, salt))
+            .filter(F.col("bucket").isNotNull())
+        )
 
     # per-(doc, bucket) instance counts: the one corpus-sized aggregate;
-    # the bucket histogram and the per-doc rollup both read THIS shuffle
+    # the bucket histogram and the per-doc rollup both read THIS shuffle.
+    # The explicit isnotnull(doc_id) mirrors what the final spine
+    # left-join's constraint inference adds to the scored branch ONLY
+    # (null ids never match it, so this drops no surviving row) — with
+    # it in the shared subtree, both db references canonicalize equal.
     db = (
         tok(docs)
+        .filter(F.col("doc_id").isNotNull())
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     raw = db.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
     tgt = tok(target).groupBy("bucket").agg(F.count(F.lit(1)).alias("c_t"))
-    # grand totals from the histograms — no extra tokenize pass; SUM of
-    # COUNTs equals the direct COUNT, exactly
-    t_raw = raw.agg(F.sum("c_raw").alias("t_raw"))
-    t_t = tgt.agg(F.sum("c_t").alias("t_t"))
+    # grand totals as single-partition window sums over the joined
+    # histograms (<= 2*n_buckets rows — the same bounded-window trick
+    # as top_fraction's k): SUM of per-bucket longs in one partition is
+    # order-free and equals the standalone aggregate exactly. The FULL
+    # join keeps target-only buckets, so t_t counts ALL target tokens.
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     b = float(n_buckets)
     num = (F.coalesce(F.col("c_t"), F.lit(0)) + 1).cast("double") * (
         F.col("t_raw") + b
     )
     den = (F.col("c_raw") + 1).cast("double") * (F.col("t_t") + b)
     stats = (
-        raw.join(tgt, "bucket", "left")
-        .crossJoin(F.broadcast(t_raw))
-        .crossJoin(F.broadcast(t_t))
+        raw.join(tgt, "bucket", "full")
+        .withColumn("t_raw", F.sum("c_raw").over(w_all))
+        .withColumn("t_t", F.sum("c_t").over(w_all))
+        # buckets absent from the corpus score nothing (the per-doc
+        # rollup joins on corpus buckets only) — drop them AFTER the
+        # totals so their token mass still counts
+        .filter(F.col("c_raw").isNotNull())
         .select(
             "bucket",
             F.floor(F.lit(1e6) * F.log(num / den) + F.lit(0.5))
