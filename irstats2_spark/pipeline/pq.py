@@ -127,12 +127,12 @@ def _round_stats_gemm(
     pass: per batch, assign every subvector to its nearest codeword
     (exact int64 squared-L2; argmin's first-min rule IS the lowest-code
     tie-break because codes are array-indexed ascending) and emit the
-    PARTIAL per-(subspace, code, dim) member sums/counts. The reduce
+    PARTIAL per-(subspace, code, dim) member sums/counts. The merge
     that follows sums partials — integer addition, order-free — so the
     result is bit-identical to the expression-fold formulation this
     replaces, which evaluated interpreted per-(row, code, dim)
     expressions: rows x codes x dims interpreter steps per round was
-    the dominant cost of every pq_fit-headed chain. Shuffle cost:
+    the dominant cost of every pq_fit-headed chain. Collect cost:
     <= partitions x m x n_codes x sub_dim tiny partial rows, whatever
     the corpus size."""
     import numpy as np
@@ -173,15 +173,27 @@ def _assign_codes(sub: DataFrame, cb_q: DataFrame) -> DataFrame:
     """Nearest codeword per (vector, subspace): min integer squared-L2,
     tie-break lowest code id — (vec_id, subspace, qsub, code, dist).
 
-    Plan shape: the codebook is aggregated into ONE array-of-structs row
-    per subspace (m tiny rows) and broadcast; the argmin is a per-row
-    fold over that array. The exploded corpus is joined map-side on
-    subspace and never shuffled — same pure-map shape as
-    ``similarity.ivf_assign``."""
-    cents = cb_q.groupBy("subspace").agg(
-        F.sort_array(
-            F.collect_list(F.struct(F.col("code"), F.col("qv")))
-        ).alias("__cents")
+    Plan shape: the codebook is collected to the driver (contract-tiny
+    by the PQ contract — m*n_codes rows of parameters, the same
+    accepted pattern as ``ivf_assign_gemm``'s centroid collect) and
+    rebuilt as ONE LocalRelation array-of-structs row per subspace,
+    broadcast; the argmin is a per-row fold over that array. The
+    exploded corpus is joined map-side on subspace and never shuffled —
+    same pure-map shape as ``similarity.ivf_assign``. (r13: the former
+    groupBy+collect_list over the codebook planned an exchange, which
+    AQE materializes as its own stage job on every encode call; a
+    LocalRelation build is job-free when the codebook is itself a
+    local plan, one tiny job otherwise. Sorting by code in python
+    matches sort_array's struct order — code is unique per subspace.)"""
+    spark = sub.sparkSession
+    by_sub: dict[int, list[tuple[int, list[int]]]] = {}
+    for r in cb_q.collect():
+        by_sub.setdefault(r["subspace"], []).append(
+            (r["code"], list(r["qv"]))
+        )
+    cents = spark.createDataFrame(
+        [(s, sorted(cs)) for s, cs in sorted(by_sub.items())],
+        "subspace int, __cents array<struct<code:int,qv:array<bigint>>>",
     )
     joined = sub.join(F.broadcast(cents), "subspace")
 
@@ -240,16 +252,19 @@ def pq_fit(
     m*n_codes*sub_dim values BY CONTRACT (parameters, not data size —
     2048 doubles at the defaults), the same accepted pattern as the
     centroid collects in ``ivf_assign_gemm``. Each Lloyd round is
-    therefore exactly ONE distributed job — assign (pure map over the
-    persisted subvector scan, codebook broadcast) -> per-dim integer
-    sum/count groupBy -> contract-tiny collect — with the mean, the
-    empty-code carry-over, and the requantization done in plain python
-    on the collected integers. (The previous formulation round-tripped
-    the codebook through two broadcast joins + a groupBy per round; at
-    sf0.1 those fixed exchange latencies were ~half of every
-    pq_fit-headed chain. The arithmetic is bit-identical: double
-    division of exact integer sums is IEEE-defined the same in python
-    and the JVM, and the oracle replays it in SQL.)
+    therefore exactly ONE distributed SINGLE-STAGE job — assign (pure
+    map over the persisted subvector scan, codebook broadcast) emitting
+    per-partition partial sums that are collected and merged on the
+    driver (r13: the former groupBy reduce cost an exchange, which AQE
+    materializes as a second stage job per round) — with the merge, the
+    mean, the empty-code carry-over, and the requantization done in
+    plain python on the collected integers. (The r11 formulation
+    round-tripped the codebook through two broadcast joins + a groupBy
+    per round; at sf0.1 those fixed exchange latencies were ~half of
+    every pq_fit-headed chain. The arithmetic is bit-identical: python
+    integer sums are exact, and double division of exact integer sums
+    is IEEE-defined the same in python and the JVM; the oracle replays
+    it in SQL.)
 
     Output: (subspace, code, dim, value) exploded — ``dim`` is the
     LOCAL dimension index within the subspace; value rounded 6dp at the
@@ -303,16 +318,24 @@ def pq_fit(
             (s, c): [math.floor(v * scale + 0.5) for v in vals]
             for (s, c), vals in book.items()
         }
-        stats = (
-            _round_stats_gemm(sub, book_q, m, n_codes, sub_dim)
-            .groupBy("subspace", "code", "dim")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()  # ONE distributed job per Lloyd round
-        )
+        # collect the map-side PARTIALS directly — one SINGLE-STAGE job
+        # per Lloyd round. The old groupBy+collect paid an exchange, and
+        # under AQE every exchange is a separately-materialized stage
+        # job, i.e. 2 jobs per round for a contract-tiny reduce
+        # (<= partitions x m x n_codes x sub_dim partial rows, the same
+        # bounded-collect class as the seed rows). Integer addition in
+        # python is order-free and exact, so the merged sums — and the
+        # double division below — are bit-identical to the JVM reduce.
+        partials = _round_stats_gemm(sub, book_q, m, n_codes, sub_dim).collect()
+        acc: dict[tuple[int, int, int], list[int]] = {}
+        for r in partials:
+            a = acc.setdefault((r.subspace, r.code, r.dim), [0, 0])
+            a[0] += r.s
+            a[1] += r.n
         # mean of member quantized values; codes with no members are
         # absent from stats and keep their previous codeword
-        for r in stats:
-            book[(r.subspace, r.code)][r.dim] = r.s / r.n / scale
+        for (s_, c_, d_), (ssum, n) in acc.items():
+            book[(s_, c_)][d_] = ssum / n / scale
     sub.unpersist()
     cb = spark.createDataFrame(
         [

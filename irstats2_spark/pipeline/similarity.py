@@ -668,13 +668,14 @@ def kmeans_fit(
     - empty clusters keep their previous centroid;
     - fixed ``max_iter`` rounds, no driver-side convergence collect.
 
-    Per round: ONE distributed job — an Arrow-batched numpy pass
-    (``_kmeans_round_stats_gemm``: assignment GEMM + in-batch partial
-    per-(centroid, dim) integer sums, replacing the interpreted
-    rows x centroids x dims ``ivf_assign`` expression fold that
-    dominated every kmeans-headed bench chain) followed by a tiny
-    groupBy over <= partitions x k x dim partial rows and a
-    contract-tiny collect. The centroid table lives DRIVER-side
+    Per round: ONE distributed SINGLE-STAGE job — an Arrow-batched
+    numpy pass (``_kmeans_round_stats_gemm``: assignment GEMM +
+    in-batch partial per-(centroid, dim) integer sums, replacing the
+    interpreted rows x centroids x dims ``ivf_assign`` expression fold
+    that dominated every kmeans-headed bench chain) whose
+    <= partitions x k x dim partial rows are collected and merged on
+    the driver (r13: the former groupBy reduce cost an exchange = a
+    second AQE stage job per round). The centroid table lives DRIVER-side
     between rounds (k*dim doubles — the same accepted collect as
     ``ivf_assign_gemm`` and ``pq_fit``); the mean, the empty-cluster
     carry-over, and the array rebuild happen in plain python on the
@@ -697,16 +698,22 @@ def kmeans_fit(
         for r in src.orderBy("__id").limit(k).collect()
     }
     for _ in range(max_iter):
-        stats = (
-            _kmeans_round_stats_gemm(src, book, scale)
-            .groupBy("centroid_id", "dim")
-            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
-            .collect()  # ONE distributed job per Lloyd round
-        )
+        # collect the map-side PARTIALS directly — one SINGLE-STAGE job
+        # per Lloyd round (the old groupBy+collect paid an exchange,
+        # which AQE materializes as its own stage job: 2 jobs/round).
+        # <= partitions x k x dim partial rows — the accepted
+        # contract-tiny collect class; python integer sums + the same
+        # double division are bit-identical to the JVM reduce.
+        partials = _kmeans_round_stats_gemm(src, book, scale).collect()
+        acc: dict[tuple[int, int], list[int]] = {}
+        for r in partials:
+            a = acc.setdefault((r.centroid_id, r.dim), [0, 0])
+            a[0] += r.s
+            a[1] += r.n
         # element-wise mean; empty clusters are absent from stats and
         # keep their previous centroid
-        for r in stats:
-            book[r.centroid_id][r.dim] = r.s / r.n / scale
+        for (cid, d_), (ssum, n) in acc.items():
+            book[cid][d_] = ssum / n / scale
     src.unpersist()
     cents = spark.createDataFrame(
         sorted(book.items()), "centroid_id long, centroid_vec array<double>"
